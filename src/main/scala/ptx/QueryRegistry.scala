@@ -1,0 +1,33 @@
+package ptx
+
+/** Central registry: merges each operator group's queries + oracle SQL and
+  * sanity-checks the contract (every oracle key must have a query; duplicate
+  * keys across groups are a build error, caught at first access).
+  */
+object QueryRegistry {
+  private def groups: Seq[(Map[String, QFn], Map[String, String])] = Seq(
+    (ops.Scans.queries, ops.Scans.oracle),
+    (ops.FilterProject.queries, ops.FilterProject.oracle),
+    (ops.Joins.queries, ops.Joins.oracle),
+    (ops.Aggregates.queries, ops.Aggregates.oracle),
+    (ops.Windows.queries, ops.Windows.oracle),
+    (ops.SortLimit.queries, ops.SortLimit.oracle),
+    (ops.SetOps.queries, ops.SetOps.oracle),
+    (ops.ScalarFns.queries, ops.ScalarFns.oracle),
+    (ops.Telemetry.queries, ops.Telemetry.oracle),
+    (ops.LlmData.queries, ops.LlmData.oracle)
+  )
+
+  lazy val all: Map[String, QFn] = {
+    val qs = groups.flatMap(_._1)
+    require(qs.size == qs.map(_._1).distinct.size, "duplicate query keys across groups")
+    qs.toMap
+  }
+
+  lazy val oracleSql: Map[String, String] = {
+    val os = groups.flatMap(_._2).toMap
+    val orphan = os.keySet -- all.keySet
+    require(orphan.isEmpty, s"oracle without query: $orphan")
+    os
+  }
+}

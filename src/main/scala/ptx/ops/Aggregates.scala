@@ -1,0 +1,196 @@
+package ptx.ops
+
+import org.apache.spark.sql.functions._
+import ptx.{QFn, Tables}
+
+/** G4 — aggregation surface (SURVEY.md §2 G4).
+  *
+  * Scale notes (100 TB): every groupBy here compiles to Spark's two-phase
+  * hash aggregate (partial map-side combine, then final after one shuffle on
+  * the grouping key) — the shape that scales linearly with executors.
+  * `countDistinct` expands to the 2-shuffle exact plan; at 100 TB prefer the
+  * declared `agg_approx_distinct` (HLL, single pass, mergeable sketches).
+  * Rounding of double aggregates is part of the oracle-parity discipline
+  * (FIXTURES.md), not presentation.
+  */
+object Aggregates {
+
+  def queries: Map[String, QFn] = Map(
+    "agg_global" -> ((s, d) => {
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+    }),
+    "agg_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "agg_count_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+    "agg_conditional" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          round(sum(when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(lit(0.0))), 2).as("pos_bal"),
+          count(when(col("c_mktsegment") === "BUILDING", lit(1))).as("n_building"),
+          round(avg(when(col("c_acctbal") < 0, col("c_acctbal"))), 6).as("avg_neg"))
+        .orderBy(col("n_name"))
+    }),
+    "agg_having" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("total"), count(lit(1)).as("n"))
+        .filter(col("total") > 1000000.0)
+        .orderBy(col("l_suppkey"))
+    }),
+    "agg_rollup" -> ((s, d) => {
+      val c = Tables.customer(s, d); val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    }),
+    "agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "agg_grouping_sets" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_type"), (col("user_id") % 10).as("bucket"))
+        .createOrReplaceTempView("ev_gs")
+      s.sql(
+        """SELECT event_type, bucket, grouping(event_type) AS g_type,
+          |       grouping(bucket) AS g_bucket, count(*) AS n
+          |FROM ev_gs
+          |GROUP BY GROUPING SETS ((event_type), (bucket), ())
+          |ORDER BY g_type, g_bucket,
+          |         event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin)
+    }),
+    "agg_stats" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+          round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "agg_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median"),
+          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "agg_collect_sorted" -> ((s, d) => {
+      val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
+      sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"))
+        .orderBy(col("n_name"))
+    }),
+    // ◌ no oracle: HLL sketch values are engine-specific; unit-tested vs
+    // exact ±5% instead (SURVEY §2 G4).
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy(col("event_type"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "agg_global" ->
+      """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
+        |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |       round(avg(l_discount), 6) AS avg_disc
+        |FROM lineitem""".stripMargin,
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_extendedprice), 6) AS avg_price,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_conditional" ->
+      """SELECT n_name,
+        |  round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END), 2) AS pos_bal,
+        |  count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_building,
+        |  round(avg(CASE WHEN c_acctbal < 0 THEN c_acctbal END), 6) AS avg_neg
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_having" ->
+      """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING round(sum(l_extendedprice), 2) > 1000000.0
+        |ORDER BY l_suppkey""".stripMargin,
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_grouping_sets" ->
+      """SELECT event_type, bucket, grouping(event_type) AS g_type,
+        |       grouping(bucket) AS g_bucket, count(*) AS n
+        |FROM (SELECT event_type, user_id % 10 AS bucket FROM events) t
+        |GROUP BY GROUPING SETS ((event_type), (bucket), ())
+        |ORDER BY g_type, g_bucket,
+        |         event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  round(var_samp(l_quantity), 6) AS var_qty,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+        |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 6) AS median,
+        |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "agg_collect_sorted" ->
+      """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

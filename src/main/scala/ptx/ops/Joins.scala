@@ -1,0 +1,192 @@
+package ptx.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import ptx.{QFn, Tables}
+
+/** G3 — join surface (SURVEY.md §2 G3).
+  *
+  * Scale notes (100 TB): large⋈large (orders⋈customer, lineitem⋈orders) are
+  * left to Catalyst's sort-merge with AQE skew handling; dimension tables
+  * (region/nation/supplier/part) are explicitly `broadcast()` so no shuffle
+  * of the fact side's key is wasted on a small build side. The range join is
+  * bucketized into an equi-join (hour alignment) so it hash-joins instead of
+  * exploding into a broadcast-nested-loop at scale. The as-of join uses a
+  * per-key window (single shuffle on user_id) rather than a self-join.
+  */
+object Joins {
+
+  def queries: Map[String, QFn] = Map(
+    "join_inner_shuffle" -> ((s, d) => {
+      val o = Tables.orders(s, d); val c = Tables.customer(s, d)
+      o.join(c, col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("c_custkey"))
+    }),
+    "join_broadcast" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("p_brand"))
+    }),
+    "join_left_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+    "join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).select(col("c_custkey")).distinct()
+      val o = Tables.orders(s, d).select(col("o_custkey")).distinct()
+      c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_custkey").isNotNull.as("in_cust"),
+          col("o_custkey").isNotNull.as("in_ord"))
+        .orderBy(col("k"))
+    }),
+    "join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1998)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(year(col("o_orderdate")) === 1998)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+    "join_cross" -> ((s, d) => {
+      val r = Tables.region(s, d).select(col("r_name"))
+      val n = Tables.nation(s, d).select(col("n_name"))
+      r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+    }),
+    "join_theta" -> ((s, d) => {
+      val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
+      // equi key + non-equi residual: Catalyst extracts the equality so this
+      // stays a hash/SMJ join with a post-filter, not a nested loop.
+      l.join(broadcast(p),
+          col("l_partkey") === col("p_partkey") &&
+          col("l_extendedprice") < col("p_retailprice") * 2.0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "join_range_interval" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      // hour buckets 2024-01-01 .. 2024-01-31; the alignment equality makes
+      // this an equi-join (scalable); the range predicate is kept as the
+      // declared semantic.
+      val buckets = s.range(1).select(explode(sequence(
+        to_timestamp(lit("2024-01-01 00:00:00")),
+        to_timestamp(lit("2024-01-31 00:00:00")),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+      e.join(broadcast(buckets),
+          date_trunc("hour", col("ts")) === col("bucket") &&
+          col("ts") >= col("bucket") &&
+          col("ts") < col("bucket") + expr("INTERVAL 1 HOUR"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .orderBy(col("bucket"))
+    }),
+    "join_asof_last_error" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.select(col("event_id"), col("user_id"), col("ts"),
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+            .over(w).as("last_error_ts"))
+        .orderBy(col("event_id"))
+    }),
+    "join_star_q5" -> ((s, d) => {
+      val c = Tables.customer(s, d); val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d); val sup = Tables.supplier(s, d)
+      val n = Tables.nation(s, d); val r = Tables.region(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+                   col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    })
+  )
+
+  /** events with ns→µs-truncated ts, as DuckDB sees it after CAST. */
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  def oracle: Map[String, String] = Map(
+    "join_inner_shuffle" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "join_broadcast" ->
+      """SELECT p_brand, count(*) AS n, round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS k,
+        |       c_custkey IS NOT NULL AS in_cust, o_custkey IS NOT NULL AS in_ord
+        |FROM (SELECT DISTINCT c_custkey FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o ON c_custkey = o_custkey
+        |ORDER BY k""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |              AND year(o_orderdate) = 1998)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |                  AND year(o_orderdate) = 1998)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "join_theta" ->
+      """SELECT l_orderkey, l_linenumber, p_partkey, round(l_extendedprice, 2) AS price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_extendedprice < p_retailprice * 2.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "join_range_interval" ->
+      s"""SELECT bucket, count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM $EV e JOIN (
+        |  SELECT unnest(generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31',
+        |                                INTERVAL 1 HOUR)) AS bucket) b
+        |ON date_trunc('hour', e.ts) = b.bucket
+        |   AND e.ts >= b.bucket AND e.ts < b.bucket + INTERVAL 1 HOUR
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "join_asof_last_error" ->
+      s"""SELECT event_id, user_id, ts,
+        |       last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+        |FROM $EV ORDER BY event_id""".stripMargin,
+    "join_star_q5" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+  )
+}

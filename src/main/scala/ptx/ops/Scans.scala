@@ -1,0 +1,6 @@
+package ptx.ops
+import ptx.QFn
+object Scans {
+  def queries: Map[String, QFn] = Map()
+  def oracle: Map[String, String] = Map()
+}

@@ -1,0 +1,6 @@
+package ptx.ops
+import ptx.QFn
+object Windows {
+  def queries: Map[String, QFn] = Map()
+  def oracle: Map[String, String] = Map()
+}
