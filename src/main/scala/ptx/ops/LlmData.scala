@@ -1,6 +1,249 @@
 package ptx.ops
-import ptx.QFn
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import ptx.{QFn, Tables}
+
+/** G11 — LLM-data-pipeline operators (SURVEY.md §2 G11): dedup, similarity
+  * search, multimodal joins, text analysis.
+  *
+  * Scale notes (100 TB):
+  *  - exact dedup = one shuffle on text (or on a text hash at scale — same
+  *    plan shape);
+  *  - near-dup via shingle inverted index: explode → distinct → self-join on
+  *    shingle. At 100 TB the declared-exact form is preceded by the
+  *    MinHash-LSH pre-filter (`llm_dedup_minhash_lsh`) so the self-join only
+  *    sees banded candidates, not the full shingle index;
+  *  - knn: probes are broadcast (small side), candidates streamed — no
+  *    shuffle of the big side; per-probe top-k via window on the probe key.
+  */
 object LlmData {
-  def queries: Map[String, QFn] = Map()
-  def oracle: Map[String, String] = Map()
+
+  /** embeddings with the float32 vector upcast to double once. */
+  private def vecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
+
+  /** cosine(p, c) with strictly sequential double accumulation — bitwise
+    * reproducible, and the same fold order DuckDB's list_dot_product uses.
+    */
+  private val cosExpr =
+    """aggregate(zip_with(p, c, (x, y) -> x * y), 0D, (a, x) -> a + x)
+      | / (sqrt(aggregate(p, 0D, (a, x) -> a + x * x))
+      |    * sqrt(aggregate(c, 0D, (a, x) -> a + x * x)))""".stripMargin
+
+  /** top-k cosine neighbors for probes with vec_id < nProbes. */
+  private def knn(s: SparkSession, d: String, nProbes: Int, k: Int): DataFrame = {
+    val emb = vecs(s, d)
+    val probes = emb.filter(col("vec_id") < nProbes)
+      .select(col("vec_id").as("probe_id"), col("v").as("p"))
+    val cand = emb.select(col("vec_id").as("cand_id"), col("v").as("c"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    cand.crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", expr(cosExpr))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  def queries: Map[String, QFn] = Map(
+    "llm_dedup_exact" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+    "llm_dedup_near" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+      val sh = words.select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(w) - 2),
+            | i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))""".stripMargin))
+          .as("shingle"))
+        .distinct()
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.toDF("doc1", "shingle")
+      val b = sh.toDF("doc2", "shingle")
+      val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast("double") /
+        (col("na.n_sh") + col("nb.n_sh") - col("inter"))
+      inter
+        .join(n.as("na"), col("doc1") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc2") === col("nb.doc_id"))
+        .withColumn("jaccard", round(jac, 6))
+        .filter(jac >= 0.4)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+    "llm_knn_cosine" -> ((s, d) => {
+      knn(s, d, nProbes = 100, k = 10)
+        .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
+    "llm_embed_norm" -> ((s, d) => {
+      vecs(s, d)
+        .withColumn("nrm", expr("sqrt(aggregate(v, 0D, (a, x) -> a + x * x))"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("nrm")), 4).as("avg_norm"),
+          round(min(col("nrm")), 4).as("min_norm"),
+          round(max(col("nrm")), 4).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+    "llm_centroid" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .filter(col("pos") < 4)
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("x").cast("double")), 6).as("c"))
+        .orderBy(col("label"), col("pos"))
+    }),
+    "llm_text_stats" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          round(avg(size(split(col("text"), " ")).cast("double")), 6).as("avg_words"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+    "llm_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    }),
+    "llm_tfidf" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfw = tok.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      val tf = tok.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("word"))
+      tf.join(dfw, Seq("word")).crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("lang"), col("rnk"), col("word"), round(col("score"), 6).as("score"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+    "llm_multimodal_join" -> ((s, d) => {
+      Tables.documents(s, d)
+        .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("n_chars")), 6).as("avg_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("label"))
+    }),
+    "llm_semantic_topk_text" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      knn(s, d, nProbes = 10, k = 5)
+        .join(docs, col("cand_id") === col("doc_id"))
+        .select(col("probe_id"), col("rnk"), col("cand_id"),
+          round(col("sim"), 6).as("sim"), col("text").as("neighbor_text"))
+        .orderBy(col("probe_id"), col("rnk"))
+    })
+  )
+
+  /** Shared oracle CTE fragments (DuckDB dialect). */
+  private val VX =
+    "(SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings)"
+
+  private def knnSql(nProbes: Int, k: Int): String =
+    s"""WITH vx AS (SELECT * FROM $VX t),
+       |pairs AS (
+       |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+       |         list_dot_product(p.v, c.v)
+       |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+       |  FROM vx p JOIN vx c ON p.vec_id < $nProbes AND p.vec_id <> c.vec_id),
+       |ranked AS (
+       |  SELECT probe_id, cand_id, sim,
+       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+       |  FROM pairs)
+       |SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim FROM ranked WHERE rnk <= $k""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+    "llm_dedup_near" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT doc1, doc2,
+        |       round(CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter), 6) AS jaccard
+        |FROM inter JOIN n na ON na.doc_id = doc1 JOIN n nb ON nb.doc_id = doc2
+        |WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.4
+        |ORDER BY doc1, doc2""".stripMargin,
+    "llm_knn_cosine" ->
+      (knnSql(100, 10) + "\nORDER BY probe_id, rnk"),
+    "llm_embed_norm" ->
+      s"""SELECT label, count(*) AS n,
+        |  round(avg(nrm), 4) AS avg_norm, round(min(nrm), 4) AS min_norm,
+        |  round(max(nrm), 4) AS max_norm
+        |FROM (SELECT label, sqrt(list_dot_product(v, v)) AS nrm FROM $VX t) x
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "llm_centroid" ->
+      """SELECT label, i - 1 AS pos, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS c
+        |FROM embeddings CROSS JOIN (VALUES (1), (2), (3), (4)) t(i)
+        |GROUP BY label, i ORDER BY label, pos""".stripMargin,
+    "llm_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_words,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_wordcount" ->
+      """SELECT word, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "llm_tfidf" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |dfw AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY word),
+        |tf AS (SELECT lang, word, count(*) AS tf FROM tok GROUP BY lang, word),
+        |sc AS (SELECT lang, tf.word AS word,
+        |              tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+        |       FROM tf JOIN dfw ON tf.word = dfw.word CROSS JOIN nd),
+        |ranked AS (SELECT lang, word, score,
+        |                  row_number() OVER (PARTITION BY lang
+        |                                     ORDER BY score DESC, word) AS rnk
+        |           FROM sc)
+        |SELECT lang, rnk, word, round(score, 6) AS score FROM ranked
+        |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+    "llm_multimodal_join" ->
+      """SELECT label, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "llm_semantic_topk_text" ->
+      s"""WITH vx AS (SELECT * FROM $VX t),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         list_dot_product(p.v, c.v)
+        |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM vx p JOIN vx c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |ranked AS (
+        |  SELECT probe_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM pairs)
+        |SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim, text AS neighbor_text
+        |FROM ranked JOIN documents ON cand_id = doc_id
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+  )
 }

@@ -1,6 +1,176 @@
 package ptx.ops
-import ptx.QFn
+
+import org.apache.spark.sql.functions._
+import ptx.{QFn, Tables}
+
+/** G8 — scalar function surface (SURVEY.md §2 G8). One declared query per
+  * function family; every output column is a function result so the oracle
+  * hashes actual function behavior, not pass-throughs.
+  *
+  * All of these are Catalyst built-ins → whole-stage codegen, no UDFs.
+  */
 object ScalarFns {
-  def queries: Map[String, QFn] = Map()
-  def oracle: Map[String, String] = Map()
+
+  def queries: Map[String, QFn] = Map(
+    "fn_string" -> ((s, d) => {
+      Tables.part(s, d)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("up"),
+          lower(col("p_brand")).as("lo"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          length(col("p_name")).as("len"),
+          trim(concat(lit(" "), col("p_name"), lit(" "))).as("trimmed"),
+          lpad(col("p_size").cast("string"), 4, "0").as("padded"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("joined"),
+          regexp_replace(col("p_name"), " ", "_").as("rep"),
+          reverse(col("p_brand")).as("rev"),
+          element_at(split(col("p_name"), " "), 2).as("word2"))
+        .orderBy(col("p_partkey"))
+    }),
+    "fn_regex" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          regexp_extract(col("c_name"), "Customer#(\\d+)", 1).as("cust_digits"),
+          col("c_mktsegment").rlike("^(BU|MA)").as("seg_match"),
+          regexp_extract(col("c_mktsegment"), "([A-Z]+)", 1).as("seg_word"))
+        .orderBy(col("c_custkey"))
+    }),
+    "fn_date" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dd"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due"),
+          datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "fn_math" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * col("l_discount")).as("disc_amt"),
+          abs(col("l_quantity") - 25.0).as("dev"),
+          ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+          floor(col("l_tax") * 100).as("tax_pct_floor"),
+          round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(log10(col("l_extendedprice")), 6).as("log10_price"),
+          round(pow(col("l_quantity"), 2.0), 2).as("qty_sq"),
+          (col("l_linenumber") % 3).as("ln_mod"),
+          signum(col("l_discount") - 0.05).as("disc_sign"),
+          greatest(col("l_quantity"), lit(10.0)).as("qty_hi"),
+          least(col("l_quantity"), lit(10.0)).as("qty_lo"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "fn_conditional" -> ((s, d) => {
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          when(col("c_acctbal") > 0, "credit").otherwise("debit").as("side"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("B_DEFAULT")).as("seg_or_default"),
+          when(col("c_acctbal") < 0, -col("c_acctbal")).otherwise(col("c_acctbal")).as("abs_bal"),
+          nullif(col("c_nationkey").cast("int"), lit(0)).as("natkey_nz"))
+        .orderBy(col("c_custkey"))
+    }),
+    "fn_array" -> ((s, d) => {
+      // float32 arrays upcast to double before math (oracle-parity discipline)
+      Tables.embeddings(s, d)
+        .select(
+          col("vec_id"),
+          size(col("embedding")).as("dim"),
+          round(element_at(col("embedding"), 1).cast("double"), 6).as("e1"),
+          round(element_at(col("embedding"), 64).cast("double"), 6).as("e64"),
+          round(expr(
+            "aggregate(slice(embedding, 1, 4), CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE))"
+          ), 6).as("head_sum"),
+          round(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+          ), 4).as("l2_sq"),
+          round(array_max(expr("transform(embedding, x -> CAST(x AS DOUBLE))")), 6).as("emax"))
+        .orderBy(col("vec_id"))
+    }),
+    "fn_json_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"),
+          from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.IntegerType)))).getField("k").as("k2"),
+          (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "fn_string" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  substr(p_name, 1, 5) AS sub, length(p_name) AS len,
+        |  trim(' ' || p_name || ' ') AS trimmed,
+        |  lpad(CAST(p_size AS VARCHAR), 4, '0') AS padded,
+        |  p_brand || '/' || p_type AS joined,
+        |  replace(p_name, ' ', '_') AS rep,
+        |  reverse(p_brand) AS rev,
+        |  string_split(p_name, ' ')[2] AS word2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "fn_regex" ->
+      """SELECT c_custkey,
+        |  regexp_extract(c_name, 'Customer#(\d+)', 1) AS cust_digits,
+        |  regexp_matches(c_mktsegment, '^(BU|MA)') AS seg_match,
+        |  regexp_extract(c_mktsegment, '([A-Z]+)', 1) AS seg_word
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_date" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS dd,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        |  o_orderdate + INTERVAL 30 DAY AS due,
+        |  CAST(CAST(o_orderdate AS DATE) - DATE '1995-01-01' AS INTEGER) AS days_since,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * l_discount AS disc_amt,
+        |  abs(l_quantity - 25.0) AS dev,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+        |  round(sqrt(l_extendedprice), 6) AS sqrt_price,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(log10(l_extendedprice), 6) AS log10_price,
+        |  round(pow(l_quantity, 2.0), 2) AS qty_sq,
+        |  l_linenumber % 3 AS ln_mod,
+        |  CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1.0
+        |       WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS disc_sign,
+        |  greatest(l_quantity, 10.0) AS qty_hi,
+        |  least(l_quantity, 10.0) AS qty_lo
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "fn_conditional" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_acctbal > 0 THEN 'credit' ELSE 'debit' END AS side,
+        |  coalesce(nullif(c_mktsegment, 'BUILDING'), 'B_DEFAULT') AS seg_or_default,
+        |  CASE WHEN c_acctbal < 0 THEN -c_acctbal ELSE c_acctbal END AS abs_bal,
+        |  nullif(CAST(c_nationkey AS INTEGER), 0) AS natkey_nz
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "fn_array" ->
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  round(CAST(embedding[1] AS DOUBLE), 6) AS e1,
+        |  round(CAST(embedding[64] AS DOUBLE), 6) AS e64,
+        |  round(list_aggregate(list_transform(embedding[1:4], x -> CAST(x AS DOUBLE)), 'sum'), 6) AS head_sum,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 4) AS l2_sq,
+        |  round(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS emax
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "fn_json_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin
+  )
 }

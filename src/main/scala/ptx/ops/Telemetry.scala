@@ -1,6 +1,141 @@
 package ptx.ops
-import ptx.QFn
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import ptx.{QFn, Tables}
+
+/** G9 — powertrain/telemetry analytics over `events` (SURVEY.md §2 G9).
+  * Batch twins of the streaming pipelines in ptx.stream: tumbling/hopping
+  * windows, gap sessionization, trip rollups, threshold alerts.
+  *
+  * Scale notes (100 TB): sessionization is one shuffle on user_id then two
+  * window passes — the scalable form of per-key gap detection (no
+  * self-join). Hopping windows expand each event into len/slide rows before
+  * the aggregate; partial aggregation absorbs the 4× blowup map-side.
+  * Threshold lookup is a broadcast join against a tiny static dimension.
+  */
 object Telemetry {
-  def queries: Map[String, QFn] = Map()
-  def oracle: Map[String, String] = Map()
+
+  /** Static per-type alert thresholds — the [PK]-flavored rule table. */
+  val thresholds: Seq[(String, Double)] = Seq(
+    "click" -> 300.0, "view" -> 310.0, "purchase" -> 290.0,
+    "signup" -> 280.0, "error" -> 250.0)
+
+  def queries: Map[String, QFn] = Map(
+    "pt_threshold_alerts" -> ((s, d) => {
+      val thr = s.createDataFrame(thresholds).toDF("event_type", "thr")
+      Tables.events(s, d)
+        .join(broadcast(thr), Seq("event_type"))
+        .filter(col("value") > col("thr"))
+        .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"))
+        .orderBy(col("event_id"))
+    }),
+    "pt_tumbling_1h" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_val"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    "pt_sliding_1h_15m" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+        .select(col("w.start").as("hop_start"), col("event_type"), col("n"), col("sum_val"))
+        .orderBy(col("hop_start"), col("event_type"))
+    }),
+    "pt_sessionize" -> ((s, d) => {
+      sessions(s, d)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    "pt_trip_stats" -> ((s, d) => {
+      sessions(s, d)
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(
+          count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_val"),
+          round(avg(col("value")), 6).as("avg_val"),
+          round(max(col("sec")) - min(col("sec")), 6).as("duration_s"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+    "pt_daily_pivot" -> ((s, d) => {
+      // conditional-agg pivot: deterministic column set, zero-filled
+      val e = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      e.groupBy(col("day"))
+        .agg(
+          sum(when(col("event_type") === "click", 1).otherwise(0)).as("click"),
+          sum(when(col("event_type") === "error", 1).otherwise(0)).as("error"),
+          sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchase"),
+          sum(when(col("event_type") === "signup", 1).otherwise(0)).as("signup"),
+          sum(when(col("event_type") === "view", 1).otherwise(0)).as("view"))
+        .orderBy(col("day"))
+    })
+  )
+
+  /** Gap-based 30-min sessions: lag + cumulative-sum of gap>1800s flags.
+    * `sec` is the µs-exact epoch-seconds double (cast of the µs-truncated
+    * ts), so both engines compute gaps over identical values.
+    */
+  private def sessions(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("sec", col("ts").cast("double"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wOrd))
+      .withColumn("session_id",
+        sum(when(col("gap").isNull || col("gap") > 1800.0, 1).otherwise(0)).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** DuckDB twin of `sessions`. */
+  private val SESS =
+    s"""(SELECT user_id, ts, event_id, value,
+       |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800.0 THEN 1 ELSE 0 END)
+       |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id,
+       |  sec
+       | FROM (SELECT *, epoch(ts) AS sec,
+       |         epoch(ts) - lag(epoch(ts), 1)
+       |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+       |       FROM $EV) g)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "pt_threshold_alerts" ->
+      s"""SELECT event_id, event_type, round(value, 2) AS value
+        |FROM $EV e JOIN (VALUES ('click', 300.0), ('view', 310.0), ('purchase', 290.0),
+        |                        ('signup', 280.0), ('error', 250.0)) t(event_type, thr)
+        |USING (event_type)
+        |WHERE value > thr ORDER BY event_id""".stripMargin,
+    "pt_tumbling_1h" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |       count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM $EV GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+    "pt_sliding_1h_15m" ->
+      s"""SELECT make_timestamp(((CAST(floor(epoch(ts) / 900) AS BIGINT) - k) * 900) * 1000000) AS hop_start,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM $EV e CROSS JOIN (VALUES (0), (1), (2), (3)) hops(k)
+        |GROUP BY hop_start, event_type ORDER BY hop_start, event_type""".stripMargin,
+    "pt_sessionize" ->
+      s"""SELECT user_id, session_id, count(*) AS n_events,
+        |       min(ts) AS session_start, max(ts) AS session_end
+        |FROM $SESS GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "pt_trip_stats" ->
+      s"""SELECT user_id, session_id, count(*) AS n_events,
+        |       round(sum(value), 2) AS sum_val, round(avg(value), 6) AS avg_val,
+        |       round(max(sec) - min(sec), 6) AS duration_s
+        |FROM $SESS GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "pt_daily_pivot" ->
+      s"""SELECT CAST(ts AS DATE) AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM $EV GROUP BY day ORDER BY day""".stripMargin
+  )
 }

@@ -1,6 +1,149 @@
 package ptx.ops
-import ptx.QFn
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import ptx.{QFn, Tables}
+
+/** G5 — window-function surface (SURVEY.md §2 G5).
+  *
+  * Scale notes (100 TB): every window here partitions by a high-cardinality
+  * key (user_id, o_custkey, o_orderstatus) → one shuffle, then per-partition
+  * sort; no global single-partition window except `win_rank_ties` /
+  * `win_ntile_cume`, whose global ORDER BY Spark executes via range
+  * partitioning (sampled split points), so even "global" rank scales out.
+  */
 object Windows {
-  def queries: Map[String, QFn] = Map()
-  def oracle: Map[String, String] = Map()
+
+  private def evw = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+
+  def queries: Map[String, QFn] = Map(
+    "win_topk_per_group" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_custkey"), col("rn"))
+    }),
+    "win_rank_ties" -> ((s, d) => {
+      val w = Window.orderBy(col("p_size"))
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"))
+        .orderBy(col("p_partkey"))
+    }),
+    "win_lag_lead" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("value"),
+          round(col("value") - lag(col("value"), 1).over(evw), 6).as("delta"),
+          lead(col("event_type"), 1).over(evw).as("next_type"))
+        .orderBy(col("event_id"))
+    }),
+    "win_running_sum" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(sum(col("value")).over(
+            evw.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running"))
+        .orderBy(col("event_id"))
+    }),
+    "win_moving_avg" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          round(avg(col("value")).over(evw.rowsBetween(-6, 0)), 6).as("mavg"))
+        .orderBy(col("event_id"))
+    }),
+    "win_range_frame" -> ((s, d) => {
+      // DataFrame rangeBetween only takes Long offsets; the double-typed
+      // RANGE frame over o_totalprice needs the SQL window form.
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(expr(
+            """sum(o_totalprice) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+              |RANGE BETWEEN 100.0 PRECEDING AND 100.0 FOLLOWING)""".stripMargin), 2)
+            .as("near_sum"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "win_ntile_cume" -> ((s, d) => {
+      val wt = Window.orderBy(col("c_acctbal"), col("c_custkey"))
+      val wc = Window.orderBy(col("c_acctbal"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          ntile(4).over(wt).as("quartile"),
+          round(cume_dist().over(wc), 6).as("cd"))
+        .orderBy(col("c_custkey"))
+    }),
+    "win_first_last" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, d)
+        .withColumn("day", to_date(col("ts")))
+        .select(col("event_id"), col("user_id"), col("day"),
+          round(first(col("value")).over(w), 2).as("day_first"),
+          round(last(col("value")).over(w), 2).as("day_last"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  /** events with ns→µs-truncated ts, as DuckDB sees it after CAST. */
+  private val EV =
+    "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  def oracle: Map[String, String] = Map(
+    "win_topk_per_group" ->
+      """SELECT o_custkey, rn, o_orderkey, round(o_totalprice, 2) AS price FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "win_rank_ties" ->
+      """SELECT p_partkey, p_size,
+        |  rank() OVER (ORDER BY p_size) AS rnk,
+        |  dense_rank() OVER (ORDER BY p_size) AS drnk,
+        |  round(percent_rank() OVER (ORDER BY p_size), 6) AS prnk
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "win_lag_lead" ->
+      s"""SELECT event_id, user_id, round(value, 2) AS value,
+        |  round(value - lag(value, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id), 6) AS delta,
+        |  lead(event_type, 1) OVER
+        |    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |FROM $EV ORDER BY event_id""".stripMargin,
+    "win_running_sum" ->
+      s"""SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM $EV ORDER BY event_id""".stripMargin,
+    "win_moving_avg" ->
+      s"""SELECT event_id, user_id,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS mavg
+        |FROM $EV ORDER BY event_id""".stripMargin,
+    "win_range_frame" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderstatus
+        |        ORDER BY o_totalprice
+        |        RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING), 2) AS near_sum
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "win_ntile_cume" ->
+      """SELECT c_custkey,
+        |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+        |  round(cume_dist() OVER (ORDER BY c_acctbal), 6) AS cd
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "win_first_last" ->
+      s"""SELECT event_id, user_id, day,
+        |  round(first_value(value) OVER w, 2) AS day_first,
+        |  round(last_value(value) OVER w, 2) AS day_last
+        |FROM (SELECT *, CAST(ts AS DATE) AS day FROM $EV) e
+        |WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY event_id""".stripMargin
+  )
 }
