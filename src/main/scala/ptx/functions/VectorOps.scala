@@ -1,0 +1,69 @@
+package ptx.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Cosine similarity over two float32 vectors, computed in double.
+  *
+  * The HOF formulation (`aggregate(zip_with(...))`) evaluates three
+  * non-codegen lambda chains per row pair (measured 15 s for 100×2000 pairs,
+  * BASELINE.md); this expression is a single codegen'd loop — the SURVEY §4
+  * perf lever. Accumulation is strictly sequential (index 0..n-1) with each
+  * element upcast float→double, which is bit-identical to the DuckDB oracle's
+  * `list_dot_product(list_transform(...))` fold, so correctness parity is
+  * unchanged.
+  *
+  * Scale note (100 TB): scoring is embarrassingly parallel — no state, no
+  * shuffle; one fused whole-stage-codegen loop per (probe, candidate) pair.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+  // inputs must be ArrayType(FloatType); call sites are library-internal
+  // (ExpectsInputTypes is private[sql], so no declarative check here)
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toFloatArray()
+    val b = r.asInstanceOf[ArrayData].toFloatArray()
+    CosineSim.cosine(a, b)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = CosineSim.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.cosine($l.toFloatArray(), $r.toFloatArray());"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSim {
+  /** Sequential-fold cosine; shared by interpreted and codegen paths. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+}
+
+object VectorOps {
+  /** Registers vector functions in the session's function registry so they
+    * are usable from `expr(...)` / `spark.sql(...)`. Idempotent.
+    */
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+  }
+}

@@ -25,24 +25,22 @@ object LlmData {
     Tables.embeddings(s, d).select(col("vec_id"),
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
 
-  /** cosine(p, c) with strictly sequential double accumulation — bitwise
-    * reproducible, and the same fold order DuckDB's list_dot_product uses.
+  /** top-k cosine neighbors for probes with vec_id < nProbes.
+    * Uses the codegen'd ptx.functions.CosineSim expression (float arrays in,
+    * sequential double fold — bit-identical to the DuckDB oracle's
+    * list_dot_product over double-cast lists, but one fused loop instead of
+    * three HOF lambda chains).
     */
-  private val cosExpr =
-    """aggregate(zip_with(p, c, (x, y) -> x * y), 0D, (a, x) -> a + x)
-      | / (sqrt(aggregate(p, 0D, (a, x) -> a + x * x))
-      |    * sqrt(aggregate(c, 0D, (a, x) -> a + x * x)))""".stripMargin
-
-  /** top-k cosine neighbors for probes with vec_id < nProbes. */
   private def knn(s: SparkSession, d: String, nProbes: Int, k: Int): DataFrame = {
-    val emb = vecs(s, d)
+    ptx.functions.VectorOps.register(s)
+    val emb = Tables.embeddings(s, d)
     val probes = emb.filter(col("vec_id") < nProbes)
-      .select(col("vec_id").as("probe_id"), col("v").as("p"))
-    val cand = emb.select(col("vec_id").as("cand_id"), col("v").as("c"))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val cand = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
     cand.crossJoin(broadcast(probes))
       .filter(col("probe_id") =!= col("cand_id"))
-      .withColumn("sim", expr(cosExpr))
+      .withColumn("sim", expr("cosine_sim(p, c)"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
   }
