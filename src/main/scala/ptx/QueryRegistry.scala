@@ -15,7 +15,10 @@ object QueryRegistry {
     (ops.SetOps.queries, ops.SetOps.oracle),
     (ops.ScalarFns.queries, ops.ScalarFns.oracle),
     (ops.Telemetry.queries, ops.Telemetry.oracle),
-    (ops.LlmData.queries, ops.LlmData.oracle)
+    (ops.LlmData.queries, ops.LlmData.oracle),
+    (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
+    (ops.LlmScale.queries, ops.LlmScale.oracle),
+    (ops.Multimodal.queries, ops.Multimodal.oracle)
   )
 
   lazy val all: Map[String, QFn] = {

@@ -1,0 +1,171 @@
+package ptx.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import ptx.{QFn, Tables}
+
+/** Scale-path dedup & similarity operators (builder prompt / SURVEY §7.4):
+  * MinHash+LSH banding, SimHash, embedding-cosine near-dup, IVF-style ANN.
+  *
+  * The exact operators (`llm_dedup_near`, `llm_knn_cosine`) are the declared
+  * correctness anchors; these are the formulations that survive 100 TB:
+  *  - MinHash/LSH replaces the all-pairs shingle self-join with a band-bucket
+  *    join whose fan-out is bounded by band collisions, then verifies exact
+  *    Jaccard only on candidates;
+  *  - SimHash reduces each doc to 64 bits; candidates come from 16-bit chunk
+  *    equality (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 of 4 chunks equal);
+  *  - IVF ANN restricts scoring to the nprobe nearest coarse cells.
+  *
+  * MinHash/SimHash signatures are engine-specific (xxhash64), so these are
+  * declared without oracles (◌) and property-tested against the exact ops.
+  */
+object LlmScale {
+
+  // --- MinHash parameters (fixed, deterministic) ---
+  private val H = 16          // signature length
+  private val R = 2           // rows per band
+  private val B = H / R       // 8 bands → LSH threshold ≈ (1/B)^(1/R) ≈ 0.35
+
+  /** distinct (doc_id, shingle) pairs — same 3-word shingles as
+    * llm_dedup_near. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(w) - 2),
+          | i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))""".stripMargin))
+        .as("shingle"))
+      .distinct()
+
+  /** Exact Jaccard for a given candidate-pair set (broadcast), used as the
+    * verify stage after LSH candidate generation. */
+  private def verifyJaccard(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
+    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("doc1", "shingle")
+    val b = sh.toDF("doc2", "shingle")
+    val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
+      .join(broadcast(cands), Seq("doc1", "doc2"), "left_semi")
+      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+    val jac = col("inter").cast("double") /
+      (col("na.n_sh") + col("nb.n_sh") - col("inter"))
+    inter
+      .join(n.as("na"), col("doc1") === col("na.doc_id"))
+      .join(n.as("nb"), col("doc2") === col("nb.doc_id"))
+      .withColumn("jaccard", round(jac, 6))
+      .filter(jac >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
+  def queries: Map[String, QFn] = Map(
+    // ◌ MinHash + LSH banding, exact-Jaccard verify on candidates only.
+    "llm_dedup_minhash_lsh" -> ((s, d) => {
+      val sh = shingles(s, d)
+      val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      // per-seed rehash via xxhash64(i, h): independent min-hashes with no
+      // long-multiply (which would overflow-throw under Spark 4 ANSI mode)
+      val sigCols = (0 until H).map(i =>
+        min(xxhash64(lit(i), col("h"))).as(s"m$i"))
+      val sig = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      val bandCols = (0 until B).map(bi =>
+        struct(lit(bi).as("band"),
+          xxhash64((0 until R).map(r => col(s"m${bi * R + r}")): _*).as("key")).as(s"b$bi"))
+      val bands = sig.select(col("doc_id"), array(bandCols: _*).as("bs"))
+        .select(col("doc_id"), explode(col("bs")).as("b"))
+        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      val cands = bands.toDF("doc1", "band", "key")
+        .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2")).distinct()
+      verifyJaccard(shingles(s, d), cands, 0.4)
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+    // ◌ SimHash: 64-bit signature; candidates via 16-bit chunk equality
+    // (pigeonhole guarantees recall for hamming ≤ 3); verify bit_count.
+    "llm_dedup_simhash" -> ((s, d) => {
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .select(col("doc_id"), xxhash64(col("word")).as("h"))
+      val bitCols = (0 until 64).map(i =>
+        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
+      val agg = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
+      val sigExpr = (0 until 64).map(i =>
+        s"IF(s$i > 0, shiftleft(CAST(1 AS BIGINT), $i), CAST(0 AS BIGINT))")
+        .mkString(" + ")
+      val sig = agg.select(col("doc_id"), expr(sigExpr).as("sig"))
+      val chunks = sig.select(col("doc_id"), col("sig"), posexplode(array(
+        (0 until 4).map(c => expr(s"(sig >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "ckey")))
+      val cands = chunks.toDF("doc1", "sig1", "chunk", "ckey")
+        .join(chunks.toDF("doc2", "sig2", "chunk", "ckey"), Seq("chunk", "ckey"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2"), col("sig1"), col("sig2")).distinct()
+      cands
+        .withColumn("hamming", expr("bit_count(sig1 ^ sig2)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc1"), col("doc2"), col("hamming"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+    // ✓ exact embedding near-dup: all pairs with cosine ≥ 0.45.
+    "llm_dedup_embed" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec1"), col("embedding").as("p"),
+        col("label").as("label1"))
+      val b = e.select(col("vec_id").as("vec2"), col("embedding").as("c"),
+        col("label").as("label2"))
+      a.crossJoin(broadcast(b))
+        .filter(col("vec1") < col("vec2"))
+        .withColumn("sim", expr("cosine_sim(p, c)"))
+        .filter(col("sim") >= 0.45)
+        .select(col("vec1"), col("vec2"), round(col("sim"), 6).as("sim"),
+          (col("label1") === col("label2")).as("same_label"))
+        .orderBy(col("vec1"), col("vec2"))
+    }),
+    // ◌ IVF-style ANN: coarse cells = per-label centroids; score only the
+    // nprobe=3 nearest cells per probe, then exact top-5 within candidates.
+    "llm_ann_ivf" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      // coarse centroids (full 64 dims) per label
+      val cent = e
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+          .as("centroid"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      val cellRank = Window.partitionBy(col("probe_id"))
+        .orderBy(col("csim").desc, col("label"))
+      val cells = probes.crossJoin(broadcast(cent))
+        .withColumn("csim", expr("cosine_sim(p, centroid)"))
+        .withColumn("crnk", row_number().over(cellRank))
+        .filter(col("crnk") <= 3)
+        .select(col("probe_id"), col("p"), col("label"))
+      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+      cells.join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+          col("label")), Seq("label"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", expr("cosine_sim(p, c)"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_dedup_embed" ->
+      """WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT vec1, vec2, round(sim, 6) AS sim, same_label FROM (
+        |  SELECT a.vec_id AS vec1, b.vec_id AS vec2, a.label = b.label AS same_label,
+        |         list_dot_product(a.v, b.v)
+        |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
+        |WHERE sim >= 0.45
+        |ORDER BY vec1, vec2""".stripMargin
+  )
+}

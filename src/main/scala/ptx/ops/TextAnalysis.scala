@@ -1,0 +1,141 @@
+package ptx.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import ptx.{QFn, Tables}
+
+/** Text-analysis operators for a training-data pipeline (builder prompt /
+  * SURVEY G11 extension): language-ID heuristic, quality scoring, token
+  * counting, document fingerprinting.
+  *
+  * Scale notes (100 TB): all four are embarrassingly parallel scans (no
+  * shuffle except llm_fingerprint's window on the fingerprint — equivalent
+  * to one hash partition on fp). Marker/stopword lists are tiny literal
+  * arrays folded into codegen, not joins.
+  */
+object TextAnalysis {
+
+  /** Per-language marker words, drawn from the corpus vocabulary (31 distinct
+    * words — FIXTURES probe). The heuristic is n-gram/stopword-list scoring;
+    * tie-break by fixed language priority en>es>de>fr>zh.
+    */
+  private val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("join", "hash", "row"),
+    "es" -> Seq("batch", "scan", "column"),
+    "de" -> Seq("filter", "small", "slow"),
+    "fr" -> Seq("merge", "order", "vector"),
+    "zh" -> Seq("line", "data", "customer"))
+
+  private def scoreExpr(words: Seq[String]) = {
+    val cond = words.map(w => s"x = '$w'").mkString(" OR ")
+    s"size(filter(w, x -> $cond))"
+  }
+  private def scoreSqlDuck(words: Seq[String]) = {
+    val cond = words.map(w => s"x = '$w'").mkString(" OR ")
+    s"len(list_filter(w, x -> $cond))"
+  }
+
+  /** Ordered argmax CASE over the four per-lang scores (same text in both
+    * dialects). */
+  private val predCase =
+    """CASE
+      | WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+      | WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+      | WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+      | WHEN s_fr >= s_zh THEN 'fr'
+      | ELSE 'zh' END""".stripMargin
+
+  /** High-frequency "stopwords" of this corpus (top-5 by count). */
+  private val stop = Seq("join", "hash", "row", "batch", "scan")
+
+  def queries: Map[String, QFn] = Map(
+    "llm_lang_id" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("s_en", expr(scoreExpr(markers("en"))))
+        .withColumn("s_es", expr(scoreExpr(markers("es"))))
+        .withColumn("s_de", expr(scoreExpr(markers("de"))))
+        .withColumn("s_fr", expr(scoreExpr(markers("fr"))))
+        .withColumn("s_zh", expr(scoreExpr(markers("zh"))))
+        .withColumn("pred", expr(predCase))
+        .select(col("doc_id"), col("s_en"), col("s_es"), col("s_de"),
+          col("s_fr"), col("s_zh"), col("pred"),
+          (col("pred") === col("lang")).as("agrees"))
+        .orderBy(col("doc_id"))
+    }),
+    "llm_quality_score" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_words", size(col("w")))
+        .withColumn("avg_word_len",
+          (col("n_chars") - (col("n_words") - 1)).cast("double") / col("n_words"))
+        .withColumn("stop_hits", expr(scoreExpr(stop)))
+        .withColumn("stop_ratio", col("stop_hits").cast("double") / col("n_words"))
+        .withColumn("quality",
+          least(col("n_words").cast("double") / 100.0, lit(1.0)) * 0.4 +
+          (lit(1.0) - col("stop_ratio")) * 0.3 +
+          least(col("avg_word_len") / 8.0, lit(1.0)) * 0.3)
+        .select(col("doc_id"), col("n_words"), col("avg_word_len"),
+          col("stop_ratio"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "llm_token_count" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("ws_tokens"),
+          size(expr("regexp_extract_all(text, '[a-z]+', 0)")).as("re_tokens"),
+          ceil(col("n_chars").cast("double") / 4.0).as("est_bpe"))
+        .orderBy(col("doc_id"))
+    }),
+    "llm_fingerprint" -> ((s, d) => {
+      val byFp = Window.partitionBy(col("fp"))
+      Tables.documents(s, d)
+        .withColumn("fp", md5(col("text")))
+        .withColumn("n_copies", count(lit(1)).over(byFp))
+        .withColumn("keep_id", min(col("doc_id")).over(byFp))
+        .select(col("doc_id"), col("fp"), col("n_copies"), col("keep_id"),
+          (col("doc_id") === col("keep_id")).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_lang_id" ->
+      s"""SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh, $predCase AS pred,
+        |       ($predCase = lang) AS agrees
+        |FROM (SELECT doc_id, lang,
+        |        ${scoreSqlDuck(markers("en"))} AS s_en,
+        |        ${scoreSqlDuck(markers("es"))} AS s_es,
+        |        ${scoreSqlDuck(markers("de"))} AS s_de,
+        |        ${scoreSqlDuck(markers("fr"))} AS s_fr,
+        |        ${scoreSqlDuck(markers("zh"))} AS s_zh
+        |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents) x) y
+        |ORDER BY doc_id""".stripMargin,
+    "llm_quality_score" ->
+      s"""SELECT doc_id, n_words, avg_word_len, stop_ratio,
+        |  least(CAST(n_words AS DOUBLE) / 100.0, 1.0) * 0.4 +
+        |  (1.0 - stop_ratio) * 0.3 +
+        |  least(avg_word_len / 8.0, 1.0) * 0.3 AS quality
+        |FROM (SELECT doc_id, n_words,
+        |        CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words AS avg_word_len,
+        |        CAST(stop_hits AS DOUBLE) / n_words AS stop_ratio
+        |      FROM (SELECT doc_id, n_chars, len(w) AS n_words,
+        |              ${scoreSqlDuck(stop)} AS stop_hits
+        |            FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        |                  FROM documents) a) b) c
+        |ORDER BY doc_id""".stripMargin,
+    "llm_token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS re_tokens,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      """SELECT doc_id, fp,
+        |  count(*) OVER (PARTITION BY fp) AS n_copies,
+        |  min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        |FROM (SELECT doc_id, md5(text) AS fp FROM documents) t
+        |ORDER BY doc_id""".stripMargin
+  )
+}
