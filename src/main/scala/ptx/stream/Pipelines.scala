@@ -1,0 +1,102 @@
+package ptx.stream
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A telemetry event — the streaming-side row type (events table schema
+  * after the ns→µs load fix; `props` omitted where not needed). */
+case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                 event_type: String, value: Double)
+
+/** Per-user running state for the stateful pipeline. */
+case class UserState(runningMax: Double, consecErrors: Int)
+
+/** Emitted by the stateful pipeline: a new per-user running max, or a
+  * burst of ≥3 consecutive error events. */
+case class Alert(user_id: Long, event_id: Long, kind: String, value: Double)
+
+/** G10 — Structured Streaming pipelines (SURVEY.md §2 G10).
+  *
+  * Every transform takes the (possibly streaming) events frame as input and
+  * is usable unchanged on a batch frame — that is the "batch twin" property
+  * the StreamingSpec asserts (same result from MemoryStream replay as from
+  * the batch DataFrame). Declared batch twins in ops.Telemetry/SetOps cover
+  * the t2 surface; these run under MicroBatchExecution with state stores.
+  *
+  * Scale notes (100 TB/day streams): state is partitioned by the grouping
+  * key (user_id / window), so state stores shard across executors; the
+  * watermark bounds state size (eviction after 10 min of event time);
+  * dropDuplicatesWithinWatermark keeps only the watermark-width id window
+  * rather than all-time ids.
+  */
+object Pipelines {
+
+  /** Tumbling 1 h window counts with a 10 min watermark. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_val"))
+
+  /** Hopping 1 h / 15 min window counts. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("hop_start"), col("event_type"), col("n"))
+
+  /** Native session windows (30 min gap) per user — streaming twin of the
+    * lag+cumsum batch sessionization (`pt_sessionize`). */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_val"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"), col("sum_val"))
+
+  /** Exactly-once semantics over an at-least-once feed: drop duplicate
+    * event_ids within the watermark. */
+  def dedup(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Stream-static enrichment: per-event user dimension lookup. */
+  def enrich(events: DataFrame, users: DataFrame): DataFrame =
+    events.join(users, events("user_id") === users("u_id"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("u_name"),
+        col("event_type"), col("value"))
+
+  /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert
+    * on every new running max and on every 3rd+ consecutive error event.
+    * Events within a batch are processed in (ts, event_id) order so results
+    * are replay-deterministic.
+    */
+  def alerts(events: Dataset[Event]): Dataset[Alert] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[UserState]) =>
+          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(UserState(Double.NegativeInfinity, 0))
+          val out = Seq.newBuilder[Alert]
+          sorted.foreach { e =>
+            if (e.value > st.runningMax) {
+              st = st.copy(runningMax = e.value)
+              out += Alert(userId, e.event_id, "new_max", e.value)
+            }
+            st = if (e.event_type == "error") st.copy(consecErrors = st.consecErrors + 1)
+                 else st.copy(consecErrors = 0)
+            if (st.consecErrors >= 3)
+              out += Alert(userId, e.event_id, "error_burst", e.value)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+}

@@ -1,0 +1,85 @@
+package ptx
+
+import org.scalatest.funsuite.AnyFunSuite
+import ptx.functions.{CosineSim, MediaDecode}
+
+/** Dedup/similarity operator checks: sketch ops against their exact
+  * counterparts, plus direct property tests of the kernels (SURVEY §5.3;
+  * seeded generators rather than scalacheck — the scalatest-scalacheck
+  * bridge artifact is not resolvable offline).
+  */
+class LlmOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  // sf0.01 has real near-dup structure (25 exact-Jaccard pairs ≥ 0.4)
+  private val SF01 = "/root/testdata/sf0.01"
+  private def q(name: String, d: String = SF01) = QueryRegistry.all(name)(spark, d)
+
+  test("minhash-LSH candidates, after exact verify, are a subset of exact near-dup pairs") {
+    val exact = q("llm_dedup_near").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = q("llm_dedup_minhash_lsh").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(exact))
+    // high-similarity pairs (j ≥ 0.8) must all be recalled at r=2/b=8
+    val high = q("llm_dedup_near").collect()
+      .filter(_.getDouble(2) >= 0.8).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(high.subsetOf(mh), s"missed high-sim pairs: ${high -- mh}")
+  }
+
+  test("exact dedup is idempotent and keeps min doc_id") {
+    val once = q("llm_dedup_exact").collect().map(_.getLong(0)).toSeq
+    assert(once == once.sorted)
+    assert(once.distinct.size == once.size)
+  }
+
+  test("fingerprint dedup agrees with exact text dedup") {
+    val fp = q("llm_fingerprint").collect()
+      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet       // canonical ids
+    val exact = q("llm_dedup_exact").collect().map(_.getLong(0)).toSet
+    assert(fp == exact)
+  }
+
+  test("knn: sims are descending per probe and self-pairs are excluded") {
+    val rows = q("llm_knn_cosine").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.forall { case (p, _, c, _) => p != c })
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      val byRank = grp.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("ann-ivf results are valid neighbors with sims matching brute force") {
+    val brute = q("llm_knn_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ivf = q("llm_ann_ivf").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    // every ivf sim must equal the brute-force sim for that pair (same kernel)
+    ivf.filter(t => brute.contains((t._1, t._2))).foreach { case (p, c, s) =>
+      assert(math.abs(brute((p, c)) - s) < 1e-9)
+    }
+  }
+
+  test("cosine kernel: range, symmetry, self-similarity (100 seeded vectors)") {
+    val rnd = new scala.util.Random(42)
+    def vec() = Array.fill(64)((rnd.nextFloat() - 0.5f) * 20f)
+    (1 to 100).foreach { _ =>
+      val a = vec(); val b = vec()
+      val s = CosineSim.cosine(a, b)
+      assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9)
+      assert(math.abs(s - CosineSim.cosine(b, a)) < 1e-12)
+      assert(math.abs(CosineSim.cosine(a, a) - 1.0) < 1e-9)
+    }
+  }
+
+  test("media decode stub: deterministic, fixed dim, distribution sums to 1") {
+    val rnd = new scala.util.Random(7)
+    (1 to 100).foreach { _ =>
+      val bytes = Array.fill(1 + rnd.nextInt(400))(rnd.nextInt().toByte)
+      val f1 = MediaDecode.features(bytes)
+      val f2 = MediaDecode.features(bytes)
+      assert(f1.toSeq == f2.toSeq)
+      assert(f1.length == MediaDecode.FeatureDim)
+      assert(math.abs(f1.sum - 1.0) < 1e-9)
+    }
+    assert(MediaDecode.features(Array.empty).toSeq == Seq.fill(8)(0.0))
+  }
+}

@@ -1,0 +1,95 @@
+package ptx
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-group value checks: golden rows (cross-checked against DuckDB on the
+  * binding data), plan-shape assertions (pushdown/pruning/broadcast), and
+  * exact-vs-approx tolerances. SURVEY §5.1/5.5.
+  */
+class OperatorSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def q(name: String) = QueryRegistry.all(name)(spark, TestSpark.SF)
+
+  test("agg_pricing_summary matches DuckDB golden rows at sf0.001") {
+    val got = q("agg_pricing_summary")
+      .select("l_returnflag", "l_linestatus", "sum_qty", "count_order")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val want = Seq(
+      ("A", "F", 20488.0, 809L), ("A", "O", 20198.0, 817L),
+      ("N", "F", 23213.0, 891L), ("N", "O", 20795.0, 831L),
+      ("R", "F", 20269.0, 810L), ("R", "O", 20489.0, 807L))
+    assert(got.toSeq == want)
+  }
+
+  test("join_star_q5 (the flagship entry) returns rows with positive revenue") {
+    val rows = graft.SparkEntry.entry(spark).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getDouble(1) > 0))
+  }
+
+  test("agg_approx_distinct is within 5% of exact countDistinct") {
+    val approx = q("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = q("agg_count_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(1, ex * 0.05), s"$k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("scan_project plan prunes to the 3 selected columns") {
+    val plan = q("scan_project").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("l_shipdate"), "unexpected column in scan")
+  }
+
+  test("scan_filter_pushdown pushes the predicate to parquet") {
+    val plan = q("scan_filter_pushdown").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)]"),
+      s"predicate not pushed:\n$plan")
+  }
+
+  test("join_broadcast plan actually broadcasts the part side") {
+    val plan = q("join_broadcast").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+  }
+
+  test("join_range_interval is an equi-join (no nested loop) despite the range predicate") {
+    val plan = q("join_range_interval").queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$plan")
+  }
+
+  test("limit_offset returns exactly rows 41..60 by key") {
+    val keys = q("limit_offset").collect().map(_.getLong(0)).toSeq
+    assert(keys.size == 20)
+    val all = ops.Scans.queries("scan_project")(spark, TestSpark.SF) // any ordered source
+    val expected = Tables.orders(spark, TestSpark.SF)
+      .orderBy(col("o_orderkey")).limit(60).collect().map(_.getLong(0)).drop(40).toSeq
+    assert(keys == expected)
+  }
+
+  test("win_topk_per_group emits at most 3 rows per customer, rank-ordered") {
+    val rows = q("win_topk_per_group").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (_, grp) =>
+      assert(grp.length <= 3)
+      val sorted = grp.sortBy(_._2)
+      assert(sorted.map(_._3).reverse.sorted.reverse.toSeq == sorted.map(_._3).toSeq)
+    }
+  }
+
+  test("pt_sessionize: session bounds respect the 30-minute gap invariant") {
+    val rows = q("pt_sessionize").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getTimestamp(4)))
+    rows.groupBy(_._1).foreach { case (_, sess) =>
+      val ordered = sess.sortBy(_._2)
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          val gapS = (b._3.getTime - a._4.getTime) / 1000.0
+          assert(gapS > 1800.0, s"adjacent sessions closer than gap: $gapS s")
+        case _ =>
+      }
+    }
+  }
+}

@@ -1,0 +1,20 @@
+package ptx
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole test run. */
+object TestSpark {
+  val SF = "/root/testdata/sf0.001"
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("ptx-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}

@@ -1,0 +1,139 @@
+package ptx.stream
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+import ptx.TestSpark
+
+/** G10 streaming tests (SURVEY §5.4): MemoryStream replay must equal the
+  * batch twin; watermarks drop late rows; dedup gives exactly-once counts;
+  * the stateful pipeline matches a hand-computed fixture.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  /** Small deterministic feed: 2 users, events across 3 hours. */
+  private def feed: Seq[Event] = Seq(
+    Event(1, ts(0), 1, "click", 10.0),
+    Event(2, ts(5), 1, "view", 20.0),
+    Event(3, ts(40), 1, "click", 5.0),       // gap 35 min > 30 → new session
+    Event(4, ts(130), 1, "purchase", 50.0),  // new session + new hour
+    Event(5, ts(2), 2, "error", 1.0),
+    Event(6, ts(8), 2, "error", 2.0),
+    Event(7, ts(12), 2, "error", 3.0),       // 3rd consecutive error
+    Event(8, ts(20), 2, "click", 4.0),
+    Event(9, ts(125), 2, "error", 0.5))
+
+  /** Run a streaming transform over a MemoryStream holding `data`, return
+    * the collected sink table. */
+  private def runStream(data: Seq[Event], mode: String)
+                       (f: DataFrame => DataFrame): Array[org.apache.spark.sql.Row] = {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    ms.addData(data)
+    val name = s"sink_${System.nanoTime()}"
+    val q: StreamingQuery = f(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).collect()
+  }
+
+  test("tumbling window stream equals its batch twin") {
+    val streamed = runStream(feed, "complete")(Pipelines.tumbling)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = Pipelines.tumbling(feed.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("session windows: 30-minute gap splits sessions exactly like the batch rule") {
+    val streamed = runStream(feed, "complete")(Pipelines.sessions)
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(3))).toSet
+    // user 1: gap(5→40)=35min splits; gap(40→130)=90min splits → 3 sessions
+    // user 2: {2,8,12,20} one session; 125 alone → 2 sessions
+    assert(streamed.map(_._1).groupBy(identity).view.mapValues(_ => ()).keySet == Set(1L, 2L))
+    val u1 = streamed.filter(_._1 == 1L)
+    assert(u1.size == 3, s"user1 sessions: $u1")
+    val u2 = streamed.filter(_._1 == 2L)
+    assert(u2.size == 2, s"user2 sessions: $u2")
+  }
+
+  test("late rows beyond the watermark are dropped from append-mode windows") {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "late_sink"
+    val q = Pipelines.tumbling(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // batch 1: events in hour 0; batch 2 advances event time (and thus the
+    // watermark) far past hour 0, finalizing it
+    ms.addData(feed.filter(_.ts.getTime < ts(60).getTime))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(100, ts(600), 1, "click", 1.0)))
+    q.processAllAvailable()
+    val afterClose = spark.table(name).count()
+    // hour-0 window is now final: a late row into hour 0 must be ignored
+    ms.addData(Seq(Event(101, ts(10), 1, "click", 999.0)))
+    q.processAllAvailable()
+    val afterLate = spark.table(name).collect()
+    q.stop()
+    assert(afterClose > 0, "hour-0 window was not finalized by the watermark")
+    assert(!afterLate.exists(_.getDouble(3) == 999.0), "late row leaked into a closed window")
+  }
+
+  test("dropDuplicatesWithinWatermark yields exactly-once counts under duplicate delivery") {
+    val dup = feed ++ feed.take(4) // re-deliver 4 events
+    val rows = runStream(dup, "append")(Pipelines.dedup)
+    assert(rows.length == feed.length, s"expected ${feed.length}, got ${rows.length}")
+  }
+
+  test("stream-static enrichment equals the batch join") {
+    val users = Seq((1L, "alice"), (2L, "bob")).toDF("u_id", "u_name")
+    val streamed = runStream(feed, "append")(df => Pipelines.enrich(df, users))
+      .map(r => (r.getLong(0), r.getString(3))).toSet
+    val batch = Pipelines.enrich(feed.toDF(), users)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    assert(streamed == batch && batch.size == feed.size)
+  }
+
+  test("stateful alerts: running max + 3-consecutive-error burst (hand-computed)") {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    ms.addData(feed)
+    val name = "alert_sink"
+    val q = Pipelines.alerts(ms.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val want = Set(
+      (1L, 1L, "new_max"), (1L, 2L, "new_max"), (1L, 4L, "new_max"),
+      (2L, 5L, "new_max"), (2L, 6L, "new_max"), (2L, 7L, "new_max"),
+      (2L, 7L, "error_burst"), (2L, 8L, "new_max"))
+    assert(got == want, s"got $got")
+  }
+
+  test("stateful alerts carry state across micro-batches") {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "alert_sink2"
+    val q = Pipelines.alerts(ms.toDS()).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData(Seq(Event(1, ts(0), 9, "error", 5.0), Event(2, ts(1), 9, "error", 1.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(3, ts(2), 9, "error", 2.0), Event(4, ts(3), 9, "click", 9.0)))
+    q.processAllAvailable()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(1), r.getString(2))).toSet
+    q.stop()
+    // event 3 is the 3rd consecutive error even though it arrived in batch 2;
+    // event 4 (9.0) beats the running max 5.0 from batch 1
+    assert(got == Set((1L, "new_max"), (3L, "error_burst"), (4L, "new_max")), s"got $got")
+  }
+}
