@@ -38,14 +38,16 @@ object LlmScale {
         .as("shingle"))
       .distinct()
 
-  /** Exact Jaccard for a given candidate-pair set (broadcast), used as the
-    * verify stage after LSH candidate generation. */
+  /** Exact Jaccard for a given candidate-pair set, used as the verify stage
+    * after LSH candidate generation. Expands only the candidate pairs'
+    * shingle sets (cands ⋈ sh(doc1) ⋈ sh(doc2)) — never the full
+    * shingle⋈shingle self-join the LSH pre-filter exists to avoid.
+    */
   private def verifyJaccard(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
     val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = sh.toDF("doc1", "shingle")
-    val b = sh.toDF("doc2", "shingle")
-    val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
-      .join(broadcast(cands), Seq("doc1", "doc2"), "left_semi")
+    val inter = broadcast(cands)
+      .join(sh.toDF("doc1", "shingle"), Seq("doc1"))
+      .join(sh.toDF("doc2", "shingle"), Seq("doc2", "shingle"))
       .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
     val jac = col("inter").cast("double") /
       (col("na.n_sh") + col("nb.n_sh") - col("inter"))

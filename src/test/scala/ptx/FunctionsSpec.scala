@@ -1,0 +1,49 @@
+package ptx
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import ptx.functions.Aggregators
+
+/** Library function surface: typed Aggregator and SQL-registered expression. */
+class FunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("weighted_mean aggregator: hand-computed groups, merge across partitions") {
+    val df = Seq(
+      ("a", 1.0, 1.0), ("a", 3.0, 3.0),           // (1*1+3*3)/4 = 2.5
+      ("b", 10.0, 0.5), ("b", 20.0, 0.5), ("b", 0.0, 0.0) // 15.0
+    ).toDF("k", "x", "w").repartition(4)
+    val got = df.groupBy($"k")
+      .agg(Aggregators.weighted_mean($"x", $"w").as("wm"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got("a") == 2.5)
+    assert(got("b") == 15.0)
+  }
+
+  test("weighted_mean with zero total weight yields NaN") {
+    val got = Seq(("a", 1.0, 0.0)).toDF("k", "x", "w")
+      .groupBy($"k").agg(Aggregators.weighted_mean($"x", $"w").as("wm"))
+      .collect()(0).getDouble(1)
+    assert(got.isNaN)
+  }
+
+  test("cosine_sim is registered for SQL and matches the kernel") {
+    ptx.functions.VectorOps.register(spark)
+    val got = spark.sql(
+      "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(0 AS FLOAT)), " +
+        "array(CAST(0 AS FLOAT), CAST(1 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(math.abs(got) < 1e-12)
+    val same = spark.sql(
+      "SELECT cosine_sim(array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)), " +
+        "array(CAST(2 AS FLOAT), CAST(3 AS FLOAT)))").collect()(0).getDouble(0)
+    assert(math.abs(same - 1.0) < 1e-12)
+  }
+
+  test("explode of an array-returning expression acts as the generator surface") {
+    val rows = Tables.documents(spark, TestSpark.SF)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .limit(5).collect()
+    assert(rows.length == 5 && rows.forall(_.getString(0).nonEmpty))
+  }
+}
