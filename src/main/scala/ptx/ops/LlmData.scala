@@ -121,10 +121,13 @@ object LlmData {
       val tok = docs.select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("word"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-      val dfw = tok.groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
-      val tf = tok.groupBy(col("lang"), col("word")).agg(count(lit(1)).as("tf"))
+      // single tokenize pass: each doc has exactly one lang, so
+      // df(word) = Σ over langs of distinct-docs(word, lang)
+      val perLang = tok.groupBy(col("lang"), col("word"))
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("nd"))
+      val dfw = perLang.groupBy(col("word")).agg(sum(col("nd")).as("df"))
       val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("word"))
-      tf.join(dfw, Seq("word")).crossJoin(broadcast(nDocs))
+      perLang.join(dfw, Seq("word")).crossJoin(broadcast(nDocs))
         .withColumn("score",
           col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
         .withColumn("rnk", row_number().over(w))

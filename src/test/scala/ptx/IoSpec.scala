@@ -1,0 +1,56 @@
+package ptx
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import ptx.sources.Io
+
+/** Source/sink round-trips plus the plan-level guarantees the writers exist
+  * for: partition pruning on partitioned layouts, shuffle-free aggregation
+  * on bucketed tables.
+  */
+class IoSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private def tmp(prefix: String) =
+    Files.createTempDirectory(prefix).toString
+
+  private lazy val events = Tables.events(spark, TestSpark.SF)
+
+  test("csv round-trip preserves rows under an explicit schema") {
+    val dir = tmp("ptx-csv")
+    val df = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Io.writeCsv(df, dir)
+    val back = Io.readCsv(spark, dir, df.schema)
+    assert(back.count() == df.count())
+    assert(back.agg(sum("value")).collect()(0).getDouble(0) ==
+           df.agg(sum("value")).collect()(0).getDouble(0))
+  }
+
+  test("json-lines round-trip preserves rows under an explicit schema") {
+    val dir = tmp("ptx-json")
+    val df = events.select(col("event_id"), col("event_type"), col("props"))
+    Io.writeJsonLines(df, dir)
+    val back = Io.readJsonLines(spark, dir, df.schema)
+    assert(back.count() == df.count())
+  }
+
+  test("partitioned layout: reads prune partitions from the path") {
+    val dir = tmp("ptx-part")
+    Io.writePartitioned(events.withColumn("day", to_date(col("ts"))), dir, Seq("day"))
+    val pruned = spark.read.parquet(dir).filter(col("day") === "2024-01-02")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition filter in:\n$plan")
+    assert(pruned.count() ==
+      events.filter(to_date(col("ts")) === "2024-01-02").count())
+  }
+
+  test("bucketed table: groupBy on the bucket key plans no shuffle") {
+    Io.writeBucketed(events.select("event_id", "user_id", "value"),
+      "ev_bucketed", buckets = 4, bucketCol = "user_id", sortCol = "event_id")
+    val agg = spark.table("ev_bucketed").groupBy("user_id").agg(sum("value"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy still shuffles:\n$plan")
+    assert(agg.count() == events.select("user_id").distinct().count())
+  }
+}
