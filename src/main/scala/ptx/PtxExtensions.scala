@@ -1,0 +1,24 @@
+package ptx
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import ptx.functions.CosineSim
+
+/** SparkSessionExtensions entry point: makes the engine's custom functions
+  * available in ANY session (including pure-SQL ones) via
+  *   SparkSession.builder().withExtensions(new PtxExtensions)
+  * or spark.sql.extensions=ptx.PtxExtensions.
+  *
+  * This is the library's Catalyst injection point; planner strategies/rules
+  * would be registered here too if an operator ever needs one (none does —
+  * SURVEY §4: the declared surface is fully expressible with built-ins).
+  */
+class PtxExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+  }
+}

@@ -123,8 +123,10 @@ object LlmScale {
           (col("label1") === col("label2")).as("same_label"))
         .orderBy(col("vec1"), col("vec2"))
     }),
-    // ◌ IVF-style ANN: coarse cells = per-label centroids; score only the
+    // ✓ IVF-style ANN: coarse cells = per-label centroids; score only the
     // nprobe=3 nearest cells per probe, then exact top-5 within candidates.
+    // Oracle-exact: centroids are cast to float32 before scoring, which
+    // absorbs cross-engine avg() accumulation ulps.
     "llm_ann_ivf" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)
@@ -158,6 +160,42 @@ object LlmScale {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_ann_ivf" ->
+      """WITH cent AS (
+        |  SELECT label, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS c
+        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+        |  GROUP BY label, i),
+        |centv AS (
+        |  SELECT label, list_transform(list(c ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM cent GROUP BY label),
+        |pv AS (SELECT vec_id AS probe_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p
+        |       FROM embeddings WHERE vec_id < 10),
+        |cells AS (
+        |  SELECT probe_id, p, label FROM (
+        |    SELECT probe_id, p, label,
+        |      row_number() OVER (PARTITION BY probe_id ORDER BY csim DESC, label) AS crnk
+        |    FROM (
+        |      SELECT probe_id, p, c.label,
+        |        list_dot_product(p, cv)
+        |          / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(cv, cv))) AS csim
+        |      FROM pv CROSS JOIN centv c) x) y
+        |  WHERE crnk <= 3),
+        |cands AS (
+        |  SELECT cells.probe_id, cells.p, e.vec_id AS cand_id,
+        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cvv
+        |  FROM cells JOIN embeddings e ON cells.label = e.label
+        |  WHERE e.vec_id <> cells.probe_id),
+        |sims AS (
+        |  SELECT probe_id, cand_id,
+        |         list_dot_product(p, cvv)
+        |           / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(cvv, cvv))) AS sim
+        |  FROM cands),
+        |ranked AS (
+        |  SELECT probe_id, cand_id, sim,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+        |  FROM sims)
+        |SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim FROM ranked
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
     "llm_dedup_embed" ->
       """WITH v AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
