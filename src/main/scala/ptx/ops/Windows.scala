@@ -8,9 +8,12 @@ import ptx.{QFn, Tables}
   *
   * Scale notes (100 TB): every window here partitions by a high-cardinality
   * key (user_id, o_custkey, o_orderstatus) → one shuffle, then per-partition
-  * sort; no global single-partition window except `win_rank_ties` /
-  * `win_ntile_cume`, whose global ORDER BY Spark executes via range
-  * partitioning (sampled split points), so even "global" rank scales out.
+  * sort. Global ranking (`win_rank_ties`, `win_ntile_cume`) deliberately
+  * avoids `Window.orderBy` without partitioning — Spark executes that on a
+  * SINGLE partition — and instead uses the distinct-value-distribution
+  * pattern: aggregate to the order-key domain, window over that small set,
+  * broadcast-join positions back. Only the (bounded) distinct domain ever
+  * sits in one partition.
   */
 object Windows {
 
@@ -28,12 +31,23 @@ object Windows {
         .orderBy(col("o_custkey"), col("rn"))
     }),
     "win_rank_ties" -> ((s, d) => {
+      // Scalable global rank: a bare Window.orderBy would move ALL rows to
+      // one partition. Instead aggregate to the distinct p_size domain
+      // (≤50 values at any scale), rank that tiny set, broadcast-join back.
+      // rank = 1 + #rows below; dense_rank = #distinct values ≤; identical
+      // results to the window formulation (the DuckDB oracle).
+      val p = Tables.part(s, d)
       val w = Window.orderBy(col("p_size"))
-      Tables.part(s, d)
-        .select(col("p_partkey"), col("p_size"),
-          rank().over(w).as("rnk"),
-          dense_rank().over(w).as("drnk"),
-          round(percent_rank().over(w), 6).as("prnk"))
+      val sizes = p.groupBy(col("p_size")).agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(
+          sum(col("cnt")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("drnk", row_number().over(w))
+        .crossJoin(broadcast(p.agg(count(lit(1)).as("n_total"))))
+        .select(col("p_size"),
+          (col("below") + 1).as("rnk"), col("drnk"),
+          round(col("below").cast("double") / (col("n_total") - 1), 6).as("prnk"))
+      p.join(broadcast(sizes), Seq("p_size"))
+        .select(col("p_partkey"), col("p_size"), col("rnk"), col("drnk"), col("prnk"))
         .orderBy(col("p_partkey"))
     }),
     "win_lag_lead" -> ((s, d) => {
@@ -70,12 +84,29 @@ object Windows {
         .orderBy(col("o_orderkey"))
     }),
     "win_ntile_cume" -> ((s, d) => {
-      val wt = Window.orderBy(col("c_acctbal"), col("c_custkey"))
-      val wc = Window.orderBy(col("c_acctbal"))
-      Tables.customer(s, d)
+      // Scalable ntile/cume_dist (same pattern as win_rank_ties): cumulative
+      // counts over the distinct-acctbal distribution give each row's global
+      // position = (#rows below) + (row_number among equal acctbals by
+      // custkey, a per-value partitioned window). ntile(4) is then pure
+      // arithmetic on the position, matching Spark/DuckDB tile semantics
+      // (first n%4 tiles get one extra row).
+      val c = Tables.customer(s, d)
+      val wv = Window.orderBy(col("c_acctbal"))
+      val dist = c.groupBy(col("c_acctbal")).agg(count(lit(1)).as("cnt"))
+        .withColumn("below", coalesce(
+          sum(col("cnt")).over(wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("cum", col("below") + col("cnt"))
+      val withinW = Window.partitionBy(col("c_acctbal")).orderBy(col("c_custkey"))
+      c.join(broadcast(dist), Seq("c_acctbal"))
+        .crossJoin(broadcast(c.agg(count(lit(1)).as("n"))))
+        .withColumn("pos", col("below") + row_number().over(withinW))
+        .withColumn("q", expr("n div 4")).withColumn("r", col("n") % 4)
         .select(col("c_custkey"),
-          ntile(4).over(wt).as("quartile"),
-          round(cume_dist().over(wc), 6).as("cd"))
+          when(col("pos") <= col("r") * (col("q") + 1),
+            expr("(pos - 1) div (q + 1)") + 1)
+            .otherwise(col("r") + expr("(pos - r * (q + 1) - 1) div q") + 1)
+            .as("quartile"),
+          round(col("cum").cast("double") / col("n"), 6).as("cd"))
         .orderBy(col("c_custkey"))
     }),
     "win_first_last" -> ((s, d) => {
