@@ -32,4 +32,46 @@ object Aggregators {
     * `df.agg(weighted_mean(col("x"), col("w")))`. */
   def weighted_mean(value: Column, weight: Column): Column =
     udaf(WeightedMean).apply(value, weight)
+
+  /** Bounded top-k by (score desc, id asc) as a mergeable aggregate.
+    *
+    * Scale note: this is the partial-aggregation form of per-group top-k —
+    * each map task keeps at most k entries per group, so the shuffle carries
+    * k rows per group per partition instead of every (group, candidate)
+    * pair, unlike the row_number()-window formulation which must co-locate
+    * ALL pairs of a group before ranking.
+    *
+    * The buffer is a sorted list (k is small); reduce inserts in order and
+    * trims, merge is a bounded merge of two sorted lists — deterministic for
+    * distinct (score, id) pairs regardless of arrival order.
+    */
+  class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], List[(Double, Long)]] {
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    override def zero: List[(Double, Long)] = Nil
+    override def reduce(buf: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] = {
+      val (pre, post) = buf.span(better(_, a))
+      if (pre.length >= k) buf else (pre ::: a :: post).take(k)
+    }
+    override def merge(b1: List[(Double, Long)], b2: List[(Double, Long)]): List[(Double, Long)] = {
+      val out = List.newBuilder[(Double, Long)]
+      var (l, r) = (b1, b2); var n = 0
+      while (n < k && (l.nonEmpty || r.nonEmpty)) {
+        if (r.isEmpty || (l.nonEmpty && better(l.head, r.head))) { out += l.head; l = l.tail }
+        else { out += r.head; r = r.tail }
+        n += 1
+      }
+      out.result()
+    }
+    override def finish(r: List[(Double, Long)]): List[(Double, Long)] = r
+    override def bufferEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+    override def outputEncoder: Encoder[List[(Double, Long)]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[List[(Double, Long)]]()
+  }
+
+  /** `top_k(score, id, k)` → array<struct<_1: score, _2: id>> sorted by
+    * (score desc, id asc), at most k entries. */
+  def top_k(score: Column, id: Column, k: Int): Column =
+    udaf(new TopK(k)).apply(score, id)
 }

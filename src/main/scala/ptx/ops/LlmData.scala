@@ -26,10 +26,13 @@ object LlmData {
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"), col("label"))
 
   /** top-k cosine neighbors for probes with vec_id < nProbes.
-    * Uses the codegen'd ptx.functions.CosineSim expression (float arrays in,
-    * sequential double fold — bit-identical to the DuckDB oracle's
-    * list_dot_product over double-cast lists, but one fused loop instead of
-    * three HOF lambda chains).
+    * Scoring: the codegen'd ptx.functions.CosineSim expression (float arrays
+    * in, sequential double fold — bit-identical to the DuckDB oracle's
+    * list_dot_product over double-cast lists, one fused loop instead of
+    * three HOF lambda chains). Reduction: the mergeable TopK aggregator —
+    * map-side partial top-k, so the shuffle carries k entries per probe per
+    * partition instead of every (probe, candidate) pair (the window
+    * formulation would co-locate all pairs before ranking).
     */
   private def knn(s: SparkSession, d: String, nProbes: Int, k: Int): DataFrame = {
     ptx.functions.VectorOps.register(s)
@@ -37,12 +40,14 @@ object LlmData {
     val probes = emb.filter(col("vec_id") < nProbes)
       .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
     val cand = emb.select(col("vec_id").as("cand_id"), col("embedding").as("c"))
-    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
     cand.crossJoin(broadcast(probes))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", expr("cosine_sim(p, c)"))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .groupBy(col("probe_id"))
+      .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), k).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).as("rnk"),
+        col("e._2").as("cand_id"), col("e._1").as("sim"))
   }
 
   def queries: Map[String, QFn] = Map(
