@@ -18,7 +18,8 @@ object QueryRegistry {
     (ops.LlmData.queries, ops.LlmData.oracle),
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
     (ops.LlmScale.queries, ops.LlmScale.oracle),
-    (ops.Multimodal.queries, ops.Multimodal.oracle)
+    (ops.Multimodal.queries, ops.Multimodal.oracle),
+    (ops.Extras.queries, ops.Extras.oracle)
   )
 
   lazy val all: Map[String, QFn] = {

@@ -1,0 +1,92 @@
+package ptx.ops
+
+import org.apache.spark.sql.functions._
+import ptx.{QFn, Tables}
+
+/** G15 — subqueries, argmin/argmax aggregates, unpivot, sampling.
+  *
+  * The subquery pair deliberately goes through `spark.sql` so Catalyst's
+  * scalar-subquery planning and correlated-subquery decorrelation
+  * (RewriteCorrelatedScalarSubquery) are exercised — the DataFrame surface
+  * elsewhere expresses these as joins.
+  */
+object Extras {
+
+  def queries: Map[String, QFn] = Map(
+    "sub_scalar" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sub")
+      s.sql(
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price
+          |FROM orders_sub
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sub)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+    "sub_correlated" -> ((s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("customer_sub")
+      s.sql(
+        """SELECT c_custkey, round(c_acctbal, 2) AS bal
+          |FROM customer_sub c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sub c2
+          |                   WHERE c2.c_nationkey = c.c_nationkey)
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+    "agg_minmax_by" -> ((s, d) => {
+      val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
+      sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          max_by(col("s_name"), col("s_acctbal")).as("richest"),
+          min_by(col("s_name"), col("s_acctbal")).as("poorest"),
+          bool_or(col("s_acctbal") < 0).as("any_negative"),
+          bool_and(col("s_acctbal") > -100000.0).as("all_bounded"))
+        .orderBy(col("n_name"))
+    }),
+    "fn_unpivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), expr(
+          """stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)
+            | AS (metric, val)""".stripMargin))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+    }),
+    // ◌ seeded Bernoulli sample: RNG is engine-specific, so no oracle;
+    // self-parity (OpsSmokeSpec) asserts run-to-run determinism and the
+    // fraction bound is unit-tested.
+    "scan_sample" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .sample(withReplacement = false, fraction = 0.1, seed = 42)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "sub_scalar" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders
+        |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "sub_correlated" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_minmax_by" ->
+      """SELECT n_name,
+        |  max_by(s_name, s_acctbal) AS richest,
+        |  min_by(s_name, s_acctbal) AS poorest,
+        |  bool_or(s_acctbal < 0) AS any_negative,
+        |  bool_and(s_acctbal > -100000.0) AS all_bounded
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "fn_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'disc' AS metric, l_discount AS val FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem) u
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+  )
+}

@@ -28,6 +28,6 @@ class OpsSmokeSpec extends AnyFunSuite {
     assert((QueryRegistry.oracleSql.keySet -- QueryRegistry.all.keySet).isEmpty)
     val noOracle = QueryRegistry.all.keySet -- QueryRegistry.oracleSql.keySet
     assert(noOracle == Set("agg_approx_distinct", "llm_dedup_minhash_lsh",
-      "llm_dedup_simhash", "mm_decode_features"))
+      "llm_dedup_simhash", "mm_decode_features", "scan_sample"))
   }
 }
