@@ -71,6 +71,29 @@ object Pipelines {
       .select(col("event_id"), col("ts"), col("user_id"), col("u_name"),
         col("event_type"), col("value"))
 
+  /** Stream-stream interval self-join: for each purchase, the same user's
+    * clicks in the preceding 30 minutes (attribution). Both sides carry
+    * watermarks and the join condition bounds event-time distance, so the
+    * join state is evictable — the only shape a stream-stream join scales
+    * with (unbounded-state joins are rejected by Spark in append mode).
+    */
+  def attribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert
     * on every new running max and on every 3rd+ consecutive error event.
     * Events within a batch are processed in (ts, event_id) order so results

@@ -102,6 +102,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.size == feed.size)
   }
 
+  test("stream-stream interval join attributes clicks within 30 min of a purchase") {
+    val attrFeed = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(10), 1, "click", 1.0),
+      Event(3, ts(20), 1, "purchase", 9.0),   // attributes clicks 1 and 2
+      Event(4, ts(100), 1, "click", 1.0),
+      Event(5, ts(140), 1, "purchase", 9.0),  // click 4 is 40 min prior → out
+      Event(6, ts(15), 2, "click", 1.0),
+      Event(7, ts(25), 2, "purchase", 9.0))   // cross-user isolation: only click 6
+    val streamed = runStream(attrFeed, "append")(Pipelines.attribution)
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val batch = Pipelines.attribution(attrFeed.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(streamed == Set((3L, 1L), (3L, 2L), (7L, 6L)), s"got $streamed")
+    assert(streamed == batch)
+  }
+
   test("stateful alerts: running max + 3-consecutive-error burst (hand-computed)") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     ms.addData(feed)
