@@ -136,6 +136,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, s"got $got")
   }
 
+  test("update mode re-emits a window's row as new data lands in it") {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "upd_sink"
+    val q = Pipelines.tumbling(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    ms.addData(Seq(Event(1, ts(0), 1, "click", 1.0)))
+    q.processAllAvailable()
+    ms.addData(Seq(Event(2, ts(5), 1, "click", 2.0)))
+    q.processAllAvailable()
+    val versions = spark.table(name).collect()
+      .filter(_.getString(1) == "click").map(r => (r.getLong(2), r.getDouble(3)))
+    q.stop()
+    // the memory sink appends each update: first n=1, then the revised n=2
+    assert(versions.toSeq.sortBy(_._1) == Seq((1L, 1.0), (2L, 3.0)), s"got ${versions.toSeq}")
+  }
+
   test("stateful alerts carry state across micro-batches") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "alert_sink2"
