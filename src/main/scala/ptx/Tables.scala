@@ -12,15 +12,34 @@ import org.apache.spark.sql.functions._
   * assumes a single file.
   */
 object Tables {
-  /** Tables with no load-time quirks. */
-  private val plain = Set("region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "documents", "embeddings")
+  /** Expected columns per table (FIXTURES.md): loads assert instead of
+    * inferring so a driver-side data change fails loudly, not silently. */
+  private val expectedCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey", "r_name"),
+    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate"),
+    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings" -> Seq("vec_id", "embedding", "label"))
+
+  private def assertSchema(df: DataFrame, name: String): DataFrame = {
+    val missing = expectedCols(name).toSet -- df.columns.toSet
+    require(missing.isEmpty, s"table $name is missing expected columns $missing " +
+      s"(got ${df.columns.mkString(",")}) — fixture drift, see FIXTURES.md")
+    df
+  }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
     else {
-      require(plain(name), s"unknown table $name")
-      spark.read.parquet(s"$dir/$name.parquet")
+      require(expectedCols.contains(name), s"unknown table $name")
+      assertSchema(spark.read.parquet(s"$dir/$name.parquet"), name)
     }
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to load.

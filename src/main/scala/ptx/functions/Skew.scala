@@ -1,0 +1,57 @@
+package ptx.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (builder prompt: "salting for skew").
+  *
+  * AQE's skew-join split handles most runtime skew; salting is the library
+  * answer for *aggregation* hot keys, where a single grouping key (a viral
+  * document, a null-ish default id) would funnel its entire partition
+  * through one reducer.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: group by (key, salt ∈ [0, buckets)) so a
+    * hot key's rows spread over `buckets` reducers, then re-aggregate the
+    * partials by key. `partial` must be decomposable (sum/count/min/max and
+    * their compositions); the caller supplies both phases.
+    *
+    * Example — skew-safe count+sum of value per user:
+    * {{{
+    * saltedAgg(events, col("user_id"), 16)(
+    *   partial = df => df.agg(count(lit(1)).as("n"), sum("value").as("s")),
+    *   merge   = df => df.agg(sum("n").as("n"), sum("s").as("s")))
+    * }}}
+    *
+    * Scale note: the salt is `pmod(hash(random-free row content), buckets)`
+    * — deterministic (no rand(), replay-safe in streaming recovery) while
+    * still spreading a hot key's rows by their distinct content.
+    */
+  def saltedAgg(df: DataFrame, key: Column, buckets: Int)(
+      partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
+      merge: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(buckets)))
+    val partials = partial(salted.groupBy(key.as("__key"), col("__salt")))
+    merge(partials.groupBy(col("__key"))).withColumnRenamed("__key", "key")
+  }
+
+  /** Salted shuffle join for a skewed big side: salt the big side's rows
+    * into `buckets` sub-keys and replicate the small side once per salt, so
+    * one hot hash bucket becomes `buckets` even ones. Row multiplicity is
+    * unchanged — each big row matches exactly its own salt's replica.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                 smallKey: String, buckets: Int): DataFrame = {
+    val saltedBig = big.withColumn("__salt",
+      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(buckets)).cast("int"))
+    val salts = small.sparkSession.range(buckets.toLong)
+      .select(col("id").cast("int").as("__salt"))
+    val replicatedSmall = small.crossJoin(salts)
+    saltedBig.join(replicatedSmall,
+        saltedBig(bigKey) === replicatedSmall(smallKey) &&
+        saltedBig("__salt") === replicatedSmall("__salt"))
+      .drop(saltedBig("__salt")).drop(replicatedSmall("__salt"))
+  }
+}

@@ -91,9 +91,17 @@ object TextAnalysis {
       val byFp = Window.partitionBy(col("fp"))
       Tables.documents(s, d)
         .withColumn("fp", md5(col("text")))
+        // word-level polynomial rolling hash (seed 7, base 31, mod 1e9+7):
+        // left fold, word feature = 17*len + first-char codepoint
+        .withColumn("rh", expr(
+          """aggregate(
+            |  transform(split(text, ' '),
+            |    w -> CAST(length(w) * 17 + ascii(substr(w, 1, 1)) AS BIGINT)),
+            |  CAST(7 AS BIGINT),
+            |  (a, x) -> (a * 31 + x) % 1000000007)""".stripMargin))
         .withColumn("n_copies", count(lit(1)).over(byFp))
         .withColumn("keep_id", min(col("doc_id")).over(byFp))
-        .select(col("doc_id"), col("fp"), col("n_copies"), col("keep_id"),
+        .select(col("doc_id"), col("fp"), col("rh"), col("n_copies"), col("keep_id"),
           (col("doc_id") === col("keep_id")).as("is_canonical"))
         .orderBy(col("doc_id"))
     })
@@ -131,11 +139,17 @@ object TextAnalysis {
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_fingerprint" ->
-      """SELECT doc_id, fp,
+      """SELECT doc_id, fp, rh,
         |  count(*) OVER (PARTITION BY fp) AS n_copies,
         |  min(doc_id) OVER (PARTITION BY fp) AS keep_id,
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
-        |FROM (SELECT doc_id, md5(text) AS fp FROM documents) t
+        |FROM (SELECT doc_id, md5(text) AS fp,
+        |        list_reduce(
+        |          list_prepend(CAST(7 AS BIGINT),
+        |            list_transform(string_split(text, ' '),
+        |              w -> CAST(length(w) * 17 + ascii(substr(w, 1, 1)) AS BIGINT))),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS rh
+        |      FROM documents) t
         |ORDER BY doc_id""".stripMargin
   )
 }
