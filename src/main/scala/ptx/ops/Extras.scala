@@ -46,7 +46,8 @@ object Extras {
         .select(col("l_orderkey"), col("l_linenumber"), expr(
           """stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)
             | AS (metric, val)""".stripMargin))
-        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))
+        // (l_orderkey, l_linenumber) is not unique; val completes the order
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))
     }),
     // ◌ seeded Bernoulli sample: RNG is engine-specific, so no oracle;
     // self-parity (OpsSmokeSpec) asserts run-to-run determinism and the
@@ -87,6 +88,6 @@ object Extras {
         |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem) u
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
   )
 }

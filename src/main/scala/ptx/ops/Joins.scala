@@ -76,7 +76,9 @@ object Joins {
           col("l_extendedprice") < col("p_retailprice") * 2.0)
         .select(col("l_orderkey"), col("l_linenumber"), col("p_partkey"),
           round(col("l_extendedprice"), 2).as("price"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is not unique; p_partkey+price make
+        // remaining ties full-row duplicates
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("p_partkey"), col("price"))
     }),
     "join_range_interval" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -163,7 +165,7 @@ object Joins {
       """SELECT l_orderkey, l_linenumber, p_partkey, round(l_extendedprice, 2) AS price
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |  AND l_extendedprice < p_retailprice * 2.0
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, p_partkey, price""".stripMargin,
     "join_range_interval" ->
       s"""SELECT bucket, count(*) AS n, round(sum(value), 2) AS sum_val
         |FROM $EV e JOIN (

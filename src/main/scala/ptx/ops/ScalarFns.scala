@@ -66,7 +66,12 @@ object ScalarFns {
           signum(col("l_discount") - 0.05).as("disc_sign"),
           greatest(col("l_quantity"), lit(10.0)).as("qty_hi"),
           least(col("l_quantity"), lit(10.0)).as("qty_lo"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        // (l_orderkey, l_linenumber) is not unique; the extra keys determine
+        // every output column (extprice via sqrt_price, qty via qty_hi+qty_lo,
+        // disc via disc_pct_ceil, tax via tax_pct_floor), so remaining ties
+        // are full-row duplicates
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("sqrt_price"),
+          col("qty_hi"), col("qty_lo"), col("disc_pct_ceil"), col("tax_pct_floor"))
     }),
     "fn_conditional" -> ((s, d) => {
       Tables.customer(s, d)
@@ -149,7 +154,9 @@ object ScalarFns {
         |       WHEN l_discount - 0.05 < 0 THEN -1.0 ELSE 0.0 END AS DOUBLE) AS disc_sign,
         |  greatest(l_quantity, 10.0) AS qty_hi,
         |  least(l_quantity, 10.0) AS qty_lo
-        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, sqrt_price, qty_hi, qty_lo,
+        |         disc_pct_ceil, tax_pct_floor""".stripMargin,
     "fn_conditional" ->
       """SELECT c_custkey,
         |  CASE WHEN c_acctbal > 0 THEN 'credit' ELSE 'debit' END AS side,

@@ -15,9 +15,13 @@ object Scans {
 
   def queries: Map[String, QFn] = Map(
     "scan_project" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique (measured — FIXTURES.md's
+      // uniqueness claim is wrong at every sf); adding l_extendedprice makes
+      // any remaining tie a full-row duplicate, so order cannot affect the
+      // hash compare.
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
-        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
         .limit(100)
     }),
     "scan_filter_pushdown" -> ((s, d) => {
@@ -48,7 +52,7 @@ object Scans {
   def oracle: Map[String, String] = Map(
     "scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
-        |ORDER BY l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice LIMIT 100""".stripMargin,
     "scan_filter_pushdown" ->
       """SELECT l_returnflag, count(*) AS n FROM lineitem
         |WHERE l_quantity > 45 GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
