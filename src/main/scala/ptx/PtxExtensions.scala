@@ -19,6 +19,10 @@ class PtxExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSim(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"cosine_sim requires exactly 2 arguments, got ${children.length}")
+        CosineSim(children(0), children(1))
+      }))
   }
 }

@@ -29,9 +29,16 @@ object QueryRegistry {
   }
 
   lazy val oracleSql: Map[String, String] = {
-    val os = groups.flatMap(_._2).toMap
-    val orphan = os.keySet -- all.keySet
-    require(orphan.isEmpty, s"oracle without query: $orphan")
-    os
+    val pairs = groups.flatMap(_._2)
+    require(pairs.size == pairs.map(_._1).distinct.size,
+      "duplicate oracle keys across groups")
+    // each group's oracles must belong to that same group's queries —
+    // a misplaced oracle would otherwise silently pair with another
+    // group's query
+    groups.foreach { case (qs, os) =>
+      val misplaced = os.keySet -- qs.keySet
+      require(misplaced.isEmpty, s"oracle defined outside its query group: $misplaced")
+    }
+    pairs.toMap
   }
 }

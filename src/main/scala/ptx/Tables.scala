@@ -26,7 +26,8 @@ object Tables {
       "l_quantity", "l_extendedprice", "l_discount", "l_tax",
       "l_returnflag", "l_linestatus", "l_shipdate"),
     "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
-    "embeddings" -> Seq("vec_id", "embedding", "label"))
+    "embeddings" -> Seq("vec_id", "embedding", "label"),
+    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
 
   private def assertSchema(df: DataFrame, name: String): DataFrame = {
     val missing = expectedCols(name).toSet -- df.columns.toSet
@@ -35,23 +36,29 @@ object Tables {
     df
   }
 
-  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    require(expectedCols.contains(name), s"unknown table $name")
     if (name == "events") events(spark, dir)
-    else {
-      require(expectedCols.contains(name), s"unknown table $name")
-      assertSchema(spark.read.parquet(s"$dir/$name.parquet"), name)
-    }
+    else assertSchema(spark.read.parquet(s"$dir/$name.parquet"), name)
+  }
 
   /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to load.
     * Verified recipe (FIXTURES.md "events"): read nanos as long, then
     * integer-divide to micros. `cast(ts/1000 as long)` would drift ±1 µs
     * (double ulp at 1.7e18 ≈ 256 ns) — integer `div` is exact and matches
     * DuckDB's ns→µs truncation bit-for-bit.
+    *
+    * Note: `nanosAsLong` is session-wide and stays set afterwards — any
+    * OTHER nanos-timestamp parquet read in the same session would load as
+    * long instead of failing. Acceptable here (events is the only nanos
+    * table in the binding data); a multi-tenant deployment would scope it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    assertSchema(
+      spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
+      "events")
   }
 
   // Shorthand accessors

@@ -14,7 +14,8 @@ import org.apache.spark.sql.functions.udaf
   */
 object Aggregators {
 
-  /** Weighted mean: value-weight pairs → Σwx / Σw (null on zero weight). */
+  /** Weighted mean: value-weight pairs → Σwx / Σw (NaN on zero total
+    * weight — the scalaDouble output encoder cannot carry null). */
   object WeightedMean extends Aggregator[(Double, Double), (Double, Double), Double] {
     override def zero: (Double, Double) = (0.0, 0.0)
     override def reduce(b: (Double, Double), a: (Double, Double)): (Double, Double) =
@@ -46,8 +47,13 @@ object Aggregators {
     * distinct (score, id) pairs regardless of arrival order.
     */
   class TopK(k: Int) extends Aggregator[(Double, Long), List[(Double, Long)], List[(Double, Long)]] {
-    private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+    // java.lang.Double.compare, not primitive >, so NaN orders as GREATEST —
+    // matching SQL ORDER BY score DESC (both Spark and DuckDB sort NaN
+    // first descending); primitive > would silently rank NaN last.
+    private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
     override def zero: List[(Double, Long)] = Nil
     override def reduce(buf: List[(Double, Long)], a: (Double, Long)): List[(Double, Long)] = {
       val (pre, post) = buf.span(better(_, a))

@@ -24,15 +24,16 @@ object Skew {
     *   merge   = df => df.agg(sum("n").as("n"), sum("s").as("s")))
     * }}}
     *
-    * Scale note: the salt is `pmod(hash(random-free row content), buckets)`
-    * — deterministic (no rand(), replay-safe in streaming recovery) while
-    * still spreading a hot key's rows by their distinct content.
+    * Scale note: the salt is `pmod(monotonically_increasing_id(), buckets)`
+    * — round-robin per row, so even MILLIONS OF IDENTICAL ROWS under one
+    * hot key spread evenly (a content hash would send them all to one
+    * bucket). Deterministic for a fixed partition layout; no rand().
     */
   def saltedAgg(df: DataFrame, key: Column, buckets: Int)(
       partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
       merge: org.apache.spark.sql.RelationalGroupedDataset => DataFrame): DataFrame = {
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val partials = partial(salted.groupBy(key.as("__key"), col("__salt")))
     merge(partials.groupBy(col("__key"))).withColumnRenamed("__key", "key")
   }
@@ -45,7 +46,7 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
                  smallKey: String, buckets: Int): DataFrame = {
     val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(struct(big.columns.map(col).toIndexedSeq: _*)), lit(buckets)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val salts = small.sparkSession.range(buckets.toLong)
       .select(col("id").cast("int").as("__salt"))
     val replicatedSmall = small.crossJoin(salts)

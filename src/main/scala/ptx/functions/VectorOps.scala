@@ -64,6 +64,10 @@ object VectorOps {
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+      "cosine_sim", exprs => {
+        require(exprs.length == 2,
+          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+        CosineSim(exprs(0), exprs(1))
+      }, "scala_udf")
   }
 }

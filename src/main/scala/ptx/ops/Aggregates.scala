@@ -77,13 +77,14 @@ object Aggregates {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "agg_grouping_sets" -> ((s, d) => {
+      val v = s"ev_gs_${math.abs(d.hashCode)}" // per-dir name: no rebind race
       Tables.events(s, d)
         .select(col("event_type"), (col("user_id") % 10).as("bucket"))
-        .createOrReplaceTempView("ev_gs")
+        .createOrReplaceTempView(v)
       s.sql(
-        """SELECT event_type, bucket, grouping(event_type) AS g_type,
+        s"""SELECT event_type, bucket, grouping(event_type) AS g_type,
           |       grouping(bucket) AS g_bucket, count(*) AS n
-          |FROM ev_gs
+          |FROM $v
           |GROUP BY GROUPING SETS ((event_type), (bucket), ())
           |ORDER BY g_type, g_bucket,
           |         event_type ASC NULLS FIRST, bucket ASC NULLS FIRST""".stripMargin)

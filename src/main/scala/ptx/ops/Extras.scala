@@ -14,19 +14,23 @@ object Extras {
 
   def queries: Map[String, QFn] = Map(
     "sub_scalar" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_sub")
+      // view name carries the data dir so interleaved construction against
+      // two dirs cannot rebind a lazily-analyzed plan to the wrong data
+      val v = s"orders_sub_${math.abs(d.hashCode)}"
+      Tables.orders(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT o_orderkey, round(o_totalprice, 2) AS price
-          |FROM orders_sub
-          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders_sub)
+        s"""SELECT o_orderkey, round(o_totalprice, 2) AS price
+          |FROM $v
+          |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM $v)
           |ORDER BY o_orderkey""".stripMargin)
     }),
     "sub_correlated" -> ((s, d) => {
-      Tables.customer(s, d).createOrReplaceTempView("customer_sub")
+      val v = s"customer_sub_${math.abs(d.hashCode)}"
+      Tables.customer(s, d).createOrReplaceTempView(v)
       s.sql(
-        """SELECT c_custkey, round(c_acctbal, 2) AS bal
-          |FROM customer_sub c
-          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer_sub c2
+        s"""SELECT c_custkey, round(c_acctbal, 2) AS bal
+          |FROM $v c
+          |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM $v c2
           |                   WHERE c2.c_nationkey = c.c_nationkey)
           |ORDER BY c_custkey""".stripMargin)
     }),

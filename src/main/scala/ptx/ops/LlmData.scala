@@ -59,13 +59,7 @@ object LlmData {
         .orderBy(col("keep_id"))
     }),
     "llm_dedup_near" -> ((s, d) => {
-      val words = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-      val sh = words.select(col("doc_id"), explode(expr(
-          """transform(sequence(1, size(w) - 2),
-            | i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))""".stripMargin))
-          .as("shingle"))
-        .distinct()
+      val sh = ptx.functions.TextShingles.shingles(Tables.documents(s, d))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("doc1", "shingle")
       val b = sh.toDF("doc2", "shingle")
@@ -183,8 +177,10 @@ object LlmData {
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
     "llm_dedup_near" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |-- constant series because DuckDB 1.0 lacks lateral generate_series(col);
+        |-- 1000 comfortably exceeds the fixture max of 99 words/doc
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 200)) AS i) s
+        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
         |       WHERE i <= len(w) - 2),
         |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
         |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter

@@ -27,16 +27,10 @@ object LlmScale {
   private val R = 2           // rows per band
   private val B = H / R       // 8 bands → LSH threshold ≈ (1/B)^(1/R) ≈ 0.35
 
-  /** distinct (doc_id, shingle) pairs — same 3-word shingles as
-    * llm_dedup_near. */
+  /** distinct (doc_id, shingle) pairs — the ONE shared shingle definition
+    * (ptx.functions.TextShingles), same as llm_dedup_near. */
   private def shingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(expr(
-        """transform(sequence(1, size(w) - 2),
-          | i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))""".stripMargin))
-        .as("shingle"))
-      .distinct()
+    ptx.functions.TextShingles.shingles(Tables.documents(s, d))
 
   /** Exact Jaccard for a given candidate-pair set, used as the verify stage
     * after LSH candidate generation. Expands only the candidate pairs'
@@ -79,7 +73,7 @@ object LlmScale {
         .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
         .filter(col("doc1") < col("doc2"))
         .select(col("doc1"), col("doc2")).distinct()
-      verifyJaccard(shingles(s, d), cands, 0.4)
+      verifyJaccard(sh, cands, 0.4)
         .orderBy(col("doc1"), col("doc2"))
     }),
     // ◌ SimHash: 64-bit signature; candidates via 16-bit chunk equality

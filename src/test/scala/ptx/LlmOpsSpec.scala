@@ -31,8 +31,8 @@ class LlmOpsSpec extends AnyFunSuite {
   }
 
   test("fingerprint dedup agrees with exact text dedup") {
-    val fp = q("llm_fingerprint").collect()
-      .filter(_.getBoolean(4)).map(_.getLong(0)).toSet       // canonical ids
+    val fp = q("llm_fingerprint").select("is_canonical", "doc_id").collect()
+      .filter(_.getBoolean(0)).map(_.getLong(1)).toSet       // canonical ids
     val exact = q("llm_dedup_exact").collect().map(_.getLong(0)).toSet
     assert(fp == exact)
   }
@@ -56,6 +56,26 @@ class LlmOpsSpec extends AnyFunSuite {
     ivf.filter(t => brute.contains((t._1, t._2))).foreach { case (p, c, s) =>
       assert(math.abs(brute((p, c)) - s) < 1e-9)
     }
+  }
+
+  test("shingles handle documents with fewer than 3 words (no ANSI index crash)") {
+    import spark.implicits._
+    val docs = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"),
+      (4L, "a b c d")).toDF("doc_id", "text")
+    val sh = ptx.functions.TextShingles.shingles(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sh == Set((3L, "three word doc"), (4L, "a b c"), (4L, "b c d")))
+  }
+
+  test("top-k aggregator ranks NaN scores first, matching SQL DESC order") {
+    import spark.implicits._
+    val df = Seq((1L, 0.5, 10L), (1L, Double.NaN, 11L), (1L, 0.9, 12L))
+      .toDF("g", "score", "id")
+    val got = df.groupBy($"g")
+      .agg(ptx.functions.Aggregators.top_k($"score", $"id", 2).as("top"))
+      .selectExpr("transform(top, e -> e._2) AS ids").collect()(0)
+      .getSeq[Long](0)
+    assert(got == Seq(11L, 12L), s"got $got") // NaN first, then 0.9
   }
 
   test("cosine kernel: range, symmetry, self-similarity (100 seeded vectors)") {
