@@ -37,6 +37,36 @@ object Multimodal {
             .otherwise("video").as("kind"))
         .orderBy(col("doc_id"))
     }),
+    // ✓ aspect-preserving resize planning over typed media metadata: fit
+    // (img_w, img_h) into a 32x32 box without upscaling — the relational
+    // half of a resize stage (the pixel kernel would sit behind
+    // MediaDecode like the decoder stub).
+    "mm_resize" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          (lit(16) + col("doc_id") % 64).as("img_w"),
+          (lit(16) + (col("doc_id") * 7) % 64).as("img_h"))
+        .withColumn("scale_num", lit(32))
+        .withColumn("out_w", expr(
+          "CAST(CASE WHEN img_w <= 32 AND img_h <= 32 THEN img_w " +
+            "ELSE greatest(1, (img_w * 32) div greatest(img_w, img_h)) END AS BIGINT)"))
+        .withColumn("out_h", expr(
+          "CAST(CASE WHEN img_w <= 32 AND img_h <= 32 THEN img_h " +
+            "ELSE greatest(1, (img_h * 32) div greatest(img_w, img_h)) END AS BIGINT)"))
+        .select(col("doc_id"), col("img_w"), col("img_h"), col("out_w"), col("out_h"))
+        .orderBy(col("doc_id"))
+    }),
+    // ✓ frame sampling plan for video payloads: every 7th frame index of a
+    // synthetic n_frames, exploded to (doc, frame) rows — the shape a
+    // frame-extraction stage fans out over before the per-frame decode.
+    "mm_frame_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 2) // the 'video' kind of mm_binary_meta
+        .withColumn("n_frames", (lit(10) + col("doc_id") % 50))
+        .select(col("doc_id"), col("n_frames"),
+          explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 7)")).as("frame_idx"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
     // ◌ partition-wise decode + feature extraction (stubbed decoder),
     // then a relational agg over the features — no oracle (imperative
     // mapPartitions path); covered by MultimodalSpec.
@@ -59,6 +89,22 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_resize" ->
+      """SELECT doc_id, img_w, img_h,
+        |  CAST(CASE WHEN img_w <= 32 AND img_h <= 32 THEN img_w
+        |       ELSE greatest(1, (img_w * 32) // greatest(img_w, img_h)) END AS BIGINT) AS out_w,
+        |  CAST(CASE WHEN img_w <= 32 AND img_h <= 32 THEN img_h
+        |       ELSE greatest(1, (img_h * 32) // greatest(img_w, img_h)) END AS BIGINT) AS out_h
+        |FROM (SELECT doc_id, 16 + doc_id % 64 AS img_w, 16 + (doc_id * 7) % 64 AS img_h
+        |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, n_frames, k * 7 AS frame_idx FROM (
+        |  SELECT doc_id, 10 + doc_id % 50 AS n_frames FROM documents
+        |  WHERE doc_id % 3 = 2) v
+        |CROSS JOIN (SELECT unnest(generate_series(0, 1000)) AS k) s
+        |WHERE k * 7 <= n_frames - 1
+        |ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_binary_meta" ->
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

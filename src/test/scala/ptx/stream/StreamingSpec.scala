@@ -102,6 +102,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.size == feed.size)
   }
 
+  test("streaming parquet file sink persists exactly the stream's rows") {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    ms.addData(feed)
+    val out = java.nio.file.Files.createTempDirectory("ptx-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ptx-sink-ckpt").toString
+    val q = ms.toDF().writeStream
+      .format("parquet").option("path", out)
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = spark.read.parquet(out)
+    assert(back.count() == feed.length)
+    assert(back.select("event_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      feed.map(_.event_id).sorted)
+  }
+
+  test("native session windows on real sf0.001 events agree with batch sessionization") {
+    val ev = ptx.Tables.events(spark, TestSpark.SF)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val native = Pipelines.sessions(ev)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val declared = ptx.QueryRegistry.all("pt_sessionize")(spark, TestSpark.SF)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == declared, "session_window vs lag+cumsum session counts differ")
+  }
+
   test("stream-stream interval join attributes clicks within 30 min of a purchase") {
     val attrFeed = Seq(
       Event(1, ts(0), 1, "click", 1.0),
