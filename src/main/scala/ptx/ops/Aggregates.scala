@@ -114,6 +114,18 @@ object Aggregates {
         .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"))
         .orderBy(col("n_name"))
     }),
+    // ◌ no oracle: sketch quantiles are engine-specific; unit-tested
+    // against the exact percentile within the declared accuracy. This is
+    // the 100 TB path — exact `percentile` buffers every value per group,
+    // the sketch is bounded-memory and mergeable.
+    "agg_approx_percentile" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("approx_percentile(o_totalprice, 0.5, 10000)").as("median_approx"),
+          expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"))
+        .orderBy(col("o_orderstatus"))
+    }),
     // ◌ no oracle: HLL sketch values are engine-specific; unit-tested vs
     // exact ±5% instead (SURVEY §2 G4).
     "agg_approx_distinct" -> ((s, d) => {

@@ -28,6 +28,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(1) > 0))
   }
 
+  test("agg_approx_percentile is within 1% of the exact percentile") {
+    val approx = q("agg_approx_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val exact = q("agg_percentile").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    exact.foreach { case (k, (m, p90)) =>
+      assert(math.abs(approx(k)._1 - m) <= m * 0.01, s"$k median ${approx(k)._1} vs $m")
+      assert(math.abs(approx(k)._2 - p90) <= p90 * 0.01, s"$k p90 ${approx(k)._2} vs $p90")
+    }
+  }
+
+  test("metrics listener records exchanges and scans for a query run") {
+    val l = ptx.tools.Metrics.install(spark)
+    try {
+      q("agg_pricing_summary").collect()
+      // listener delivery is async; poll briefly
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (l.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val m = l.snapshot
+      assert(m.nonEmpty, "no query metrics recorded")
+      assert(m.exists(x => x.numScans >= 1), s"no scan recorded: $m")
+    } finally spark.listenerManager.unregister(l)
+  }
+
   test("agg_approx_distinct is within 5% of exact countDistinct") {
     val approx = q("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -27,7 +27,8 @@ class OpsSmokeSpec extends AnyFunSuite {
   test("every oracle key has a query; ◌ keys are the declared sketch ops") {
     assert((QueryRegistry.oracleSql.keySet -- QueryRegistry.all.keySet).isEmpty)
     val noOracle = QueryRegistry.all.keySet -- QueryRegistry.oracleSql.keySet
-    assert(noOracle == Set("agg_approx_distinct", "llm_dedup_minhash_lsh",
-      "llm_dedup_simhash", "mm_decode_features", "scan_sample"))
+    assert(noOracle == Set("agg_approx_distinct", "agg_approx_percentile",
+      "llm_dedup_minhash_lsh", "llm_dedup_simhash", "mm_decode_features",
+      "scan_sample"))
   }
 }
