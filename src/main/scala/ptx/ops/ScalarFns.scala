@@ -110,6 +110,21 @@ object ScalarFns {
               org.apache.spark.sql.types.IntegerType)))).getField("k").as("k2"),
           (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
         .orderBy(col("event_id"))
+    }),
+    // MapType semantics (SURVEY §1.2 note): build a real MapType column via
+    // str_to_map over the stripped JSON, then access/inspect it. Output is
+    // flattened to scalars so the oracle (which has no str_to_map) matches
+    // on values.
+    "fn_map" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("m", expr(
+          """str_to_map(regexp_replace(props, '[{}"\\s]', ''), ',', ':')"""))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").cast("int").as("k_via_map"),
+          size(col("m")).as("n_keys"),
+          array_join(map_keys(col("m")), ",").as("keys"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -178,6 +193,11 @@ object ScalarFns {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_map" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_map,
+        |  1 AS n_keys, 'k' AS keys
         |FROM events ORDER BY event_id""".stripMargin
   )
 }

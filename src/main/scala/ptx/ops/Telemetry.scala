@@ -61,6 +61,16 @@ object Telemetry {
           round(max(col("sec")) - min(col("sec")), 6).as("duration_s"))
         .orderBy(col("user_id"), col("session_id"))
     }),
+    // native session_window in the BATCH surface (its streaming twin is
+    // ptx.stream.Pipelines.sessions); end = last event + gap by definition
+    "pt_session_native" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_val"))
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"), col("sum_val"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
     "pt_daily_pivot" -> ((s, d) => {
       // conditional-agg pivot: deterministic column set, zero-filled
       val e = Tables.events(s, d).withColumn("day", to_date(col("ts")))
@@ -129,6 +139,12 @@ object Telemetry {
         |       round(sum(value), 2) AS sum_val, round(avg(value), 6) AS avg_val,
         |       round(max(sec) - min(sec), 6) AS duration_s
         |FROM $SESS GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "pt_session_native" ->
+      s"""SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_val
+        |FROM $SESS GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin,
     "pt_daily_pivot" ->
       s"""SELECT CAST(ts AS DATE) AS day,
         |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
