@@ -117,6 +117,43 @@ object LlmScale {
           (col("label1") === col("label2")).as("same_label"))
         .orderBy(col("vec1"), col("vec2"))
     }),
+    // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
+    // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
+    // over tables of same-bucket vectors; exact top-5 within candidates.
+    // cosine_sim shares the sign of the dot product, so the codegen kernel
+    // doubles as the hashing primitive. Seeded planes are engine-specific →
+    // no oracle; LlmOpsSpec checks per-pair sims against brute force.
+    "llm_ann_lsh" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      import org.apache.spark.sql.DataFrame
+      val e = Tables.embeddings(s, d)
+      val rnd = new scala.util.Random(7)
+      val L = 4; val bits = 6
+      val planes = Seq.tabulate(L, bits)((_, _) => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+      def bucketExpr(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
+        val planeLit = s"array(${p.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
+        expr(s"IF(cosine_sim(embedding, $planeLit) > 0, ${1 << i}, 0)")
+      }.reduce(_ + _)
+      def withBuckets(df: DataFrame) = df
+        .select(col("*"), posexplode(array((0 until L).map(bucketExpr): _*))
+          .as(Seq("tbl", "bucket")))
+      val probes = withBuckets(e.filter(col("vec_id") < 10))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+          col("tbl"), col("bucket"))
+      val cands = withBuckets(e)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+          col("tbl"), col("bucket"))
+      probes.join(cands, Seq("tbl", "bucket"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .select(col("probe_id"), col("p"), col("cand_id"), col("c")).distinct()
+        .withColumn("sim", expr("cosine_sim(p, c)"))
+        .groupBy(col("probe_id"))
+        .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), 5).as("top"))
+        .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("probe_id"), (col("pos") + 1).as("rnk"),
+          col("e._2").as("cand_id"), round(col("e._1"), 6).as("sim"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
     // ✓ IVF-style ANN: coarse cells = per-label centroids; score only the
     // nprobe=3 nearest cells per probe, then exact top-5 within candidates.
     // Oracle-exact: centroids are cast to float32 before scoring, which

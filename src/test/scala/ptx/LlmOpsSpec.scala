@@ -47,6 +47,18 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann-lsh results are same-bucket neighbors with sims matching brute force") {
+    val brute = q("llm_knn_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val lsh = q("llm_ann_lsh").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(lsh.nonEmpty)
+    assert(lsh.forall { case (p, _, c, _) => p != c })
+    lsh.filter(t => brute.contains((t._1, t._3))).foreach { case (p, _, c, s) =>
+      assert(math.abs(brute((p, c)) - s) < 1e-9, s"sim mismatch for ($p,$c)")
+    }
+  }
+
   test("ann-ivf results are valid neighbors with sims matching brute force") {
     val brute = q("llm_knn_cosine").collect()
       .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
