@@ -26,7 +26,13 @@ class MetricsListener extends QueryExecutionListener {
     // AdaptiveSparkPlanExec hides its subtree from TreeNode.collect, but its
     // rendered tree (with the final adaptive plan) includes every node —
     // count node lines, which is stable across plan wrappers.
-    val rendered = qe.executedPlan.toString
+    // AQE renders "== Final Plan ==" followed by "== Initial Plan ==";
+    // count only the final plan or every node would be counted twice
+    val full = qe.executedPlan.toString
+    val rendered = full.indexOf("== Initial Plan ==") match {
+      case -1 => full
+      case i => full.substring(0, i)
+    }
     val lines = rendered.linesIterator.toSeq
     val exchanges = lines.count(l => l.contains("Exchange") && !l.contains("ReusedExchange"))
     val scans = lines.count(_.contains("Scan "))

@@ -52,6 +52,25 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  private def measuredExchanges(name: String): Int = {
+    val l = ptx.tools.Metrics.install(spark)
+    try {
+      l.clear()
+      q(name).collect()
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (l.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      l.snapshot.map(_.numExchanges).max
+    } finally spark.listenerManager.unregister(l)
+  }
+
+  test("plan budget: pricing summary spends at most 2 exchanges (agg + sort)") {
+    assert(measuredExchanges("agg_pricing_summary") <= 2)
+  }
+
+  test("plan budget: knn spends at most 3 exchanges (top-k agg, explode, sort)") {
+    assert(measuredExchanges("llm_knn_cosine") <= 3)
+  }
+
   test("agg_approx_distinct is within 5% of exact countDistinct") {
     val approx = q("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
