@@ -1,8 +1,9 @@
 package ptx.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A telemetry event — the streaming-side row type (events table schema
   * after the ns→µs load fix; `props` omitted where not needed). */
@@ -92,6 +93,37 @@ object Pipelines {
       col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Running per-user totals via the Spark 4 `transformWithState` API
+    * (StatefulProcessor + typed ValueState) — the successor to
+    * flatMapGroupsWithState; requires the RocksDB state store provider.
+    * Emits one (user, running count, running sum) row per input event.
+    */
+  class RunningTotalsProcessor
+      extends StatefulProcessor[Long, Event, (Long, Long, Double)] {
+    @transient private var state: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("totals",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, sum) = Option(state.get()).getOrElse((0L, 0.0))
+      val out = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).map { e =>
+        n += 1; sum += e.value
+        (key, n, sum)
+      }
+      state.update((n, sum))
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for RunningTotalsProcessor. */
+  def runningTotals(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
   }
 
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert

@@ -181,6 +181,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(versions.toSeq.sortBy(_._1) == Seq((1L, 1.0), (2L, 3.0)), s"got ${versions.toSeq}")
   }
 
+  test("transformWithState running totals persist ValueState across batches (RocksDB)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "tws_sink"
+    val q = Pipelines.runningTotals(ms.toDS()).toDF("user_id", "n", "total")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(Event(1, ts(0), 5, "click", 10.0), Event(2, ts(1), 5, "click", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(3, ts(2), 5, "click", 3.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toSet
+      // batch 2's row continues from batch 1's state: (3, 15.0)
+      assert(got == Set((1L, 10.0), (2L, 12.0), (3L, 15.0)), s"got $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful alerts carry state across micro-batches") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "alert_sink2"
