@@ -111,6 +111,23 @@ object ScalarFns {
           (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
         .orderBy(col("event_id"))
     }),
+    // array set operations over word arrays; outputs joined to strings so
+    // the oracle compares scalars (set ops are order-unspecified → each is
+    // sorted first)
+    "fn_array_ops" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("a", expr("slice(w, 1, 5)"))
+        .withColumn("b", expr("slice(w, 3, 5)"))
+        .select(
+          col("doc_id"),
+          array_join(sort_array(array_union(col("a"), col("b"))), ",").as("u"),
+          array_join(sort_array(array_intersect(col("a"), col("b"))), ",").as("i"),
+          array_join(sort_array(array_except(col("a"), col("b"))), ",").as("x"),
+          size(array_distinct(col("w"))).as("nd"),
+          array_join(flatten(array(col("a"), col("b"))), ",").as("cat"))
+        .orderBy(col("doc_id"))
+    }),
     // MapType semantics (SURVEY §1.2 note): build a real MapType column via
     // str_to_map over the stripped JSON, then access/inspect it. Output is
     // flattened to scalars so the oracle (which has no str_to_map) matches
@@ -194,6 +211,20 @@ object ScalarFns {
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k2,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_mod
         |FROM events ORDER BY event_id""".stripMargin,
+    "fn_array_ops" ->
+      """SELECT doc_id,
+        |  -- DuckDB list_sort(NULL-or-empty) yields NULL where Spark's
+        |  -- sort_array yields []; coalesce to the empty string
+        |  coalesce(array_to_string(list_sort(list_distinct(a || b)), ','), '') AS u,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |        x -> list_contains(b, x))), ','), '') AS i,
+        |  coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+        |        x -> NOT list_contains(b, x))), ','), '') AS x,
+        |  len(list_distinct(w)) AS nd,
+        |  array_to_string(a || b, ',') AS cat
+        |FROM (SELECT doc_id, w, w[1:5] AS a, w[3:7] AS b
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) s
+        |ORDER BY doc_id""".stripMargin,
     "fn_map" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_map,
