@@ -28,6 +28,23 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got.isNaN)
   }
 
+  test("TopK aggregator equals sort-based top-k on 50 seeded random datasets") {
+    val rnd = new scala.util.Random(13)
+    (1 to 50).foreach { trial =>
+      val n = 1 + rnd.nextInt(60)
+      val k = 1 + rnd.nextInt(8)
+      // duplicate scores force the id tiebreak; ids unique
+      val rows = (0 until n).map(i => (rnd.nextInt(5).toDouble, i.toLong))
+      val expected = rows.sortBy { case (s, id) => (-s, id) }.take(k).toList
+      val agg = new ptx.functions.Aggregators.TopK(k)
+      // random partition split exercises merge()
+      val parts = rows.grouped(1 + rnd.nextInt(7)).toSeq
+      val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      assert(agg.finish(merged) == expected, s"trial $trial: n=$n k=$k")
+    }
+  }
+
   test("cosine_sim is registered for SQL and matches the kernel") {
     ptx.functions.VectorOps.register(spark)
     val got = spark.sql(

@@ -102,6 +102,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.size == feed.size)
   }
 
+  test("foreachBatch fans one micro-batch out to two sinks atomically per batch") {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    ms.addData(feed)
+    val out = java.nio.file.Files.createTempDirectory("ptx-fb").toString
+    val counts = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = ms.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        // sink 1: parquet append; sink 2: side counter — same batch, both or neither
+        batch.persist()
+        batch.write.mode("append").parquet(out)
+        counts.synchronized { counts += ((id, batch.count())) }
+        batch.unpersist()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(counts.map(_._2).sum == feed.length)
+    assert(spark.read.parquet(out).count() == feed.length)
+  }
+
   test("streaming parquet file sink persists exactly the stream's rows") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     ms.addData(feed)
