@@ -61,6 +61,21 @@ object Tables {
       "events")
   }
 
+  /** Streaming read of the events table (file source) with the same ns→µs
+    * recipe as the batch loader — the binding table as a stream. Streaming
+    * sources need an explicit schema; ts arrives as epoch-nanos long under
+    * the nanosAsLong conf.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source requires a directory; glob-filter the single file
+    spark.readStream
+      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   // Shorthand accessors
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")

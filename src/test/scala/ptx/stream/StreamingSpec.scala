@@ -102,6 +102,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.size == feed.size)
   }
 
+  test("streaming the real events table equals the declared batch tumbling query") {
+    val name = "ev_stream_sink"
+    val q = Pipelines.tumbling(ptx.Tables.eventsStream(spark, TestSpark.SF))
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = ptx.QueryRegistry.all("pt_tumbling_1h")(spark, TestSpark.SF)
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("foreachBatch fans one micro-batch out to two sinks atomically per batch") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     ms.addData(feed)
