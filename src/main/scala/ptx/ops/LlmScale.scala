@@ -32,48 +32,47 @@ object LlmScale {
   private def shingles(s: SparkSession, d: String): DataFrame =
     ptx.functions.TextShingles.shingles(Tables.documents(s, d))
 
-  /** Exact Jaccard for a given candidate-pair set, used as the verify stage
-    * after LSH candidate generation. Expands only the candidate pairs'
-    * shingle sets (cands ⋈ sh(doc1) ⋈ sh(doc2)) — never the full
-    * shingle⋈shingle self-join the LSH pre-filter exists to avoid.
-    */
-  private def verifyJaccard(sh: DataFrame, cands: DataFrame, threshold: Double): DataFrame = {
-    val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val inter = broadcast(cands)
-      .join(sh.toDF("doc1", "shingle"), Seq("doc1"))
-      .join(sh.toDF("doc2", "shingle"), Seq("doc2", "shingle"))
-      .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
-    val jac = col("inter").cast("double") /
-      (col("na.n_sh") + col("nb.n_sh") - col("inter"))
-    inter
-      .join(n.as("na"), col("doc1") === col("na.doc_id"))
-      .join(n.as("nb"), col("doc2") === col("nb.doc_id"))
-      .withColumn("jaccard", round(jac, 6))
-      .filter(jac >= threshold)
-      .select(col("doc1"), col("doc2"), col("jaccard"))
-  }
-
   def queries: Map[String, QFn] = Map(
     // ◌ MinHash + LSH banding, exact-Jaccard verify on candidates only.
+    // ONE aggregation pass over the shingle stream computes the 16-minhash
+    // signature, the shingle count, AND the sorted shingle-set array per
+    // doc; verification is then a per-candidate array_intersect — no second
+    // shingle scan and no inverted-index join at all (a naive formulation
+    // scanned the corpus 12× per query; this plan scans it once).
     "llm_dedup_minhash_lsh" -> ((s, d) => {
       val sh = shingles(s, d)
-      val hashed = sh.select(col("doc_id"), xxhash64(col("shingle")).as("h"))
-      // per-seed rehash via xxhash64(i, h): independent min-hashes with no
-      // long-multiply (which would overflow-throw under Spark 4 ANSI mode)
-      val sigCols = (0 until H).map(i =>
-        min(xxhash64(lit(i), col("h"))).as(s"m$i"))
-      val sig = hashed.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      // per-seed rehash via xxhash64(i, xxhash64(shingle)): independent
+      // min-hashes with no long-multiply (which would overflow-throw under
+      // Spark 4 ANSI mode)
+      val aggCols = (0 until H).map(i =>
+        min(xxhash64(lit(i), xxhash64(col("shingle")))).as(s"m$i")) ++ Seq(
+        count(lit(1)).as("n_sh"),
+        sort_array(collect_list(col("shingle"))).as("shset"))
+      // persist the diamond apex: three consumers (bands, both verify sides)
+      // prune different columns, which defeats exchange reuse — without the
+      // cache the corpus is re-scanned per consumer. One row per doc, small.
+      val docAgg = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bandCols = (0 until B).map(bi =>
         struct(lit(bi).as("band"),
           xxhash64((0 until R).map(r => col(s"m${bi * R + r}")): _*).as("key")).as(s"b$bi"))
-      val bands = sig.select(col("doc_id"), array(bandCols: _*).as("bs"))
+      val bands = docAgg.select(col("doc_id"), array(bandCols: _*).as("bs"))
         .select(col("doc_id"), explode(col("bs")).as("b"))
         .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
       val cands = bands.toDF("doc1", "band", "key")
         .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
         .filter(col("doc1") < col("doc2"))
         .select(col("doc1"), col("doc2")).distinct()
-      verifyJaccard(sh, cands, 0.4)
+      val sets = docAgg.select(col("doc_id"), col("n_sh"), col("shset"))
+      val jac = col("inter").cast("double") /
+        (col("n1") + col("n2") - col("inter"))
+      cands
+        .join(sets.toDF("doc1", "n1", "set1"), Seq("doc1"))
+        .join(sets.toDF("doc2", "n2", "set2"), Seq("doc2"))
+        .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+        .withColumn("jaccard", round(jac, 6))
+        .filter(jac >= 0.4)
+        .select(col("doc1"), col("doc2"), col("jaccard"))
         .orderBy(col("doc1"), col("doc2"))
     }),
     // ◌ SimHash: 64-bit signature; candidates via 16-bit chunk equality
@@ -89,6 +88,7 @@ object LlmScale {
         s"IF(s$i > 0, shiftleft(CAST(1 AS BIGINT), $i), CAST(0 AS BIGINT))")
         .mkString(" + ")
       val sig = agg.select(col("doc_id"), expr(sigExpr).as("sig"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val chunks = sig.select(col("doc_id"), col("sig"), posexplode(array(
         (0 until 4).map(c => expr(s"(sig >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "ckey")))
       val cands = chunks.toDF("doc1", "sig1", "chunk", "ckey")
