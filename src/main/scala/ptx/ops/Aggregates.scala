@@ -114,6 +114,15 @@ object Aggregates {
         .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"))
         .orderBy(col("n_name"))
     }),
+    "agg_histogram" -> ((s, d) => {
+      // fixed-width value histogram: arithmetic binning (width_bucket is
+      // not portable to the oracle dialect); empty bins are absent by
+      // construction on both engines
+      Tables.events(s, d)
+        .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("bin_avg"))
+        .orderBy(col("bin"))
+    }),
     // ◌ no oracle: sketch quantiles are engine-specific; unit-tested
     // against the exact percentile within the declared accuracy. This is
     // the 100 TB path — exact `percentile` buffers every value per group,
@@ -182,6 +191,10 @@ object Aggregates {
         |       round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_histogram" ->
+      """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
+        |       round(avg(value), 6) AS bin_avg
+        |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT event_type, bucket, grouping(event_type) AS g_type,
         |       grouping(bucket) AS g_bucket, count(*) AS n

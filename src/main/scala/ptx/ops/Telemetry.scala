@@ -61,6 +61,20 @@ object Telemetry {
           round(max(col("sec")) - min(col("sec")), 6).as("duration_s"))
         .orderBy(col("user_id"), col("session_id"))
     }),
+    // per-type z-score anomaly detection: per-type stats are rounded to 6dp
+    // BEFORE the z computation so both engines derive z from identical
+    // stats (raw avg/stddev differ in the last ulp across engines)
+    "pt_anomaly_zscore" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val stats = e.groupBy(col("event_type"))
+        .agg(round(avg(col("value")), 6).as("mu"),
+          round(stddev_samp(col("value")), 6).as("sigma"))
+      e.join(broadcast(stats), Seq("event_type"))
+        .withColumn("z", round((col("value") - col("mu")) / col("sigma"), 6))
+        .select(col("event_id"), col("event_type"), round(col("value"), 2).as("value"),
+          col("z"), (abs(col("z")) > 3.0).as("is_anomaly"))
+        .orderBy(col("event_id"))
+    }),
     // native session_window in the BATCH surface (its streaming twin is
     // ptx.stream.Pipelines.sessions); end = last event + gap by definition
     "pt_session_native" -> ((s, d) => {
@@ -139,6 +153,16 @@ object Telemetry {
         |       round(sum(value), 2) AS sum_val, round(avg(value), 6) AS avg_val,
         |       round(max(sec) - min(sec), 6) AS duration_s
         |FROM $SESS GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "pt_anomaly_zscore" ->
+      s"""SELECT event_id, e.event_type, round(value, 2) AS value,
+        |       round((value - mu) / sigma, 6) AS z,
+        |       abs(round((value - mu) / sigma, 6)) > 3.0 AS is_anomaly
+        |FROM $EV e JOIN (
+        |  SELECT event_type, round(avg(value), 6) AS mu,
+        |         round(stddev_samp(value), 6) AS sigma
+        |  FROM events GROUP BY event_type) st
+        |ON e.event_type = st.event_type
+        |ORDER BY event_id""".stripMargin,
     "pt_session_native" ->
       s"""SELECT user_id, min(ts) AS session_start,
         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
