@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must reach stdout verbatim: sbt's default logged
+// strategy prefixes every line with "[info] ", which breaks harnesses
+// that json.loads the Bench/Verify output line.
+run / outputStrategy := Some(StdoutOutput)
+// ...and the trailing "[success] Total time" banner would otherwise be
+// the last line of `sbt runMain` output, shadowing that JSON line.
+showSuccess := false
+Global / excludeLintKeys ++= Set(showSuccess, run / outputStrategy)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
