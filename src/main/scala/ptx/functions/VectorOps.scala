@@ -44,9 +44,16 @@ case class CosineSim(left: Expression, right: Expression)
 }
 
 object CosineSim {
-  /** Sequential-fold cosine; shared by interpreted and codegen paths. */
+  /** Sequential-fold cosine; shared by interpreted and codegen paths.
+    * Dimensions must agree — a mismatch is a schema/data bug (e.g. a
+    * 32-dim vector among 64-dim) and silently truncating would produce
+    * plausible-but-wrong rankings, so fail loudly instead (ADVICE r1;
+    * ExpectsInputTypes is private[sql], so the kernel enforces it).
+    */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
-    val n = math.min(a.length, b.length)
+    require(a.length == b.length,
+      s"cosine_sim: vector length mismatch (${a.length} vs ${b.length})")
+    val n = a.length
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {

@@ -59,11 +59,12 @@ object LlmData {
         .orderBy(col("keep_id"))
     }),
     "llm_dedup_near" -> ((s, d) => {
-      // persist: the shingle frame feeds the inverted-index join twice and
+      // pin: the shingle frame feeds the inverted-index join twice and
       // the per-doc counts once; column pruning differs per consumer so
-      // exchange reuse cannot deduplicate the scans without the cache
-      val sh = ptx.functions.TextShingles.shingles(Tables.documents(s, d))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // exchange reuse cannot deduplicate the scans without the cache.
+      // Released by the harness via Caching.releaseAll() post-action.
+      val sh = ptx.Caching.pin(
+        ptx.functions.TextShingles.shingles(Tables.documents(s, d)))
       val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val a = sh.toDF("doc1", "shingle")
       val b = sh.toDF("doc2", "shingle")

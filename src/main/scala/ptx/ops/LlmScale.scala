@@ -48,11 +48,12 @@ object LlmScale {
         min(xxhash64(lit(i), xxhash64(col("shingle")))).as(s"m$i")) ++ Seq(
         count(lit(1)).as("n_sh"),
         sort_array(collect_list(col("shingle"))).as("shset"))
-      // persist the diamond apex: three consumers (bands, both verify sides)
+      // pin the diamond apex: three consumers (bands, both verify sides)
       // prune different columns, which defeats exchange reuse — without the
       // cache the corpus is re-scanned per consumer. One row per doc, small.
-      val docAgg = sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Released by the harness via Caching.releaseAll() post-action.
+      val docAgg = ptx.Caching.pin(
+        sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*))
       val bandCols = (0 until B).map(bi =>
         struct(lit(bi).as("band"),
           xxhash64((0 until R).map(r => col(s"m${bi * R + r}")): _*).as("key")).as(s"b$bi"))
@@ -87,8 +88,8 @@ object LlmScale {
       val sigExpr = (0 until 64).map(i =>
         s"IF(s$i > 0, shiftleft(CAST(1 AS BIGINT), $i), CAST(0 AS BIGINT))")
         .mkString(" + ")
-      val sig = agg.select(col("doc_id"), expr(sigExpr).as("sig"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = ptx.Caching.pin(
+        agg.select(col("doc_id"), expr(sigExpr).as("sig")))
       val chunks = sig.select(col("doc_id"), col("sig"), posexplode(array(
         (0 until 4).map(c => expr(s"(sig >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "ckey")))
       val cands = chunks.toDF("doc1", "sig1", "chunk", "ckey")

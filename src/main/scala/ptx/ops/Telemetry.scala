@@ -100,18 +100,28 @@ object Telemetry {
   )
 
   /** Gap-based 30-min sessions: lag + cumulative-sum of gap>1800s flags.
-    * `sec` is the µs-exact epoch-seconds double (cast of the µs-truncated
-    * ts), so both engines compute gaps over identical values.
+    * Boundary semantics — verified empirically against `session_window`
+    * (StreamingSpec "session boundary" test): Spark MERGES an event whose
+    * gap is exactly the session timeout (per-event windows [ts, ts+gap)
+    * are unioned when adjacent-or-overlapping, so an event landing exactly
+    * on the previous window's end extends the session). Hence the split
+    * predicate is strictly `gap > 1800`, matching both `session_window`
+    * and the DuckDB oracle twin below. `sec` is the µs-exact epoch-seconds
+    * double (cast of the µs-truncated ts), so both engines compute gaps
+    * over identical values.
     */
-  private def sessions(s: org.apache.spark.sql.SparkSession, d: String) = {
+  def sessionize(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    Tables.events(s, d)
+    events
       .withColumn("sec", col("ts").cast("double"))
       .withColumn("gap", col("sec") - lag(col("sec"), 1).over(wOrd))
       .withColumn("session_id",
         sum(when(col("gap").isNull || col("gap") > 1800.0, 1).otherwise(0)).over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
+
+  private def sessions(s: org.apache.spark.sql.SparkSession, d: String) =
+    sessionize(Tables.events(s, d))
 
   private val EV =
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"

@@ -57,6 +57,13 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(same - 1.0) < 1e-12)
   }
 
+  test("cosine_sim rejects mismatched vector dimensions instead of truncating") {
+    val ex = intercept[IllegalArgumentException] {
+      ptx.functions.CosineSim.cosine(Array(1f, 2f, 3f), Array(1f, 2f))
+    }
+    assert(ex.getMessage.contains("length mismatch"))
+  }
+
   test("explode of an array-returning expression acts as the generator surface") {
     val rows = Tables.documents(spark, TestSpark.SF)
       .select(explode(split(col("text"), " ")).as("w"))

@@ -17,11 +17,25 @@ class OpsSmokeSpec extends AnyFunSuite {
 
   QueryRegistry.all.foreach { case (name, fn) =>
     test(s"$name: deterministic and well-formed at sf0.001") {
-      val r1 = fn(spark, TestSpark.SF).collect().map(_.toString).toSeq
-      val r2 = fn(spark, TestSpark.SF).collect().map(_.toString).toSeq
-      assert(r1 == r2, s"$name is nondeterministic across runs")
-      if (!mayBeEmpty(name)) assert(r1.nonEmpty, s"$name returned no rows")
+      try {
+        val r1 = fn(spark, TestSpark.SF).collect().map(_.toString).toSeq
+        val r2 = fn(spark, TestSpark.SF).collect().map(_.toString).toSeq
+        assert(r1 == r2, s"$name is nondeterministic across runs")
+        if (!mayBeEmpty(name)) assert(r1.nonEmpty, s"$name returned no rows")
+      } finally Caching.releaseAll()
     }
+  }
+
+  test("operator-pinned caches are released, not leaked (ADVICE r1)") {
+    // delta-based: other suites share this session (and may cache), so
+    // only assert about RDDs that appear during OUR query
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    QueryRegistry.all("llm_dedup_near")(spark, TestSpark.SF).count()
+    val pinnedNow = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(pinnedNow.nonEmpty, "expected llm_dedup_near to pin its shingle frame")
+    Caching.releaseAll()
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet.intersect(pinnedNow)
+    assert(leaked.isEmpty, s"releaseAll left cached RDDs behind: $leaked")
   }
 
   test("every oracle key has a query; ◌ keys are the declared sketch ops") {

@@ -163,6 +163,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(native == declared, "session_window vs lag+cumsum session counts differ")
   }
 
+  test("session boundary: a gap of exactly 30 minutes MERGES in both paths") {
+    // Pins the boundary semantics: session_window unions per-event windows
+    // [ts, ts+gap) when adjacent-or-overlapping, so an event landing exactly
+    // on the previous window's end EXTENDS the session (verified here, not
+    // assumed). The lag+cumsum batch rule therefore splits on gap > 1800
+    // strictly, and must agree on this exact-gap fixture.
+    val boundary = Seq(
+      Event(1, ts(0), 1, "click", 1.0),
+      Event(2, ts(30), 1, "click", 1.0),    // exactly 1800 s later → merges
+      Event(3, ts(61), 1, "click", 1.0))    // 31 min later → new session
+    val native = runStream(boundary, "complete")(Pipelines.sessions)
+    assert(native.length == 2, s"session_window sessions: ${native.toSeq}")
+    val batch = ptx.ops.Telemetry.sessionize(boundary.toDF())
+      .select("session_id").distinct().count()
+    assert(batch == 2, s"lag+cumsum sessions: $batch")
+  }
+
   test("stream-stream interval join attributes clicks within 30 min of a purchase") {
     val attrFeed = Seq(
       Event(1, ts(0), 1, "click", 1.0),
