@@ -40,14 +40,20 @@ object LlmScale {
     // shingle scan and no inverted-index join at all (a naive formulation
     // scanned the corpus 12× per query; this plan scans it once).
     "llm_dedup_minhash_lsh" -> ((s, d) => {
+      // hash each distinct shingle ONCE; the 16 per-seed min-hashes rehash
+      // the 64-bit value (xxhash64(i, h) — no long-multiply, which would
+      // overflow-throw under Spark 4 ANSI mode), and the verify set stores
+      // the hashes instead of the strings: 8 bytes/entry instead of ~25,
+      // and long compares in array_intersect instead of string compares.
+      // Exactness: |∩| over 64-bit hashes equals |∩| over shingles unless
+      // two distinct shingles collide (P ≈ n²/2⁶⁵ ≈ 2e-11 at the 27k-
+      // shingle vocab; the ◌ op's property tests run against exact pairs).
       val sh = shingles(s, d)
-      // per-seed rehash via xxhash64(i, xxhash64(shingle)): independent
-      // min-hashes with no long-multiply (which would overflow-throw under
-      // Spark 4 ANSI mode)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
       val aggCols = (0 until H).map(i =>
-        min(xxhash64(lit(i), xxhash64(col("shingle")))).as(s"m$i")) ++ Seq(
+        min(xxhash64(lit(i), col("h"))).as(s"m$i")) ++ Seq(
         count(lit(1)).as("n_sh"),
-        sort_array(collect_list(col("shingle"))).as("shset"))
+        sort_array(collect_list(col("h"))).as("shset"))
       // pin the diamond apex: three consumers (bands, both verify sides)
       // prune different columns, which defeats exchange reuse — without the
       // cache the corpus is re-scanned per consumer. One row per doc, small.
@@ -82,14 +88,11 @@ object LlmScale {
       val tok = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
         .select(col("doc_id"), xxhash64(col("word")).as("h"))
-      val bitCols = (0 until 64).map(i =>
-        sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"s$i"))
-      val agg = tok.groupBy(col("doc_id")).agg(bitCols.head, bitCols.tail: _*)
-      val sigExpr = (0 until 64).map(i =>
-        s"IF(s$i > 0, shiftleft(CAST(1 AS BIGINT), $i), CAST(0 AS BIGINT))")
-        .mkString(" + ")
+      // one mergeable aggregate (Aggregators.SimHash) instead of 64
+      // sum(when(...)) agg expressions — same ±1-vote/sign semantics
       val sig = ptx.Caching.pin(
-        agg.select(col("doc_id"), expr(sigExpr).as("sig")))
+        tok.groupBy(col("doc_id"))
+          .agg(ptx.functions.Aggregators.simhash(col("h")).as("sig")))
       val chunks = sig.select(col("doc_id"), col("sig"), posexplode(array(
         (0 until 4).map(c => expr(s"(sig >> ${c * 16}) & 65535")): _*)).as(Seq("chunk", "ckey")))
       val cands = chunks.toDF("doc1", "sig1", "chunk", "ckey")

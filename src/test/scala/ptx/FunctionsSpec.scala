@@ -57,6 +57,32 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(same - 1.0) < 1e-12)
   }
 
+  test("SimHash aggregator equals the 64-column sum(when) formulation") {
+    val rnd = new scala.util.Random(11)
+    val hashes = Seq.fill(200)(rnd.nextLong())
+    // reference: per-bit ±1 votes, bit set when total positive
+    var expected = 0L
+    for (i <- 0 until 64) {
+      val vote = hashes.map(h => if (((h >>> i) & 1L) == 1L) 1 else -1).sum
+      if (vote > 0) expected |= 1L << i
+    }
+    val agg = ptx.functions.Aggregators.SimHash
+    // random partition split exercises merge()
+    for (trial <- 1 to 5) {
+      val parts = hashes.grouped(1 + rnd.nextInt(37)).toSeq
+      val bufs = parts.map(_.foldLeft(agg.zero) { (b, h) => agg.reduce(b.clone(), h) })
+      val merged = bufs.foldLeft(agg.zero)((a, b) => agg.merge(a, b))
+      assert(agg.finish(merged) == expected, s"trial $trial")
+    }
+    // end-to-end through the udaf against real data
+    import spark.implicits._
+    val df = hashes.map(("d1", _)).toDF("doc_id", "h")
+    val got = df.groupBy(col("doc_id"))
+      .agg(ptx.functions.Aggregators.simhash(col("h")).as("sig"))
+      .collect()(0).getLong(1)
+    assert(got == expected)
+  }
+
   test("cosine_sim rejects mismatched vector dimensions instead of truncating") {
     val ex = intercept[IllegalArgumentException] {
       ptx.functions.CosineSim.cosine(Array(1f, 2f, 3f), Array(1f, 2f))
