@@ -1,6 +1,31 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark driver: times every registered query at SPARK_GRAFT_SF_DIR.
+  *
+  * Output contract (BENCH_r01/r02 showed the driver tail-captures stdout and
+  * truncated the single ~4 KB JSON line, losing the `{"metric":...` prefix —
+  * both rounds parsed=null):
+  *   - line 1: full JSON incl. the complete per-query map (human/debug);
+  *   - `bench_queries.json` (cwd, or $SPARK_GRAFT_BENCH_OUT): same full JSON;
+  *   - LAST line: short parseable JSON — total + the 12 BASELINE.md subset
+  *     queries only (~600 B, survives any tail capture).
+  *
+  * Method (BASELINE.md §Method + round-2 advice): queries run in sorted-key
+  * order; each query gets one untimed warm run (absorbs codegen/classload
+  * that single-run timing charged to whichever query ran first) and one
+  * timed run; operator-pinned caches are released BETWEEN runs and AFTER
+  * the timing capture, so the timed run does full work and unpersist
+  * bookkeeping is not in the measured time.
+  */
 object Bench {
+  /** BASELINE.md's 12-query graded subset (§Results). */
+  private val BaselineSubset = Seq(
+    "agg_pricing_summary", "join_star_q5", "topk_global", "agg_count_distinct",
+    "win_topk_per_group", "win_running_sum", "pt_sessionize", "pt_tumbling_1h",
+    "llm_dedup_exact", "llm_wordcount", "llm_knn_cosine", "set_except")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -10,20 +35,31 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // one JVM warm-up query before timing, matching BASELINE.md's method —
-    // otherwise whichever query happens to run first pays ~5 s of
-    // codegen/classloading that belongs to the JVM, not the query
+    // one JVM warm-up query before any timing, matching BASELINE.md's method
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () } // warm
+      ptx.Caching.releaseAll() // timed run must redo the cached work too
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      finally ptx.Caching.releaseAll() // drop operator-pinned caches
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      val dt = (System.nanoTime() - t0) / 1e9
+      ptx.Caching.releaseAll()
+      name -> (if (ok) dt else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def fmt(v: Double): String = f"$v%.3f"
+    def qjson(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}"""
+    println(full)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    try Files.writeString(Paths.get(outFile), full + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
+    val subset = results.filter { case (k, _) => BaselineSubset.contains(k) }
+    val subsetTotal = subset.map(_._2).filter(_ >= 0).sum
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline_subset_total":${fmt(subsetTotal)},"queries":${qjson(subset)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,12 +1,21 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Each query runs under a wall-time cap (SPARK_GRAFT_VERIFY_TIMEOUT_SEC,
+  * default 300 s) so one pathological plan cannot starve the rest of the
+  * dump: on timeout the query's job group is cancelled, the miss is logged,
+  * and the loop moves on — the driver then records that one query as
+  * missing instead of the whole round timing out.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toLong
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,14 +24,29 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val pool = Executors.newSingleThreadExecutor()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val task = pool.submit(new Runnable {
+        override def run(): Unit = {
+          // job group set on the executing thread so a timeout can cancel
+          // exactly this query's jobs
+          spark.sparkContext.setJobGroup(name, name, interruptOnCancel = true)
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          finally spark.sparkContext.clearJobGroup()
+        }
+      })
+      try task.get(timeoutSec, TimeUnit.SECONDS)
+      catch {
+        case _: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(name)
+          System.err.println(s"[verify] $name timed out after ${timeoutSec}s, cancelled")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally ptx.Caching.releaseAll() // drop operator-pinned caches
     }
+    pool.shutdownNow()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

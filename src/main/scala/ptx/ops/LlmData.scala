@@ -69,6 +69,14 @@ object LlmData {
     // graded scale; the skew-robust 100 TB paths remain minhash-LSH /
     // simhash (`ops/LlmScale.scala`), which bound candidates by banding
     // rather than prefix order. See docs/SCALE.md §G11.
+    //
+    // SCALE GUARD: this exact form is the small-corpus correctness anchor.
+    // Its inverted-index self-join is quadratic in per-shingle document
+    // frequency — one hot shingle shared by m docs yields m² candidate
+    // rows, so at 100 TB a single boilerplate phrase OOMs the join. At
+    // scale run `llm_dedup_minhash_lsh` (LlmScale.scala), whose banding
+    // bounds candidates regardless of df skew, and reserve this operator
+    // for verifying candidate pairs it emits. docs/SCALE.md §G11.
     "llm_dedup_near" -> ((s, d) => {
       // pin: the shingle frame feeds the inverted-index join twice and
       // the per-doc counts once; column pruning differs per consumer so

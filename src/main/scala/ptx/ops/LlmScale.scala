@@ -106,6 +106,13 @@ object LlmScale {
         .orderBy(col("doc1"), col("doc2"))
     }),
     // ✓ exact embedding near-dup: all pairs with cosine ≥ 0.45.
+    //
+    // SCALE GUARD: the broadcast cross join scores ALL n² pairs — the
+    // small-corpus correctness anchor, not the 100 TB plan (n = 10⁹
+    // vectors → 10¹⁸ pairs; the broadcast side alone would exceed executor
+    // memory long before that). At scale run `llm_ann_ivf` / `llm_ann_lsh`
+    // below, which bound scoring to coarse cells / hash buckets, and use
+    // this operator only to verify their candidate pairs. docs/SCALE.md §G13.
     "llm_dedup_embed" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)

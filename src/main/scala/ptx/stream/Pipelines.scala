@@ -95,6 +95,33 @@ object Pipelines {
         col("click_id"), col("click_ts"), col("purchase_ts"))
   }
 
+  /** Left-outer variant of [[attribution]]: EVERY purchase appears — with
+    * its attributed clicks when any landed in the preceding 30 minutes,
+    * or once with null click columns otherwise. The null row for an
+    * unmatched purchase is emitted only after the watermark passes the
+    * purchase's join window (Spark must prove no future click can match
+    * before it can declare the purchase unmatched), so results trail the
+    * watermark by design — the standard attribution shape when "purchases
+    * without any preceding click" is itself the signal.
+    */
+  def attributionOuter(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("click_ts", "30 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("purchase_ts", "10 minutes")
+    purchases.join(clicks,
+      col("c_user") === col("p_user") &&
+      col("click_ts") <= col("purchase_ts") &&
+      col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("click_id"), col("click_ts"), col("purchase_ts"))
+  }
+
   /** Running per-user totals via the Spark 4 `transformWithState` API
     * (StatefulProcessor + typed ValueState) — the successor to
     * flatMapGroupsWithState; requires the RocksDB state store provider.

@@ -1,0 +1,35 @@
+package ptx.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time individual registered queries by name (dev tool, parameterized like
+  * graft.Bench): `runMain ptx.tools.QueryTime q1 q2 ...` with
+  * SPARK_GRAFT_SF_DIR / SPARK_GRAFT_CPUS honored. Each query runs twice
+  * (cold incl. codegen, then warm) — the warm figure is the one comparable
+  * to graft.Bench's timed run.
+  */
+object QueryTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val names = if (args.nonEmpty) args.toSeq else ptx.QueryRegistry.all.keys.toSeq.sorted
+    names.foreach { name =>
+      val fn = ptx.QueryRegistry.all(name)
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        ptx.Caching.releaseAll()
+        dt
+      }
+      println(f"[qt] $name cold=${times(0)}%.2f warm=${times(1)}%.2f (cpus=$cpus)")
+    }
+    spark.stop()
+  }
+}

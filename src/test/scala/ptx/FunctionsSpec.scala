@@ -45,6 +45,39 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("TopK aggregator: NaN and tie-heavy inputs under random partition splits") {
+    // NaN must rank as GREATEST (SQL ORDER BY score DESC in both engines);
+    // heavy score duplication forces the id tiebreak through reduce AND merge.
+    val rnd = new scala.util.Random(97)
+    def refOrder(a: (Double, Long), b: (Double, Long)): Boolean = {
+      val c = java.lang.Double.compare(a._1, b._1)
+      c > 0 || (c == 0 && a._2 < b._2)
+    }
+    (1 to 50).foreach { trial =>
+      val n = 1 + rnd.nextInt(80)
+      val k = 1 + rnd.nextInt(10)
+      val rows = (0 until n).map { i =>
+        val s = rnd.nextInt(4) match {
+          case 0 => Double.NaN
+          case 1 => 1.0                     // massed tie
+          case _ => rnd.nextInt(3).toDouble // more ties
+        }
+        (s, i.toLong)
+      }
+      val expected = rows.sortWith(refOrder).take(k).toList
+      val agg = new ptx.functions.Aggregators.TopK(k)
+      val parts = rows.grouped(1 + rnd.nextInt(9)).toSeq
+      val bufs = parts.map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = bufs.foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged)
+      // == on NaN is false; compare via the same total order
+      assert(got.length == expected.length &&
+        got.zip(expected).forall { case (a, b) =>
+          java.lang.Double.compare(a._1, b._1) == 0 && a._2 == b._2 },
+        s"trial $trial: n=$n k=$k got=$got want=$expected")
+    }
+  }
+
   test("cosine_sim is registered for SQL and matches the kernel") {
     ptx.functions.VectorOps.register(spark)
     val got = spark.sql(

@@ -197,6 +197,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("left-outer stream-stream join emits unmatched purchases with null click after the watermark closes") {
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "attr_outer_sink"
+    val q = Pipelines.attributionOuter(ms.toDF()).writeStream
+      .format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: one matched purchase (user 1), one purchase with no
+      // preceding click at all (user 3)
+      ms.addData(Seq(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(20), 1, "purchase", 9.0),   // attributes click 1
+        Event(3, ts(30), 3, "purchase", 9.0)))  // no clicks for user 3
+      q.processAllAvailable()
+      val beforeClose = spark.table(name).collect()
+      // the unmatched purchase cannot be declared unmatched yet: a matching
+      // click might still arrive until the watermark passes its window
+      assert(!beforeClose.exists(_.isNullAt(2)),
+        s"null-click row leaked before the watermark closed: ${beforeClose.toSeq}")
+      // batch 2: far-future events on BOTH filtered sides advance both
+      // watermarks past purchase 3's join window, finalizing its state
+      ms.addData(Seq(
+        Event(100, ts(600), 1, "click", 1.0),
+        Event(101, ts(600), 1, "purchase", 1.0)))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // matched row as inner join; unmatched purchase 3 now present with null click
+      assert(rows.contains((2L, 1L, 1L)), s"matched row missing: $rows")
+      assert(rows.contains((3L, 3L, -1L)), s"unmatched purchase not emitted with null click: $rows")
+      // batch-mode twin: same transform, same rows (null click preserved)
+      val batch = Pipelines.attributionOuter(Seq(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(20), 1, "purchase", 9.0),
+        Event(3, ts(30), 3, "purchase", 9.0)).toDF())
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      assert(batch == Set((2L, 1L, 1L), (3L, 3L, -1L)), s"batch twin: $batch")
+    } finally q.stop()
+  }
+
   test("stateful alerts: running max + 3-consecutive-error burst (hand-computed)") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     ms.addData(feed)
