@@ -19,7 +19,8 @@ object QueryRegistry {
     (ops.TextAnalysis.queries, ops.TextAnalysis.oracle),
     (ops.LlmScale.queries, ops.LlmScale.oracle),
     (ops.Multimodal.queries, ops.Multimodal.oracle),
-    (ops.Extras.queries, ops.Extras.oracle)
+    (ops.Extras.queries, ops.Extras.oracle),
+    (ops.Curation.queries, ops.Curation.oracle)
   )
 
   lazy val all: Map[String, QFn] = {

@@ -1,0 +1,140 @@
+package ptx.ops
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import ptx.{QFn, Tables}
+
+/** G16 — training-data curation operators (builder-prompt extension, round 3):
+  * the selection/filtering steps a large-scale pretraining pipeline runs
+  * after dedup — benchmark decontamination, deterministic stratified
+  * sampling, Gopher-style repetition scoring, and token-budget selection.
+  *
+  * Scale notes (100 TB):
+  *  - decontamination joins the corpus against the EVAL side's shingles —
+  *    eval/benchmark sets are bounded (thousands of docs), so the eval
+  *    shingle index broadcasts and the train side streams with no shuffle
+  *    of the corpus;
+  *  - stratified sampling is a pure scan (deterministic multiplicative
+  *    hash on the key — no RNG state, reproducible across engines/runs);
+  *  - repetition scoring is embarrassingly parallel per-row HOF arithmetic;
+  *  - token-budget selection avoids the single-partition global-cumsum
+  *    window: a two-level formulation aggregates per n_chars key (the
+  *    distinct domain is small), computes the running total over that tiny
+  *    frame, broadcasts it back, and finishes with a per-key window — the
+  *    same shape as `win_rank_ties`/`win_ntile_cume` (Windows.scala).
+  */
+object Curation {
+
+  def queries: Map[String, QFn] = Map(
+    // Benchmark decontamination: training docs (source ≠ src0) sharing ≥ 5
+    // distinct 3-word shingles with the eval set (source = src0). Shingle
+    // definition shared with the dedup family (ptx.functions.TextShingles).
+    "llm_decontaminate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSh = ptx.functions.TextShingles
+        .shingles(docs.filter(col("source") === "src0"))
+        .toDF("eval_id", "shingle")
+      val trainSh = ptx.functions.TextShingles
+        .shingles(docs.filter(col("source") =!= "src0"))
+      trainSh.join(broadcast(evalSh), Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .filter(col("n_shared") >= 5)
+        .orderBy(col("doc_id"))
+    }),
+    // Deterministic 20% stratified sample per lang via a Knuth
+    // multiplicative hash of doc_id — reproducible, engine-independent
+    // (unlike df.sample's RNG), and a pure scan at any scale.
+    "llm_stratified_sample" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          (col("doc_id") * lit(2654435761L)) % 4294967296L % 100)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(col("bucket") < 20, 1)).as("n_sampled"))
+        .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
+        .orderBy(col("lang"))
+    }),
+    // Gopher-style repetition score: fraction of duplicated word bigrams
+    // within each doc (high ratio = boilerplate/spam candidate). Raw double
+    // ratio — scalar arithmetic is bit-identical across engines, so no
+    // rounding (memory: round() half-divergence).
+    "llm_repetition" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .filter(size(col("w")) >= 2)
+        .withColumn("bi", expr(
+          """transform(sequence(1, size(w) - 1),
+            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin))
+        .select(col("doc_id"),
+          size(col("bi")).cast("long").as("n_bigrams"),
+          size(array_distinct(col("bi"))).cast("long").as("n_distinct"),
+          (lit(1.0) - size(array_distinct(col("bi"))).cast("double") / size(col("bi")))
+            .as("rep_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    // Token-budget selection: greedily keep the longest docs (n_chars desc,
+    // doc_id tiebreak) until the ~10k-token budget (chars/4 BPE estimate) is
+    // spent. Two-level cumsum — per-key totals over the small distinct
+    // n_chars domain, running total on that tiny frame, broadcast back,
+    // per-key window for the intra-key part — instead of one global-order
+    // window that would serialize the corpus through a single partition.
+    "llm_token_budget" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          ceil(col("n_chars").cast("double") / 4.0).as("est_bpe"))
+      val keyTot = base.groupBy(col("n_chars"))
+        .agg(sum(col("est_bpe")).as("key_total"))
+      // distinct-domain frame (≤ a few hundred rows): the global order lives
+      // here, not on the corpus
+      val wKeys = Window.orderBy(col("n_chars").desc)
+      val keyCum = keyTot
+        .withColumn("cum_before", sum(col("key_total")).over(wKeys) - col("key_total"))
+        .select(col("n_chars"), col("cum_before"))
+      val wIntra = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
+      base.join(broadcast(keyCum), Seq("n_chars"))
+        .withColumn("cum_tokens", col("cum_before") + sum(col("est_bpe")).over(wIntra))
+        .filter(col("cum_tokens") <= 10000)
+        .select(col("doc_id"), col("n_chars"), col("est_bpe"), col("cum_tokens"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "llm_decontaminate" ->
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
+        |       WHERE i <= len(w) - 2)
+        |SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared,
+        |       count(DISTINCT e.doc_id) AS n_eval_docs
+        |FROM sh t JOIN sh e ON t.shingle = e.shingle
+        |WHERE t.source <> 'src0' AND e.source = 'src0'
+        |GROUP BY t.doc_id HAVING count(DISTINCT t.shingle) >= 5
+        |ORDER BY t.doc_id""".stripMargin,
+    "llm_stratified_sample" ->
+      """SELECT lang, n_total, n_sampled, CAST(n_sampled AS DOUBLE) / n_total AS rate
+        |FROM (SELECT lang, count(*) AS n_total,
+        |        count(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20
+        |              THEN 1 END) AS n_sampled
+        |      FROM documents GROUP BY lang) t
+        |ORDER BY lang""".stripMargin,
+    "llm_repetition" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bi AS (SELECT doc_id,
+        |         list_transform(generate_series(1, len(w) - 1),
+        |           i -> w[i] || ' ' || w[i+1]) AS b
+        |       FROM words WHERE len(w) >= 2)
+        |SELECT doc_id, len(b) AS n_bigrams, len(list_distinct(b)) AS n_distinct,
+        |       1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b) AS rep_ratio
+        |FROM bi ORDER BY doc_id""".stripMargin,
+    "llm_token_budget" ->
+      """SELECT doc_id, n_chars,
+        |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,
+        |  CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT))
+        |       OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
+        |FROM documents QUALIFY cum_tokens <= 10000
+        |ORDER BY doc_id""".stripMargin
+  )
+}
