@@ -76,6 +76,14 @@ object Tables {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Streaming read of the documents table (file source) — for running the
+    * stateless curation/text-analysis transforms on a document stream. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
   // Shorthand accessors
   def region(s: SparkSession, d: String)    = t(s, d, "region")
   def nation(s: SparkSession, d: String)    = t(s, d, "nation")

@@ -25,6 +25,24 @@ import ptx.{QFn, Tables}
   */
 object Curation {
 
+  /** Per-doc bigram repetition transform (the body of `llm_repetition`
+    * without the total-order sort): stateless project/filter arithmetic,
+    * so it runs UNCHANGED on a streaming documents frame — the curation
+    * twin of the G10 batch-twin property (StreamingSpec asserts it).
+    */
+  def repetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 2)
+      .withColumn("bi", expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin))
+      .select(col("doc_id"),
+        size(col("bi")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bi"))).cast("long").as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("bi"))).cast("double") / size(col("bi")))
+          .as("rep_ratio"))
+
   def queries: Map[String, QFn] = Map(
     // Benchmark decontamination: training docs (source ≠ src0) sharing ≥ 5
     // distinct 3-word shingles with the eval set (source = src0). Shingle
@@ -60,20 +78,8 @@ object Curation {
     // within each doc (high ratio = boilerplate/spam candidate). Raw double
     // ratio — scalar arithmetic is bit-identical across engines, so no
     // rounding (memory: round() half-divergence).
-    "llm_repetition" -> ((s, d) => {
-      Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .filter(size(col("w")) >= 2)
-        .withColumn("bi", expr(
-          """transform(sequence(1, size(w) - 1),
-            |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin))
-        .select(col("doc_id"),
-          size(col("bi")).cast("long").as("n_bigrams"),
-          size(array_distinct(col("bi"))).cast("long").as("n_distinct"),
-          (lit(1.0) - size(array_distinct(col("bi"))).cast("double") / size(col("bi")))
-            .as("rep_ratio"))
-        .orderBy(col("doc_id"))
-    }),
+    "llm_repetition" -> ((s, d) =>
+      repetition(Tables.documents(s, d)).orderBy(col("doc_id"))),
     // Token-budget selection: greedily keep the longest docs (n_chars desc,
     // doc_id tiebreak) until the ~10k-token budget (chars/4 BPE estimate) is
     // spent. Two-level cumsum — per-key totals over the small distinct

@@ -197,6 +197,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming the documents table through the repetition curation transform equals batch") {
+    val name = "rep_stream_sink"
+    val q = ptx.ops.Curation.repetition(ptx.Tables.documentsStream(spark, TestSpark.SF))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val batch = ptx.ops.Curation.repetition(ptx.Tables.documents(spark, TestSpark.SF))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("left-outer stream-stream join emits unmatched purchases with null click after the watermark closes") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "attr_outer_sink"
