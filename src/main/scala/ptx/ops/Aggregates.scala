@@ -142,6 +142,29 @@ object Aggregates {
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy(col("event_type"))
+    }),
+    // ◌ no oracle: Datasketches HLL binary is engine-specific; unit-tested
+    // vs exact ±5%. Unlike approx_count_distinct (whose sketch lives only
+    // inside one aggregation), hll_sketch_agg EXPOSES the sketch as a
+    // column — the persistable form: store one sketch per partition/day
+    // and union later without rescanning (see agg_hll_union).
+    "agg_hll_sketch" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
+        .orderBy(col("event_type"))
+    }),
+    // ◌ no oracle (same reason). The incremental-stats pattern at 100 TB:
+    // per-day sketches (what a daily job would persist) merged by
+    // hll_union_agg into the whole-period distinct estimate — the union costs
+    // |days| sketch buffers, not a rescan of the corpus, and is exactly
+    // how cross-partition/cross-table rollups stay one-pass.
+    "agg_hll_union" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      daily.agg(count(lit(1)).as("n_days"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users_union"))
     })
   )
 

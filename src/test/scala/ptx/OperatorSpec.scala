@@ -81,6 +81,27 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hll_sketch is within 5% of exact countDistinct") {
+    val approx = q("agg_hll_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = q("agg_count_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      assert(math.abs(approx(k) - ex) <= math.max(1, ex * 0.05), s"$k: ${approx(k)} vs $ex")
+    }
+  }
+
+  test("agg_hll_union: merged per-day sketches estimate the global distinct within 5%") {
+    val row = q("agg_hll_union").collect()(0)
+    val (nDays, unionEst) = (row.getLong(0), row.getLong(1))
+    val exact = Tables.events(spark, TestSpark.SF)
+      .select(org.apache.spark.sql.functions.countDistinct(
+        org.apache.spark.sql.functions.col("user_id"))).collect()(0).getLong(0)
+    assert(nDays > 0)
+    assert(math.abs(unionEst - exact) <= math.max(1, exact * 0.05),
+      s"union estimate $unionEst vs exact $exact over $nDays daily sketches")
+  }
+
   test("scan_project plan prunes to the 3 selected columns") {
     val plan = q("scan_project").queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema"))

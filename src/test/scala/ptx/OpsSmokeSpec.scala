@@ -42,6 +42,7 @@ class OpsSmokeSpec extends AnyFunSuite {
     assert((QueryRegistry.oracleSql.keySet -- QueryRegistry.all.keySet).isEmpty)
     val noOracle = QueryRegistry.all.keySet -- QueryRegistry.oracleSql.keySet
     assert(noOracle == Set("agg_approx_distinct", "agg_approx_percentile",
+      "agg_hll_sketch", "agg_hll_union",
       "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_ann_lsh",
       "mm_decode_features", "scan_sample"))
   }
