@@ -124,6 +124,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin"), s"range join fell back to BNLJ:\n$plan")
   }
 
+  test("llm_decontaminate broadcasts the eval shingle index (corpus side never shuffles for the join)") {
+    val plan = q("llm_decontaminate").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"eval index not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled for the decontamination join:\n$plan")
+  }
+
+  test("llm_token_budget: the global-order window runs on the distinct-domain frame, not the corpus") {
+    // sparkPlan, not executedPlan: the AQE wrapper hides its subtree from
+    // TreeNode.collect until execution
+    val plan = q("llm_token_budget").queryExecution.sparkPlan
+    // the corpus-side window must be partitioned (per n_chars key); the only
+    // unpartitioned (global-order) window is allowed inside the broadcast
+    // subtree, where the tiny distinct-n_chars frame lives
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, s"no window in plan:\n$plan")
+    // build sides of broadcast joins = the tiny frames (sparkPlan has no
+    // BroadcastExchange yet — EnsureRequirements inserts it later)
+    val buildSubtrees = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+          case _ => j.left
+        }
+    }
+    val globalOutsideBroadcast = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }.filterNot(w => buildSubtrees.exists(
+      _.collect { case x if x eq w => x }.nonEmpty))
+    assert(globalOutsideBroadcast.isEmpty,
+      s"global-order window over the corpus:\n$plan")
+  }
+
   test("limit_offset returns exactly rows 41..60 by key") {
     val keys = q("limit_offset").collect().map(_.getLong(0)).toSeq
     assert(keys.size == 20)
