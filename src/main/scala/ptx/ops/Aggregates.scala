@@ -165,6 +165,22 @@ object Aggregates {
         .agg(hll_sketch_agg(col("user_id")).as("sk"))
       daily.agg(count(lit(1)).as("n_days"),
         hll_sketch_estimate(hll_union_agg(col("sk"))).as("approx_users_union"))
+    }),
+    // ✓ EXACT distributed distinct via bitmap aggregation: bucketize the id
+    // space (32k bits/bucket), build one compressed bitmap per (group,
+    // bucket) with map-side partials, then count bits. Same semantics as
+    // agg_count_distinct (same oracle), different physical strategy: the
+    // shuffle carries fixed-width bitmaps instead of countDistinct's
+    // expanded (group, id) rows, and the per-bucket bitmaps are
+    // persistable/mergeable via bitmap_or_agg — the exact sibling of the
+    // HLL sketch pair for id-typed keys.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), expr("bitmap_bucket_number(user_id)").as("bucket"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -189,6 +205,12 @@ object Aggregates {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same semantic contract as agg_count_distinct — deliberately: the
+    // bitmap plan is an alternative physical strategy for the identical
+    // exact result
+    "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_conditional" ->

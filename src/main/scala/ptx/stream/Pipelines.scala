@@ -59,6 +59,18 @@ object Pipelines {
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"), col("sum_val"))
 
+  /** Approx distinct users per tumbling hour. Distinct counting in a
+    * stream needs a sketch: exact per-window distinct state grows with the
+    * id universe, while the HLL buffer is fixed-width per window and
+    * merges across micro-batches like any other partial aggregate.
+    */
+  def distinctUsers(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("w.start").as("hour"), col("approx_users"))
+
   /** Exactly-once semantics over an at-least-once feed: drop duplicate
     * event_ids within the watermark. */
   def dedup(events: DataFrame): DataFrame =

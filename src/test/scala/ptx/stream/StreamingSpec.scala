@@ -197,6 +197,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("windowed approx-distinct users: stream equals batch twin and exact counts on the small feed") {
+    val streamed = runStream(feed, "complete")(Pipelines.distinctUsers)
+      .map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    val batch = Pipelines.distinctUsers(feed.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getLong(1))).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    // at this cardinality the sketch is exact: hour 0 has users {1,2},
+    // hour 2 has users {1,2}
+    val exact = feed.groupBy(e => e.ts.getTime / 3600000L)
+      .view.mapValues(_.map(_.user_id).distinct.size.toLong).toMap
+    val streamedByHour = streamed.map { case (t, n) => t.getTime / 3600000L -> n }.toMap
+    assert(streamedByHour == exact, s"got $streamedByHour want $exact")
+  }
+
   test("streaming the documents table through the repetition curation transform equals batch") {
     val name = "rep_stream_sink"
     val q = ptx.ops.Curation.repetition(ptx.Tables.documentsStream(spark, TestSpark.SF))
