@@ -106,6 +106,30 @@ object Joins {
             .over(w).as("last_error_ts"))
         .orderBy(col("event_id"))
     }),
+    // as-of NEAREST: the closest same-user error event in EITHER direction
+    // (backward wins exact ties) — the nearest-reading alignment telemetry
+    // engines ship next to the backward as-of. Same scale shape as
+    // join_asof_last_error: one shuffle on user_id, two frame passes over
+    // the same sort, no self-join. Deltas compared in exact µs integers.
+    "join_asof_nearest_error" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val back = ord.rowsBetween(Window.unboundedPreceding, -1)
+      val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
+      e.select(col("event_id"), col("user_id"), col("ts"),
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+            .over(back).as("prev_err"),
+          first(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+            .over(fwd).as("next_err"))
+        .withColumn("nearest_error_ts",
+          when(col("prev_err").isNull, col("next_err"))
+            .when(col("next_err").isNull, col("prev_err"))
+            .when(unix_micros(col("ts")) - unix_micros(col("prev_err")) <=
+                  unix_micros(col("next_err")) - unix_micros(col("ts")), col("prev_err"))
+            .otherwise(col("next_err")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("nearest_error_ts"))
+        .orderBy(col("event_id"))
+    }),
     "join_star_q5" -> ((s, d) => {
       val c = Tables.customer(s, d); val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d); val sup = Tables.supplier(s, d)
@@ -180,6 +204,22 @@ object Joins {
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
         |FROM $EV ORDER BY event_id""".stripMargin,
+    "join_asof_nearest_error" ->
+      s"""WITH w AS (
+        |  SELECT event_id, user_id, ts,
+        |    last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_err,
+        |    first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_err
+        |  FROM $EV)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_err IS NULL THEN next_err
+        |       WHEN next_err IS NULL THEN prev_err
+        |       WHEN epoch_us(ts) - epoch_us(prev_err) <= epoch_us(next_err) - epoch_us(ts)
+        |         THEN prev_err ELSE next_err END AS nearest_error_ts
+        |FROM w ORDER BY event_id""".stripMargin,
     "join_star_q5" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
