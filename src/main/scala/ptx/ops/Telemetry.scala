@@ -96,6 +96,24 @@ object Telemetry {
           sum(when(col("event_type") === "signup", 1).otherwise(0)).as("signup"),
           sum(when(col("event_type") === "view", 1).otherwise(0)).as("view"))
         .orderBy(col("day"))
+    }),
+    // per-user signal derivative: Δvalue/Δt (per second) between consecutive
+    // events — the classic telemetry rate-of-change signal. NULL for a
+    // user's first event and for zero Δt (duplicate-timestamp guard: double
+    // ÷0 gives ±Inf in Spark but NULL in DuckDB — the CASE keeps both
+    // engines identical). One shuffle on user_id, one lag pass.
+    "pt_rate_of_change" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      e.select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          lag(col("value"), 1).over(w).as("pv"),
+          lag(col("ts"), 1).over(w).as("pt"))
+        .withColumn("dt_us", unix_micros(col("ts")) - unix_micros(col("pt")))
+        .withColumn("dv_dt",
+          when(col("pt").isNull || col("dt_us") === 0, lit(null))
+            .otherwise((col("value") - col("pv")) * lit(1e6) / col("dt_us")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("dv_dt"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -186,6 +204,16 @@ object Telemetry {
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM $EV GROUP BY day ORDER BY day""".stripMargin
+        |FROM $EV GROUP BY day ORDER BY day""".stripMargin,
+    "pt_rate_of_change" ->
+      s"""WITH w AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pt
+        |  FROM $EV)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN pt IS NULL OR epoch_us(ts) - epoch_us(pt) = 0 THEN NULL
+        |       ELSE (value - pv) * 1e6 / (epoch_us(ts) - epoch_us(pt)) END AS dv_dt
+        |FROM w ORDER BY event_id""".stripMargin
   )
 }
