@@ -46,7 +46,10 @@ object Bench {
       ptx.Caching.releaseAll()
       name -> (if (ok) dt else -1.0)
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: a comma-decimal default locale would render 30,123 and
+    // break every JSON consumer of this output
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

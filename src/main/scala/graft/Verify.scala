@@ -24,7 +24,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val pool = Executors.newSingleThreadExecutor()
+    // daemon threads: a query stuck in NON-interruptible driver-side work
+    // (analysis loop, datasource listing) must not block JVM exit
+    val daemonFactory = new java.util.concurrent.ThreadFactory {
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, "verify-query"); t.setDaemon(true); t
+      }
+    }
+    var pool = Executors.newSingleThreadExecutor(daemonFactory)
     SparkEntry.queries.foreach { case (name, fn) =>
       val task = pool.submit(new Runnable {
         override def run(): Unit = {
@@ -40,6 +47,12 @@ object Verify {
       catch {
         case _: TimeoutException =>
           spark.sparkContext.cancelJobGroup(name)
+          task.cancel(true) // interrupt driver-side work too, not just jobs
+          // the old thread may be stuck in non-interruptible code and would
+          // otherwise occupy the single-thread pool, silently starving and
+          // "timing out" every remaining query — replace the executor
+          pool.shutdownNow()
+          pool = Executors.newSingleThreadExecutor(daemonFactory)
           System.err.println(s"[verify] $name timed out after ${timeoutSec}s, cancelled")
         case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")

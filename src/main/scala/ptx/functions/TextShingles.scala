@@ -32,10 +32,15 @@ object TextShingles {
     * without it) and hash-partitions by doc_id, which the
     * `groupBy(doc_id)` consumers in every dedup operator then reuse
     * without their own exchange.
+    *
+    * Pass `repartitionByDoc = false` when the result feeds a broadcast
+    * (e.g. llm_decontaminate's eval index): the broadcast collects to the
+    * driver anyway, so the repartition exchange would be pure overhead.
     */
-  def shingles(documents: DataFrame): DataFrame =
-    documents
-      .repartition(col("doc_id"))
+  def shingles(documents: DataFrame, repartitionByDoc: Boolean = true): DataFrame = {
+    val parted = if (repartitionByDoc) documents.repartition(col("doc_id")) else documents
+    parted
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(array_distinct(expr(shingleExpr))).as("shingle"))
+  }
 }

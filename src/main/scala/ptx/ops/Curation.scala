@@ -49,8 +49,9 @@ object Curation {
     // definition shared with the dedup family (ptx.functions.TextShingles).
     "llm_decontaminate" -> ((s, d) => {
       val docs = Tables.documents(s, d)
+      // eval side is broadcast (collected to the driver) — no repartition
       val evalSh = ptx.functions.TextShingles
-        .shingles(docs.filter(col("source") === "src0"))
+        .shingles(docs.filter(col("source") === "src0"), repartitionByDoc = false)
         .toDF("eval_id", "shingle")
       val trainSh = ptx.functions.TextShingles
         .shingles(docs.filter(col("source") =!= "src0"))
