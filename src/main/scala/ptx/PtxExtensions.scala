@@ -24,5 +24,14 @@ class PtxExtensions extends (SparkSessionExtensions => Unit) {
           s"cosine_sim requires exactly 2 arguments, got ${children.length}")
         CosineSim(children(0), children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[ptx.functions.SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"sorted_intersect_count requires exactly 2 arguments, got ${children.length}")
+        ptx.functions.SortedIntersectCount(children(0), children(1))
+      }))
   }
 }

@@ -76,5 +76,11 @@ object VectorOps {
           s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
         CosineSim(exprs(0), exprs(1))
       }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count", exprs => {
+        require(exprs.length == 2,
+          s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
+        SortedIntersectCount(exprs(0), exprs(1))
+      }, "scala_udf")
   }
 }

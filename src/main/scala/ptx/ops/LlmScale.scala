@@ -40,6 +40,7 @@ object LlmScale {
     // shingle scan and no inverted-index join at all (a naive formulation
     // scanned the corpus 12× per query; this plan scans it once).
     "llm_dedup_minhash_lsh" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s) // sorted_intersect_count kernel
       // hash each distinct shingle ONCE; the 16 per-seed min-hashes rehash
       // the 64-bit value (xxhash64(i, h) — no long-multiply, which would
       // overflow-throw under Spark 4 ANSI mode), and the verify set stores
@@ -76,7 +77,11 @@ object LlmScale {
       cands
         .join(sets.toDF("doc1", "n1", "set1"), Seq("doc1"))
         .join(sets.toDF("doc2", "n2", "set2"), Seq("doc2"))
-        .withColumn("inter", size(array_intersect(col("set1"), col("set2"))).cast("long"))
+        // fused sorted-merge count (codegen'd SortedIntersectCount) — the
+        // shset arrays are ascending by construction; array_intersect would
+        // hash-build the intersection array per candidate only to take its
+        // size
+        .withColumn("inter", expr("sorted_intersect_count(set1, set2)"))
         .withColumn("jaccard", round(jac, 6))
         .filter(jac >= 0.4)
         .select(col("doc1"), col("doc2"), col("jaccard"))

@@ -116,6 +116,25 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on 200 random sorted arrays") {
+    ptx.functions.VectorOps.register(spark)
+    val rnd = new scala.util.Random(41)
+    // kernel-level check incl. duplicates and empties
+    (1 to 200).foreach { trial =>
+      val a = Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).sorted
+      val b = Array.fill(rnd.nextInt(40))(rnd.nextInt(30).toLong).sorted
+      val expected = (a.toSet intersect b.toSet).size.toLong
+      val got = ptx.functions.SortedIntersectCount.count(a, b)
+      assert(got == expected, s"trial $trial: $got vs $expected for ${a.toSeq}/${b.toSeq}")
+    }
+    // end-to-end through codegen against the built-in
+    val df = Seq((Seq(1L, 2L, 2L, 5L, 9L), Seq(2L, 5L, 5L, 7L))).toDF("a", "b")
+    val row = df.select(
+      expr("sorted_intersect_count(a, b)").as("fused"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("builtin")).collect()(0)
+    assert(row.getLong(0) == row.getLong(1) && row.getLong(0) == 2L)
+  }
+
   test("cosine_sim rejects mismatched vector dimensions instead of truncating") {
     val ex = intercept[IllegalArgumentException] {
       ptx.functions.CosineSim.cosine(Array(1f, 2f, 3f), Array(1f, 2f))
