@@ -21,6 +21,7 @@ object QueryTime {
     val names = if (args.nonEmpty) args.toSeq else ptx.QueryRegistry.all.keys.toSeq.sorted
     names.foreach { name =>
       val fn = ptx.QueryRegistry.all(name)
+      val l = ptx.tools.Metrics.install(spark)
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
@@ -28,7 +29,11 @@ object QueryTime {
         ptx.Caching.releaseAll()
         dt
       }
-      println(f"[qt] $name cold=${times(0)}%.2f warm=${times(1)}%.2f (cpus=$cpus)")
+      val deadline = System.nanoTime() + 5_000_000_000L
+      while (l.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val ex = if (l.snapshot.isEmpty) -1 else l.snapshot.map(_.numExchanges).max
+      spark.listenerManager.unregister(l)
+      println(f"[qt] $name cold=${times(0)}%.2f warm=${times(1)}%.2f exchanges=$ex (cpus=$cpus)")
     }
     spark.stop()
   }

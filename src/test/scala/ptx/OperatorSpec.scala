@@ -71,6 +71,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(measuredExchanges("llm_knn_cosine") <= 3)
   }
 
+  test("plan budget: dedup family shuffle structure holds") {
+    // runtime exchange counts (max over the query's executions, incl. the
+    // pinned-cache fill) — these budgets fail if someone reintroduces a
+    // distinct() over the exploded shingle stream or breaks the
+    // broadcast/partitioning structure. Static sparkPlan counting is not
+    // usable here: exchanges are inserted by EnsureRequirements and the
+    // pinned-cache subtrees are opaque.
+    def budget(name: String, bound: Int): Unit = {
+      val n = measuredExchanges(name)
+      ptx.Caching.releaseAll()
+      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
+    }
+    // bounds = max observed across sessions (2-5) + headroom; the old
+    // distinct()-based shingle formulation measured well above these
+    budget("llm_dedup_near", 6)
+    budget("llm_dedup_minhash_lsh", 6)
+    budget("llm_decontaminate", 6)
+    budget("llm_token_budget", 6)
+  }
+
   test("agg_approx_distinct is within 5% of exact countDistinct") {
     val approx = q("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
