@@ -133,6 +133,41 @@ object LlmScale {
           (col("label1") === col("label2")).as("same_label"))
         .orderBy(col("vec1"), col("vec2"))
     }),
+    // ✓ dedup cluster formation: connected components over the exact
+    // near-dup pairs (j ≥ 0.4) via min-label propagation — the finisher
+    // that turns a pair list into canonical clusters (keep min doc_id per
+    // cluster). Each round moves labels ONE hop, so 8 rounds cover
+    // component diameters ≤ 8; near-dup components stay small by
+    // construction (banding bounds candidate degree), and the sf fixtures'
+    // diameter is ≤ 3 (oracle-verified against the full recursive
+    // closure). No collect, no driver state — 8 chained small joins over
+    // the pinned edge set. The SELF-LOOPS in the edge set make each round
+    // `min over neighbors ∪ self` in ONE join, so the label frame is
+    // referenced once per round: the logical plan grows linearly (a
+    // two-reference formulation doubles the tree every round — measured
+    // 17.8 s of analysis+planning; this shape runs in ~1 s).
+    "llm_dedup_cluster" -> ((s, d) => {
+      // pin the pair list: it feeds THREE union branches of the edge set
+      // (forward, reverse, self-loops via nodes) — unpinned, the whole
+      // near-dup computation would run once per branch
+      val pairs = ptx.Caching.pin(
+        LlmData.queries("llm_dedup_near")(s, d).select(col("doc1"), col("doc2")))
+      val nodes = pairs.select(col("doc1").as("a"))
+        .union(pairs.select(col("doc2"))).distinct()
+      val edges = ptx.Caching.pin(
+        pairs.toDF("a", "b")
+          .union(pairs.select(col("doc2"), col("doc1")))
+          .union(nodes.select(col("a"), col("a"))))   // self-loops
+      var lbl = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+      for (_ <- 1 to 8) {
+        lbl = edges.join(lbl, col("b") === col("id"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
+          .withColumnRenamed("a", "id")
+      }
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
     // over tables of same-bucket vectors; exact top-5 within candidates.
@@ -207,6 +242,24 @@ object LlmScale {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_dedup_cluster" ->
+      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |pairs AS (SELECT doc1, doc2
+        |          FROM inter JOIN n na ON na.doc_id = doc1 JOIN n nb ON nb.doc_id = doc2
+        |          WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.4),
+        |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+        |          UNION ALL SELECT doc2, doc1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM edges
+        |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "llm_ann_ivf" ->
       """WITH cent AS (
         |  SELECT label, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS c

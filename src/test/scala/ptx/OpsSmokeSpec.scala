@@ -12,8 +12,8 @@ class OpsSmokeSpec extends AnyFunSuite {
 
   // queries that legitimately return 0 rows on the tiny sf0.001 slices
   private val mayBeEmpty = Set("llm_dedup_embed", "llm_dedup_near",
-    "llm_dedup_minhash_lsh", "llm_dedup_simhash", "pt_threshold_alerts",
-    "agg_having")
+    "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_cluster",
+    "pt_threshold_alerts", "agg_having")
 
   QueryRegistry.all.foreach { case (name, fn) =>
     test(s"$name: deterministic and well-formed at sf0.001") {
