@@ -136,34 +136,50 @@ object LlmScale {
     // ✓ dedup cluster formation: connected components over the exact
     // near-dup pairs (j ≥ 0.4) via min-label propagation — the finisher
     // that turns a pair list into canonical clusters (keep min doc_id per
-    // cluster). Each round moves labels ONE hop, so 8 rounds cover
-    // component diameters ≤ 8; near-dup components stay small by
-    // construction (banding bounds candidate degree), and the sf fixtures'
-    // diameter is ≤ 3 (oracle-verified against the full recursive
-    // closure). No collect, no driver state — 8 chained small joins over
-    // the pinned edge set. The SELF-LOOPS in the edge set make each round
-    // `min over neighbors ∪ self` in ONE join, so the label frame is
-    // referenced once per round: the logical plan grows linearly (a
-    // two-reference formulation doubles the tree every round — measured
-    // 17.8 s of analysis+planning; this shape runs in ~1 s).
+    // cluster). The SELF-LOOPS in the edge set make each round
+    // `min over neighbors ∪ self` in ONE join, and the self-loop row also
+    // carries the node's PREVIOUS label through the same aggregation, so
+    // the convergence signal (`any label still shrinking?`) is free — the
+    // loop runs exactly diameter+1 rounds and is correct for ANY component
+    // diameter (the old fixed-8-round form mislabeled diameters > 8).
+    // Each round's result is eagerly localCheckpoint'ed: re-rooting the
+    // plan keeps Catalyst analysis O(1) per round instead of re-analyzing
+    // a tree that embeds the whole near-dup computation once per round
+    // (r3 measured that growth at 17.8 s of pure analysis for the
+    // two-reference variant; even the linear-growth form spent most of its
+    // 5.9 s warm time in planning, not execution). No collect of data —
+    // only the boolean `isEmpty` probe per round touches the driver.
     "llm_dedup_cluster" -> ((s, d) => {
-      // pin the pair list: it feeds THREE union branches of the edge set
-      // (forward, reverse, self-loops via nodes) — unpinned, the whole
-      // near-dup computation would run once per branch
-      val pairs = ptx.Caching.pin(
-        LlmData.queries("llm_dedup_near")(s, d).select(col("doc1"), col("doc2")))
+      // materialize the pair list BEFORE the edge-set union references it
+      // four times (forward, reverse, both sides of `nodes`): a lazy
+      // .persist races — the union branches scan concurrently and each
+      // recomputes partitions the cache hasn't filled yet (measured: the
+      // near-dup computation ran ~2.5× inside the edges action, 2.3 s of
+      // the query's 3.5 s). Eager localCheckpoint runs it exactly once.
+      val pairs = LlmData.queries("llm_dedup_near")(s, d)
+        .select(col("doc1"), col("doc2"))
+        .localCheckpoint(true)
       val nodes = pairs.select(col("doc1").as("a"))
         .union(pairs.select(col("doc2"))).distinct()
-      val edges = ptx.Caching.pin(
-        pairs.toDF("a", "b")
-          .union(pairs.select(col("doc2"), col("doc1")))
-          .union(nodes.select(col("a"), col("a"))))   // self-loops
+      val edges = pairs.toDF("a", "b")
+        .union(pairs.select(col("doc2"), col("doc1")))
+        .union(nodes.select(col("a"), col("a")))   // self-loops
+        .localCheckpoint(true)
       var lbl = edges.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id"))
-      for (_ <- 1 to 8) {
-        lbl = edges.join(lbl, col("b") === col("id"))
-          .groupBy(col("a")).agg(min(col("lbl")).as("lbl"))
-          .withColumnRenamed("a", "id")
+        .localCheckpoint(true)
+      var converged = false
+      var round = 0
+      while (!converged && round < 64) {           // bound: paranoia only
+        val next = edges.join(lbl, col("b") === col("id"))
+          .groupBy(col("a"))
+          .agg(min(col("lbl")).as("lbl"),
+            // the self-loop row (b = a) holds a's own previous label
+            min(when(col("b") === col("a"), col("lbl"))).as("prev"))
+          .localCheckpoint(true)
+        converged = next.filter(col("lbl") < col("prev")).isEmpty
+        lbl = next.select(col("a").as("id"), col("lbl"))
+        round += 1
       }
       lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
         .orderBy(col("doc_id"))
