@@ -1,6 +1,7 @@
 package ptx.ops
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
 
 /** G4 — aggregation surface (SURVEY.md §2 G4).
@@ -181,6 +182,47 @@ object Aggregates {
         .groupBy(col("event_type"))
         .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
         .orderBy(col("event_type"))
+    }),
+    // ✓ mode with a deterministic tiebreak: the modal l_quantity per
+    // returnflag, smallest value winning ties. Spark's built-in `mode()`
+    // is explicitly non-deterministic under ties, so the engine pins the
+    // tiebreak with the count-then-rank formulation: a two-phase hash
+    // aggregate over (flag, qty) — tiny result — then a row_number over
+    // that frame. At 100 TB the corpus-sized work is all in the first
+    // aggregate (map-side combinable); the window runs on |distinct qty|
+    // rows per group.
+    "agg_mode_tiebreak" -> ((s, d) => {
+      val counts = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("cnt").desc, col("l_quantity"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
+          col("cnt").as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // ✓ skew-resistant two-phase aggregation: pre-aggregate on
+    // (key, salt) so a pathologically hot key (event_type has only 5
+    // values — at 100 TB each is ~20 TB of rows) fans out over 16
+    // reducers before the final 5-row merge. Same result as the plain
+    // groupBy (the oracle IS the plain groupBy): salting redistributes
+    // sum/count partials, which re-merge exactly. The salt comes from
+    // murmur3(event_id) — engine-specific, but it never reaches the
+    // result. Double sums are rounded AFTER the final merge (2dp — the
+    // ~1e-9 accumulation-order noise is far below the 5e-3 boundary
+    // spacing; avg derives from the rounded sum so both engines divide
+    // identical numerators).
+    "agg_salted_twophase" -> ((s, d) => {
+      val partial = Tables.events(s, d)
+        .withColumn("salt", pmod(hash(col("event_id")), lit(16)))
+        .groupBy(col("event_type"), col("salt"))
+        .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
+      partial.groupBy(col("event_type"))
+        .agg(round(sum(col("s")), 2).as("sum_value"), sum(col("c")).as("n"))
+        .withColumn("avg_value", round(col("sum_value") / col("n"), 6))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -212,6 +254,20 @@ object Aggregates {
     // exact result
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "agg_mode_tiebreak" ->
+      """SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n
+        |FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |                           ORDER BY count(*) DESC, l_quantity) AS rn
+        |      FROM lineitem GROUP BY l_returnflag, l_quantity) t
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+    // the oracle is the UNSALTED groupBy — the salted two-phase plan must
+    // be semantically invisible
+    "agg_salted_twophase" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_value,
+        |       count(*) AS n,
+        |       round(round(sum(value), 2) / count(*), 6) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_conditional" ->
       """SELECT n_name,

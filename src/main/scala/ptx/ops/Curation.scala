@@ -81,6 +81,67 @@ object Curation {
     // rounding (memory: round() half-divergence).
     "llm_repetition" -> ((s, d) =>
       repetition(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // ✓ per-source document cap (r4): keep at most 3 docs per source,
+    // preferring longer docs (n_chars desc, doc_id tiebreak) — the
+    // standard per-domain cap that stops one crawl domain from dominating
+    // a training mix. One shuffle on source; row_number short-circuits
+    // per group (WindowGroupLimit pushes the rn <= 3 limit into the sort
+    // at 100 TB, so no group is fully materialized).
+    "llm_domain_cap" -> ((s, d) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      Tables.documents(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("rn"))
+        .orderBy(col("doc_id"))
+    }),
+    // ✓ denylist/boilerplate token removal (r4): drop stopwords and
+    // 1-char tokens, emit the cleaned text's fingerprint + removal
+    // counts. Embarrassingly parallel per-row HOF work — the same
+    // filter-rebuild-fingerprint shape implements PII regex redaction
+    // (swap the lambda for a regexp predicate); the fixtures contain no
+    // PII-like tokens, so the denylist variant is the oracle-checkable
+    // form.
+    "llm_text_clean" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("kept", expr(
+          "filter(w, x -> NOT x IN ('a', 'the') AND length(x) > 1)"))
+        .select(
+          col("doc_id"),
+          (size(col("w")) - size(col("kept"))).as("n_removed"),
+          length(array_join(col("kept"), " ")).as("clean_len"),
+          md5(array_join(col("kept"), " ")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+    // ✓ training-sequence packing (r4): concatenate the corpus in doc_id
+    // order and cut fixed 2048-token sequences — each doc gets the
+    // sequence id and offset where it starts (the concat-and-chunk
+    // packing step before tokenized training shards are written). The
+    // global running total uses a BLOCK-SCAN, not a global-order window:
+    // per-1024-doc-block totals (tiny frame) carry the global order, a
+    // broadcast joins each block's prefix back, and a per-block window
+    // finishes — O(corpus/blocks) per task at any scale.
+    "llm_pack_sequences" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          ceil(col("n_chars").cast("double") / 4.0).cast("long").as("tok"))
+        .withColumn("blk", floor(col("doc_id") / 1024).cast("long"))
+      val blkTot = base.groupBy(col("blk")).agg(sum(col("tok")).as("blk_total"))
+      val wBlk = Window.orderBy(col("blk"))
+      val blkCum = blkTot
+        .withColumn("blk_before", sum(col("blk_total")).over(wBlk) - col("blk_total"))
+        .select(col("blk"), col("blk_before"))
+      val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      base.join(broadcast(blkCum), Seq("blk"))
+        .withColumn("cum_before",
+          col("blk_before") + sum(col("tok")).over(wIntra) - col("tok"))
+        .select(col("doc_id"), col("tok"),
+          floor(col("cum_before") / 2048).cast("long").as("seq_id"),
+          (col("cum_before") % 2048).as("seq_offset"))
+        .orderBy(col("doc_id"))
+    }),
     // Token-budget selection: greedily keep the longest docs (n_chars desc,
     // doc_id tiebreak) until the ~10k-token budget (chars/4 BPE estimate) is
     // spent. Two-level cumsum — per-key totals over the small distinct
@@ -136,6 +197,33 @@ object Curation {
         |SELECT doc_id, len(b) AS n_bigrams, len(list_distinct(b)) AS n_distinct,
         |       1.0 - CAST(len(list_distinct(b)) AS DOUBLE) / len(b) AS rep_ratio
         |FROM bi ORDER BY doc_id""".stripMargin,
+    "llm_domain_cap" ->
+      """SELECT doc_id, source, n_chars, rn FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 3 ORDER BY doc_id""".stripMargin,
+    "llm_text_clean" ->
+      """SELECT doc_id,
+        |  len(w) - len(kept) AS n_removed,
+        |  length(array_to_string(kept, ' ')) AS clean_len,
+        |  md5(array_to_string(kept, ' ')) AS clean_fp
+        |FROM (SELECT doc_id, w,
+        |        list_filter(w, x -> x NOT IN ('a', 'the') AND length(x) > 1) AS kept
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents) t) s
+        |ORDER BY doc_id""".stripMargin,
+    "llm_pack_sequences" ->
+      """SELECT doc_id, tok,
+        |  CAST(floor(CAST(cum_before AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
+        |  cum_before % 2048 AS seq_offset
+        |FROM (SELECT doc_id, tok,
+        |        coalesce(sum(tok) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM (SELECT doc_id,
+        |              CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS tok
+        |            FROM documents) b) c
+        |ORDER BY doc_id""".stripMargin,
     "llm_token_budget" ->
       """SELECT doc_id, n_chars,
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,

@@ -142,6 +142,23 @@ object ScalarFns {
           size(col("m")).as("n_keys"),
           array_join(map_keys(col("m")), ",").as("keys"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ bitwise family: &, |, xor, shifts, popcount over 64-bit keys —
+    // all codegen'd single-instruction ops (partition/bucket math,
+    // bitmask flags, the building blocks SimHash/bitmap ops use).
+    // DuckDB's bit_count returns TINYINT (oracle casts to INT to match
+    // Spark).
+    "fn_bitwise" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        col("p_partkey").bitwiseAND(lit(255L)).as("b_and"),
+        col("p_partkey").bitwiseOR(lit(4096L)).as("b_or"),
+        col("p_partkey").bitwiseXOR(col("p_size").cast("long")).as("b_xor"),
+        shiftleft(col("p_partkey"), 3).as("b_shl"),
+        shiftright(col("p_partkey"), 2).as("b_shr"),
+        bit_count(col("p_partkey")).as("b_pop"))
+        .orderBy(col("p_partkey"))
+        .limit(500)
     })
   )
 
@@ -229,6 +246,15 @@ object ScalarFns {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_via_map,
         |  1 AS n_keys, 'k' AS keys
-        |FROM events ORDER BY event_id""".stripMargin
+        |FROM events ORDER BY event_id""".stripMargin,
+    "fn_bitwise" ->
+      """SELECT p_partkey,
+        |  p_partkey & 255 AS b_and,
+        |  p_partkey | 4096 AS b_or,
+        |  xor(p_partkey, CAST(p_size AS BIGINT)) AS b_xor,
+        |  p_partkey << 3 AS b_shl,
+        |  p_partkey >> 2 AS b_shr,
+        |  CAST(bit_count(p_partkey) AS INTEGER) AS b_pop
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin
   )
 }

@@ -38,6 +38,25 @@ object SetOps {
       val b = Tables.customer(s, d).filter(col("c_acctbal") < 0)
         .select(col("c_custkey").as("custkey"))
       a.except(b).orderBy(col("custkey"))
+    }),
+    // ✓ bag semantics: INTERSECT ALL keeps min(multiplicity) per value —
+    // custkeys appear once per order, so a customer with 3 'F' and 2 'O'
+    // orders yields 2 rows. Spark plans this as a single-shuffle
+    // aggregate counting per-side multiplicities, then a generator —
+    // no row explosion crosses the shuffle.
+    "set_intersect_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      val b = o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey"))
+      a.intersectAll(b).orderBy(col("custkey"))
+    }),
+    // ✓ EXCEPT ALL: multiplicity difference (orders minus 'F' orders per
+    // custkey = each customer's non-F order count, as rows)
+    "set_except_all" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.select(col("o_custkey").as("custkey"))
+      val b = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+      a.exceptAll(b).orderBy(col("custkey"))
     })
   )
 
@@ -61,6 +80,16 @@ object SetOps {
       """SELECT custkey FROM (
         |  SELECT o_custkey AS custkey FROM orders
         |  EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal < 0) t
+        |ORDER BY custkey""".stripMargin,
+    "set_intersect_all" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'O') t
+        |ORDER BY custkey""".stripMargin,
+    "set_except_all" ->
+      """SELECT custkey FROM (
+        |  SELECT o_custkey AS custkey FROM orders
+        |  EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t
         |ORDER BY custkey""".stripMargin
   )
 }

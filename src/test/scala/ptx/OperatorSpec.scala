@@ -198,6 +198,91 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("set_intersect_all / set_except_all honor bag multiplicities (r4)") {
+    val o = Tables.orders(spark, TestSpark.SF)
+    val perKey = o.groupBy(col("o_custkey")).agg(
+      count(when(col("o_orderstatus") === "F", 1)).as("nf"),
+      count(when(col("o_orderstatus") === "O", 1)).as("no"),
+      count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val ia = q("set_intersect_all").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    perKey.foreach { case (k, (nf, no, _)) =>
+      assert(ia.getOrElse(k, 0L) == math.min(nf, no),
+        s"intersect_all multiplicity for $k: got ${ia.getOrElse(k, 0L)}, want min($nf,$no)")
+    }
+    val ea = q("set_except_all").collect().map(_.getLong(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    perKey.foreach { case (k, (nf, _, n)) =>
+      assert(ea.getOrElse(k, 0L) == n - nf,
+        s"except_all multiplicity for $k: got ${ea.getOrElse(k, 0L)}, want ${n - nf}")
+    }
+  }
+
+  test("agg_mode_tiebreak picks the max-count value, smallest value on ties (r4)") {
+    val counts = Tables.lineitem(spark, TestSpark.SF)
+      .groupBy(col("l_returnflag"), col("l_quantity")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val want = counts.groupBy(_._1).view.mapValues(
+      _.minBy(t => (-t._3, t._2))).toMap
+    q("agg_mode_tiebreak").collect().foreach { r =>
+      val (flag, qty, n) = (r.getString(0), r.getDouble(1), r.getLong(2))
+      assert((flag, qty, n) == want(flag), s"mode for $flag: got ($qty,$n), want ${want(flag)}")
+    }
+  }
+
+  test("agg_salted_twophase equals the unsalted aggregate (r4)") {
+    val salted = q("agg_salted_twophase").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    val plain = Tables.events(spark, TestSpark.SF)
+      .groupBy(col("event_type"))
+      .agg(round(sum(col("value")), 2).as("s"), count(lit(1)).as("n"))
+      .withColumn("a", round(col("s") / col("n"), 6))
+      .orderBy(col("event_type")).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("llm_domain_cap keeps at most 3 docs per source, longest first (r4)") {
+    val rows = q("llm_domain_cap").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3)))
+    rows.groupBy(_._2).foreach { case (src, grp) =>
+      assert(grp.length <= 3, s"$src kept ${grp.length} docs")
+      assert(grp.map(_._4).sorted.toSeq == (1 to grp.length).toSeq)
+      // the kept docs are the true top-3 by (n_chars desc, doc_id)
+      val all = Tables.documents(spark, TestSpark.SF)
+        .filter(col("source") === src).select(col("doc_id"), col("n_chars"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val top = all.sortBy(t => (-t._2, t._1)).take(3).map(_._1).toSet
+      assert(grp.map(_._1).toSet == top, s"$src kept wrong docs")
+    }
+  }
+
+  test("llm_pack_sequences: offsets consistent with a serial concat-and-chunk (r4)") {
+    val rows = q("llm_pack_sequences").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    var cum = 0L
+    rows.foreach { case (id, tok, seqId, off) =>
+      assert(seqId == cum / 2048, s"doc $id seq_id $seqId, want ${cum / 2048}")
+      assert(off == cum % 2048, s"doc $id offset $off, want ${cum % 2048}")
+      cum += tok
+    }
+  }
+
+  test("llm_text_clean matches a hand-computed doc (r4)") {
+    val doc = Tables.documents(spark, TestSpark.SF)
+      .orderBy(col("doc_id")).select(col("doc_id"), col("text")).first()
+    val kept = doc.getString(1).split(" ", -1)
+      .filter(w => w != "a" && w != "the" && w.length > 1)
+    val got = q("llm_text_clean").filter(col("doc_id") === doc.getLong(0)).collect()(0)
+    assert(got.getInt(2) == kept.mkString(" ").length, "clean_len")
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(kept.mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(got.getString(3) == md, "clean_fp")
+  }
+
   test("pt_sessionize: session bounds respect the 30-minute gap invariant") {
     val rows = q("pt_sessionize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getTimestamp(4)))
