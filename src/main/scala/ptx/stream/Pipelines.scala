@@ -78,6 +78,26 @@ object Pipelines {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Exactly-once micro-batch parquet sink via foreachBatch: each batch
+    * writes to its own `batch=<id>` directory in overwrite mode, so a
+    * RETRIED batch replaces its own prior (possibly partial) output
+    * instead of duplicating it — idempotent replay, the standard
+    * production sink pattern when the target lacks transactional
+    * streaming support. The batch id comes from the checkpointed offset
+    * log, so id→data is stable across restarts; at scale each batch
+    * write inherits the frame's partitioning (no extra shuffle).
+    */
+  def writeBatch(batch: DataFrame, id: Long, dir: String): Unit =
+    batch.write.mode("overwrite").parquet(s"$dir/batch=$id")
+
+  def parquetSink(events: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch((batch: DataFrame, id: Long) => writeBatch(batch, id, dir))
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stream-static enrichment: per-event user dimension lookup. */
   def enrich(events: DataFrame, users: DataFrame): DataFrame =
     events.join(users, events("user_id") === users("u_id"))
