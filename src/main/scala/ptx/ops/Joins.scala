@@ -130,6 +130,25 @@ object Joins {
         .select(col("event_id"), col("user_id"), col("ts"), col("nearest_error_ts"))
         .orderBy(col("event_id"))
     }),
+    // ✓ as-of with TOLERANCE (r4): the backward as-of, but the matched
+    // error must be within 10 minutes — pandas merge_asof's `tolerance`
+    // and kdb's wj window-join bound. Same single-shuffle window shape
+    // as join_asof_last_error; the bound is a post-filter on exact-µs
+    // integers, so stale matches become NULL instead of joining data
+    // from hours ago (the semantics telemetry alignment actually wants).
+    "join_asof_tolerance" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.select(col("event_id"), col("user_id"), col("ts"),
+          last(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+            .over(w).as("prev_err"))
+        .withColumn("asof_error_ts",
+          when(unix_micros(col("ts")) - unix_micros(col("prev_err")) <= 600000000L,
+            col("prev_err")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("asof_error_ts"))
+        .orderBy(col("event_id"))
+    }),
     "join_star_q5" -> ((s, d) => {
       val c = Tables.customer(s, d); val o = Tables.orders(s, d)
       val l = Tables.lineitem(s, d); val sup = Tables.supplier(s, d)
@@ -219,6 +238,18 @@ object Joins {
         |       WHEN next_err IS NULL THEN prev_err
         |       WHEN epoch_us(ts) - epoch_us(prev_err) <= epoch_us(next_err) - epoch_us(ts)
         |         THEN prev_err ELSE next_err END AS nearest_error_ts
+        |FROM w ORDER BY event_id""".stripMargin,
+    "join_asof_tolerance" ->
+      s"""WITH w AS (
+        |  SELECT event_id, user_id, ts,
+        |    last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_err
+        |  FROM $EV)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN prev_err IS NOT NULL
+        |        AND epoch_us(ts) - epoch_us(prev_err) <= 600000000
+        |       THEN prev_err END AS asof_error_ts
         |FROM w ORDER BY event_id""".stripMargin,
     "join_star_q5" ->
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -254,6 +254,35 @@ object LlmScale {
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
         .orderBy(col("probe_id"), col("rnk"))
+    }),
+    // ✓ int8 symmetric embedding quantization (r4): per-vector scale =
+    // max|x| / 127, q_i = floor(x_i·127/mx + 0.5) — the 4× memory cut
+    // that makes billion-vector ANN candidate scans fit executor RAM at
+    // 100 TB (rerank still reads the float vectors). Embarrassingly
+    // parallel per-row HOF folds. Reported per label: an INTEGER checksum
+    // of all quantized components (exact across engines — accumulation
+    // order cannot perturb it) and the mean relative L2 reconstruction
+    // error (double noise ~1e-15 vs the 6dp rounding grid ~5e-7 — safe).
+    // Formula parenthesization is pinned identically in the oracle:
+    // x·127/mx (not x/(mx/127)) and floor(..)·(mx/127.0) — different
+    // associativity rounds differently in IEEE.
+    "llm_quantize_embed" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+        .withColumn("mx", expr("aggregate(v, 0D, (a, x) -> greatest(a, abs(x)))"))
+        .filter(col("mx") > 0)
+        .withColumn("qsum", expr(
+          "aggregate(v, 0L, (a, x) -> a + CAST(floor(x * 127.0D / mx + 0.5D) AS BIGINT))"))
+        .withColumn("err2", expr(
+          """aggregate(v, 0D, (a, x) ->
+            |  a + (x - floor(x * 127.0D / mx + 0.5D) * (mx / 127.0D))
+            |    * (x - floor(x * 127.0D / mx + 0.5D) * (mx / 127.0D)))""".stripMargin))
+        .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(col("qsum")).as("sum_q"),
+          round(avg(sqrt(col("err2")) / sqrt(col("n2"))), 6).as("avg_rel_err"))
+        .orderBy(col("label"))
     })
   )
 
@@ -322,6 +351,24 @@ object LlmScale {
         |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
         |WHERE sim >= 0.45
-        |ORDER BY vec1, vec2""".stripMargin
+        |ORDER BY vec1, vec2""".stripMargin,
+    "llm_quantize_embed" ->
+      """WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, label, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS mx
+        |      FROM v),
+        |q AS (SELECT label,
+        |        CAST(list_sum(list_transform(v,
+        |          x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT))) AS BIGINT) AS qsum,
+        |        list_sum(list_transform(v,
+        |          x -> (x - floor(x * 127.0 / mx + 0.5) * (mx / 127.0))
+        |             * (x - floor(x * 127.0 / mx + 0.5) * (mx / 127.0)))) AS err2,
+        |        list_sum(list_transform(v, x -> x * x)) AS n2
+        |      FROM m WHERE mx > 0)
+        |SELECT label, count(*) AS n, CAST(sum(qsum) AS BIGINT) AS sum_q,
+        |       round(avg(sqrt(err2) / sqrt(n2)), 6) AS avg_rel_err
+        |FROM q GROUP BY label ORDER BY label""".stripMargin
   )
 }

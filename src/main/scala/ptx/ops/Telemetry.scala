@@ -114,6 +114,20 @@ object Telemetry {
             .otherwise((col("value") - col("pv")) * lit(1e6) / col("dt_us")))
         .select(col("event_id"), col("user_id"), col("ts"), col("dv_dt"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ deterministic decimation (r4): keep every 10th event per user in
+    // event-time order — the standard telemetry downsampling step before
+    // long-horizon retention (100 TB/day in, 10 TB/day kept, exactly
+    // reproducible unlike RNG sampling). One shuffle on user_id; the
+    // count-based rule keeps per-user rates uniform regardless of each
+    // user's event frequency.
+    "pt_downsample" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter((col("rn") - 1) % 10 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("rn"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -214,6 +228,12 @@ object Telemetry {
         |SELECT event_id, user_id, ts,
         |  CASE WHEN pt IS NULL OR epoch_us(ts) - epoch_us(pt) = 0 THEN NULL
         |       ELSE (value - pv) * 1e6 / (epoch_us(ts) - epoch_us(pt)) END AS dv_dt
-        |FROM w ORDER BY event_id""".stripMargin
+        |FROM w ORDER BY event_id""".stripMargin,
+    "pt_downsample" ->
+      s"""SELECT event_id, user_id, ts, value, rn FROM (
+        |  SELECT event_id, user_id, ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM $EV) t
+        |WHERE (rn - 1) % 10 = 0 ORDER BY event_id""".stripMargin
   )
 }

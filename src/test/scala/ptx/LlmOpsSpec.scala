@@ -114,4 +114,23 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     assert(MediaDecode.features(Array.empty).toSeq == Seq.fill(8)(0.0))
   }
+
+  test("llm_quantize_embed: integer checksum matches a driver-side recompute; error bounded (r4)") {
+    val vecs = Tables.embeddings(spark, SF01)
+      .selectExpr("label", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+    val want = vecs.filter(_._2.exists(_ != 0.0)).groupBy(_._1).view.mapValues { g =>
+      g.map { case (_, v) =>
+        val mx = v.map(math.abs).max
+        v.map(x => math.floor(x * 127.0 / mx + 0.5).toLong).sum
+      }.sum
+    }.toMap
+    val rows = q("llm_quantize_embed").collect()
+    assert(rows.map(r => r.getInt(0) -> r.getLong(2)).toMap == want)
+    // int8 quantization of 64-dim unit-ish vectors: small but nonzero error
+    rows.foreach { r =>
+      val e = r.getDouble(3)
+      assert(e > 0 && e < 0.05, s"label ${r.getInt(0)} avg_rel_err $e")
+    }
+  }
 }

@@ -283,6 +283,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.getString(3) == md, "clean_fp")
   }
 
+  test("join_asof_tolerance: matches asof_last within 10 min, NULL beyond (r4)") {
+    def us(t: java.sql.Timestamp): Long = t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    val last = q("join_asof_last_error").collect()
+      .map(r => r.getLong(0) -> Option(r.getTimestamp(3))).toMap
+    q("join_asof_tolerance").collect().foreach { r =>
+      val (id, ts, got) = (r.getLong(0), r.getTimestamp(2), Option(r.getTimestamp(3)))
+      last(id) match {
+        case Some(prev) if us(ts) - us(prev) <= 600000000L =>
+          assert(got.contains(prev), s"event $id should keep in-tolerance match")
+        case _ =>
+          assert(got.isEmpty, s"event $id should drop stale/absent match, got $got")
+      }
+    }
+  }
+
+  test("pt_downsample keeps exactly rows 1, 11, 21, ... per user (r4)") {
+    val kept = q("pt_downsample").collect()
+      .map(r => (r.getLong(1), r.getInt(4)))
+    kept.groupBy(_._1).foreach { case (u, rows) =>
+      val rns = rows.map(_._2).sorted.toSeq
+      assert(rns == (1 to rns.max by 10).toSeq, s"user $u kept rns $rns")
+    }
+    val total = Tables.events(spark, TestSpark.SF)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    kept.groupBy(_._1).foreach { case (u, rows) =>
+      assert(rows.length == (total(u) + 9) / 10, s"user $u kept ${rows.length} of ${total(u)}")
+    }
+  }
+
   test("pt_sessionize: session bounds respect the 30-minute gap invariant") {
     val rows = q("pt_sessionize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getTimestamp(4)))
