@@ -34,6 +34,8 @@ object QueryTime {
       val ex = if (l.snapshot.isEmpty) -1 else l.snapshot.map(_.numExchanges).max
       spark.listenerManager.unregister(l)
       println(f"[qt] $name cold=${times(0)}%.2f warm=${times(1)}%.2f exchanges=$ex (cpus=$cpus)")
+      if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        fn(spark, sfDir).explain("formatted")
     }
     spark.stop()
   }

@@ -179,6 +179,20 @@ class OperatorSpec extends AnyFunSuite {
       s"global-order window over the corpus:\n$plan")
   }
 
+  test("rank-limit pushdown: WindowGroupLimit guards the capped windows (r4)") {
+    // Spark 3.5+ plants WindowGroupLimitExec below the window when a
+    // rank-function filter bounds rows per group — at 100 TB this is the
+    // difference between sorting every group fully and keeping a k-row
+    // heap per group. Guard the plan shape for the two cap queries.
+    Seq("llm_domain_cap", "win_topk_per_group").foreach { name =>
+      val plan = q(name).queryExecution.sparkPlan
+      val limits = plan.collect {
+        case l: org.apache.spark.sql.execution.window.WindowGroupLimitExec => l
+      }
+      assert(limits.nonEmpty, s"$name: no WindowGroupLimit below the window:\n$plan")
+    }
+  }
+
   test("limit_offset returns exactly rows 41..60 by key") {
     val keys = q("limit_offset").collect().map(_.getLong(0)).toSeq
     assert(keys.size == 20)
