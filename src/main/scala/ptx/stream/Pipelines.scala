@@ -2,8 +2,9 @@ package ptx.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
-  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
+  TimerValues, ValueState}
 
 /** A telemetry event — the streaming-side row type (events table schema
   * after the ns→µs load fix; `props` omitted where not needed). */
@@ -183,6 +184,77 @@ object Pipelines {
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
         TimeMode.None(), OutputMode.Append())
+  }
+
+  /** A session closed by TIMEOUT (no activity for 30 min), emitted when
+    * the event-time watermark passes last_ts + 30 min. */
+  case class ClosedSession(user_id: Long, start: java.sql.Timestamp,
+                           end: java.sql.Timestamp, n: Long)
+
+  /** Session-timeout detection via transformWithState EVENT-TIME TIMERS:
+    * per-user state holds (session_start, last_ts, n); each batch
+    * re-registers a timer at last_ts + 30 min (deleting the stale one),
+    * and when the watermark passes the timer, handleExpiredTimer emits the
+    * closed session and clears state. This is the PUSH path for session
+    * finalization — `session_window` only emits a user's closed session
+    * when that user's NEXT event arrives, while a timer fires on time
+    * passing, which is what downstream alerting/TTL pipelines need. State
+    * and timers shard by the grouping key and are bounded by the
+    * watermark, so the pattern holds at 100 TB/day streams.
+    */
+  class SessionTimeoutProcessor
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    private val GapMs = 30L * 60 * 1000
+    @transient private var sess: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState[(Long, Long, Long)]("sess",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[ClosedSession]
+      var cur = Option(sess.get())
+      cur.foreach(c => getHandle.deleteTimer(c._2 + GapMs))
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some((s, l, n)) if t - l <= GapMs =>
+            Some((s, math.max(l, t), n + 1))
+          case Some((s, l, n)) =>  // in-batch gap: close the old session now
+            closed ::= ClosedSession(key, new java.sql.Timestamp(s),
+              new java.sql.Timestamp(l), n)
+            Some((t, t, 1L))
+          case None => Some((t, t, 1L))
+        }
+      }
+      cur.foreach { c =>
+        sess.update(c)
+        getHandle.registerTimer(c._2 + GapMs)
+      }
+      closed.reverse.iterator
+    }
+    override def handleExpiredTimer(key: Long, timers: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      Option(sess.get()) match {
+        // guard against a stale timer racing a same-batch extension
+        case Some((s, l, n)) if expired.getExpiryTimeInMs >= l + GapMs =>
+          sess.clear()
+          Iterator.single(ClosedSession(key, new java.sql.Timestamp(s),
+            new java.sql.Timestamp(l), n))
+        case _ => Iterator.empty
+      }
+    }
+  }
+
+  /** transformWithState wiring for SessionTimeoutProcessor (event-time
+    * timers require TimeMode.EventTime and a watermark on the input). */
+  def sessionTimeouts(events: Dataset[Event]): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimeoutProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert

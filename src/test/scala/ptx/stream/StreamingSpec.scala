@@ -345,6 +345,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, "new_max"), (3L, "error_burst"), (4L, "new_max")), s"got $got")
   }
 
+  test("event-time timers close idle sessions when the watermark passes (r4)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "timer_sink"
+    val q = Pipelines.sessionTimeouts(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // user 7: events at min 0 and 10 (one session); user 9: two events
+      // 40 min apart in ONE batch -> in-batch gap closes the first session
+      ms.addData(Seq(
+        Event(1, ts(0), 7, "click", 1.0), Event(2, ts(10), 7, "view", 2.0),
+        Event(3, ts(0), 9, "click", 1.0), Event(4, ts(40), 9, "click", 1.0)))
+      q.processAllAvailable()
+      // late-hour traffic advances the watermark to min 110 >> min 40
+      // (user 7's timer) and min 70 (user 9's 2nd-session timer)
+      ms.addData(Seq(Event(5, ts(120), 8, "click", 1.0)))
+      q.processAllAvailable()
+      // one more batch so timers registered before the watermark moved fire
+      ms.addData(Seq(Event(6, ts(125), 8, "view", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+      assert(got.contains((7L, ts(0), ts(10), 2L)), s"user 7 session not closed by timer: $got")
+      assert(got.contains((9L, ts(0), ts(0), 1L)), s"user 9 in-batch gap session missing: $got")
+      assert(got.contains((9L, ts(40), ts(40), 1L)), s"user 9 second session not timed out: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("foreachBatch parquet sink: per-batch dirs hold exactly the fed rows; batch rewrite is idempotent (r4)") {
     val root = java.nio.file.Files.createTempDirectory("fb_sink").toString
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
