@@ -32,6 +32,55 @@ object LlmScale {
   private def shingles(s: SparkSession, d: String): DataFrame =
     ptx.functions.TextShingles.shingles(Tables.documents(s, d))
 
+  /** Connected components over a (doc1, doc2) pair list via min-label
+    * propagation → (doc_id, cluster_id = min doc_id in component). Shared
+    * by the exact finisher (`llm_dedup_cluster`) and the LSH scale path
+    * (`llm_dedup_cluster_lsh`).
+    *
+    * Mechanics (r3/r4 measurements in the git history):
+    *  - the pair list is materialized (eager localCheckpoint) BEFORE the
+    *    edge-set union references it four times — a lazy .persist races
+    *    the concurrent union-branch scans and recomputes the upstream
+    *    pipeline ~2.5×;
+    *  - SELF-LOOPS make each round `min over neighbors ∪ self` in ONE
+    *    join, and the self-loop row carries the node's previous label
+    *    through the same aggregation, so convergence detection is free:
+    *    the loop runs diameter+1 rounds and is correct for ANY component
+    *    diameter;
+    *  - each round is eagerly localCheckpoint'ed, keeping Catalyst
+    *    analysis O(1) per round (the un-rooted form re-analyzed the whole
+    *    upstream tree per round — 17.8 s of pure planning at 8 rounds);
+    *  - no data ever reaches the driver; the per-round `isEmpty` probe is
+    *    the only driver round-trip.
+    */
+  private[ops] def clusterPairs(rawPairs: DataFrame): DataFrame = {
+    val pairs = rawPairs.toDF("doc1", "doc2").localCheckpoint(true)
+    val nodes = pairs.select(col("doc1").as("a"))
+      .union(pairs.select(col("doc2"))).distinct()
+    val edges = pairs.toDF("a", "b")
+      .union(pairs.select(col("doc2"), col("doc1")))
+      .union(nodes.select(col("a"), col("a")))   // self-loops
+      .localCheckpoint(true)
+    var lbl = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < 64) {           // bound: paranoia only
+      val next = edges.join(lbl, col("b") === col("id"))
+        .groupBy(col("a"))
+        .agg(min(col("lbl")).as("lbl"),
+          // the self-loop row (b = a) holds a's own previous label
+          min(when(col("b") === col("a"), col("lbl"))).as("prev"))
+        .localCheckpoint(true)
+      converged = next.filter(col("lbl") < col("prev")).isEmpty
+      lbl = next.select(col("a").as("id"), col("lbl"))
+      round += 1
+    }
+    lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+      .orderBy(col("doc_id"))
+  }
+
   def queries: Map[String, QFn] = Map(
     // ◌ MinHash + LSH banding, exact-Jaccard verify on candidates only.
     // ONE aggregation pass over the shingle stream computes the 16-minhash
@@ -134,56 +183,22 @@ object LlmScale {
         .orderBy(col("vec1"), col("vec2"))
     }),
     // ✓ dedup cluster formation: connected components over the exact
-    // near-dup pairs (j ≥ 0.4) via min-label propagation — the finisher
-    // that turns a pair list into canonical clusters (keep min doc_id per
-    // cluster). The SELF-LOOPS in the edge set make each round
-    // `min over neighbors ∪ self` in ONE join, and the self-loop row also
-    // carries the node's PREVIOUS label through the same aggregation, so
-    // the convergence signal (`any label still shrinking?`) is free — the
-    // loop runs exactly diameter+1 rounds and is correct for ANY component
-    // diameter (the old fixed-8-round form mislabeled diameters > 8).
-    // Each round's result is eagerly localCheckpoint'ed: re-rooting the
-    // plan keeps Catalyst analysis O(1) per round instead of re-analyzing
-    // a tree that embeds the whole near-dup computation once per round
-    // (r3 measured that growth at 17.8 s of pure analysis for the
-    // two-reference variant; even the linear-growth form spent most of its
-    // 5.9 s warm time in planning, not execution). No collect of data —
-    // only the boolean `isEmpty` probe per round touches the driver.
-    "llm_dedup_cluster" -> ((s, d) => {
-      // materialize the pair list BEFORE the edge-set union references it
-      // four times (forward, reverse, both sides of `nodes`): a lazy
-      // .persist races — the union branches scan concurrently and each
-      // recomputes partitions the cache hasn't filled yet (measured: the
-      // near-dup computation ran ~2.5× inside the edges action, 2.3 s of
-      // the query's 3.5 s). Eager localCheckpoint runs it exactly once.
-      val pairs = LlmData.queries("llm_dedup_near")(s, d)
-        .select(col("doc1"), col("doc2"))
-        .localCheckpoint(true)
-      val nodes = pairs.select(col("doc1").as("a"))
-        .union(pairs.select(col("doc2"))).distinct()
-      val edges = pairs.toDF("a", "b")
-        .union(pairs.select(col("doc2"), col("doc1")))
-        .union(nodes.select(col("a"), col("a")))   // self-loops
-        .localCheckpoint(true)
-      var lbl = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint(true)
-      var converged = false
-      var round = 0
-      while (!converged && round < 64) {           // bound: paranoia only
-        val next = edges.join(lbl, col("b") === col("id"))
-          .groupBy(col("a"))
-          .agg(min(col("lbl")).as("lbl"),
-            // the self-loop row (b = a) holds a's own previous label
-            min(when(col("b") === col("a"), col("lbl"))).as("prev"))
-          .localCheckpoint(true)
-        converged = next.filter(col("lbl") < col("prev")).isEmpty
-        lbl = next.select(col("a").as("id"), col("lbl"))
-        round += 1
-      }
-      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }),
+    // near-dup pairs (j ≥ 0.4) — the finisher that turns a pair list into
+    // canonical clusters (keep min doc_id per cluster). Mechanics in
+    // `clusterPairs` above.
+    "llm_dedup_cluster" -> ((s, d) =>
+      clusterPairs(LlmData.queries("llm_dedup_near")(s, d)
+        .select(col("doc1"), col("doc2")))),
+    // ◌ the SAME finisher over the MinHash-LSH candidate pairs — the
+    // composition that actually runs at 100 TB: banding bounds candidate
+    // generation, the exact verify bounds scoring to candidates, and the
+    // propagation runs on the verified pair list. No oracle (band hashes
+    // are engine-specific upstream); LlmOpsSpec asserts every LSH cluster
+    // is contained in one exact cluster (pairs ⊆ exact pairs ⇒ the LSH
+    // components refine the exact components).
+    "llm_dedup_cluster_lsh" -> ((s, d) =>
+      clusterPairs(queries("llm_dedup_minhash_lsh")(s, d)
+        .select(col("doc1"), col("doc2")))),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
     // over tables of same-bucket vectors; exact top-5 within candidates.

@@ -115,6 +115,22 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(MediaDecode.features(Array.empty).toSeq == Seq.fill(8)(0.0))
   }
 
+  test("llm_dedup_cluster_lsh refines the exact clusters (r4)") {
+    // LSH pairs ⊆ exact pairs, so every LSH component must sit inside one
+    // exact component — and at j ≥ 0.8 recall is total, so any doc the LSH
+    // path clusters with a high-sim twin gets the same canonical id.
+    val exact = q("llm_dedup_cluster").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lsh = q("llm_dedup_cluster_lsh").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lsh.nonEmpty)
+    lsh.groupBy(_._2).foreach { case (cid, members) =>
+      val exactCids = members.map(m => exact(m._1)).distinct
+      assert(exactCids.length == 1,
+        s"LSH cluster $cid spans exact clusters $exactCids")
+    }
+  }
+
   test("llm_quantize_embed: integer checksum matches a driver-side recompute; error bounded (r4)") {
     val vecs = Tables.embeddings(spark, SF01)
       .selectExpr("label", "transform(embedding, x -> CAST(x AS DOUBLE))")

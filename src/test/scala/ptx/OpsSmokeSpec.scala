@@ -13,7 +13,7 @@ class OpsSmokeSpec extends AnyFunSuite {
   // queries that legitimately return 0 rows on the tiny sf0.001 slices
   private val mayBeEmpty = Set("llm_dedup_embed", "llm_dedup_near",
     "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_cluster",
-    "pt_threshold_alerts", "agg_having")
+    "llm_dedup_cluster_lsh", "pt_threshold_alerts", "agg_having")
 
   QueryRegistry.all.foreach { case (name, fn) =>
     test(s"$name: deterministic and well-formed at sf0.001") {
@@ -43,7 +43,7 @@ class OpsSmokeSpec extends AnyFunSuite {
     val noOracle = QueryRegistry.all.keySet -- QueryRegistry.oracleSql.keySet
     assert(noOracle == Set("agg_approx_distinct", "agg_approx_percentile",
       "agg_hll_sketch", "agg_hll_union",
-      "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_ann_lsh",
-      "mm_decode_features", "scan_sample"))
+      "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_cluster_lsh",
+      "llm_ann_lsh", "mm_decode_features", "scan_sample"))
   }
 }
