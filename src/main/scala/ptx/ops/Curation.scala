@@ -142,6 +142,44 @@ object Curation {
           (col("cum_before") % 2048).as("seq_offset"))
         .orderBy(col("doc_id"))
     }),
+    // ✓ deterministic train/val/test split (r4): 80/10/10 by the same
+    // Knuth multiplicative hash the sampler uses — assignment is a pure
+    // function of doc_id (stable across runs, engines, partitionings;
+    // adding docs never reassigns existing ones, unlike randomSplit).
+    // Reported: per-split counts, lang coverage, id range. Pure scan +
+    // one 3-row aggregate at any scale.
+    "llm_split" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("bucket",
+          (col("doc_id") * lit(2654435761L)) % 4294967296L % 100)
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy(col("split"))
+    }),
+    // ✓ mixture rebalancing (r4): language-balanced downsampling toward
+    // the smallest language's count — the deterministic form of training
+    // -mix reweighting. Per-lang keep rate = min(n)/n(lang), applied via
+    // the multiplicative hash so the kept subset is reproducible. The
+    // corpus never shuffles: rates live on a broadcast lang-count frame
+    // (|langs| rows) and the keep decision is a scan-side comparison.
+    "llm_mix_rebalance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val target = counts.agg(min(col("n_total")).as("target"))
+      docs.join(broadcast(counts.crossJoin(target)), Seq("lang"))
+        .withColumn("u", (col("doc_id") * lit(2654435761L)) % 4294967296L % 100000)
+        .withColumn("keep",
+          col("u") < col("target").cast("double") / col("n_total") * 100000.0)
+        .groupBy(col("lang"))
+        .agg(max(col("n_total")).as("n_total"),
+          count(when(col("keep"), 1)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
     // Token-budget selection: greedily keep the longest docs (n_chars desc,
     // doc_id tiebreak) until the ~10k-token budget (chars/4 BPE estimate) is
     // spent. Two-level cumsum — per-key totals over the small distinct
@@ -224,6 +262,24 @@ object Curation {
         |              CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS tok
         |            FROM documents) b) c
         |ORDER BY doc_id""".stripMargin,
+    "llm_split" ->
+      """SELECT split, count(*) AS n, count(DISTINCT lang) AS n_langs,
+        |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM (SELECT doc_id, lang,
+        |        CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
+        |             WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |             ELSE 'test' END AS split
+        |      FROM documents) t
+        |GROUP BY split ORDER BY split""".stripMargin,
+    "llm_mix_rebalance" ->
+      """WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+        |t AS (SELECT min(n_total) AS target FROM c)
+        |SELECT d.lang, max(c.n_total) AS n_total,
+        |  count(CASE WHEN (d.doc_id * 2654435761) % 4294967296 % 100000
+        |               < CAST(t.target AS DOUBLE) / c.n_total * 100000.0
+        |        THEN 1 END) AS n_kept
+        |FROM documents d JOIN c USING (lang) CROSS JOIN t
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "llm_token_budget" ->
       """SELECT doc_id, n_chars,
         |  CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT) AS est_bpe,

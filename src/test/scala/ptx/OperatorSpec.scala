@@ -327,6 +327,32 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_split partitions every doc deterministically, ~80/10/10 (r4)") {
+    val rows = q("llm_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows.values.sum
+    assert(total == Tables.documents(spark, TestSpark.SF).count())
+    assert(rows.keySet == Set("train", "val", "test"))
+    // multiplicative-hash buckets are uniform-ish; generous bounds
+    assert(rows("train").toDouble / total > 0.7 && rows("train").toDouble / total < 0.9)
+  }
+
+  test("llm_mix_rebalance keeps ~target docs per language (r4)") {
+    val rows = q("llm_mix_rebalance").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val target = rows.map(_._2).min
+    rows.foreach { case (lang, nTotal, nKept) =>
+      assert(nKept <= nTotal)
+      // kept count concentrates near target (hash uniformity; ±60% slack
+      // for the small fixture strata)
+      assert(nKept >= target * 0.4 && nKept <= target * 1.6,
+        s"$lang kept $nKept vs target $target")
+    }
+    // the smallest language keeps everything (rate = 1)
+    val smallest = rows.minBy(_._2)
+    assert(smallest._3 == smallest._2, s"smallest stratum not fully kept: $smallest")
+  }
+
   test("pt_sessionize: session bounds respect the 30-minute gap invariant") {
     val rows = q("pt_sessionize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getTimestamp(4)))
