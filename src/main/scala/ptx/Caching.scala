@@ -22,6 +22,9 @@ import org.apache.spark.storage.StorageLevel
 object Caching {
   private val pinned = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]]()
+  private val checkpointed = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.concurrent.ConcurrentLinkedQueue[
+      org.apache.spark.rdd.RDD[_]]]()
 
   /** Persist `df` (MEMORY_AND_DISK) and register it for later release,
     * keyed by its owning session. */
@@ -32,8 +35,32 @@ object Caching {
     df
   }
 
+  /** Eagerly localCheckpoint `df` (materialize once + re-root the logical
+    * plan) and register the materialized RDD blocks for release with this
+    * session's pins. Unlike `pin`, a released checkpoint CANNOT be
+    * recomputed — localCheckpoint truncates lineage — so callers must be
+    * done with every frame derived from it before release (the harness
+    * contract: release only after the query's action completes; a fresh
+    * operator invocation rebuilds from scratch). Without this hook the
+    * checkpoint blocks outlive releaseAll() until a GC triggers the
+    * ContextCleaner, skewing later queries' timed runs. */
+  def checkpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(true)
+    val rdds = cp.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val q = checkpointed.computeIfAbsent(df.sparkSession,
+      _ => new java.util.concurrent.ConcurrentLinkedQueue[
+        org.apache.spark.rdd.RDD[_]]())
+    rdds.foreach(q.add)
+    cp
+  }
+
   /** Unpersist every frame pinned by `session` (non-blocking). */
-  def release(session: SparkSession): Unit = drain(pinned.remove(session))
+  def release(session: SparkSession): Unit = {
+    drain(pinned.remove(session))
+    drainRdds(checkpointed.remove(session))
+  }
 
   /** Unpersist every pinned frame across all sessions and clear the
     * registry. Harness use (one session per JVM); library users sharing a
@@ -41,6 +68,8 @@ object Caching {
   def releaseAll(): Unit = {
     val it = pinned.keys()
     while (it.hasMoreElements) drain(pinned.remove(it.nextElement()))
+    val it2 = checkpointed.keys()
+    while (it2.hasMoreElements) drainRdds(checkpointed.remove(it2.nextElement()))
   }
 
   private def drain(q: java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]): Unit =
@@ -49,6 +78,16 @@ object Caching {
       while (df != null) {
         df.unpersist(blocking = false)
         df = q.poll()
+      }
+    }
+
+  private def drainRdds(
+      q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]): Unit =
+    if (q != null) {
+      var rdd = q.poll()
+      while (rdd != null) {
+        rdd.unpersist(blocking = false)
+        rdd = q.poll()
       }
     }
 }

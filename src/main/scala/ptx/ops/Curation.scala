@@ -25,6 +25,22 @@ import ptx.{QFn, Tables}
   */
 object Curation {
 
+  /** Knuth multiplicative-hash bucket in [0, mod) — THE deterministic
+    * keep/assign primitive shared by `llm_stratified_sample`, `llm_split`
+    * and `llm_mix_rebalance` (one definition; its DuckDB twin below must
+    * stay bit-identical). The id is reduced mod 2^31 BEFORE the multiply
+    * so the product stays within Long range for ANY nonnegative 64-bit id
+    * (2^31 · 2654435761 < 2^63) — the unreduced form overflowed for
+    * ids ≥ ~3.5e9, exactly the regime the operators are designed for.
+    * For ids < 2^31 (all fixtures) the reduction is the identity, so
+    * results are unchanged. */
+  private def knuthBucket(id: org.apache.spark.sql.Column, mod: Long) =
+    id % 2147483648L * 2654435761L % 4294967296L % mod
+
+  /** The DuckDB-dialect twin of [[knuthBucket]]. */
+  private def knuthBucketSql(idExpr: String, mod: Long): String =
+    s"$idExpr % 2147483648 * 2654435761 % 4294967296 % $mod"
+
   /** Per-doc bigram repetition transform (the body of `llm_repetition`
     * without the total-order sort): stateless project/filter arithmetic,
     * so it runs UNCHANGED on a streaming documents frame — the curation
@@ -67,8 +83,7 @@ object Curation {
     // (unlike df.sample's RNG), and a pure scan at any scale.
     "llm_stratified_sample" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("bucket",
-          (col("doc_id") * lit(2654435761L)) % 4294967296L % 100)
+        .withColumn("bucket", knuthBucket(col("doc_id"), 100))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_total"),
           count(when(col("bucket") < 20, 1)).as("n_sampled"))
@@ -150,8 +165,7 @@ object Curation {
     // one 3-row aggregate at any scale.
     "llm_split" -> ((s, d) => {
       Tables.documents(s, d)
-        .withColumn("bucket",
-          (col("doc_id") * lit(2654435761L)) % 4294967296L % 100)
+        .withColumn("bucket", knuthBucket(col("doc_id"), 100))
         .withColumn("split",
           when(col("bucket") < 80, "train")
             .when(col("bucket") < 90, "val")
@@ -172,7 +186,7 @@ object Curation {
       val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
       val target = counts.agg(min(col("n_total")).as("target"))
       docs.join(broadcast(counts.crossJoin(target)), Seq("lang"))
-        .withColumn("u", (col("doc_id") * lit(2654435761L)) % 4294967296L % 100000)
+        .withColumn("u", knuthBucket(col("doc_id"), 100000))
         .withColumn("keep",
           col("u") < col("target").cast("double") / col("n_total") * 100000.0)
         .groupBy(col("lang"))
@@ -220,9 +234,9 @@ object Curation {
         |GROUP BY t.doc_id HAVING count(DISTINCT t.shingle) >= 5
         |ORDER BY t.doc_id""".stripMargin,
     "llm_stratified_sample" ->
-      """SELECT lang, n_total, n_sampled, CAST(n_sampled AS DOUBLE) / n_total AS rate
+      s"""SELECT lang, n_total, n_sampled, CAST(n_sampled AS DOUBLE) / n_total AS rate
         |FROM (SELECT lang, count(*) AS n_total,
-        |        count(CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 20
+        |        count(CASE WHEN ${knuthBucketSql("doc_id", 100)} < 20
         |              THEN 1 END) AS n_sampled
         |      FROM documents GROUP BY lang) t
         |ORDER BY lang""".stripMargin,
@@ -263,19 +277,19 @@ object Curation {
         |            FROM documents) b) c
         |ORDER BY doc_id""".stripMargin,
     "llm_split" ->
-      """SELECT split, count(*) AS n, count(DISTINCT lang) AS n_langs,
+      s"""SELECT split, count(*) AS n, count(DISTINCT lang) AS n_langs,
         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM (SELECT doc_id, lang,
-        |        CASE WHEN (doc_id * 2654435761) % 4294967296 % 100 < 80 THEN 'train'
-        |             WHEN (doc_id * 2654435761) % 4294967296 % 100 < 90 THEN 'val'
+        |        CASE WHEN ${knuthBucketSql("doc_id", 100)} < 80 THEN 'train'
+        |             WHEN ${knuthBucketSql("doc_id", 100)} < 90 THEN 'val'
         |             ELSE 'test' END AS split
         |      FROM documents) t
         |GROUP BY split ORDER BY split""".stripMargin,
     "llm_mix_rebalance" ->
-      """WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
+      s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
         |t AS (SELECT min(n_total) AS target FROM c)
         |SELECT d.lang, max(c.n_total) AS n_total,
-        |  count(CASE WHEN (d.doc_id * 2654435761) % 4294967296 % 100000
+        |  count(CASE WHEN ${knuthBucketSql("d.doc_id", 100000)}
         |               < CAST(t.target AS DOUBLE) / c.n_total * 100000.0
         |        THEN 1 END) AS n_kept
         |FROM documents d JOIN c USING (lang) CROSS JOIN t

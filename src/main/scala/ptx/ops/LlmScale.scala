@@ -53,30 +53,39 @@ object LlmScale {
     *  - no data ever reaches the driver; the per-round `isEmpty` probe is
     *    the only driver round-trip.
     */
+  private val MaxPropagationRounds = 64
+
   private[ops] def clusterPairs(rawPairs: DataFrame): DataFrame = {
-    val pairs = rawPairs.toDF("doc1", "doc2").localCheckpoint(true)
+    val pairs = ptx.Caching.checkpoint(rawPairs.toDF("doc1", "doc2"))
     val nodes = pairs.select(col("doc1").as("a"))
       .union(pairs.select(col("doc2"))).distinct()
-    val edges = pairs.toDF("a", "b")
-      .union(pairs.select(col("doc2"), col("doc1")))
-      .union(nodes.select(col("a"), col("a")))   // self-loops
-      .localCheckpoint(true)
-    var lbl = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    val edges = ptx.Caching.checkpoint(
+      pairs.toDF("a", "b")
+        .union(pairs.select(col("doc2"), col("doc1")))
+        .union(nodes.select(col("a"), col("a"))))   // self-loops
+    var lbl = ptx.Caching.checkpoint(
+      edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")))
     var converged = false
     var round = 0
-    while (!converged && round < 64) {           // bound: paranoia only
-      val next = edges.join(lbl, col("b") === col("id"))
-        .groupBy(col("a"))
-        .agg(min(col("lbl")).as("lbl"),
-          // the self-loop row (b = a) holds a's own previous label
-          min(when(col("b") === col("a"), col("lbl"))).as("prev"))
-        .localCheckpoint(true)
+    while (!converged && round < MaxPropagationRounds) {
+      val next = ptx.Caching.checkpoint(
+        edges.join(lbl, col("b") === col("id"))
+          .groupBy(col("a"))
+          .agg(min(col("lbl")).as("lbl"),
+            // the self-loop row (b = a) holds a's own previous label
+            min(when(col("b") === col("a"), col("lbl"))).as("prev")))
       converged = next.filter(col("lbl") < col("prev")).isEmpty
       lbl = next.select(col("a").as("id"), col("lbl"))
       round += 1
     }
+    // fail LOUDLY: a silent cap would split one true component into
+    // several cluster ids with no signal (near-dup chains — template
+    // drift — can exceed any fixed diameter)
+    if (!converged) throw new IllegalStateException(
+      s"clusterPairs: label propagation did not converge within " +
+        s"$MaxPropagationRounds rounds (component diameter exceeds the " +
+        s"bound); raise MaxPropagationRounds")
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -204,7 +204,21 @@ object Pipelines {
     */
   class SessionTimeoutProcessor
       extends StatefulProcessor[Long, Event, ClosedSession] {
-    private val GapMs = 30L * 60 * 1000
+    // the gap rule compares exact MICROSECONDS — the events table is
+    // µs-precision (ns→µs load recipe) and the batch twin pt_sessionize
+    // splits on fractional-second gaps; a ms-truncated compare would merge
+    // sessions exactly 1800.000x s apart. Timers are ms-granular by API,
+    // so the registered expiry is the CEILING of the µs expiry (never
+    // fires early); registration and the stale-timer guard share timerMs.
+    private val GapUs = 30L * 60 * 1000000
+    private def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    private def tsOf(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos((us % 1000000).toInt * 1000)
+      t
+    }
+    private def timerMs(lastUs: Long): Long = (lastUs + GapUs + 999) / 1000
     @transient private var sess: ValueState[(Long, Long, Long)] = _
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       sess = getHandle.getValueState[(Long, Long, Long)]("sess",
@@ -212,25 +226,24 @@ object Pipelines {
         TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[ClosedSession] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id))
       var closed = List.empty[ClosedSession]
       var cur = Option(sess.get())
-      cur.foreach(c => getHandle.deleteTimer(c._2 + GapMs))
+      cur.foreach(c => getHandle.deleteTimer(timerMs(c._2)))
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = usOf(e.ts)
         cur = cur match {
-          case Some((s, l, n)) if t - l <= GapMs =>
+          case Some((s, l, n)) if t - l <= GapUs =>
             Some((s, math.max(l, t), n + 1))
           case Some((s, l, n)) =>  // in-batch gap: close the old session now
-            closed ::= ClosedSession(key, new java.sql.Timestamp(s),
-              new java.sql.Timestamp(l), n)
+            closed ::= ClosedSession(key, tsOf(s), tsOf(l), n)
             Some((t, t, 1L))
           case None => Some((t, t, 1L))
         }
       }
       cur.foreach { c =>
         sess.update(c)
-        getHandle.registerTimer(c._2 + GapMs)
+        getHandle.registerTimer(timerMs(c._2))
       }
       closed.reverse.iterator
     }
@@ -238,10 +251,9 @@ object Pipelines {
                                     expired: ExpiredTimerInfo): Iterator[ClosedSession] = {
       Option(sess.get()) match {
         // guard against a stale timer racing a same-batch extension
-        case Some((s, l, n)) if expired.getExpiryTimeInMs >= l + GapMs =>
+        case Some((s, l, n)) if expired.getExpiryTimeInMs >= timerMs(l) =>
           sess.clear()
-          Iterator.single(ClosedSession(key, new java.sql.Timestamp(s),
-            new java.sql.Timestamp(l), n))
+          Iterator.single(ClosedSession(key, tsOf(s), tsOf(l), n))
         case _ => Iterator.empty
       }
     }
