@@ -56,6 +56,25 @@ object Caching {
     cp
   }
 
+  /** Eagerly unpersist ONE checkpointed frame's materialized blocks, now,
+    * and drop them from the session registry. For iterative operators
+    * (clusterPairs' label propagation) where round r-1's blocks are dead
+    * the moment round r is materialized: without this, up to
+    * MaxPropagationRounds node-sized RDDs stay pinned until releaseAll —
+    * O(rounds × nodes) executor storage held for nothing at the 100 TB
+    * design point (ADVICE r4). Caller contract: nothing downstream may
+    * re-read `df` after free (checkpoint blocks cannot be recomputed). */
+  def free(df: DataFrame): Unit = {
+    val rdds = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }
+    val q = checkpointed.get(df.sparkSession)
+    rdds.foreach { r =>
+      if (q != null) q.remove(r)
+      r.unpersist(blocking = false)
+    }
+  }
+
   /** Unpersist every frame pinned by `session` (non-blocking). */
   def release(session: SparkSession): Unit = {
     drain(pinned.remove(session))

@@ -29,17 +29,21 @@ object Curation {
     * keep/assign primitive shared by `llm_stratified_sample`, `llm_split`
     * and `llm_mix_rebalance` (one definition; its DuckDB twin below must
     * stay bit-identical). The id is reduced mod 2^31 BEFORE the multiply
-    * so the product stays within Long range for ANY nonnegative 64-bit id
+    * so the product stays within Long range for ANY 64-bit id
     * (2^31 · 2654435761 < 2^63) — the unreduced form overflowed for
     * ids ≥ ~3.5e9, exactly the regime the operators are designed for.
-    * For ids < 2^31 (all fixtures) the reduction is the identity, so
-    * results are unchanged. */
+    * The reduction uses pmod so a NEGATIVE id still lands in [0, mod):
+    * with sign-of-dividend %, a negative id made every `bucket < k` test
+    * true and silently skewed splits/samples on both engines (ADVICE r4).
+    * For ids in [0, 2^31) (all fixtures) pmod ≡ %, so results are
+    * unchanged. */
   private def knuthBucket(id: org.apache.spark.sql.Column, mod: Long) =
-    id % 2147483648L * 2654435761L % 4294967296L % mod
+    pmod(id, lit(2147483648L)) * 2654435761L % 4294967296L % mod
 
-  /** The DuckDB-dialect twin of [[knuthBucket]]. */
+  /** The DuckDB-dialect twin of [[knuthBucket]]; `(x % m + m) % m` is the
+    * portable pmod spelling. */
   private def knuthBucketSql(idExpr: String, mod: Long): String =
-    s"$idExpr % 2147483648 * 2654435761 % 4294967296 % $mod"
+    s"($idExpr % 2147483648 + 2147483648) % 2147483648 * 2654435761 % 4294967296 % $mod"
 
   /** Per-doc bigram repetition transform (the body of `llm_repetition`
     * without the total-order sort): stateless project/filter arithmetic,
@@ -268,7 +272,7 @@ object Curation {
     "llm_pack_sequences" ->
       """SELECT doc_id, tok,
         |  CAST(floor(CAST(cum_before AS DOUBLE) / 2048) AS BIGINT) AS seq_id,
-        |  cum_before % 2048 AS seq_offset
+        |  CAST(cum_before % 2048 AS BIGINT) AS seq_offset
         |FROM (SELECT doc_id, tok,
         |        coalesce(sum(tok) OVER (ORDER BY doc_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before

@@ -63,9 +63,10 @@ object LlmScale {
       pairs.toDF("a", "b")
         .union(pairs.select(col("doc2"), col("doc1")))
         .union(nodes.select(col("a"), col("a"))))   // self-loops
-    var lbl = ptx.Caching.checkpoint(
+    var lblCp = ptx.Caching.checkpoint(
       edges.select(col("a").as("id")).distinct()
         .withColumn("lbl", col("id")))
+    var lbl = lblCp
     var converged = false
     var round = 0
     while (!converged && round < MaxPropagationRounds) {
@@ -75,8 +76,13 @@ object LlmScale {
           .agg(min(col("lbl")).as("lbl"),
             // the self-loop row (b = a) holds a's own previous label
             min(when(col("b") === col("a"), col("lbl"))).as("prev")))
+      // round r-1's blocks are dead once round r is materialized
+      // (checkpoint is eager) — free them now instead of holding up to
+      // MaxPropagationRounds node-sized RDDs until releaseAll (ADVICE r4)
+      ptx.Caching.free(lblCp)
       converged = next.filter(col("lbl") < col("prev")).isEmpty
       lbl = next.select(col("a").as("id"), col("lbl"))
+      lblCp = next
       round += 1
     }
     // fail LOUDLY: a silent cap would split one true component into

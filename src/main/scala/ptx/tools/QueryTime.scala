@@ -22,9 +22,16 @@ object QueryTime {
     names.foreach { name =>
       val fn = ptx.QueryRegistry.all(name)
       val l = ptx.tools.Metrics.install(spark)
+      // keep the warm run's frame so the explain path prints ITS plan
+      // instead of re-invoking fn — for the driver-side iterative queries
+      // (llm_dedup_cluster*) rebuilding the frame re-runs the whole
+      // propagation loop (~4-7 s of real Spark jobs) just to explain the
+      // final projection (ADVICE r4)
+      var lastDf: org.apache.spark.sql.DataFrame = null
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        lastDf = fn(spark, sfDir)
+        lastDf.count()
         val dt = (System.nanoTime() - t0) / 1e9
         ptx.Caching.releaseAll()
         dt
@@ -35,7 +42,7 @@ object QueryTime {
       spark.listenerManager.unregister(l)
       println(f"[qt] $name cold=${times(0)}%.2f warm=${times(1)}%.2f exchanges=$ex (cpus=$cpus)")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
-        fn(spark, sfDir).explain("formatted")
+        lastDf.explain("formatted")
     }
     spark.stop()
   }
