@@ -13,7 +13,11 @@ import java.util.concurrent.{Executors, TimeUnit, TimeoutException}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query-name filter (dev pre-flight
+    // of a few queries without dumping all ~120; the driver passes 2 args)
+    val (sfDir, outDir) = (args(0), args(1))
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300").toLong
     val spark = SparkSession.builder()
@@ -32,7 +36,9 @@ object Verify {
       }
     }
     var pool = Executors.newSingleThreadExecutor(daemonFactory)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val task = pool.submit(new Runnable {
         override def run(): Unit = {
           // job group set on the executing thread so a timeout can cancel

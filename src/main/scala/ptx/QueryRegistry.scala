@@ -20,7 +20,8 @@ object QueryRegistry {
     (ops.LlmScale.queries, ops.LlmScale.oracle),
     (ops.Multimodal.queries, ops.Multimodal.oracle),
     (ops.Extras.queries, ops.Extras.oracle),
-    (ops.Curation.queries, ops.Curation.oracle)
+    (ops.Curation.queries, ops.Curation.oracle),
+    (ops.Composite.queries, ops.Composite.oracle)
   )
 
   lazy val all: Map[String, QFn] = {
