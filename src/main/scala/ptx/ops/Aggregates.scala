@@ -223,6 +223,49 @@ object Aggregates {
         .agg(round(sum(col("s")), 2).as("sum_value"), sum(col("c")).as("n"))
         .withColumn("avg_value", round(col("sum_value") / col("n"), 6))
         .orderBy(col("event_type"))
+    }),
+    // ✓ heavy hitters via the Frequent-Items sketch (approx_top_k): per-lang
+    // words occurring ≥ 50×. The sketch is EXACT while the tracked-item
+    // budget (1024) exceeds the live domain (31 corpus words), so the
+    // declared query pins that regime and the oracle is the plain
+    // GROUP BY/HAVING — the same result the sketch path must produce.
+    // Saturation behavior is unit-tested in OperatorSpec: a budget below
+    // the live domain can return an EMPTY estimate on Spark 4.1, so the
+    // budget here must stay ≥ the domain (a real deployment sizes it to
+    // the expected heavy-hitter vocabulary, not the full tail).
+    // Threshold selection (not rank-k) keeps ties deterministic:
+    // equal-count words at a rank boundary would make top-k set choice
+    // engine-arbitrary.
+    // 100 TB shape: one map-side-combinable sketch per group crosses the
+    // shuffle (bounded bytes/group), then the tiny array explodes
+    // driver-free into rows.
+    "agg_topk_sketch" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("lang"))
+        .agg(expr("approx_top_k(word, 64, 1024)").as("tk"))
+        .select(col("lang"), explode(col("tk")).as("e"))
+        .select(col("lang"), col("e.item").as("item"),
+          col("e.count").cast("long").as("cnt"))
+        .filter(col("cnt") >= 50)
+        .orderBy(col("lang"), col("cnt").desc, col("item"))
+    }),
+    // ✓ the mergeable form of the same sketch — accumulate per source
+    // (what a per-partition job would persist), combine, then estimate the
+    // global ≥200× hitters. Like agg_hll_union this is the incremental
+    // rollup pattern: re-ranking the whole corpus costs |sources| sketch
+    // buffers, not a rescan. Exactness argument as agg_topk_sketch.
+    "agg_topk_union" -> ((s, d) => {
+      val perSource = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("source"))
+        .agg(expr("approx_top_k_accumulate(word, 1024)").as("sk"))
+      perSource
+        .agg(expr("approx_top_k_estimate(approx_top_k_combine(sk, 1024), 64)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
+        .filter(col("cnt") >= 200)
+        .orderBy(col("cnt").desc, col("item"))
     })
   )
 
@@ -318,6 +361,18 @@ object Aggregates {
     "agg_collect_sorted" ->
       """SELECT n_name, string_agg(s_name, ',' ORDER BY s_name) AS suppliers
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        |GROUP BY n_name ORDER BY n_name""".stripMargin
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    // the sketch is exact in the pinned regime (domain ≤ tracked budget),
+    // so the oracle is the plain count — see the query comment
+    "agg_topk_sketch" ->
+      """SELECT lang, word AS item, count(*) AS cnt
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY lang, word HAVING count(*) >= 50
+        |ORDER BY lang, cnt DESC, item""".stripMargin,
+    "agg_topk_union" ->
+      """SELECT word AS item, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |GROUP BY word HAVING count(*) >= 200
+        |ORDER BY cnt DESC, item""".stripMargin
   )
 }

@@ -165,6 +165,25 @@ object Joins {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+    // ✓ salted shuffle join as a declared query (Skew.saltedJoin): the join
+    // key event_type has only 5 live values, so an unsalted shuffle join
+    // funnels each type's rows — ~20 TB per type at the design point —
+    // through ONE reducer regardless of cluster size. Salting splits each
+    // type over 8 sub-keys and replicates the 5-row threshold dim 8×.
+    // Salting is purely physical (each row still matches exactly its own
+    // dim row), so the oracle is the plain join — same thresholds table as
+    // pt_threshold_alerts, rendered into the SQL from the same Seq.
+    // (With a dim this small broadcast would beat any shuffle; the declared
+    // query pins the salted-shuffle plan for the case where the skewed side
+    // must shuffle anyway — e.g. the dim exceeds broadcast budget.)
+    "join_skew_salted" -> ((s, d) => {
+      val thr = s.createDataFrame(Telemetry.thresholds).toDF("et", "thr")
+      ptx.functions.Skew.saltedJoin(Tables.events(s, d), thr, "event_type", "et", 8)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -260,6 +279,15 @@ object Joins {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
-        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "join_skew_salted" -> {
+      val values = Telemetry.thresholds
+        .map { case (t, v) => s"('$t', $v)" }.mkString(", ")
+      s"""WITH thr AS (SELECT * FROM (VALUES $values) t(et, thr))
+        |SELECT event_type, count(*) AS n_events,
+        |       CAST(sum(CASE WHEN value > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_above
+        |FROM $EV JOIN thr ON event_type = et
+        |GROUP BY event_type ORDER BY event_type""".stripMargin
+    }
   )
 }

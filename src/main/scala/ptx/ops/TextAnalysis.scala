@@ -104,6 +104,43 @@ object TextAnalysis {
         .select(col("doc_id"), col("fp"), col("rh"), col("n_copies"), col("keep_id"),
           (col("doc_id") === col("keep_id")).as("is_canonical"))
         .orderBy(col("doc_id"))
+    }),
+    // ✓ C4/Gopher-style rule-chain document filter: length, mean word
+    // length, vocabulary diversity, single-word dominance — each doc gets
+    // a pass flag plus the FIRST failing rule (the audit trail a curation
+    // pipeline reports). Thresholds are pinned to split this corpus
+    // non-trivially (measured: 91% / 97% / 66% / ~85% per-rule pass at
+    // sf0.01); punctuation/boilerplate rules are vacuous on the
+    // no-punctuation fixture text and deliberately omitted.
+    // Scale: pure scan, zero shuffle — dominance (max in-doc word
+    // multiplicity) folds over the SORTED word array as a max run length
+    // in one codegen'd HOF instead of an explode + per-word groupBy.
+    "llm_quality_filter" -> ((s, d) => {
+      Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("n_words", size(col("w")))
+        .withColumn("mean_len",
+          expr("aggregate(w, 0, (a, x) -> a + length(x))").cast("double") /
+            col("n_words"))
+        .withColumn("distinct_ratio",
+          size(array_distinct(col("w"))).cast("double") / col("n_words"))
+        .withColumn("max_run", expr(
+          """aggregate(sort_array(w), named_struct('prev', '', 'run', 0, 'mx', 0),
+            |  (a, x) -> named_struct(
+            |    'prev', x,
+            |    'run', IF(x = a.prev, a.run + 1, 1),
+            |    'mx', greatest(a.mx, IF(x = a.prev, a.run + 1, 1))),
+            |  a -> a.mx)""".stripMargin))
+        .withColumn("dominance", col("max_run").cast("double") / col("n_words"))
+        .withColumn("first_fail",
+          when(col("n_words") < 20, "min_words")
+            .when(col("mean_len") < 4.0 || col("mean_len") > 5.0, "word_len")
+            .when(col("distinct_ratio") < 0.4, "distinct_ratio")
+            .when(col("dominance") > 0.125, "dominance"))
+        .select(col("doc_id"), col("n_words"), col("mean_len"),
+          col("distinct_ratio"), col("dominance"),
+          col("first_fail").isNull.as("pass"), col("first_fail"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -150,6 +187,31 @@ object TextAnalysis {
         |              w -> CAST(length(w) * 17 + ascii(substr(w, 1, 1)) AS BIGINT))),
         |          (a, x) -> (a * 31 + x) % 1000000007) AS rh
         |      FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // dominance via unnest + per-word count (max multiplicity == max run
+    // length of the sorted array — same number, different formulation)
+    "llm_quality_filter" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |cnt AS (SELECT doc_id, max(c) AS mx FROM (
+        |    SELECT doc_id, word, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(words) AS word FROM w) e
+        |    GROUP BY doc_id, word) g
+        |  GROUP BY doc_id),
+        |m AS (SELECT w.doc_id,
+        |        len(words) AS n_words,
+        |        CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+        |             AS DOUBLE) / len(words) AS mean_len,
+        |        CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+        |        CAST(cnt.mx AS DOUBLE) / len(words) AS dominance
+        |      FROM w JOIN cnt ON w.doc_id = cnt.doc_id)
+        |SELECT doc_id, n_words, mean_len, distinct_ratio, dominance,
+        |       first_fail IS NULL AS pass, first_fail
+        |FROM (SELECT *,
+        |        CASE WHEN n_words < 20 THEN 'min_words'
+        |             WHEN mean_len < 4.0 OR mean_len > 5.0 THEN 'word_len'
+        |             WHEN distinct_ratio < 0.4 THEN 'distinct_ratio'
+        |             WHEN dominance > 0.125 THEN 'dominance' END AS first_fail
+        |      FROM m) f
         |ORDER BY doc_id""".stripMargin
   )
 }

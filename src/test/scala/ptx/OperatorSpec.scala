@@ -353,6 +353,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(smallest._3 == smallest._2, s"smallest stratum not fully kept: $smallest")
   }
 
+  test("approx_top_k: exact when budget ≥ domain; bounded subset when saturated") {
+    val words = Tables.documents(spark, TestSpark.SF)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val n = words.count()
+    val exact = words.groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def sketch(budget: Int) = words
+      .agg(expr(s"approx_top_k(word, 5, $budget)").as("tk"))
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // budget ≥ domain (31 corpus words): the regime the declared queries
+    // pin — every reported count is EXACT and the 5 reported counts are
+    // the 5 largest (set may differ from a specific top-5 only under ties)
+    val exactRegime = sketch(32)
+    assert(exactRegime.length == 5)
+    exactRegime.foreach { case (w, c) =>
+      assert(c == exact(w), s"budget≥domain must be exact: '$w' $c vs ${exact(w)}")
+    }
+    val fifthLargest = exact.values.toSeq.sorted(Ordering[Long].reverse)(4)
+    assert(exactRegime.map(_._2).min >= fifthLargest)
+    // saturated budget (< domain): reported items must still be real words
+    // with counts within the n/budget Frequent-Items bound. (Observed
+    // Spark 4.1 behavior on this distribution: a saturated sketch can
+    // return an EMPTY estimate — which is why the declared queries must
+    // keep budget ≥ domain, and why this assertion allows emptiness.)
+    val saturated = sketch(16)
+    saturated.foreach { case (w, c) =>
+      assert(exact.contains(w), s"saturated sketch invented item '$w'")
+      assert(math.abs(c - exact(w)) <= n / 16,
+        s"saturated count for '$w' ($c) off by more than n/16 from ${exact(w)}")
+    }
+  }
+
+  test("join_skew_salted equals the plain broadcast-join formulation") {
+    val thr = spark.createDataFrame(ops.Telemetry.thresholds).toDF("et", "thr")
+    val plain = Tables.events(spark, TestSpark.SF)
+      .join(broadcast(thr), col("event_type") === col("et"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = q("join_skew_salted")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("llm_quality_filter: pass iff no rule fails, and first_fail recomputes") {
+    val rows = q("llm_quality_filter").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nw, ml, dr, dom) = (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      val expected =
+        if (nw < 20) "min_words"
+        else if (ml < 4.0 || ml > 5.0) "word_len"
+        else if (dr < 0.4) "distinct_ratio"
+        else if (dom > 0.125) "dominance"
+        else null
+      assert(r.getBoolean(5) == (expected == null), s"pass flag wrong for doc ${r.getLong(0)}")
+      assert((if (r.isNullAt(6)) null else r.getString(6)) == expected,
+        s"first_fail wrong for doc ${r.getLong(0)}")
+    }
+    // both outcomes must occur, or the rules are vacuous on this corpus
+    assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
+  }
+
   test("pt_sessionize: session bounds respect the 30-minute gap invariant") {
     val rows = q("pt_sessionize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getTimestamp(4)))
