@@ -269,6 +269,64 @@ object Pipelines {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
+  /** CHAINED stateful aggregations in one streaming query (Spark 4 multiple
+    * stateful operators): 15-minute tumbling counts per type, re-windowed
+    * into 1-hour rollups (peak quarter + hourly total) by aggregating ON
+    * the first aggregation's window column (`window(w15, '1 hour')`). The
+    * pre-Spark-3.4 workaround was two queries glued by a sink; here the
+    * intermediate frame never materializes outside the pipeline. Both
+    * levels' state shards by (window, type) and the shared watermark
+    * bounds both stores. Batch twin: the identical expression chain on a
+    * static frame (StreamingSpec asserts equality).
+    */
+  def chainedWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "15 minutes").as("w15"), col("event_type"))
+      .agg(count(lit(1)).as("n15"))
+      .groupBy(window(col("w15"), "1 hour").as("w60"), col("event_type"))
+      .agg(max(col("n15")).as("peak_quarter"), sum(col("n15")).as("n60"))
+      .select(col("w60.start").as("hour"), col("event_type"),
+        col("peak_quarter"), col("n60"))
+
+  /** Emitted by the ListState pipeline: rolling mean of the user's last ≤3
+    * event values, one row per input event. */
+  case class Rolling(user_id: Long, event_id: Long, mean3: Double)
+
+  /** Bounded last-N buffer per key via transformWithState LIST state: keeps
+    * the user's 3 most recent values (explicit eviction on append) and
+    * emits the buffer mean per event — the streaming twin of
+    * win_moving_avg's 3-row frame. ListState is the right primitive for
+    * buffers: appends are O(1) row-writes in RocksDB (no read-modify-write
+    * of a serialized blob, unlike a ValueState[Seq]), and the bound keeps
+    * per-key state O(N) regardless of stream length.
+    */
+  class RecentValuesProcessor
+      extends StatefulProcessor[Long, Event, Rolling] {
+    @transient private var buf: org.apache.spark.sql.streaming.ListState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      buf = getHandle.getListState[Double]("recent", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[Rolling] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var cur = buf.get().toList
+      val out = sorted.map { e =>
+        cur = (cur :+ e.value).takeRight(3)
+        Rolling(key, e.event_id, cur.sum / cur.size)
+      }
+      buf.put(cur.toArray)
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for RecentValuesProcessor. */
+  def rollingMeans(events: Dataset[Event]): Dataset[Rolling] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RecentValuesProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert
     * on every new running max and on every 3rd+ consecutive error event.
     * Events within a batch are processed in (ts, event_id) order so results

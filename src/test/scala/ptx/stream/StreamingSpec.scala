@@ -398,4 +398,52 @@ class StreamingSpec extends AnyFunSuite {
     Pipelines.writeBatch(feed.drop(4).toDF(), 1L, s"$root/out")
     assert(readAll() == feed.map(_.event_id).sorted, "batch rewrite duplicated rows")
   }
+
+  test("chained windowed aggregations (15 min → 1 h) equal the batch chain (r5)") {
+    // chained stateful aggregations are an APPEND-mode pattern (complete
+    // mode trips the multi-stateful-operator correctness check): only
+    // windows finalized by the watermark are emitted, so a sentinel event
+    // at min 200 pushes the final watermark to 190, closing hours 0-2
+    val sentinel = Event(99, ts(200), 99, "view", 0.0)
+    val streamed = runStream(feed :+ sentinel, "append")(Pipelines.chainedWindows)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = Pipelines.chainedWindows((feed :+ sentinel).toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .filter(_._1.before(ts(180))) // the sentinel's own hour never finalizes
+      .toSet
+    assert(streamed == batch, s"streamed $streamed vs batch $batch")
+    assert(batch.nonEmpty)
+    // hour 0 clicks: min 0, 20, 40 → one per quarter → peak 1, total 3;
+    // hour 0 errors: min 2, 8, 12 all in quarter [0,15) → peak 3, total 3
+    assert(batch.contains((ts(0), "click", 1L, 3L)), s"got $batch")
+    assert(batch.contains((ts(0), "error", 3L, 3L)), s"got $batch")
+  }
+
+  test("transformWithState ListState keeps a bounded last-3 buffer across batches (r5)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "rolling_sink"
+    val q = Pipelines.rollingMeans(ms.toDS()).toDF("user_id", "event_id", "mean3")
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(Seq(Event(1, ts(0), 3, "click", 1.0), Event(2, ts(1), 3, "click", 2.0)))
+      q.processAllAvailable()
+      ms.addData(Seq(Event(3, ts(2), 3, "click", 6.0), Event(4, ts(3), 3, "click", 10.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getDouble(2))).toMap
+      // buffers: [1] → 1.0; [1,2] → 1.5; [1,2,6] → 3.0 (cross-batch state);
+      // [2,6,10] → 6.0 (event 1 evicted by the 3-element bound)
+      assert(got == Map(1L -> 1.0, 2L -> 1.5, 3L -> 3.0, 4L -> 6.0), s"got $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
