@@ -42,14 +42,22 @@ object Skew {
     * into `buckets` sub-keys and replicate the small side once per salt, so
     * one hot hash bucket becomes `buckets` even ones. Row multiplicity is
     * unchanged — each big row matches exactly its own salt's replica.
+    *
+    * `forceShuffle` pins a shuffled join (SHUFFLE_HASH hint on the
+    * replicated side): on a small test dim JoinSelection would broadcast —
+    * correct, but then nothing shuffles and the salt never reaches a
+    * partitioner, so the plan under test wouldn't be the plan this utility
+    * exists for (a dim too big to broadcast against a skewed fact side).
     */
   def saltedJoin(big: DataFrame, small: DataFrame, bigKey: String,
-                 smallKey: String, buckets: Int): DataFrame = {
+                 smallKey: String, buckets: Int,
+                 forceShuffle: Boolean = false): DataFrame = {
     val saltedBig = big.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)).cast("int"))
     val salts = small.sparkSession.range(buckets.toLong)
       .select(col("id").cast("int").as("__salt"))
-    val replicatedSmall = small.crossJoin(salts)
+    val replicated = small.crossJoin(salts)
+    val replicatedSmall = if (forceShuffle) replicated.hint("shuffle_hash") else replicated
     saltedBig.join(replicatedSmall,
         saltedBig(bigKey) === replicatedSmall(smallKey) &&
         saltedBig("__salt") === replicatedSmall("__salt"))

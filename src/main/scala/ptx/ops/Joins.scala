@@ -174,12 +174,13 @@ object Joins {
     // Salting is purely physical (each row still matches exactly its own
     // dim row), so the oracle is the plain join — same thresholds table as
     // pt_threshold_alerts, rendered into the SQL from the same Seq.
-    // (With a dim this small broadcast would beat any shuffle; the declared
-    // query pins the salted-shuffle plan for the case where the skewed side
-    // must shuffle anyway — e.g. the dim exceeds broadcast budget.)
+    // forceShuffle pins the shuffled-join plan (shuffle on (type, salt));
+    // without it JoinSelection would broadcast this 5-row dim and the salt
+    // would never reach a partitioner (plan-asserted in OperatorSpec).
     "join_skew_salted" -> ((s, d) => {
       val thr = s.createDataFrame(Telemetry.thresholds).toDF("et", "thr")
-      ptx.functions.Skew.saltedJoin(Tables.events(s, d), thr, "event_type", "et", 8)
+      ptx.functions.Skew.saltedJoin(Tables.events(s, d), thr, "event_type", "et", 8,
+          forceShuffle = true)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"))

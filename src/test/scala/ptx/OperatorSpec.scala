@@ -398,6 +398,15 @@ class OperatorSpec extends AnyFunSuite {
     val salted = q("join_skew_salted")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(salted == plain)
+    // the declared query must pin the SHUFFLED join with the salt in the
+    // join keys — broadcast would never partition by salt (sparkPlan, not
+    // executedPlan: AQE hides children from collect)
+    val shj = q("join_skew_salted").queryExecution.sparkPlan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shj.nonEmpty, "salted join was not planned as a shuffled hash join")
+    assert(shj.head.leftKeys.exists(_.toString.contains("__salt")),
+      s"salt missing from join keys: ${shj.head.leftKeys}")
   }
 
   test("llm_quality_filter: pass iff no rule fails, and first_fail recomputes") {
