@@ -118,6 +118,46 @@ object Composite {
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
         .orderBy(col("c_nationkey"))
+    }),
+    // Q14 shape: promo revenue share in ship-year 1997. The share divides
+    // the two ROUNDED sums so both engines divide identical operands
+    // (raw double sums differ in accumulation order).
+    "q14_promo_share" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).filter(
+        col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      val p = Tables.part(s, d).select(col("p_partkey"), col("p_type"))
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))), 2)
+            .as("promo_rev"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("total_rev"))
+        .select(col("promo_rev"), col("total_rev"),
+          round(lit(100.0) * col("promo_rev") / col("total_rev"), 6)
+            .as("promo_share"))
+    }),
+    // Q19 shape: disjunctive multi-column predicate (three OR'd
+    // brand/size/quantity triples) — the pattern that exercises CNF
+    // conversion and partial predicate pushdown; grouped by brand so the
+    // result hashes more than one row.
+    "q19_disjunctive" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 30) &&
+            col("l_quantity").between(20, 30)))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"))
+        .orderBy(col("p_brand"))
     })
   )
 
@@ -172,6 +212,28 @@ object Composite {
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey
-        |ORDER BY c_nationkey""".stripMargin
+        |ORDER BY c_nationkey""".stripMargin,
+    "q14_promo_share" ->
+      """SELECT promo_rev, total_rev,
+        |       round(100.0 * promo_rev / total_rev, 6) AS promo_share
+        |FROM (
+        |  SELECT
+        |    round(sum(CASE WHEN p_type = 'PROMO'
+        |              THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_rev,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01') t""".stripMargin,
+    "q19_disjunctive" ->
+      """SELECT p_brand, count(*) AS n,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 30
+        |       AND l_quantity BETWEEN 20 AND 30)
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
   )
 }

@@ -222,6 +222,34 @@ object Curation {
         .filter(col("cum_tokens") <= 10000)
         .select(col("doc_id"), col("n_chars"), col("est_bpe"), col("cum_tokens"))
         .orderBy(col("doc_id"))
+    }),
+    // CCNet-style LM quality proxy (r5): per-doc mean negative log
+    // probability under the corpus's own unigram model. Docs of common
+    // words score low (natural-looking), rare-word salads score high —
+    // the cheap stand-in for the KenLM perplexity filter. Scale shape:
+    // the unigram model is |vocab|-sized (one aggregation), folds into a
+    // 1-row MAP frame, and broadcasts — the corpus is then scored in one
+    // HOF pass with NO per-word shuffle (the naive explode+join+re-agg
+    // shuffles the corpus twice). The keep flag compares the ROUNDED
+    // score so the boundary is engine-deterministic (raw fold order
+    // differs across engines at ~1e-14).
+    "llm_unigram_logprob" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val lp = wc.crossJoin(broadcast(words.agg(count(lit(1)).as("t"))))
+        .select(col("word"),
+          (-log(col("c").cast("double") / col("t"))).as("lp"))
+      val model = lp.agg(
+        map_from_entries(collect_list(struct(col("word"), col("lp")))).as("m"))
+      Tables.documents(s, d)
+        .crossJoin(broadcast(model))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"),
+          round(expr("aggregate(w, 0.0D, (a, x) -> a + element_at(m, x))") /
+            size(col("w")), 6).as("avg_neg_logp"))
+        .withColumn("is_natural", col("avg_neg_logp") <= 3.41)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -304,6 +332,21 @@ object Curation {
         |  CAST(sum(CAST(ceil(CAST(n_chars AS DOUBLE) / 4.0) AS BIGINT))
         |       OVER (ORDER BY n_chars DESC, doc_id) AS BIGINT) AS cum_tokens
         |FROM documents QUALIFY cum_tokens <= 10000
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    // join-based twin of the broadcast-map fold (same per-word -ln terms;
+    // accumulation-order noise ~1e-14 is absorbed by the 6dp round)
+    "llm_unigram_logprob" ->
+      """WITH wc AS (
+        |  SELECT word, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) e
+        |  GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM wc),
+        |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |scored AS (
+        |  SELECT doc_id, round(avg(-ln(c / t)), 6) AS avg_neg_logp
+        |  FROM e JOIN wc USING (word) CROSS JOIN tot
+        |  GROUP BY doc_id)
+        |SELECT doc_id, avg_neg_logp, avg_neg_logp <= 3.41 AS is_natural
+        |FROM scored ORDER BY doc_id""".stripMargin
   )
 }

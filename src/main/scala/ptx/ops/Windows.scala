@@ -119,6 +119,29 @@ object Windows {
           round(first(col("value")).over(w), 2).as("day_first"),
           round(last(col("value")).over(w), 2).as("day_last"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ gaps-and-islands (r5): each user's error streaks via the
+    // two-row_number difference — rn over all events minus rn over error
+    // events is constant within a consecutive-error island — then one
+    // aggregation per island and a per-user max. All three windows + both
+    // aggregations partition by user_id: ONE shuffle, then a tiny
+    // per-user frame. Reported: longest streak + number of streaks ≥ 2.
+    "win_error_streaks" -> ((s, d) => {
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byUserErr = Window.partitionBy(col("user_id"), col("is_err"))
+        .orderBy(col("ts"), col("event_id"))
+      val islands = Tables.events(s, d)
+        .withColumn("is_err", (col("event_type") === "error").cast("int"))
+        .withColumn("grp",
+          row_number().over(byUser) - row_number().over(byUserErr))
+        .filter(col("is_err") === 1)
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("streak"))
+      islands.groupBy(col("user_id"))
+        .agg(max(col("streak")).as("longest_streak"),
+          sum(when(col("streak") >= 2, 1L).otherwise(0L)).as("n_multi_streaks"))
+        .orderBy(col("user_id"))
     })
   )
 
@@ -175,6 +198,24 @@ object Windows {
         |FROM (SELECT *, CAST(ts AS DATE) AS day FROM $EV) e
         |WINDOW w AS (PARTITION BY user_id, day ORDER BY ts, event_id
         |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "win_error_streaks" ->
+      s"""WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM $EV),
+        |grouped AS (
+        |  SELECT user_id, is_err,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |       - row_number() OVER (PARTITION BY user_id, is_err
+        |                            ORDER BY ts, event_id) AS grp
+        |  FROM marked),
+        |islands AS (
+        |  SELECT user_id, grp, count(*) AS streak
+        |  FROM grouped WHERE is_err = 1 GROUP BY user_id, grp)
+        |SELECT user_id, max(streak) AS longest_streak,
+        |       CAST(sum(CASE WHEN streak >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_multi_streaks
+        |FROM islands GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

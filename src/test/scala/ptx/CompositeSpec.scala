@@ -41,4 +41,20 @@ class CompositeSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(1) > 0))
     assert(rows.map(_.get(0)).distinct.length == rows.length)
   }
+
+  test("q14: promo share is the rounded ratio of its own reported operands") {
+    val r = q("q14_promo_share").collect()(0)
+    val (promo, total, share) = (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(promo > 0 && promo < total)
+    assert(share == BigDecimal(100.0 * promo / total)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("q19: only the three declared brands appear, with positive revenue") {
+    val rows = q("q19_disjunctive").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet
+      .subsetOf(Set("Brand#12", "Brand#23", "Brand#3")))
+    assert(rows.forall(_.getDouble(2) > 0))
+  }
 }

@@ -428,6 +428,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(_.getBoolean(5)) && rows.exists(!_.getBoolean(5)))
   }
 
+  test("win_error_streaks: longest streak recomputes from raw events for every user") {
+    val raw = Tables.events(spark, TestSpark.SF)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    val expected = raw.groupBy(_._1).map { case (u, evs) =>
+      val types = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      var cur = 0; var best = 0; var multi = 0L
+      types.foreach { t =>
+        if (t == "error") { cur += 1; best = math.max(best, cur) }
+        else { if (cur >= 2) multi += 1; cur = 0 }
+      }
+      if (cur >= 2) multi += 1
+      u -> (best, multi)
+    }.filter(_._2._1 > 0)
+    val got = q("win_error_streaks").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1).toInt, r.getLong(2))).toMap
+    assert(got == expected, s"streaks mismatch: got ${got.size} users, expected ${expected.size}")
+  }
+
+  test("llm_unigram_logprob: scores bounded by the rarest/commonest word logprobs") {
+    val words = Tables.documents(spark, TestSpark.SF)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val counts = words.groupBy("word").count().collect().map(_.getLong(1))
+    val t = counts.sum.toDouble
+    val (lo, hi) = (-math.log(counts.max / t), -math.log(counts.min / t))
+    val rows = q("llm_unigram_logprob").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getDouble(1)
+      assert(v >= lo - 1e-6 && v <= hi + 1e-6, s"doc ${r.getLong(0)} score $v outside [$lo, $hi]")
+      assert(r.getBoolean(2) == (v <= 3.41))
+    }
+  }
+
   test("pt_sessionize: session bounds respect the 30-minute gap invariant") {
     val rows = q("pt_sessionize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getTimestamp(4)))
