@@ -105,44 +105,52 @@ object TextAnalysis {
           (col("doc_id") === col("keep_id")).as("is_canonical"))
         .orderBy(col("doc_id"))
     }),
-    // ✓ C4/Gopher-style rule-chain document filter: length, mean word
-    // length, vocabulary diversity, single-word dominance — each doc gets
-    // a pass flag plus the FIRST failing rule (the audit trail a curation
-    // pipeline reports). Thresholds are pinned to split this corpus
-    // non-trivially (measured: 91% / 97% / 66% / ~85% per-rule pass at
-    // sf0.01); punctuation/boilerplate rules are vacuous on the
-    // no-punctuation fixture text and deliberately omitted.
-    // Scale: pure scan, zero shuffle — dominance (max in-doc word
-    // multiplicity) folds over the SORTED word array as a max run length
-    // in one codegen'd HOF instead of an explode + per-word groupBy.
-    "llm_quality_filter" -> ((s, d) => {
-      Tables.documents(s, d)
-        .withColumn("w", split(col("text"), " "))
-        .withColumn("n_words", size(col("w")))
-        .withColumn("mean_len",
-          expr("aggregate(w, 0, (a, x) -> a + length(x))").cast("double") /
-            col("n_words"))
-        .withColumn("distinct_ratio",
-          size(array_distinct(col("w"))).cast("double") / col("n_words"))
-        .withColumn("max_run", expr(
-          """aggregate(sort_array(w), named_struct('prev', '', 'run', 0, 'mx', 0),
-            |  (a, x) -> named_struct(
-            |    'prev', x,
-            |    'run', IF(x = a.prev, a.run + 1, 1),
-            |    'mx', greatest(a.mx, IF(x = a.prev, a.run + 1, 1))),
-            |  a -> a.mx)""".stripMargin))
-        .withColumn("dominance", col("max_run").cast("double") / col("n_words"))
-        .withColumn("first_fail",
-          when(col("n_words") < 20, "min_words")
-            .when(col("mean_len") < 4.0 || col("mean_len") > 5.0, "word_len")
-            .when(col("distinct_ratio") < 0.4, "distinct_ratio")
-            .when(col("dominance") > 0.125, "dominance"))
-        .select(col("doc_id"), col("n_words"), col("mean_len"),
-          col("distinct_ratio"), col("dominance"),
-          col("first_fail").isNull.as("pass"), col("first_fail"))
-        .orderBy(col("doc_id"))
-    })
+    // ✓ C4/Gopher-style rule-chain document filter — see [[qualityFilter]]
+    "llm_quality_filter" -> ((s, d) =>
+      qualityFilter(Tables.documents(s, d)).orderBy(col("doc_id")))
   )
+
+  /** C4/Gopher-style rule-chain document filter: length, mean word length,
+    * vocabulary diversity, single-word dominance — each doc gets a pass
+    * flag plus the FIRST failing rule (the audit trail a curation pipeline
+    * reports). Thresholds are pinned to split this corpus non-trivially
+    * (measured: 91% / 97% / 66% / ~85% per-rule pass at sf0.01);
+    * punctuation/boilerplate rules are vacuous on the no-punctuation
+    * fixture text and deliberately omitted.
+    *
+    * Scale: pure scan, zero shuffle — dominance (max in-doc word
+    * multiplicity) folds over the SORTED word array as a max run length in
+    * one HOF instead of an explode + per-word groupBy. Stateless
+    * project-only arithmetic, so it runs UNCHANGED on a streaming
+    * documents frame (StreamingSpec asserts the batch-twin property) —
+    * quality filtering is the curation step most often applied at INGEST
+    * time, before anything lands in the lake.
+    */
+  def qualityFilter(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")))
+      .withColumn("mean_len",
+        expr("aggregate(w, 0, (a, x) -> a + length(x))").cast("double") /
+          col("n_words"))
+      .withColumn("distinct_ratio",
+        size(array_distinct(col("w"))).cast("double") / col("n_words"))
+      .withColumn("max_run", expr(
+        """aggregate(sort_array(w), named_struct('prev', '', 'run', 0, 'mx', 0),
+          |  (a, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x = a.prev, a.run + 1, 1),
+          |    'mx', greatest(a.mx, IF(x = a.prev, a.run + 1, 1))),
+          |  a -> a.mx)""".stripMargin))
+      .withColumn("dominance", col("max_run").cast("double") / col("n_words"))
+      .withColumn("first_fail",
+        when(col("n_words") < 20, "min_words")
+          .when(col("mean_len") < 4.0 || col("mean_len") > 5.0, "word_len")
+          .when(col("distinct_ratio") < 0.4, "distinct_ratio")
+          .when(col("dominance") > 0.125, "dominance"))
+      .select(col("doc_id"), col("n_words"), col("mean_len"),
+        col("distinct_ratio"), col("dominance"),
+        col("first_fail").isNull.as("pass"), col("first_fail"))
 
   def oracle: Map[String, String] = Map(
     "llm_lang_id" ->

@@ -224,6 +224,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming the documents table through the quality filter equals batch (r5)") {
+    val name = "qf_stream_sink"
+    val q = ptx.ops.TextAnalysis.qualityFilter(ptx.Tables.documentsStream(spark, TestSpark.SF))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+        r.getBoolean(5), if (r.isNullAt(6)) "" else r.getString(6))
+    val streamed = spark.table(name).collect().map(key).toSet
+    val batch = ptx.ops.TextAnalysis.qualityFilter(ptx.Tables.documents(spark, TestSpark.SF))
+      .collect().map(key).toSet
+    assert(streamed == batch && batch.nonEmpty)
+    assert(streamed.exists(!_._6), "expected at least one failing doc in the stream")
+  }
+
   test("left-outer stream-stream join emits unmatched purchases with null click after the watermark closes") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "attr_outer_sink"
