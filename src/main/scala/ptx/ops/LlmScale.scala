@@ -32,6 +32,46 @@ object LlmScale {
   private def shingles(s: SparkSession, d: String): DataFrame =
     ptx.functions.TextShingles.shingles(Tables.documents(s, d))
 
+  /** IVF coarse centroids: full-dimension float32 mean vector per cell
+    * (cell = label; a production build substitutes k-means assignments).
+    * The float32 CAST is deliberate — it absorbs avg()'s double-ulp
+    * accumulation differences so the centroid is reproducible bit-for-bit
+    * across engines AND across a parquet round-trip, which is what lets
+    * `ptx.sources.VectorIndex` persist this frame as a build-once index.
+    * Schema: (label, centroid array<float>). */
+  private[ptx] def ivfCentroids(e: DataFrame): DataFrame =
+    e.select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+        .as("centroid"))
+
+  /** IVF probe: rank cells by probe↔centroid cosine, exact-score only the
+    * nprobe nearest cells' vectors, return top-k per probe. `cent` may be
+    * the live [[ivfCentroids]] frame or a persisted index read back
+    * (`VectorIndex.read`) — identical results either way (tested).
+    * Requires `VectorOps.register` on the session (cosine_sim). */
+  private[ptx] def ivfProbe(cent: DataFrame, e: DataFrame, probes: DataFrame,
+                            nprobe: Int, k: Int): DataFrame = {
+    val cellRank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("csim").desc, col("label"))
+    val cells = probes.crossJoin(broadcast(cent))
+      .withColumn("csim", expr("cosine_sim(p, centroid)"))
+      .withColumn("crnk", row_number().over(cellRank))
+      .filter(col("crnk") <= nprobe)
+      .select(col("probe_id"), col("p"), col("label"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
+    cells.join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("label")), Seq("label"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", expr("cosine_sim(p, c)"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
+      .orderBy(col("probe_id"), col("rnk"))
+  }
+
   /** Connected components over a (doc1, doc2) pair list via min-label
     * propagation → (doc_id, cluster_id = min doc_id in component). Shared
     * by the exact finisher (`llm_dedup_cluster`) and the LSH scale path
@@ -258,32 +298,9 @@ object LlmScale {
     "llm_ann_ivf" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)
-      // coarse centroids (full 64 dims) per label
-      val cent = e
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
-          .as("centroid"))
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
-      val cellRank = Window.partitionBy(col("probe_id"))
-        .orderBy(col("csim").desc, col("label"))
-      val cells = probes.crossJoin(broadcast(cent))
-        .withColumn("csim", expr("cosine_sim(p, centroid)"))
-        .withColumn("crnk", row_number().over(cellRank))
-        .filter(col("crnk") <= 3)
-        .select(col("probe_id"), col("p"), col("label"))
-      val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
-      cells.join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
-          col("label")), Seq("label"))
-        .filter(col("probe_id") =!= col("cand_id"))
-        .withColumn("sim", expr("cosine_sim(p, c)"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
-        .orderBy(col("probe_id"), col("rnk"))
+      ivfProbe(ivfCentroids(e), e, probes, nprobe = 3, k = 5)
     }),
     // ✓ int8 symmetric embedding quantization (r4): per-vector scale =
     // max|x| / 127, q_i = floor(x_i·127/mx + 0.5) — the 4× memory cut

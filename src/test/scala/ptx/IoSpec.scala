@@ -44,6 +44,26 @@ class IoSpec extends AnyFunSuite {
       events.filter(to_date(col("ts")) === "2024-01-02").count())
   }
 
+  test("persisted IVF index: probe against parquet index equals the inline query (r5)") {
+    val dir = tmp("ptx-ivf")
+    val e = Tables.embeddings(spark, TestSpark.SF)
+    ptx.sources.VectorIndex.write(e, dir)
+    // index artifact is broadcast-sized: one float32 vector per cell
+    val idx = ptx.sources.VectorIndex.read(spark, dir)
+    assert(idx.columns.toSeq == Seq("label", "centroid"))
+    assert(idx.count() == e.select("label").distinct().count())
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
+    val persisted = ptx.sources.VectorIndex
+      .probe(spark, dir, e, probes, nprobe = 3, k = 5)
+      .collect().map(key).toSeq
+    val inline = QueryRegistry.all("llm_ann_ivf")(spark, TestSpark.SF)
+      .collect().map(key).toSeq
+    assert(persisted == inline, "persisted-index probe diverged from the inline query")
+  }
+
   test("bucketed table: groupBy on the bucket key plans no shuffle") {
     Io.writeBucketed(events.select("event_id", "user_id", "value"),
       "ev_bucketed", buckets = 4, bucketCol = "user_id", sortCol = "event_id")

@@ -91,6 +91,37 @@ class OperatorSpec extends AnyFunSuite {
     budget("llm_token_budget", 6)
   }
 
+  test("plan budget: r5 additions hold their shuffle structure") {
+    def budget(name: String, bound: Int): Unit = {
+      val n = measuredExchanges(name)
+      ptx.Caching.releaseAll()
+      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
+    }
+    // zero-shuffle scan + output sort only
+    budget("llm_quality_filter", 2)
+    // one user_id shuffle shared by all windows/aggs + output sort
+    budget("win_error_streaks", 3)
+    // corpus is never shuffled per word: vocab agg + model fold + sort
+    // (the naive explode+join+re-agg formulation measures well above)
+    budget("llm_unigram_logprob", 6)
+    // one (order,supplier) agg + windows + final agg + sort
+    budget("q21_late_suppliers", 5)
+  }
+
+  test("q19: the disjunctive predicate partially pushes brand/size to the part scan") {
+    // sparkPlan, not executedPlan: the AQE wrapper hides children from collect
+    val scans = q("q19_disjunctive").queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+        if s.tableIdentifier.isEmpty && s.output.exists(_.name == "p_brand") => s
+    }
+    assert(scans.nonEmpty, "no part scan found")
+    // CNF extraction must surface the brand disjunction as a pushable
+    // In/Or filter on p_brand (the per-branch size/quantity conjuncts
+    // stay in the post-scan filter)
+    assert(scans.head.dataFilters.map(_.toString).exists(f =>
+      f.contains("p_brand")), s"p_brand not pushed: ${scans.head.dataFilters}")
+  }
+
   test("agg_approx_distinct is within 5% of exact countDistinct") {
     val approx = q("agg_approx_distinct").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
