@@ -40,4 +40,57 @@ object VectorIndex {
     ptx.functions.VectorOps.register(spark)
     ptx.ops.LlmScale.ivfProbe(read(spark, dir), embeddings, probes, nprobe, k)
   }
+
+  /** Deterministic mini-Lloyd k-means — the production IVF cell builder
+    * the label-based stand-in defers to. No RNG anywhere: seeds are the k
+    * lowest-vec_id vectors and ties in assignment break toward the lower
+    * cell id, so the build is reproducible across runs, engines, and
+    * partitionings (the property every other deterministic operator in
+    * this engine pins).
+    *
+    * Scale shape, per iteration:
+    *  - ASSIGNMENT is shuffle-free: the k centroids fold into a one-row
+    *    broadcast array and each vector argmaxes over it in one HOF pass
+    *    (a per-vector window/groupBy formulation would shuffle the corpus
+    *    every round);
+    *  - UPDATE is the one unavoidable corpus shuffle (posexplode + mean
+    *    per (cell, dim)), identical in shape to [[ptx.ops.LlmScale.ivfCentroids]];
+    *  - the centroid frame is localCheckpoint'ed each round — k×dim floats
+    *    — so plan lineage stays O(1) per round (the r3 cluster lesson).
+    *
+    * Returns (centroids (label, centroid float32), assignments
+    * (vec_id, label)). Cosine assignment + mean update (spherical-ish
+    * k-means without the renorm; the probe side only ranks by cosine, so
+    * centroid scale is irrelevant).
+    */
+  def kmeans(embeddings: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    ptx.functions.VectorOps.register(spark)
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
+    // seed frame is k rows — the global window runs AFTER the limit
+    var cent: DataFrame = e.orderBy(col("vec_id")).limit(k)
+      .select((row_number().over(w) - 1).as("label"), col("embedding").as("centroid"))
+    var assign: DataFrame = null
+    (1 to iters).foreach { _ =>
+      val centArr = cent.agg(
+        expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))
+      assign = e.crossJoin(broadcast(centArr))
+        .withColumn("best", expr(
+          // max by (sim, -label): highest cosine wins, lower cell id on ties
+          """array_max(transform(cents,
+            |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
+            |              -c.label AS nl)))""".stripMargin))
+        .select(col("vec_id"), (-col("best.nl")).cast("int").as("label"))
+      cent = e.join(assign, "vec_id")
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(avg(col("x").cast("double")).as("c"))
+        .groupBy(col("label"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
+          .as("centroid"))
+        .localCheckpoint()
+    }
+    (cent, assign)
+  }
 }

@@ -64,6 +64,35 @@ class IoSpec extends AnyFunSuite {
     assert(persisted == inline, "persisted-index probe diverged from the inline query")
   }
 
+  test("deterministic k-means: reproducible cells that beat the global mean cosine (r5)") {
+    val e = Tables.embeddings(spark, TestSpark.SF)
+    val (cent1, assign1) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+    val (cent2, assign2) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+    // determinism: identical assignments and centroids across two builds
+    val a1 = assign1.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val a2 = assign2.collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(a1 == a2, "k-means assignments differ across identical builds")
+    assert(a1.length == e.count(), "every vector must be assigned")
+    assert(a1.map(_._2).distinct.length <= 8)
+    val c1 = cent1.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    val c2 = cent2.collect().map(r => (r.getInt(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(c1.toSeq == c2.toSeq, "centroids differ across identical builds")
+    // usefulness: mean cosine to the ASSIGNED centroid must beat the mean
+    // cosine to the global mean vector (cells are tighter than no cells)
+    ptx.functions.VectorOps.register(spark)
+    val withCent = e.drop("label").join(assign1, "vec_id")
+      .join(cent1.withColumnRenamed("label", "clabel"),
+        col("label") === col("clabel"))
+    val intra = withCent
+      .agg(avg(expr("cosine_sim(embedding, centroid)"))).collect()(0).getDouble(0)
+    val globalCent = ptx.ops.LlmScale.ivfCentroids(
+      e.withColumn("label", lit(0))).select(col("centroid"))
+    val global = e.crossJoin(broadcast(globalCent))
+      .agg(avg(expr("cosine_sim(embedding, centroid)"))).collect()(0).getDouble(0)
+    assert(intra > global,
+      s"k-means cells no tighter than the global mean: intra=$intra global=$global")
+  }
+
   test("bucketed table: groupBy on the bucket key plans no shuffle") {
     Io.writeBucketed(events.select("event_id", "user_id", "value"),
       "ev_bucketed", buckets = 4, bucketCol = "user_id", sortCol = "event_id")

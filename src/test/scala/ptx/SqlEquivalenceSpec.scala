@@ -31,6 +31,23 @@ class SqlEquivalenceSpec extends AnyFunSuite {
     assert(sql == df)
   }
 
+  test("spark.sql q13 distribution equals the DataFrame formulation (r5)") {
+    Tables.customer(spark, TestSpark.SF).createOrReplaceTempView("customer_v")
+    Tables.orders(spark, TestSpark.SF).createOrReplaceTempView("orders_v")
+    val sql = spark.sql(
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer_v LEFT JOIN orders_v
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey) cc
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin)
+      .collect().map(_.toString).toSeq
+    val df = QueryRegistry.all("q13_cust_distribution")(spark, TestSpark.SF)
+      .collect().map(_.toString).toSeq
+    assert(sql == df)
+  }
+
   test("PtxExtensions injects cosine_sim into a fresh SQL-only session") {
     val old = spark // ensure the shared context exists
     // getOrCreate returns the existing default session (without extensions),
