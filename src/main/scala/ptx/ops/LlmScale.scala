@@ -302,6 +302,22 @@ object LlmScale {
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
       ivfProbe(ivfCentroids(e), e, probes, nprobe = 3, k = 5)
     }),
+    // ◌ IVF over LEARNED cells (r5): same probe, but the cells come from
+    // the deterministic mini-Lloyd k-means (VectorIndex.kmeans, 8 cells ×
+    // 3 iterations) instead of the label grouping — the production index
+    // build. Deterministic end to end (no RNG: lowest-vec_id seeds,
+    // lower-cell tie-break), but a 3-round iterative build has no
+    // tractable SQL twin → no oracle; LlmOpsSpec checks sims against
+    // brute force and recall vs the exact top-k.
+    "llm_ann_ivf_kmeans" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      val (cent, assign) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+      val cells = e.drop("label").join(assign, "vec_id")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      ivfProbe(cent, cells, probes, nprobe = 3, k = 5)
+    }),
     // ✓ int8 symmetric embedding quantization (r4): per-vector scale =
     // max|x| / 127, q_i = floor(x_i·127/mx + 0.5) — the 4× memory cut
     // that makes billion-vector ANN candidate scans fit executor RAM at

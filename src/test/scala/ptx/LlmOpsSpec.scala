@@ -70,6 +70,29 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann-ivf-kmeans: sims match brute force; recall overlaps the exact top-k") {
+    val brute = q("llm_knn_cosine").collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> (r.getInt(1), r.getDouble(3))).toMap
+    val km = q("llm_ann_ivf_kmeans").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(km.nonEmpty)
+    assert(km.forall { case (p, _, c, _) => p != c })
+    // same kernel ⇒ any pair also ranked by brute force must agree exactly
+    km.filter(t => brute.contains((t._1, t._3))).foreach { case (p, _, c, s) =>
+      assert(math.abs(brute((p, c))._2 - s) < 1e-9, s"sim mismatch for ($p,$c)")
+    }
+    // learned 3-of-8 cells must recover a nontrivial share of the exact
+    // top-5 (fixture locality is weak — max neighbor cosine ≈ 0.5 — so
+    // the bound is deliberately loose)
+    val kmProbes = km.map(_._1).toSet
+    val bruteTop5 = brute.filter { case ((p, _), (rnk, _)) =>
+      rnk <= 5 && kmProbes.contains(p)
+    }.keySet
+    val hit = km.count(t => bruteTop5.contains((t._1, t._3)))
+    assert(hit >= bruteTop5.size / 4,
+      s"k-means IVF recall too low: $hit of ${bruteTop5.size}")
+  }
+
   test("shingles handle documents with fewer than 3 words (no ANSI index crash)") {
     import spark.implicits._
     val docs = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"),
