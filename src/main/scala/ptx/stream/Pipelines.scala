@@ -327,6 +327,40 @@ object Pipelines {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** Streaming ANN probe — vector similarity SERVING over a prebuilt IVF
+    * index: a stream of probe vectors against static centroid + cell
+    * frames (e.g. `VectorIndex.read` + assigned corpus). Per micro-batch:
+    *  - cell ASSIGNMENT is stateless — the centroid frame folds into a
+    *    one-row broadcast array and each probe takes its nprobe best cells
+    *    in one HOF pass (same zero-shuffle trick as the k-means builder);
+    *  - candidates come from a stream-static equi join on the cell id;
+    *  - top-k per probe uses the mergeable TopK aggregator (streaming
+    *    aggregation; the batch window-rank formulation isn't available on
+    *    streams). Emits array<struct<sim, cand_id>> per probe, best first.
+    * State is one k-element buffer per probe key — bounded, shardable.
+    * Batch twin: `LlmScale.ivfProbe` over the same frames (StreamingSpec
+    * asserts set equality).
+    */
+  def annProbe(probes: DataFrame, cent: DataFrame, cells: DataFrame,
+               nprobe: Int = 3, k: Int = 5): DataFrame = {
+    ptx.functions.VectorOps.register(probes.sparkSession)
+    val centArr = cent.agg(
+      expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))
+    probes.crossJoin(broadcast(centArr))
+      .withColumn("cell", explode(expr(
+        // rank cells by (-cosine, label): best-first, lower label on ties
+        s"""slice(transform(array_sort(transform(cents,
+           |  c -> struct(-cosine_sim(p, c.centroid) AS ns, c.label AS label))),
+           |  s -> s.label), 1, $nprobe)""".stripMargin)))
+      .select(col("probe_id"), col("p"), col("cell").as("label"))
+      .join(cells.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c"), col("label")), Seq("label"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", expr("cosine_sim(p, c)"))
+      .groupBy(col("probe_id"))
+      .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), k).as("top"))
+  }
+
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert
     * on every new running max and on every 3rd+ consecutive error event.
     * Events within a batch are processed in (ts, event_id) order so results

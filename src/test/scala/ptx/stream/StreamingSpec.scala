@@ -8,6 +8,10 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.scalatest.funsuite.AnyFunSuite
 import ptx.TestSpark
 
+/** A probe vector row for the streaming ANN test (top-level so the
+  * case-class Encoder derives). */
+case class Probe(probe_id: Long, p: Array[Float])
+
 /** G10 streaming tests (SURVEY §5.4): MemoryStream replay must equal the
   * batch twin; watermarks drop late rows; dedup gives exactly-once counts;
   * the stateful pipeline matches a hand-computed fixture.
@@ -238,6 +242,41 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(key).toSet
     assert(streamed == batch && batch.nonEmpty)
     assert(streamed.exists(!_._6), "expected at least one failing doc in the stream")
+  }
+
+  test("streaming ANN probe over a static IVF index equals the batch probe (r5)") {
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    // build the index through the public persist/read round-trip — the
+    // serving topology this pipeline exists for
+    val centroids = {
+      val dir = java.nio.file.Files.createTempDirectory("ann_idx").toString
+      ptx.sources.VectorIndex.write(e, dir)
+      ptx.sources.VectorIndex.read(spark, dir)
+    }
+    val probesBatch = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
+      r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)
+        .map(s => (s.getDouble(0), s.getLong(1))).toList
+    }.toMap
+    val batch = keyed(Pipelines.annProbe(probesBatch, centroids, e).collect())
+    // stream the same probes in two micro-batches
+    val data = probesBatch.collect()
+      .map(r => Probe(r.getLong(0), r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[Probe](implicitly[org.apache.spark.sql.Encoder[Probe]], spark)
+    val name = "ann_probe_sink"
+    val q = Pipelines.annProbe(ms.toDF(), centroids, e)
+      .writeStream.format("memory").queryName(name).outputMode("complete")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      ms.addData(data.take(4).toSeq)
+      q.processAllAvailable()
+      ms.addData(data.drop(4).toSeq)
+      q.processAllAvailable()
+      val streamed = keyed(spark.table(name).collect())
+      assert(streamed == batch, s"streamed ANN ${streamed.size} probes != batch ${batch.size}")
+      assert(batch.nonEmpty && batch.values.forall(_.nonEmpty))
+    } finally q.stop()
   }
 
   test("left-outer stream-stream join emits unmatched purchases with null click after the watermark closes") {
