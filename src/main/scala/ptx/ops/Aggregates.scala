@@ -232,7 +232,12 @@ object Aggregates {
     // Saturation behavior is unit-tested in OperatorSpec: a budget below
     // the live domain can return an EMPTY estimate on Spark 4.1, so the
     // budget here must stay ≥ the domain (a real deployment sizes it to
-    // the expected heavy-hitter vocabulary, not the full tail).
+    // the expected heavy-hitter vocabulary, not the full tail). The
+    // estimate's k=64 is a second exactness bound: the threshold filter
+    // runs AFTER the top-64 truncation, so k must stay ≥ the number of
+    // items that can meet the threshold (64 ≥ the 31-word domain here —
+    // a vocabulary change that grows past 64 qualifying items would
+    // silently drop rows the oracle reports).
     // Threshold selection (not rank-k) keeps ties deterministic:
     // equal-count words at a rank boundary would make top-k set choice
     // engine-arbitrary.

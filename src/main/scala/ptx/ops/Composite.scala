@@ -109,8 +109,12 @@ object Composite {
       val c = Tables.customer(s, d)
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
+      // avg rounded before the compare: the raw double avg differs across
+      // engines at ~1e-12 (accumulation order), an engine-divergent
+      // boundary for any balance equal to it — same discipline as q14's
+      // rounded-operand division and llm_unigram_logprob's keep flag
       val avgBal = c.filter(col("c_acctbal") > 0)
-        .agg(avg(col("c_acctbal")).as("a"))
+        .agg(round(avg(col("c_acctbal")), 6).as("a"))
       val idle = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .crossJoin(broadcast(avgBal))
         .filter(col("c_acctbal") > col("a"))
@@ -208,7 +212,7 @@ object Composite {
       """SELECT c_nationkey, count(*) AS numcust,
         |       round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey

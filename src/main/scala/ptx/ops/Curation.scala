@@ -237,7 +237,9 @@ object Curation {
       val words = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
       val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      val lp = wc.crossJoin(broadcast(words.agg(count(lit(1)).as("t"))))
+      // total from the |vocab|-sized counts frame — a words.count() here
+      // would re-explode the whole corpus for a number wc already holds
+      val lp = wc.crossJoin(broadcast(wc.agg(sum(col("c")).as("t"))))
         .select(col("word"),
           (-log(col("c").cast("double") / col("t"))).as("lp"))
       val model = lp.agg(

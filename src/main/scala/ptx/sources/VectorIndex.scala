@@ -64,6 +64,7 @@ object VectorIndex {
     * centroid scale is irrelevant).
     */
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    require(iters >= 1, s"kmeans needs at least one iteration, got $iters")
     val spark = embeddings.sparkSession
     ptx.functions.VectorOps.register(spark)
     val e = embeddings.select(col("vec_id"), col("embedding"))
@@ -82,13 +83,9 @@ object VectorIndex {
             |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
             |              -c.label AS nl)))""".stripMargin))
         .select(col("vec_id"), (-col("best.nl")).cast("int").as("label"))
-      cent = e.join(assign, "vec_id")
-        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy(col("label"), col("pos"))
-        .agg(avg(col("x").cast("double")).as("c"))
-        .groupBy(col("label"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
-          .as("centroid"))
+      // the ONE centroid recipe (float32 cast is load-bearing for the
+      // bit-exact persist/probe contract) — shared, not re-implemented
+      cent = ptx.ops.LlmScale.ivfCentroids(e.join(assign, "vec_id"))
         .localCheckpoint()
     }
     (cent, assign)

@@ -338,8 +338,10 @@ object Pipelines {
     *    aggregation; the batch window-rank formulation isn't available on
     *    streams). Emits array<struct<sim, cand_id>> per probe, best first.
     * State is one k-element buffer per probe key — bounded, shardable.
-    * Batch twin: `LlmScale.ivfProbe` over the same frames (StreamingSpec
-    * asserts set equality).
+    * Batch twin: THIS function on a static probes frame (StreamingSpec
+    * asserts streamed == batch). `LlmScale.ivfProbe` shares the candidate
+    * semantics but rounds sims to 6dp and tie-breaks by cand_id, so the
+    * two are equivalent in ranking, not row-identical.
     */
   def annProbe(probes: DataFrame, cent: DataFrame, cells: DataFrame,
                nprobe: Int = 3, k: Int = 5): DataFrame = {

@@ -463,8 +463,12 @@ class OperatorSpec extends AnyFunSuite {
     val raw = Tables.events(spark, TestSpark.SF)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3)))
+    // full-µs instant for the sort: getTime is ms-truncated and the
+    // fixture's events carry sub-ms micros — a ms tie-break could order
+    // same-ms events differently than the query's ORDER BY ts
+    def us(t: java.sql.Timestamp): Long = t.getTime / 1000 * 1000000 + t.getNanos / 1000
     val expected = raw.groupBy(_._1).map { case (u, evs) =>
-      val types = evs.sortBy(e => (e._2.getTime, e._3)).map(_._4)
+      val types = evs.sortBy(e => (us(e._2), e._3)).map(_._4)
       var cur = 0; var best = 0; var multi = 0L
       types.foreach { t =>
         if (t == "error") { cur += 1; best = math.max(best, cur) }
