@@ -252,6 +252,45 @@ object Curation {
             size(col("w")), 6).as("avg_neg_logp"))
         .withColumn("is_natural", col("avg_neg_logp") <= 3.41)
         .orderBy(col("doc_id"))
+    }),
+    // ✓ RAG-style chunking (r5): split every doc into 64-token windows on
+    // a 48-token stride (16-token overlap) — the retrieval-corpus prep
+    // step between cleaning and embedding. Pure per-row HOF work (no
+    // shuffle but the output sort): window starts come from sequence(),
+    // slice() clamps the tail chunk, and the chunk is fingerprinted so
+    // downstream exact-dedup can run at chunk granularity. Emits one row
+    // per (doc, chunk).
+    "llm_chunk_overlap" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(expr("sequence(1, greatest(size(w), 1), 48)"))
+            .as(Seq("chunk_id", "st")))
+        .select(col("doc_id"), col("chunk_id"),
+          size(expr("slice(w, st, 64)")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", expr("slice(w, st, 64)"))).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+    // ✓ temperature-weighted language mix (r5): the multilingual-sampling
+    // weight w_l ∝ (n_l/N)^α with α=0.3 — upsamples tail languages
+    // relative to their corpus share (the mBERT/XLM-R exponential
+    // smoothing recipe). The frame never exceeds |languages| rows after
+    // one aggregation, so the normalizing constant is a broadcast of a
+    // 1-row frame, not a global window. pow() is rounded 6dp on BOTH
+    // engines BEFORE normalization — libm vs JVM pow can differ in the
+    // last ulp, the same class of boundary round() discipline handles
+    // everywhere else.
+    "llm_sample_temperature" -> ((s, d) => {
+      val byLang = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n_total"))))
+        .withColumn("pa",
+          round(pow(col("n_docs").cast("double") / col("n_total"), 0.3), 6))
+      byLang.crossJoin(broadcast(byLang.agg(sum(col("pa")).as("z"))))
+        .select(col("lang"), col("n_docs"),
+          round(col("pa") / col("z"), 6).as("weight"),
+          round(col("pa") / col("z") * col("n_total"), 2).as("effective_docs"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -349,6 +388,25 @@ object Curation {
         |  FROM e JOIN wc USING (word) CROSS JOIN tot
         |  GROUP BY doc_id)
         |SELECT doc_id, avg_neg_logp, avg_neg_logp <= 3.41 AS is_natural
-        |FROM scored ORDER BY doc_id""".stripMargin
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "llm_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w,
+        |        unnest(generate_series(1, greatest(len(w), 1), 48)) AS st
+        |      FROM t)
+        |SELECT doc_id, CAST((st - 1) // 48 AS INTEGER) AS chunk_id,
+        |  CAST(len(list_slice(w, st, st + 63)) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(list_slice(w, st, st + 63), ' ')) AS chunk_fp
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
+    "llm_sample_temperature" ->
+      """WITH b AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT count(*) AS n_total FROM documents),
+        |p AS (SELECT lang, n_docs, n_total,
+        |        round(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3), 6) AS pa
+        |      FROM b CROSS JOIN t),
+        |z AS (SELECT sum(pa) AS z FROM p)
+        |SELECT lang, n_docs, round(pa / z, 6) AS weight,
+        |       round(pa / z * n_total, 2) AS effective_docs
+        |FROM p CROSS JOIN z ORDER BY lang""".stripMargin
   )
 }

@@ -128,6 +128,78 @@ object Telemetry {
         .filter((col("rn") - 1) % 10 === 0)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"), col("rn"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ ordered conversion funnel (r5): users who viewed, then clicked
+    // AFTER their first view, then purchased AFTER that first click —
+    // order-sensitive (a purchase before the click does not count), which
+    // is what separates a funnel from three independent counts. The
+    // chained-window formulation reuses ONE shuffle on user_id for all
+    // three stages (each stage's min(CASE) window reads the previous
+    // stage's column) — no per-stage self-join of the event log, which is
+    // the formulation that dies at 100 TB.
+    "pt_funnel" -> ((s, d) => {
+      val wu = Window.partitionBy(col("user_id"))
+      val staged = Tables.events(s, d)
+        .withColumn("t_view",
+          min(when(col("event_type") === "view", col("ts"))).over(wu))
+        .withColumn("t_click",
+          min(when(col("event_type") === "click" && col("ts") > col("t_view"),
+            col("ts"))).over(wu))
+        .withColumn("t_purchase",
+          min(when(col("event_type") === "purchase" && col("ts") > col("t_click"),
+            col("ts"))).over(wu))
+      // stage times are per-user constants; collapse then count non-nulls
+      staged.groupBy(col("user_id"))
+        .agg(max(col("t_view")).as("t_view"), max(col("t_click")).as("t_click"),
+          max(col("t_purchase")).as("t_purchase"))
+        .agg(count(col("t_view")).as("n_view"),
+          count(col("t_click")).as("n_click_after_view"),
+          count(col("t_purchase")).as("n_purchase_after_click"))
+    }),
+    // ✓ calendar gap-fill + forward-fill (r5): regularize each user's
+    // signal onto a 6-hour grid (epoch-aligned like the hop windows),
+    // filling empty buckets with the last observed bucket-average — the
+    // standard step before any fixed-step time-series model. The spine is
+    // generated per user from its own min/max bucket (span/step rows per
+    // user, bounded — never a global calendar cross join), and the fill is
+    // one ignoreNulls window over the same user_id partitioning the join
+    // just shuffled on. Bucket avg is rounded 6dp BEFORE the fill so both
+    // engines propagate identical values.
+    "pt_gap_fill" -> ((s, d) => {
+      val ag = Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))
+        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("v"))
+      val spine = ag.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("user_id"),
+          explode(expr("sequence(b0, b1, interval 6 hours)")).as("bucket"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      spine.join(ag, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("v"), ignoreNulls = true).over(w).as("avg_val_ff"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+    // ✓ percentile winsorization (r5): clip each type's values to its own
+    // exact [p05, p95] and report raw-vs-clipped means — the outlier
+    // containment step upstream of any z-score/threshold rule. Exact
+    // percentile is a full sort per group; at 100 TB swap in
+    // approx_percentile (same clip shape) — kept exact here because it is
+    // the oracle-checkable anchor. Percentiles rounded 6dp before the clip
+    // (engine-identical boundaries); the type dimension is tiny so the
+    // clip join broadcasts.
+    "pt_winsorize" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val pct = e.groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.05)"), 6).as("p05"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      e.join(broadcast(pct), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("value")), 6).as("avg_raw"),
+          round(avg(least(greatest(col("value"), col("p05")), col("p95"))), 6)
+            .as("avg_winsor"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -234,6 +306,40 @@ object Telemetry {
         |  SELECT event_id, user_id, ts, value,
         |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
         |  FROM $EV) t
-        |WHERE (rn - 1) % 10 = 0 ORDER BY event_id""".stripMargin
+        |WHERE (rn - 1) % 10 = 0 ORDER BY event_id""".stripMargin,
+    "pt_funnel" ->
+      s"""WITH a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |             OVER (PARTITION BY user_id) AS t_view FROM $EV),
+        |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t_view THEN ts END)
+        |        OVER (PARTITION BY user_id) AS t_click FROM a),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t_click THEN ts END)
+        |        OVER (PARTITION BY user_id) AS t_purchase FROM b),
+        |u AS (SELECT user_id, max(t_view) AS t_view, max(t_click) AS t_click,
+        |        max(t_purchase) AS t_purchase FROM c GROUP BY user_id)
+        |SELECT count(t_view) AS n_view, count(t_click) AS n_click_after_view,
+        |       count(t_purchase) AS n_purchase_after_click FROM u""".stripMargin,
+    "pt_gap_fill" ->
+      s"""WITH ag AS (
+        |  SELECT user_id,
+        |    make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS bucket,
+        |    count(*) AS n, round(avg(value), 6) AS v
+        |  FROM $EV GROUP BY user_id, bucket),
+        |sp AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(bucket), max(bucket), INTERVAL 6 HOUR)) AS bucket
+        |  FROM ag GROUP BY user_id)
+        |SELECT sp.user_id, sp.bucket, coalesce(n, 0) AS n_events,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY sp.user_id ORDER BY sp.bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_val_ff
+        |FROM sp LEFT JOIN ag ON sp.user_id = ag.user_id AND sp.bucket = ag.bucket
+        |ORDER BY sp.user_id, sp.bucket""".stripMargin,
+    "pt_winsorize" ->
+      s"""SELECT e.event_type, count(*) AS n, round(avg(value), 6) AS avg_raw,
+        |  round(avg(least(greatest(value, p05), p95)), 6) AS avg_winsor
+        |FROM $EV e JOIN (
+        |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS p05,
+        |         round(quantile_cont(value, 0.95), 6) AS p95
+        |  FROM $EV GROUP BY event_type) q USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

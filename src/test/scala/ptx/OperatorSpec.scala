@@ -497,6 +497,100 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("pt_funnel: stage counts recompute from a serial per-user replay (r5)") {
+    val evs = Tables.events(spark, TestSpark.SF)
+      .select(col("user_id"), col("ts"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000 + r.getTimestamp(1).getNanos / 1000 % 1000, r.getString(2)))
+    var nV = 0L; var nC = 0L; var nP = 0L
+    evs.groupBy(_._1).foreach { case (_, rows) =>
+      val tView = rows.filter(_._3 == "view").map(_._2).minOption
+      val tClick = tView.flatMap(v =>
+        rows.filter(e => e._3 == "click" && e._2 > v).map(_._2).minOption)
+      val tBuy = tClick.flatMap(c =>
+        rows.filter(e => e._3 == "purchase" && e._2 > c).map(_._2).minOption)
+      if (tView.isDefined) nV += 1
+      if (tClick.isDefined) nC += 1
+      if (tBuy.isDefined) nP += 1
+    }
+    val Array(row) = q("pt_funnel").collect()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((nV, nC, nP)))
+    assert(nV >= nC && nC >= nP, "funnel must be monotone")
+  }
+
+  test("pt_gap_fill: contiguous 6h grid per user, fills carry the last value (r5)") {
+    val rows = q("pt_gap_fill").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (u, rs) =>
+      val ordered = rs.sortBy(_._2)
+      // every step is exactly 6 h — no holes, no duplicates
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._2 - a._2 == 6L * 3600 * 1000, s"user $u grid step broken")
+        case _ =>
+      }
+      assert(ordered.head._3 > 0, s"user $u spine must start at an observed bucket")
+      // a filled bucket repeats the running value; an observed one may change it
+      ordered.sliding(2).foreach {
+        case Array(a, b) if b._3 == 0 =>
+          assert(b._4 == a._4, s"user $u filled bucket changed the carried value")
+        case _ =>
+      }
+    }
+  }
+
+  test("pt_winsorize: clipped mean sits between the clip bounds and moves toward them (r5)") {
+    val raw = Tables.events(spark, TestSpark.SF)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    q("pt_winsorize").collect().foreach { r =>
+      val (t, n, avgRaw, avgW) =
+        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val vals = raw.filter(_._1 == t).map(_._2)
+      assert(n == vals.length)
+      assert(math.abs(avgRaw - vals.sum / vals.length) < 1e-4)
+      // winsorized mean is bounded by the clip interval by construction
+      assert(avgW >= vals.min && avgW <= vals.max)
+    }
+  }
+
+  test("llm_chunk_overlap: chunk grid covers every doc; fps recompute for one doc (r5)") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val chunks = q("llm_chunk_overlap").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    chunks.groupBy(_._1).foreach { case (d, cs) =>
+      val w = docs(d)
+      val expectStarts = 1 to math.max(w.length, 1) by 48
+      assert(cs.length == expectStarts.length, s"doc $d chunk count")
+      assert(cs.map(_._2).sorted.toSeq == cs.indices.toSeq, s"doc $d chunk ids")
+      cs.sortBy(_._2).zip(expectStarts).foreach { case ((_, _, n, fp), st) =>
+        val exp = w.slice(st - 1, st - 1 + 64)
+        assert(n == exp.length, s"doc $d chunk at $st length")
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(exp.mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        assert(fp == md, s"doc $d chunk at $st fingerprint")
+      }
+    }
+  }
+
+  test("llm_sample_temperature: weights normalize and upsample tail languages (r5)") {
+    val rows = q("llm_sample_temperature").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val nTotal = rows.map(_._2).sum
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights must sum to 1")
+    // α < 1 compresses the distribution: every tail language's weight
+    // exceeds its raw share, every head language's is below it
+    rows.foreach { case (lang, n, w, eff) =>
+      val share = n.toDouble / nTotal
+      if (share < 0.2) assert(w > share, s"$lang tail not upsampled")
+      if (share > 0.2) assert(w < share, s"$lang head not downsampled")
+      assert(math.abs(eff - w * nTotal) < 0.011)
+    }
+  }
+
   test("pt_sessionize: session bounds respect the 30-minute gap invariant") {
     val rows = q("pt_sessionize").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(3), r.getTimestamp(4)))
