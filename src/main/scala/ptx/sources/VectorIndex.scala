@@ -41,6 +41,25 @@ object VectorIndex {
     ptx.ops.LlmScale.ivfProbe(read(spark, dir), embeddings, probes, nprobe, k)
   }
 
+  /** Zero-shuffle nearest-cell assignment: the k centroids fold into a
+    * one-row broadcast array and each vector argmaxes over it in one HOF
+    * pass (highest cosine wins, lower cell id on ties). THE assignment
+    * primitive shared by the k-means builder and the streaming index
+    * refresh — a per-vector groupBy/window formulation would shuffle the
+    * corpus instead. `vecs` needs (vec_id, embedding); returns the same
+    * columns plus the assigned cell `label`. */
+  def assign(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    ptx.functions.VectorOps.register(vecs.sparkSession)
+    val centArr = cent.agg(
+      expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))
+    vecs.crossJoin(broadcast(centArr))
+      .withColumn("best", expr(
+        """array_max(transform(cents,
+          |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
+          |              -c.label AS nl)))""".stripMargin))
+      .select(col("vec_id"), col("embedding"), (-col("best.nl")).cast("int").as("label"))
+  }
+
   /** Deterministic mini-Lloyd k-means — the production IVF cell builder
     * the label-based stand-in defers to. No RNG anywhere: seeds are the k
     * lowest-vec_id vectors and ties in assignment break toward the lower
@@ -72,22 +91,14 @@ object VectorIndex {
     // seed frame is k rows — the global window runs AFTER the limit
     var cent: DataFrame = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(w) - 1).as("label"), col("embedding").as("centroid"))
-    var assign: DataFrame = null
+    var asg: DataFrame = null
     (1 to iters).foreach { _ =>
-      val centArr = cent.agg(
-        expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))
-      assign = e.crossJoin(broadcast(centArr))
-        .withColumn("best", expr(
-          // max by (sim, -label): highest cosine wins, lower cell id on ties
-          """array_max(transform(cents,
-            |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
-            |              -c.label AS nl)))""".stripMargin))
-        .select(col("vec_id"), (-col("best.nl")).cast("int").as("label"))
+      asg = assign(e, cent).select(col("vec_id"), col("label"))
       // the ONE centroid recipe (float32 cast is load-bearing for the
       // bit-exact persist/probe contract) — shared, not re-implemented
-      cent = ptx.ops.LlmScale.ivfCentroids(e.join(assign, "vec_id"))
+      cent = ptx.ops.LlmScale.ivfCentroids(e.join(asg, "vec_id"))
         .localCheckpoint()
     }
-    (cent, assign)
+    (cent, asg)
   }
 }

@@ -363,6 +363,46 @@ object Pipelines {
       .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), k).as("top"))
   }
 
+  /** Streaming IVF index MAINTENANCE — the ingest side of the serving
+    * stack ([[annProbe]] is the query side): a stream of new embedding
+    * vectors is folded into the persisted index at `dir` as it arrives.
+    * Per micro-batch, via foreachBatch:
+    *  1. ASSIGN each new vector to its nearest persisted centroid
+    *     ([[ptx.sources.VectorIndex.assign]] — broadcast centroid array,
+    *     zero shuffle of the batch);
+    *  2. APPEND the assigned vectors to `dir/cells` under the batch's own
+    *     `batch=<id>` subdir in overwrite mode — the same idempotent-replay
+    *     contract as [[writeBatch]], so a retried batch replaces rather
+    *     than duplicates;
+    *  3. every `refreshEvery` batches, RECENTER: recompute the centroids
+    *     over ALL cells ([[ptx.ops.LlmScale.ivfCentroids]], the bit-exact
+    *     float32 recipe) and overwrite `dir/centroids`, so cells drift
+    *     toward where the data actually is. Probes between refreshes use
+    *     the slightly stale centroids — standard for serving indexes
+    *     (centroids gate RECALL, not correctness: every vector is in some
+    *     cell and exact scoring happens on candidates).
+    * Assignment reads the centroids lazily inside the batch, so step 3's
+    * overwrite is only observed by the NEXT batch — a refresh never races
+    * its own batch's assignment. At scale the recenter is the only corpus
+    * pass; its cadence (refreshEvery) is the cost/recall knob.
+    */
+  def indexRefresh(newVecs: DataFrame, dir: String, checkpoint: String,
+                   refreshEvery: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newVecs.sparkSession
+    newVecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cent = ptx.sources.VectorIndex.read(spark, s"$dir/centroids")
+        ptx.sources.VectorIndex.assign(batch.select("vec_id", "embedding"), cent)
+          .write.mode("overwrite").parquet(s"$dir/cells/batch=$id")
+        if ((id + 1) % refreshEvery == 0)
+          ptx.sources.VectorIndex.write(
+            spark.read.parquet(s"$dir/cells"), s"$dir/centroids")
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert
     * on every new running max and on every 3rd+ consecutive error event.
     * Events within a batch are processed in (ts, event_id) order so results

@@ -12,6 +12,9 @@ import ptx.TestSpark
   * case-class Encoder derives). */
 case class Probe(probe_id: Long, p: Array[Float])
 
+/** A newly-ingested embedding row for the streaming index-refresh test. */
+case class NewVec(vec_id: Long, embedding: Array[Float])
+
 /** G10 streaming tests (SURVEY §5.4): MemoryStream replay must equal the
   * batch twin; watermarks drop late rows; dedup gives exactly-once counts;
   * the stateful pipeline matches a hand-computed fixture.
@@ -277,6 +280,65 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch, s"streamed ANN ${streamed.size} probes != batch ${batch.size}")
       assert(batch.nonEmpty && batch.values.forall(_.nonEmpty))
     } finally q.stop()
+  }
+
+  test("indexRefresh: streamed vectors join their nearest cell; recenter equals a batch rebuild (r5)") {
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_refresh").toString
+    val cp = java.nio.file.Files.createTempDirectory("ivf_refresh_cp").toString
+    // seed the index: corpus centroids + corpus cells, both through the
+    // public API the refresh pipeline maintains
+    ptx.sources.VectorIndex.write(e, s"$dir/centroids")
+    val cent0 = ptx.sources.VectorIndex.read(spark, s"$dir/centroids")
+    ptx.sources.VectorIndex.assign(e.select("vec_id", "embedding"), cent0)
+      .write.parquet(s"$dir/cells/batch=-1")
+    val seedCentroids = cent0.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    // new arrivals: existing vectors under fresh ids (their nearest cell
+    // is known: the cell of the vector they copy)
+    val newVecs = e.filter(col("vec_id") < 8).collect()
+      .map(r => NewVec(r.getLong(0) + 100000, r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    val q = Pipelines.indexRefresh(ms.toDF(), dir, cp, refreshEvery = 2)
+    try {
+      ms.addData(newVecs.take(4).toSeq)   // batch 0: appends only
+      q.processAllAvailable()
+      ms.addData(newVecs.drop(4).toSeq)   // batch 1: appends, then recenters
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = spark.read.parquet(s"$dir/cells")
+    // every new vector landed exactly once, in the cell a batch-side
+    // assignment against the SEED centroids puts it in (both stream
+    // batches assigned before the recenter overwrote the index). The seed
+    // frame is rebuilt from the pre-stream snapshot — `cent0` itself would
+    // lazily re-read the now-overwritten dir.
+    val seedFrame = spark.createDataFrame(seedCentroids.toSeq)
+      .toDF("label", "centroid")
+    val expected = ptx.sources.VectorIndex
+      .assign(spark.createDataFrame(newVecs.toSeq.map(v => (v.vec_id, v.embedding.toSeq)))
+        .toDF("vec_id", "embedding"), seedFrame)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val got = cells.filter(col("vec_id") >= 100000).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == expected && got.size == newVecs.length)
+    // the recenter (fired after batch 1) rewrote the centroids to exactly
+    // the batch recipe over ALL cells — and they moved off the seed
+    val refreshed = ptx.sources.VectorIndex.read(spark, s"$dir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    val rebuilt = ptx.ops.LlmScale.ivfCentroids(cells).collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    assert(refreshed == rebuilt, "persisted centroids diverge from a batch rebuild")
+    assert(refreshed != seedCentroids, "recenter should move centroids once new mass arrives")
+    // serving still works end-to-end: a probe equal to a new vector finds
+    // it at similarity 1 as the top hit through the refreshed index
+    ptx.functions.VectorOps.register(spark)
+    val probe = spark.createDataFrame(Seq((999999L, newVecs.head.embedding.toSeq)))
+      .toDF("probe_id", "p")
+    val top = ptx.ops.LlmScale.ivfProbe(
+      ptx.sources.VectorIndex.read(spark, s"$dir/centroids"), cells, probe, 1, 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(top.nonEmpty && top.head._3 == 1.0,
+      s"probe should find its twin at sim 1.0, got ${top.toSeq}")
   }
 
   test("left-outer stream-stream join emits unmatched purchases with null click after the watermark closes") {
