@@ -162,6 +162,193 @@ object Composite {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
         .orderBy(col("p_brand"))
+    }),
+    // Q3 shape: shipping priority — top-10 unshipped-revenue orders for one
+    // market segment at a cutoff date. The fact-fact join (lineitem⋈orders)
+    // shuffles once on orderkey; the filtered customer side stays unhinted
+    // so AQE picks broadcast at this SF and shuffle at 100 TB. l_orderkey
+    // added to the sort for a deterministic LIMIT under revenue ties.
+    "q3_shipping_priority" -> ((s, d) => {
+      val cutoff = to_timestamp(lit("1998-06-01"))
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val l = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+    // Q4 shape adapted (no l_commitdate/l_receiptdate): order-priority
+    // checking — orders in 1997Q1 where at least one lineitem shipped more
+    // than 90 days after the order date ("slow fulfilment" stands in for
+    // Q4's late-receipt EXISTS). The EXISTS is a LEFT SEMI join: equi key
+    // l_orderkey + a residual date predicate, so it stays a hash/SMJ semi
+    // join (never a BNLJ) and dedups order keys inside the join.
+    "q4_priority_count" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    // Q7 shape: volume shipping between two nations, by direction and ship
+    // year. Suppliers/customers are pre-filtered to the two nations via
+    // broadcast nation joins (each filtered dim is tiny → broadcasts into
+    // the fact scans), so the only big shuffle is lineitem⋈orders.
+    "q7_volume_shipping" -> ((s, d) => {
+      val n = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_18", "NATION_19"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val l = Tables.lineitem(s, d).filter(
+        col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+      l.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+    // Q8 shape: market share of one supplier nation (NATION_2) within one
+    // region's (ASIA) customer orders for one part type, per order year.
+    // Conditional aggregation over ONE joined frame — not two scans union'd.
+    // Revenue is summed EXACTLY in fixed point: price and discount are 2dp
+    // decimals, so vol·10⁴ = round(price·100)·round((1−disc)·100) is an
+    // exact BIGINT — double sums of this year-sized frame land ON the 2dp
+    // rounding boundary (observed: …0.935 vs …0.945 across engines), which
+    // the q14 round-then-divide discipline cannot absorb.
+    "q8_market_share" -> ((s, d) => {
+      val asiaNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supNation = Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(supNation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
+        .select(col("p_partkey"))
+      val volE4 = round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long")
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_2", volE4)).as("nat_e4"),
+          sum(volE4).as("tot_e4"))
+        .select(col("o_year"),
+          round(col("nat_e4") / 1e4, 2).as("nation_rev"),
+          round(col("tot_e4") / 1e4, 2).as("total_rev"))
+        .select(col("o_year"), col("nation_rev"), col("total_rev"),
+          round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+    // Q9 shape adapted (no partsupp.ps_supplycost): product-line profit per
+    // supplier nation per year, with cost proxied as 10% of the part's
+    // retail price per unit. Exercises the 5-way star: two broadcast dims
+    // (filtered part, supplier⋈nation) into lineitem, one fact-fact
+    // shuffle (⋈orders for the year).
+    "q9_profit_proxy" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(col("p_name").contains("red"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val sup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+    // Q10 shape: returned-item reporting — top-20 customers by revenue lost
+    // to returns in 1997Q1. Aggregate BEFORE the customer join: the
+    // group-by runs on (orderkey-joined) facts keyed by custkey, and only
+    // the 20-row-bound result side carries customer attributes.
+    "q10_returned_items" -> ((s, d) => {
+      val o = Tables.orders(s, d).filter(
+        col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-04-01")))
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val perCust = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"))
+      perCust.join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+    // Q15 shape: top supplier — revenue per supplier for one quarter, then
+    // the supplier(s) hitting the maximum. The max is a one-row frame
+    // broadcast back (crossJoin) — never a re-scan of lineitem; equality is
+    // on the ROUNDED revenue so both engines compare identical doubles.
+    "q15_top_supplier" -> ((s, d) => {
+      val rev = Tables.lineitem(s, d).filter(
+          col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1996-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("total_revenue"))
+      val pinned = ptx.Caching.pin(rev) // apex: max branch + equality branch
+      val mx = pinned.agg(max(col("total_revenue")).as("mx"))
+      pinned.crossJoin(broadcast(mx))
+        .filter(col("total_revenue") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+    // Q16 shape adapted (no partsupp: supplier⟷part pairs come from
+    // lineitem shipments): how many distinct suppliers shipped each
+    // (brand, type, size) combination, excluding one brand and limiting to
+    // six sizes. countDistinct over the part-attribute grouping — the
+    // two-shuffle expand/dedup plan Spark generates is the scalable one.
+    "q16_supplier_variety" -> ((s, d) => {
+      val p = Tables.part(s, d).filter(
+        col("p_brand") =!= "Brand#5" &&
+        col("p_size").isin(1, 5, 9, 13, 17, 21))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+      Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
     })
   )
 
@@ -238,6 +425,110 @@ object Composite {
         |       AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 30
         |       AND l_quantity BETWEEN 20 AND 30)
-        |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |       year(l_shipdate) AS l_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM supplier
+        |JOIN lineitem ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE n1.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n2.n_name IN ('NATION_18', 'NATION_19')
+        |  AND n1.n_name <> n2.n_name
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_market_share" ->
+      """SELECT o_year,
+        |       round(CAST(nat_e4 AS DOUBLE) / 1e4, 2) AS nation_rev,
+        |       round(CAST(tot_e4 AS DOUBLE) / 1e4, 2) AS total_rev,
+        |       round(round(CAST(nat_e4 AS DOUBLE) / 1e4, 2)
+        |             / round(CAST(tot_e4 AS DOUBLE) / 1e4, 2), 6) AS mkt_share
+        |FROM (
+        |  SELECT year(o_orderdate) AS o_year,
+        |    CAST(sum(CASE WHEN n1.n_name = 'NATION_2'
+        |         THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+        |            * CAST(round((1 - l_discount) * 100) AS BIGINT) END)
+        |      AS BIGINT) AS nat_e4,
+        |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |           * CAST(round((1 - l_discount) * 100) AS BIGINT))
+        |      AS BIGINT) AS tot_e4
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |  JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  GROUP BY 1) t
+        |ORDER BY o_year""".stripMargin,
+    "q9_profit_proxy" ->
+      """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)
+        |                 - 0.1 * p_retailprice * l_quantity), 2) AS profit
+        |FROM lineitem
+        |JOIN part ON p_partkey = l_partkey AND p_name LIKE '%red%'
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, revenue, n_name
+        |FROM (
+        |  SELECT o_custkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY o_custkey) pc
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q16_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |       count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_size IN (1, 5, 9, 13, 17, 21)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
   )
 }

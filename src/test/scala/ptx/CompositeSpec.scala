@@ -57,4 +57,77 @@ class CompositeSpec extends AnyFunSuite {
       .subsetOf(Set("Brand#12", "Brand#23", "Brand#3")))
     assert(rows.forall(_.getDouble(2) > 0))
   }
+
+  test("q3: at most 10 rows, sorted by revenue desc, only pre-cutoff orders") {
+    val rows = q("q3_shipping_priority").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val revs = rows.map(_.getDouble(1))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b })
+    // o_orderdate surfaces as TIMESTAMP_NTZ → java.time.LocalDateTime
+    val cutoff = java.time.LocalDateTime.parse("1998-06-01T00:00:00")
+    assert(rows.forall(_.getAs[java.time.LocalDateTime](2).isBefore(cutoff)))
+  }
+
+  test("q4: slow-fulfilment orders are a subset of the quarter's orders") {
+    val counted = q("q4_priority_count")
+      .agg(sum(col("order_count"))).collect()(0).getLong(0)
+    val quarter = Tables.orders(spark, TestSpark.SF)
+      .filter(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+        col("o_orderdate") < to_timestamp(lit("1997-04-01"))).count()
+    assert(counted > 0 && counted <= quarter,
+      s"q4 counted $counted of $quarter quarter orders")
+  }
+
+  test("q7: both directions appear and nations are never equal") {
+    val rows = q("q7_volume_shipping").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getString(0) != r.getString(1)))
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("NATION_18", "NATION_19"), ("NATION_19", "NATION_18")))
+    assert(rows.forall(r => Set(1996, 1997).contains(r.getInt(2))))
+  }
+
+  test("q8: share is the rounded ratio of its own reported operands") {
+    val rows = q("q8_market_share").collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(1)).foreach { r =>
+      val (nat, tot, share) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nat <= tot)
+      assert(share == BigDecimal(nat / tot)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
+  test("q10: exactly 20 rows, revenue descending, custkey tie-break") {
+    val rows = q("q10_returned_items").collect()
+    assert(rows.length == 20)
+    val keys = rows.map(r => (-r.getDouble(2), r.getLong(0)))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+  }
+
+  test("q15: every reported supplier hits the quarter's max revenue") {
+    val rows = q("q15_top_supplier").collect()
+    assert(rows.nonEmpty)
+    val revs = rows.map(_.getDouble(2)).distinct
+    assert(revs.length == 1, s"q15 returned non-max rows: ${revs.toSeq}")
+  }
+
+  test("q16: excluded brand absent, sizes within the declared set") {
+    val rows = q("q16_supplier_variety").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getString(0) != "Brand#5"))
+    assert(rows.forall(r => Set(1, 5, 9, 13, 17, 21).contains(r.getInt(2))))
+    // supplier_cnt is bounded by the supplier table size
+    val nSup = Tables.supplier(spark, TestSpark.SF).count()
+    assert(rows.forall(_.getLong(3) <= nSup))
+  }
+
+  test("q9: grouped by (nation, year) uniquely, years within order range") {
+    val rows = q("q9_profit_proxy").collect()
+    assert(rows.nonEmpty)
+    val keys = rows.map(r => (r.getString(0), r.getInt(1)))
+    assert(keys.distinct.length == keys.length)
+    assert(rows.forall(r => r.getInt(1) >= 1995 && r.getInt(1) <= 2001))
+  }
 }
