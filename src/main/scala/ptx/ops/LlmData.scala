@@ -1,6 +1,6 @@
 package ptx.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
@@ -175,6 +175,63 @@ object LlmData {
         .select(col("probe_id"), col("rnk"), col("cand_id"),
           round(col("sim"), 6).as("sim"), col("text").as("neighbor_text"))
         .orderBy(col("probe_id"), col("rnk"))
+    }),
+    // ✓ BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query,
+    // top-10 docs. Shuffle-free per-doc scoring: term frequencies come
+    // from HOF filters over the split words array (no explode, no token
+    // shuffle), and the corpus stats (N, Σlen, per-term df) are ONE
+    // 1-row aggregate broadcast back. Determinism: tf/df/len are exact
+    // ints, avgdl divides exact ints, and the 3 term scores are summed in
+    // ONE fixed-associativity expression — never a float sum across rows,
+    // so both engines compute bit-identical doubles.
+    "llm_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "query", "merge")
+      val base = ptx.Caching.pin(
+        Tables.documents(s, d)
+          .withColumn("w", split(col("text"), " "))
+          .select(Seq(col("doc_id"), size(col("w")).as("dl")) ++
+            terms.zipWithIndex.map { case (t, i) =>
+              expr(s"size(filter(w, x -> x = '$t'))").as(s"tf$i")
+            }: _*))
+      val statCols = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_len")) ++
+        terms.indices.map(i => sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = base.agg(statCols.head, statCols.tail: _*)
+      def term(i: Int): Column = {
+        val idf = log((col("n_docs") - col(s"df$i") + 0.5) / (col(s"df$i") + 0.5) + 1.0)
+        idf * (col(s"tf$i") * 2.2) /
+          (col(s"tf$i") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      }
+      base.crossJoin(broadcast(stats))
+        .withColumn("avgdl", col("sum_len").cast("double") / col("n_docs"))
+        .withColumn("score", round(term(0) + term(1) + term(2), 6))
+        .filter(col("score") > 0)
+        .select(col("doc_id"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+    // ✓ directed shingle containment ≥ 0.5 (r5): |A∩B| / |A| — the
+    // quote/subset detector exact Jaccard misses (a short doc embedded in
+    // a long one has low Jaccard but high containment). Same inverted
+    // index as llm_dedup_near — intersections computed ONCE on unordered
+    // pairs, then both directions emitted — and the same scale guard
+    // applies: df-quadratic, anchor only; at 100 TB route candidates
+    // through MinHash banding first (docs/SCALE.md §G11). Containment
+    // divides exact ints → no float boundary.
+    "llm_containment" -> ((s, d) => {
+      val sh = ptx.Caching.pin(
+        ptx.functions.TextShingles.shingles(Tables.documents(s, d)))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = sh.toDF("doc1", "shingle")
+      val b = sh.toDF("doc2", "shingle")
+      val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+      val dir = inter.select(col("doc1").as("src"), col("doc2").as("dst"), col("inter"))
+        .union(inter.select(col("doc2"), col("doc1"), col("inter")))
+      val c = col("inter").cast("double") / col("n_sh")
+      dir.join(n, col("src") === col("doc_id"))
+        .filter(c >= 0.5)
+        .select(col("src"), col("dst"), round(c, 6).as("containment"))
+        .orderBy(col("src"), col("dst"))
     })
   )
 
@@ -270,6 +327,46 @@ object LlmData {
         |  FROM pairs)
         |SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim, text AS neighbor_text
         |FROM ranked JOIN documents ON cand_id = doc_id
-        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+    "llm_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |base AS (SELECT doc_id, len(words) AS dl,
+        |  len(list_filter(words, x -> x = 'spark')) AS tf0,
+        |  len(list_filter(words, x -> x = 'query')) AS tf1,
+        |  len(list_filter(words, x -> x = 'merge')) AS tf2
+        |  FROM w),
+        |st AS (SELECT count(*) AS n_docs, sum(dl) AS sum_len,
+        |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM base),
+        |sc AS (SELECT doc_id,
+        |  round(
+        |    ln((n_docs - df0 + 0.5) / (df0 + 0.5) + 1.0) * (tf0 * 2.2)
+        |      / (tf0 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_len AS DOUBLE) / n_docs)))
+        |  + ln((n_docs - df1 + 0.5) / (df1 + 0.5) + 1.0) * (tf1 * 2.2)
+        |      / (tf1 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_len AS DOUBLE) / n_docs)))
+        |  + ln((n_docs - df2 + 0.5) / (df2 + 0.5) + 1.0) * (tf2 * 2.2)
+        |      / (tf2 + 1.2 * (0.25 + 0.75 * dl / (CAST(sum_len AS DOUBLE) / n_docs))), 6)
+        |  AS score
+        |  FROM base CROSS JOIN st)
+        |SELECT doc_id, score FROM sc WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "llm_containment" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |-- 1000 comfortably exceeds the fixture max of 99 words/doc
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dir AS (SELECT doc1 AS src, doc2 AS dst, inter FROM inter
+        |        UNION ALL SELECT doc2, doc1, inter FROM inter)
+        |SELECT src, dst, round(CAST(inter AS DOUBLE) / n_sh, 6) AS containment
+        |FROM dir JOIN n ON src = n.doc_id
+        |WHERE CAST(inter AS DOUBLE) / n_sh >= 0.5
+        |ORDER BY src, dst""".stripMargin
   )
 }

@@ -200,6 +200,33 @@ object Telemetry {
           round(avg(least(greatest(col("value"), col("p05")), col("p95"))), 6)
             .as("avg_winsor"))
         .orderBy(col("event_type"))
+    }),
+    // ✓ cohort retention (r5): users grouped by first-seen day, distinct
+    // actives per (cohort, day-offset), plus the retention fraction
+    // against the cohort size. Two shuffles, both on natural keys: one
+    // groupBy(user) for first-seen, one groupBy(cohort, offset) — the
+    // user⋈first join reuses the user_id partitioning. Offsets divide by
+    // 7-free exact day deltas (both frames day-truncated), and the
+    // retention ratio divides exact BIGINTs, so no float boundary exists.
+    // At 100 TB the cohort dimension (days × cohort sizes) is tiny; only
+    // the per-user first-seen frame scales with users, and it broadcasts
+    // or shuffle-joins as AQE decides.
+    "pt_retention" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      val first = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val sizes = first.groupBy(col("cohort_day")).agg(
+        count(lit(1)).as("cohort_n"))
+      ev.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day").cast("date"), col("cohort_day").cast("date"))
+            .as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("day_offset"), col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_n"), 6)
+            .as("retention"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
   )
 
@@ -340,6 +367,22 @@ object Telemetry {
         |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS p05,
         |         round(quantile_cont(value, 0.95), 6) AS p95
         |  FROM $EV GROUP BY event_type) q USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "pt_retention" ->
+      s"""WITH ev AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day FROM $EV),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id),
+        |sz AS (SELECT cohort_day, count(*) AS cohort_n FROM f GROUP BY cohort_day),
+        |act AS (
+        |  SELECT cohort_day,
+        |         CAST(CAST(day AS DATE) - CAST(cohort_day AS DATE) AS INTEGER)
+        |           AS day_offset,
+        |         count(DISTINCT ev.user_id) AS n_active
+        |  FROM ev JOIN f USING (user_id)
+        |  GROUP BY 1, 2)
+        |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, day_offset, n_active,
+        |       round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
+        |FROM act JOIN sz USING (cohort_day)
+        |ORDER BY cohort_day, day_offset""".stripMargin
   )
 }

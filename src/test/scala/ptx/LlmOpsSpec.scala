@@ -172,4 +172,52 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(e > 0 && e < 0.05, s"label ${r.getInt(0)} avg_rel_err $e")
     }
   }
+
+  test("llm_bm25: top-10 positive scores descending; one score recomputes serially (r5)") {
+    val rows = q("llm_bm25").collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.forall(_ > 0))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // recompute the top doc's score from raw text + corpus stats
+    val docs = Tables.documents(spark, SF01).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ")))
+    val terms = Seq("spark", "query", "merge")
+    val n = docs.length.toDouble
+    val avgdl = docs.map(_._2.length.toLong).sum.toDouble / n
+    val dfs = terms.map(t => docs.count(_._2.contains(t)).toDouble)
+    val topId = rows.head.getLong(0)
+    val words = docs.find(_._1 == topId).get._2
+    val dl = words.length
+    val expect = terms.zip(dfs).map { case (t, df) =>
+      val tf = words.count(_ == t)
+      math.log((n - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) /
+        (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }.sum
+    assert(math.abs(rows.head.getDouble(1) - expect) < 1e-6,
+      s"bm25 top score ${rows.head.getDouble(1)} vs serial $expect")
+  }
+
+  test("llm_containment: directed, bounded by 1, and implied by every exact-dup pair (r5)") {
+    val c = q("llm_containment").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(c.nonEmpty)
+    assert(c.values.forall(v => v > 0 && v <= 1.0))
+    // the fixture has shingle-subset docs: full-containment (=1.0) pairs
+    // must surface (25 directed pairs at sf0.01, DuckDB-verified)
+    val full = c.filter(_._2 == 1.0)
+    assert(full.nonEmpty, "fixture lost its full-containment structure")
+    // full containment src→dst at equal set sizes implies dst→src too
+    full.keys.foreach { case (a, b) =>
+      c.get((b, a)).filter(_ == 1.0).foreach { _ =>
+        assert(c((a, b)) == 1.0) // mutual full containment = identical sets
+      }
+    }
+    // containment dominates Jaccard for the same directed pair
+    q("llm_dedup_near").collect().foreach { r =>
+      val (d1, d2, j) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+      c.get((d1, d2)).foreach(v => assert(v >= j - 1e-9))
+      c.get((d2, d1)).foreach(v => assert(v >= j - 1e-9))
+    }
+  }
 }

@@ -604,4 +604,23 @@ class OperatorSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("pt_retention: day-0 retention is 1.0 and cohorts partition the user base (r5)") {
+    val rows = q("pt_retention").collect()
+    assert(rows.nonEmpty)
+    // every user is active on their first day → offset-0 retention is 1.0
+    val day0 = rows.filter(_.getInt(1) == 0)
+    assert(day0.nonEmpty)
+    day0.foreach(r => assert(r.getDouble(3) == 1.0,
+      s"cohort ${r.get(0)} day-0 retention ${r.getDouble(3)}"))
+    // offset-0 actives across cohorts == total distinct users (a partition)
+    val cohortTotal = day0.map(_.getLong(2)).sum
+    val users = Tables.events(spark, TestSpark.SF)
+      .select("user_id").distinct().count()
+    assert(cohortTotal == users, s"cohorts cover $cohortTotal of $users users")
+    // retention never exceeds 1 and matches its own operands
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+    }
+  }
 }
