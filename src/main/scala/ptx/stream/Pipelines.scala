@@ -186,6 +186,58 @@ object Pipelines {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** A funnel stage advance: the user reached `stage` at `ts`. */
+  case class FunnelAdvance(user_id: Long, stage: String, ts: java.sql.Timestamp)
+
+  /** Streaming funnel (r5) — the push twin of the batch `pt_funnel`
+    * query: a per-user monotone state machine view→click→purchase that
+    * emits one row per stage ADVANCE. State is three epoch-µs marks
+    * (0 = unreached), so the store holds 24 bytes per user regardless of
+    * event volume — the shape that survives 10⁹ users. Within a batch
+    * rows process in (ts, event_id) order; across batches the machine is
+    * arrival-order and monotone (a late click that predates the recorded
+    * view cannot advance anything — by then click is already passed or the
+    * view mark is later; this matches funnel semantics where stages only
+    * move forward).
+    */
+  class FunnelProcessor
+      extends StatefulProcessor[Long, Event, FunnelAdvance] {
+    @transient private var st: ValueState[(Long, Long, Long)] = _
+    private def usOf(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000) % 1000
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long, Long)]("funnel",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[FunnelAdvance] = {
+      var (v, c, p) = Option(st.get()).getOrElse((0L, 0L, 0L))
+      val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+        val us = usOf(e.ts)
+        e.event_type match {
+          case "view" if v == 0L =>
+            v = us; out += FunnelAdvance(key, "view", e.ts)
+          case "click" if v != 0L && c == 0L && us > v =>
+            c = us; out += FunnelAdvance(key, "click", e.ts)
+          case "purchase" if c != 0L && p == 0L && us > c =>
+            p = us; out += FunnelAdvance(key, "purchase", e.ts)
+          case _ =>
+        }
+      }
+      st.update((v, c, p))
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for FunnelProcessor. */
+  def funnel(events: Dataset[Event]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** A session closed by TIMEOUT (no activity for 30 min), emitted when
     * the event-time watermark passes last_ts + 30 min. */
   case class ClosedSession(user_id: Long, start: java.sql.Timestamp,

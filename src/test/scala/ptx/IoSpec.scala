@@ -102,4 +102,28 @@ class IoSpec extends AnyFunSuite {
       s"bucketed groupBy still shuffles:\n$plan")
     assert(agg.count() == events.select("user_id").distinct().count())
   }
+
+  test("co-bucketed join: both sides pre-bucketed on the key plan ZERO exchanges") {
+    // the 100 TB co-location recipe: two fact tables bucketed the same way
+    // join without moving either side — the physical property the
+    // repartition()/bucketing advice in SURVEY §4 is about
+    Io.writeBucketed(events.select("event_id", "user_id", "value"),
+      "ev_left", buckets = 4, bucketCol = "user_id", sortCol = "user_id")
+    Io.writeBucketed(
+      events.groupBy("user_id").agg(count(lit(1)).as("n_ev")),
+      "ev_right", buckets = 4, bucketCol = "user_id", sortCol = "user_id")
+    // disable auto-broadcast: the point is the co-located shuffle-free
+    // SMJ — at 100 TB neither fact side would be broadcastable
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("ev_left")
+        .join(spark.table("ev_right"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still exchanges:\n$plan")
+      assert(joined.count() == events.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
 }

@@ -563,4 +563,46 @@ class StreamingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("streaming funnel advances stages across batches and stays monotone (r5)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "funnel_sink"
+    val q = Pipelines.funnel(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: user 7 views then clicks; user 8 clicks with NO prior view
+      ms.addData(Seq(
+        Event(1, ts(0), 7, "view", 1.0), Event(2, ts(60), 7, "click", 1.0),
+        Event(3, ts(0), 8, "click", 1.0)))
+      q.processAllAvailable()
+      // batch 2: user 7 purchases (cross-batch click state); a second view
+      // for 7 must NOT re-emit; user 8 finally views — later stages still
+      // locked (no click after that view yet)
+      ms.addData(Seq(
+        Event(4, ts(120), 7, "purchase", 1.0), Event(5, ts(180), 7, "view", 1.0),
+        Event(6, ts(60), 8, "view", 1.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(got.count(_ == (7L, "view")) == 1)
+      assert(got.count(_ == (7L, "click")) == 1)
+      assert(got.count(_ == (7L, "purchase")) == 1)
+      assert(got.filter(_._1 == 8L).map(_._2) == Seq("view"),
+        s"user 8 should only have its view: $got")
+      // per-user stage order matches a serial replay of arrival order
+      val u7 = spark.table(name).filter(col("user_id") === 7)
+        .orderBy(col("ts")).collect().map(_.getString(1)).toSeq
+      assert(u7 == Seq("view", "click", "purchase"))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
