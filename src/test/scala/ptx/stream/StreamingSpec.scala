@@ -564,6 +564,47 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming funnel over the binding events equals the batch pt_funnel counts (r5)") {
+    // the real fixture, streamed whole: stage-advance counts must equal
+    // the batch query's min-timestamp funnel semantics (within one batch
+    // the processor sorts by (ts, event_id), so one-batch replay IS the
+    // batch ordering)
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val events = ptx.Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .as[Event].collect().toSeq
+      val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+      ms.addData(events)
+      val name = "funnel_twin_sink"
+      val q = Pipelines.funnel(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val advances = spark.table(name).collect().map(_.getString(1))
+      val streamed = Map(
+        "n_view" -> advances.count(_ == "view").toLong,
+        "n_click_after_view" -> advances.count(_ == "click").toLong,
+        "n_purchase_after_click" -> advances.count(_ == "purchase").toLong)
+      val b = ptx.QueryRegistry.all("pt_funnel")(spark, sf).collect()(0)
+      val batch = Map(
+        "n_view" -> b.getLong(0),
+        "n_click_after_view" -> b.getLong(1),
+        "n_purchase_after_click" -> b.getLong(2))
+      assert(streamed == batch, s"streamed $streamed vs batch $batch")
+      assert(batch("n_view") > 0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel advances stages across batches and stays monotone (r5)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
