@@ -159,6 +159,32 @@ object ScalarFns {
         bit_count(col("p_partkey")).as("b_pop"))
         .orderBy(col("p_partkey"))
         .limit(500)
+    }),
+    // try_* null-on-error arithmetic (r5) — the ANSI-mode escape hatches a
+    // dirty-data ingest actually needs: Spark 4 runs ANSI ON, where /0 and
+    // long overflow THROW; try_divide/try_add return NULL instead, letting
+    // a pipeline quarantine bad rows rather than die mid-job. try_cast
+    // exercises mixed numeric/non-numeric strings (the CSV-ingest reality).
+    // All three are row-local, codegen'd, shuffle-free.
+    "fn_try_arith" -> ((s, d) => {
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture —
+      // the sort adds every input the projection reads, so any rows still
+      // tied are byte-identical and the LIMIT boundary is engine-stable
+      Tables.lineitem(s, d)
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          col("l_quantity"), col("l_discount"), col("l_returnflag"))
+        .limit(2000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // divisor 0 for discounts < 2.5% (~25% of rows) → NULL, not error
+          round(expr("try_divide(l_extendedprice, round(l_discount * 20))"), 6)
+            .as("safe_div"),
+          // overflows max long for every orderkey > 7 → NULL, not error
+          expr("try_add(l_orderkey, 9223372036854775800L)").as("big_add"),
+          // odd lines carry a numeric string, even lines a letter flag
+          expr("""try_cast(IF(l_linenumber % 2 = 1,
+                   CAST(CAST(l_quantity AS INT) AS STRING), l_returnflag)
+                   AS INT)""").as("mixed_int"))
     })
   )
 
@@ -255,6 +281,18 @@ object ScalarFns {
         |  p_partkey << 3 AS b_shl,
         |  p_partkey >> 2 AS b_shr,
         |  CAST(bit_count(p_partkey) AS INTEGER) AS b_pop
-        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin
+        |FROM part ORDER BY p_partkey LIMIT 500""".stripMargin,
+    "fn_try_arith" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice / NULLIF(round(l_discount * 20), 0), 6) AS safe_div,
+        |  CASE WHEN l_orderkey > 7 THEN NULL
+        |       ELSE CAST(l_orderkey + 9223372036854775800 AS BIGINT) END AS big_add,
+        |  TRY_CAST(CASE WHEN l_linenumber % 2 = 1
+        |                THEN CAST(CAST(l_quantity AS INTEGER) AS VARCHAR)
+        |                ELSE l_returnflag END AS INTEGER) AS mixed_int
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_extendedprice, l_quantity,
+        |         l_discount, l_returnflag
+        |LIMIT 2000""".stripMargin
   )
 }

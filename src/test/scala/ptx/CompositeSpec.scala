@@ -130,4 +130,32 @@ class CompositeSpec extends AnyFunSuite {
     assert(keys.distinct.length == keys.length)
     assert(rows.forall(r => r.getInt(1) >= 1995 && r.getInt(1) <= 2001))
   }
+
+  test("r5 composite plans: no nested-loop joins, semi stays semi, limits fold into TakeOrdered") {
+    def plan(name: String): String = {
+      val df = QueryRegistry.all(name)(spark, TestSpark.SF)
+      df.collect() // let AQE finalize so the asserted plan is the executed one
+      val p = df.queryExecution.executedPlan.toString
+      Caching.releaseAll()
+      p
+    }
+    val all = Seq("q3_shipping_priority", "q4_priority_count", "q7_volume_shipping",
+      "q8_market_share", "q9_profit_proxy", "q10_returned_items",
+      "q15_top_supplier", "q16_supplier_variety")
+    val plans = all.map(n => n -> plan(n)).toMap
+    // a residual-predicate EXISTS must never degrade to a nested loop
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("BroadcastNestedLoop"), s"$n plans a BNLJ:\n$p")
+    }
+    assert(plans("q4_priority_count").contains("LeftSemi"),
+      "q4's EXISTS should plan as a semi join")
+    // filtered dims must broadcast into the fact scans
+    Seq("q7_volume_shipping", "q8_market_share", "q9_profit_proxy").foreach { n =>
+      assert(plans(n).contains("BroadcastHashJoin"), s"$n lost its broadcast dims")
+    }
+    // top-k with limit must fold into TakeOrderedAndProject, not a global sort
+    Seq("q3_shipping_priority", "q10_returned_items").foreach { n =>
+      assert(plans(n).contains("TakeOrderedAndProject"), s"$n sorts globally")
+    }
+  }
 }

@@ -605,6 +605,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("fn_try_arith: try_* yields NULL exactly where the ANSI-strict twin throws (r5)") {
+    val rows = q("fn_try_arith").collect()
+    assert(rows.nonEmpty)
+    // overflow: orderkey > 7 → null; orderkey <= 7 → exact sum
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      if (k > 7) assert(r.isNullAt(3), s"orderkey $k should overflow to null")
+      else assert(r.getLong(3) == k + 9223372036854775800L)
+    }
+    // the strict twin of the same expression THROWS under ANSI mode
+    val strict = intercept[Exception] {
+      Tables.lineitem(spark, TestSpark.SF)
+        .select(expr("l_orderkey + 9223372036854775800L").as("boom"))
+        .collect()
+    }
+    assert(strict.getMessage.toLowerCase.contains("overflow"),
+      s"expected ANSI overflow, got: ${strict.getMessage.take(120)}")
+    // all three null paths must actually fire within the window
+    assert(rows.exists(_.isNullAt(2)), "no zero-divisor rows surfaced")
+    assert(rows.exists(!_.isNullAt(2)))
+    assert(rows.exists(_.isNullAt(4)), "no non-numeric cast rows surfaced")
+    assert(rows.exists(!_.isNullAt(4)))
+  }
+
   test("pt_retention: day-0 retention is 1.0 and cohorts partition the user base (r5)") {
     val rows = q("pt_retention").collect()
     assert(rows.nonEmpty)
