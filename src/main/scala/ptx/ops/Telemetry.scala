@@ -211,6 +211,28 @@ object Telemetry {
     // At 100 TB the cohort dimension (days × cohort sizes) is tiny; only
     // the per-user first-seen frame scales with users, and it broadcasts
     // or shuffle-joins as AQE decides.
+    // ✓ hysteresis alerting (r5): an alert ARMS when value ≥ 200 and only
+    // clears when value ≤ 50 — the two-threshold debounce every telemetry
+    // monitor needs (a single threshold flaps on noise around it; compare
+    // pt_threshold_alerts). Pure windows: raw crossings → last-non-null
+    // forward fill = the alarm state machine, lag of that = edge
+    // detection. Both window passes share ONE user_id shuffle; emitted
+    // rows are only the rising edges.
+    "pt_hysteresis" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("raw",
+          when(col("value") >= 200.0, 1).when(col("value") <= 50.0, 0))
+        .withColumn("state",
+          coalesce(last(col("raw"), ignoreNulls = true).over(run), lit(0)))
+        .withColumn("prev", coalesce(lag(col("state"), 1).over(w), lit(0)))
+        .filter(col("state") === 1 && col("prev") === 0)
+        .select(col("user_id"), col("event_id"), col("ts"),
+          round(col("value"), 2).as("value"))
+        .orderBy(col("user_id"), col("ts"), col("event_id"))
+    }),
     "pt_retention" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
@@ -368,6 +390,23 @@ object Telemetry {
         |         round(quantile_cont(value, 0.95), 6) AS p95
         |  FROM $EV GROUP BY event_type) q USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "pt_hysteresis" ->
+      s"""WITH a AS (
+        |  SELECT *, CASE WHEN value >= 200.0 THEN 1
+        |                 WHEN value <= 50.0 THEN 0 END AS raw
+        |  FROM $EV),
+        |b AS (
+        |  SELECT *, coalesce(last_value(raw IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING), 0) AS state
+        |  FROM a),
+        |c AS (
+        |  SELECT *, coalesce(lag(state) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), 0) AS prev
+        |  FROM b)
+        |SELECT user_id, event_id, ts, round(value, 2) AS value
+        |FROM c WHERE state = 1 AND prev = 0
+        |ORDER BY user_id, ts, event_id""".stripMargin,
     "pt_retention" ->
       s"""WITH ev AS (
         |  SELECT user_id, date_trunc('day', ts) AS day FROM $EV),

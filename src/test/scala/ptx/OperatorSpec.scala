@@ -629,6 +629,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.exists(!_.isNullAt(4)))
   }
 
+  test("pt_hysteresis: edges match a serial per-user state-machine replay (r5)") {
+    val got = q("pt_hysteresis").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // serial replay: arm at >= 200, clear at <= 50, emit rising edges
+    val events = Tables.events(spark, TestSpark.SF)
+      .select("user_id", "event_id", "ts", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.sql.Timestamp](2), r.getDouble(3)))
+    // .toSeq: flatMap on the Map overload would rebuild a Map and collapse
+    // a user's multiple alert edges onto one key
+    val want = events.groupBy(_._1).toSeq.flatMap { case (uid, evs) =>
+      var armed = false
+      // full µs precision: getTime alone truncates to ms and misorders
+      // same-millisecond events
+      evs.sortBy(e => ((e._3.getTime / 1000) * 1000000000L + e._3.getNanos, e._2))
+        .toSeq.flatMap { case (_, eid, _, v) =>
+        if (v >= 200.0 && !armed) { armed = true; Some((uid, eid)) }
+        else { if (v <= 50.0) armed = false; None }
+      }
+    }.toSet
+    assert(got == want, s"extra=${got -- want} missing=${want -- got}")
+    assert(got.nonEmpty)
+  }
+
   test("pt_retention: day-0 retention is 1.0 and cohorts partition the user base (r5)") {
     val rows = q("pt_retention").collect()
     assert(rows.nonEmpty)
