@@ -238,6 +238,50 @@ object Pipelines {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** A hysteresis alert rising edge (streaming twin of `pt_hysteresis`). */
+  case class HysteresisEdge(user_id: Long, event_id: Long,
+                            ts: java.sql.Timestamp, value: Double)
+
+  /** Streaming hysteresis alerting (r5): arm at value ≥ hi, clear only at
+    * ≤ lo, emit rising edges — the push twin of the batch `pt_hysteresis`
+    * window query, with the armed bit as ONE boolean of state per user
+    * (the forward-fill the batch op computes with a window is exactly
+    * this bit carried across micro-batches). Within a batch rows process
+    * in (ts, event_id) order, so a one-batch replay reproduces the batch
+    * ordering.
+    */
+  class HysteresisProcessor(hi: Double, lo: Double)
+      extends StatefulProcessor[Long, Event, HysteresisEdge] {
+    @transient private var armed: ValueState[Boolean] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      armed = getHandle.getValueState[Boolean]("armed",
+        Encoders.scalaBoolean, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[HysteresisEdge] = {
+      var on = Option(armed.get()).getOrElse(false)
+      val out = scala.collection.mutable.ArrayBuffer.empty[HysteresisEdge]
+      // (getTime, getNanos): ms then full fractional-second — µs-exact
+      // without double-counting the ms part
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+        .foreach { e =>
+          if (e.value >= hi) {
+            if (!on) { on = true; out += HysteresisEdge(key, e.event_id, e.ts, e.value) }
+          } else if (e.value <= lo) on = false
+        }
+      armed.update(on)
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for HysteresisProcessor (hi=200, lo=50 —
+    * the batch twin's constants). */
+  def hysteresis(events: Dataset[Event]): Dataset[HysteresisEdge] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new HysteresisProcessor(200.0, 50.0),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** A session closed by TIMEOUT (no activity for 30 min), emitted when
     * the event-time watermark passes last_ts + 30 min. */
   case class ClosedSession(user_id: Long, start: java.sql.Timestamp,

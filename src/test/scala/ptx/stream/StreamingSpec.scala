@@ -605,6 +605,67 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming hysteresis over the binding events equals the batch pt_hysteresis edges (r5)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sf = "/root/testdata/sf0.001"
+      val events = ptx.Tables.events(spark, sf)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          col("value"), col("props"))
+        .as[Event].collect().toSeq
+      val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+      ms.addData(events)
+      val name = "hyst_twin_sink"
+      val q = Pipelines.hysteresis(ms.toDS())
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = ptx.QueryRegistry.all("pt_hysteresis")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch,
+        s"extra=${streamed -- batch} missing=${batch -- streamed}")
+      assert(batch.nonEmpty)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming hysteresis carries the armed bit across batches (r5)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = "hyst_sink"
+    val q = Pipelines.hysteresis(ms.toDS())
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: arm (edge), stay high (no edge)
+      ms.addData(Seq(Event(1, ts(0), 9, "v", 250.0), Event(2, ts(1), 9, "v", 300.0)))
+      q.processAllAvailable()
+      // batch 2: still armed from batch 1 → high value is NOT a new edge;
+      // then clear, then re-arm → exactly one more edge
+      ms.addData(Seq(Event(3, ts(2), 9, "v", 220.0), Event(4, ts(3), 9, "v", 10.0),
+        Event(5, ts(4), 9, "v", 201.0)))
+      q.processAllAvailable()
+      val got = spark.table(name).collect().map(_.getLong(1)).toSeq.sorted
+      assert(got == Seq(1L, 5L), s"edges: $got")
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming funnel advances stages across batches and stays monotone (r5)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
