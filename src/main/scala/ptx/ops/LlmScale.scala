@@ -97,6 +97,15 @@ object LlmScale {
 
   private[ops] def clusterPairs(rawPairs: DataFrame): DataFrame = {
     val pairs = ptx.Caching.checkpoint(rawPairs.toDF("doc1", "doc2"))
+    // NOTE (r5, measured): re-deriving the node set twice below (once
+    // lazily inside edges' checkpoint, once as the initial label frame)
+    // looks wasteful, but checkpointing `nodes` once and projecting the
+    // initial labels from it measured SLOWER at local[32]/sf0.1 (warm
+    // 2.2-2.3 s → 3.5-4.3 s over 5 runs): the standalone distinct
+    // materialization costs more than the fused recomputation it saves.
+    // Kept: the fused form. The loop converges in 2 rounds on this data
+    // (SPARK_GRAFT_CLUSTER_DEBUG prints the count), so setup dominates
+    // and pointer-jumping variants have nothing to amortize.
     val nodes = pairs.select(col("doc1").as("a"))
       .union(pairs.select(col("doc2"))).distinct()
     val edges = ptx.Caching.checkpoint(
@@ -132,6 +141,8 @@ object LlmScale {
       s"clusterPairs: label propagation did not converge within " +
         s"$MaxPropagationRounds rounds (component diameter exceeds the " +
         s"bound); raise MaxPropagationRounds")
+    if (sys.env.contains("SPARK_GRAFT_CLUSTER_DEBUG"))
+      System.err.println(s"[clusterPairs] converged after $round rounds")
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }

@@ -67,4 +67,73 @@ class SqlEquivalenceSpec extends AnyFunSuite {
       SparkSession.setActiveSession(old)
     }
   }
+
+  test("seeded fuzz: 40 random filter+agg queries agree between DataFrame and SQL paths") {
+    // a mini differential harness over the two entry points: every
+    // generated query is built ONCE as a DataFrame expression tree and
+    // ONCE as a SQL string; the parser/analyzer and the DSL must meet at
+    // identical results. Seeded, so failures reproduce.
+    import org.apache.spark.sql.functions._
+    Tables.lineitem(spark, TestSpark.SF).createOrReplaceTempView("li_fuzz")
+    val li = spark.table("li_fuzz")
+    val rnd = new scala.util.Random(42)
+    val numCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val strCols = Seq("l_returnflag", "l_linestatus")
+    val ranges = Map("l_quantity" -> (1.0, 50.0), "l_extendedprice" -> (900.0, 105000.0),
+      "l_discount" -> (0.0, 0.1), "l_tax" -> (0.0, 0.08))
+    val strVals = Map("l_returnflag" -> Seq("A", "N", "R"),
+      "l_linestatus" -> Seq("F", "O"))
+    val ops = Seq("<", "<=", ">", ">=", "=", "<>")
+    def predicate(): (String, org.apache.spark.sql.Column) = {
+      if (rnd.nextBoolean()) {
+        val c = numCols(rnd.nextInt(numCols.length))
+        val (lo, hi) = ranges(c)
+        val v = BigDecimal(lo + rnd.nextDouble() * (hi - lo))
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble
+        val op = ops(rnd.nextInt(ops.length))
+        val colc = col(c)
+        val dslc = op match {
+          case "<" => colc < v;   case "<=" => colc <= v
+          case ">" => colc > v;   case ">=" => colc >= v
+          case "=" => colc === v; case "<>" => colc =!= v
+        }
+        (s"$c $op $v", dslc)
+      } else {
+        val c = strCols(rnd.nextInt(strCols.length))
+        val v = strVals(c)(rnd.nextInt(strVals(c).length))
+        val eq = rnd.nextBoolean()
+        (s"$c ${if (eq) "=" else "<>"} '$v'",
+          if (eq) col(c) === v else col(c) =!= v)
+      }
+    }
+    (1 to 40).foreach { i =>
+      val preds = Seq.fill(1 + rnd.nextInt(3))(predicate())
+      val conj = rnd.nextBoolean()
+      val sqlPred = preds.map(_._1).mkString(if (conj) " AND " else " OR ")
+      val dslPred = preds.map(_._2).reduce((a, b) => if (conj) a && b else a || b)
+      val gcols = Seq("l_returnflag", "l_linestatus").take(1 + rnd.nextInt(2))
+      val aggCol = numCols(rnd.nextInt(numCols.length))
+      val (aggSql, aggDsl) = rnd.nextInt(5) match {
+        case 0 => (s"round(sum($aggCol), 6)", round(sum(col(aggCol)), 6))
+        case 1 => (s"round(avg($aggCol), 6)", round(avg(col(aggCol)), 6))
+        case 2 => (s"min($aggCol)", min(col(aggCol)))
+        case 3 => (s"max($aggCol)", max(col(aggCol)))
+        case _ => ("count(*)", count(lit(1)))
+      }
+      val sqlRes = spark.sql(
+        s"""SELECT ${gcols.mkString(", ")}, $aggSql AS m
+           |FROM li_fuzz WHERE $sqlPred
+           |GROUP BY ${gcols.mkString(", ")}
+           |ORDER BY ${gcols.mkString(", ")}""".stripMargin)
+        .collect().map(_.toString).toSeq
+      val dfRes = li.filter(dslPred)
+        .groupBy(gcols.map(col): _*)
+        .agg(aggDsl.as("m"))
+        .orderBy(gcols.map(col): _*)
+        .collect().map(_.toString).toSeq
+      assert(sqlRes == dfRes,
+        s"fuzz #$i diverged\n  WHERE $sqlPred GROUP BY ${gcols.mkString(",")} AGG $aggSql" +
+          s"\n  sql=${sqlRes.take(3)}\n  df=${dfRes.take(3)}")
+    }
+  }
 }
