@@ -55,4 +55,61 @@ class RecoverySpec extends AnyFunSuite {
     assert(afterB2 == Map(1L -> (2L, 12.0), 2L -> (1L, 5.0), 3L -> (1L, 7.0)),
       s"got $afterB2")
   }
+
+  test("transformWithState hysteresis recovers the armed bit from a RocksDB checkpoint") {
+    val src = Files.createTempDirectory("ptx-hrec-src").toString
+    val ckpt = Files.createTempDirectory("ptx-hrec-ckpt").toString
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    def writeBatch(rows: Seq[Event]): Unit =
+      rows.toDF().repartition(1).write.mode("append").parquet(src)
+
+    // memory sink can't recover an append-mode query from a checkpoint —
+    // use the file sink (the recoverable production shape) and read back
+    val out = Files.createTempDirectory("ptx-hrec-out").toString
+
+    def startQuery() = {
+      val events = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+          "value DOUBLE, props STRING")
+        .parquet(src)
+        .as[Event]
+      Pipelines.hysteresis(events)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+
+    def edges(): Seq[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(1)).toSeq.sorted
+
+    try {
+      // run 1: user 9 arms at 250 → ONE edge; stop while still armed
+      writeBatch(Seq(Event(1, ts(0), 9, "v", 250.0)))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      assert(edges() == Seq(1L))
+      // run 2 from checkpoint: a still-high value must NOT re-edge — that
+      // only holds if the armed bit was RECOVERED, not re-initialized;
+      // then clear + re-arm produces exactly one new edge
+      writeBatch(Seq(Event(2, ts(1), 9, "v", 220.0), Event(3, ts(2), 9, "v", 10.0),
+        Event(4, ts(3), 9, "v", 230.0)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(edges() == Seq(1L, 4L),
+        s"expected only the post-clear edge (armed bit recovered), got ${edges()}")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
