@@ -62,6 +62,35 @@ object Extras {
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
+    }),
+    // ✓ column profiler (r5): Deequ/pandas-profiling shape — per numeric
+    // column: row count, nulls, exact distinct, min/max/mean — the
+    // pre-ingest data-quality snapshot every pipeline runs before trusting
+    // a new drop. ONE scan: all 4 columns' metrics in a single aggregate
+    // (the multi-countDistinct expands rows 4×, map-side partials absorb
+    // it), then a row-per-column explode of the wide result. At 100 TB
+    // swap the exact distinct for approx_count_distinct — same plan shape.
+    "dq_profile" -> ((s, d) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          round(min(col(c)), 6).as(s"${c}_min"),
+          round(max(col(c)), 6).as(s"${c}_max"),
+          round(avg(col(c)), 6).as(s"${c}_mean"))
+      }
+      val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+      val rows = cols.map { c =>
+        struct(lit(c).as("col_name"), col("n"),
+          col(s"${c}_nulls").as("n_null"),
+          col(s"${c}_distinct").as("n_distinct"),
+          col(s"${c}_min").as("min_val"),
+          col(s"${c}_max").as("max_val"),
+          col(s"${c}_mean").as("mean_val"))
+      }
+      wide.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.*"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -92,6 +121,36 @@ object Extras {
         |  SELECT l_orderkey, l_linenumber, 'price', l_extendedprice FROM lineitem
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem) u
-        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
+    "dq_profile" ->
+      """SELECT col_name, n, n_null, n_distinct, min_val, max_val, mean_val FROM (
+        |  SELECT 'l_quantity' AS col_name, count(*) AS n,
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    count(DISTINCT l_quantity) AS n_distinct,
+        |    round(min(l_quantity), 6) AS min_val, round(max(l_quantity), 6) AS max_val,
+        |    round(avg(l_quantity), 6) AS mean_val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_extendedprice),
+        |    round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
+        |    round(avg(l_extendedprice), 6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', count(*),
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_discount),
+        |    round(min(l_discount), 6), round(max(l_discount), 6),
+        |    round(avg(l_discount), 6)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(*),
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_tax),
+        |    round(min(l_tax), 6), round(max(l_tax), 6),
+        |    round(avg(l_tax), 6)
+        |  FROM lineitem) u
+        |ORDER BY col_name""".stripMargin
   )
 }

@@ -605,6 +605,21 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("dq_profile: one column's metrics recompute from a raw collect (r5)") {
+    val rows = q("dq_profile").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+    val qty = Tables.lineitem(spark, TestSpark.SF)
+      .select("l_quantity").collect().map(_.getDouble(0))
+    val p = rows("l_quantity")
+    assert(p.getLong(1) == qty.length)
+    assert(p.getLong(2) == 0) // no nulls in the fixture
+    assert(p.getLong(3) == qty.distinct.length)
+    assert(p.getDouble(4) == qty.min)
+    assert(p.getDouble(5) == qty.max)
+    assert(math.abs(p.getDouble(6) - qty.sum / qty.length) < 1e-6)
+  }
+
   test("fn_try_arith: try_* yields NULL exactly where the ANSI-strict twin throws (r5)") {
     val rows = q("fn_try_arith").collect()
     assert(rows.nonEmpty)
