@@ -209,6 +209,49 @@ object LlmData {
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
     }),
+    // ✓ hybrid retrieval via reciprocal-rank fusion (r5): the standard
+    // RAG pattern — a semantic ranking (embedding cosine top-20 per
+    // probe, the codegen'd kernel + mergeable TopK) and a lexical ranking
+    // (shingle Jaccard vs the probe doc, window top-20) fused as
+    // Σ 1/(60 + rank) with a missing ranking contributing 0, exact-int
+    // denominators so both engines compute identical doubles. The two
+    // rankings run independently (no barrier between their shuffles) and
+    // meet in ONE outer join keyed (probe, cand) — at 100 TB each side
+    // is probe-bounded (k rows per probe), so the fusion join is tiny
+    // regardless of corpus size.
+    "llm_hybrid_rrf" -> ((s, d) => {
+      val sem = knn(s, d, nProbes = 10, k = 20)
+        .select(col("probe_id"), col("cand_id"), col("rnk").as("sem_rnk"))
+      val sh = ptx.Caching.pin(
+        ptx.functions.TextShingles.shingles(Tables.documents(s, d)))
+      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val probeSh = sh.filter(col("doc_id") < 10).toDF("probe_id", "shingle")
+      val inter = probeSh.join(sh.toDF("cand_id", "shingle"), Seq("shingle"))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .groupBy(col("probe_id"), col("cand_id")).agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast("double") /
+        (col("np.n_sh") + col("nc.n_sh") - col("inter"))
+      val wLex = Window.partitionBy(col("probe_id"))
+        .orderBy(col("jac").desc, col("cand_id"))
+      val lex = inter
+        .join(n.as("np"), col("probe_id") === col("np.doc_id"))
+        .join(n.as("nc"), col("cand_id") === col("nc.doc_id"))
+        .withColumn("jac", jac)
+        .withColumn("lex_rnk", row_number().over(wLex))
+        .filter(col("lex_rnk") <= 20)
+        .select(col("probe_id"), col("cand_id"), col("lex_rnk"))
+      val fused = sem.join(lex, Seq("probe_id", "cand_id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("sem_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("lex_rnk")), lit(0.0)))
+      val wTop = Window.partitionBy(col("probe_id"))
+        .orderBy(col("rrf").desc, col("cand_id"))
+      fused.withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("cand_id"),
+          round(col("rrf"), 6).as("rrf"))
+        .orderBy(col("probe_id"), col("rnk"))
+    }),
     // ✓ directed shingle containment ≥ 0.5 (r5): |A∩B| / |A| — the
     // quote/subset detector exact Jaccard misses (a short doc embedded in
     // a long one has low Jaccard but high containment). Same inverted
@@ -352,6 +395,48 @@ object LlmData {
         |  FROM base CROSS JOIN st)
         |SELECT doc_id, score FROM sc WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "llm_hybrid_rrf" ->
+      """WITH vx AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |            FROM embeddings),
+        |pairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         list_dot_product(p.v, c.v)
+        |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM vx p JOIN vx c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |sem AS (
+        |  SELECT probe_id, cand_id,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS sem_rnk
+        |  FROM pairs QUALIFY sem_rnk <= 20),
+        |words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS probe_id, b.doc_id AS cand_id, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |            AND a.doc_id < 10 AND b.doc_id <> a.doc_id
+        |          GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT probe_id, cand_id,
+        |         row_number() OVER (PARTITION BY probe_id ORDER BY jac DESC, cand_id) AS lex_rnk
+        |  FROM (SELECT probe_id, cand_id,
+        |          CAST(inter AS DOUBLE) / (np.n_sh + nc.n_sh - inter) AS jac
+        |        FROM inter JOIN n np ON np.doc_id = probe_id
+        |                   JOIN n nc ON nc.doc_id = cand_id) j
+        |  QUALIFY lex_rnk <= 20),
+        |fused AS (
+        |  SELECT coalesce(s.probe_id, l.probe_id) AS probe_id,
+        |         coalesce(s.cand_id, l.cand_id) AS cand_id,
+        |         coalesce(1.0 / (60 + s.sem_rnk), 0)
+        |           + coalesce(1.0 / (60 + l.lex_rnk), 0) AS rrf
+        |  FROM sem s FULL OUTER JOIN lex l
+        |    ON s.probe_id = l.probe_id AND s.cand_id = l.cand_id)
+        |SELECT probe_id,
+        |       row_number() OVER (PARTITION BY probe_id ORDER BY rrf DESC, cand_id) AS rnk,
+        |       cand_id, round(rrf, 6) AS rrf
+        |FROM fused
+        |QUALIFY rnk <= 5
+        |ORDER BY probe_id, rnk""".stripMargin,
     "llm_containment" ->
       """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |-- 1000 comfortably exceeds the fixture max of 99 words/doc

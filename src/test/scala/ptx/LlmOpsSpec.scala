@@ -198,6 +198,26 @@ class LlmOpsSpec extends AnyFunSuite {
       s"bm25 top score ${rows.head.getDouble(1)} vs serial $expect")
   }
 
+  test("llm_hybrid_rrf: 5 per probe, scores bounded by 2/61, fused beats single-source (r5)") {
+    val rows = q("llm_hybrid_rrf").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.groupBy(_._1).forall(_._2.length == 5))
+    assert(rows.map(_._1).distinct.length == 10)
+    // max possible score: rank 1 in BOTH rankings
+    val cap = BigDecimal(1.0 / 61 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.forall(r => r._4 > 0 && r._4 <= cap))
+    // per probe: non-increasing by rank
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+    // a candidate scored by BOTH rankings must exist somewhere (fusion
+    // is doing work, not just concatenating one source)
+    assert(rows.exists(_._4 > 1.0 / 61 + 1e-9),
+      "no candidate was ranked by both sources — fusion degenerated")
+  }
+
   test("llm_containment: directed, bounded by 1, and implied by every exact-dup pair (r5)") {
     val c = q("llm_containment").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
