@@ -103,6 +103,29 @@ class IoSpec extends AnyFunSuite {
     assert(agg.count() == events.select("user_id").distinct().count())
   }
 
+  test("compact: many small files collapse to few, rows survive, ranges disjoint") {
+    val src = Files.createTempDirectory("ptx-compact-src").toString
+    val dst = Files.createTempDirectory("ptx-compact-dst").toString + "/out"
+    // simulate a streaming sink's droppings: 32 tiny files
+    events.repartition(32).write.mode("overwrite").parquet(src)
+    def parquetFiles(p: String): Seq[java.io.File] =
+      new java.io.File(p).listFiles().toSeq.filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src).length == 32)
+    Io.compact(spark, src, dst, targetMB = 128, sortCol = Some("event_id"))
+    val outFiles = parquetFiles(dst)
+    assert(outFiles.length < 32, s"still ${outFiles.length} files")
+    assert(spark.read.parquet(dst).count() == events.count())
+    // range partitioning: per-file event_id ranges must not overlap
+    val ranges = outFiles.map { f =>
+      val d = spark.read.parquet(f.getAbsolutePath)
+        .agg(min(col("event_id")), max(col("event_id"))).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.zip(ranges.tail).foreach { case ((_, hi), (lo, _)) =>
+      assert(hi <= lo, s"overlapping file ranges: $ranges")
+    }
+  }
+
   test("co-bucketed join: both sides pre-bucketed on the key plan ZERO exchanges") {
     // the 100 TB co-location recipe: two fact tables bucketed the same way
     // join without moving either side — the physical property the
