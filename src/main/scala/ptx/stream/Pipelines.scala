@@ -213,7 +213,10 @@ object Pipelines {
                                  timers: TimerValues): Iterator[FunnelAdvance] = {
       var (v, c, p) = Option(st.get()).getOrElse((0L, 0L, 0L))
       val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
-      rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+      // (getTime, getNanos): µs-exact ordering — getTime alone truncates
+      // to ms, which could process a same-millisecond click before its
+      // view and drop a conversion the batch twin counts
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
         val us = usOf(e.ts)
         e.event_type match {
           case "view" if v == 0L =>
