@@ -43,4 +43,29 @@ object TextShingles {
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), explode(array_distinct(expr(shingleExpr))).as("shingle"))
   }
+
+  /** (doc1, doc2, inter): distinct-shingle intersection counts for every
+    * doc pair passing `keep` — the inverted-index core shared by
+    * llm_dedup_near, llm_containment, and llm_hybrid_rrf's lexical side
+    * (ONE definition so the three can never diverge, same rationale as
+    * [[shingles]]). `keep` predicates on a single side (e.g. a probe
+    * filter) push below the join, so restricting one side costs nothing.
+    * SCALE: quadratic in per-shingle df — the callers' shared guard
+    * (docs/SCALE.md §G11) routes 100 TB corpora through MinHash banding.
+    */
+  def intersections(sh: DataFrame,
+                    keep: (org.apache.spark.sql.Column, org.apache.spark.sql.Column)
+                      => org.apache.spark.sql.Column): DataFrame = {
+    val a = sh.toDF("doc1", "shingle")
+    val b = sh.toDF("doc2", "shingle")
+    a.join(b, Seq("shingle"))
+      .filter(keep(col("doc1"), col("doc2")))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("inter"))
+  }
+
+  /** (doc_id, n_sh): per-doc distinct-shingle counts — the denominator
+    * frame for Jaccard/containment over [[intersections]]. */
+  def docSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
 }

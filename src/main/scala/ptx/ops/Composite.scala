@@ -247,6 +247,10 @@ object Composite {
         .select(col("c_custkey"))
       val supNation = Tables.nation(s, d)
         .select(col("n_nationkey"), col("n_name"))
+      // supplier is UNFILTERED here (every supplier's nation feeds the
+      // conditional agg) — no broadcast hint: at 100 TB a full supplier
+      // dim exceeds the broadcast limit, so AQE must make the size call
+      // (it still broadcasts at the test SFs). Only nation is pinned.
       val sup = Tables.supplier(s, d)
         .join(broadcast(supNation), col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
@@ -256,7 +260,7 @@ object Composite {
         round((lit(1) - col("l_discount")) * 100).cast("long")
       Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
@@ -272,19 +276,20 @@ object Composite {
     }),
     // Q9 shape adapted (no partsupp.ps_supplycost): product-line profit per
     // supplier nation per year, with cost proxied as 10% of the part's
-    // retail price per unit. Exercises the 5-way star: two broadcast dims
-    // (filtered part, supplier⋈nation) into lineitem, one fact-fact
-    // shuffle (⋈orders for the year).
+    // retail price per unit. Exercises the 5-way star: the FILTERED part
+    // dim broadcast into lineitem, the unfiltered supplier attribution
+    // side left to AQE, one fact-fact shuffle (⋈orders for the year).
     "q9_profit_proxy" -> ((s, d) => {
       val p = Tables.part(s, d).filter(col("p_name").contains("red"))
         .select(col("p_partkey"), col("p_retailprice"))
+      // supplier unfiltered (see q8): leave the broadcast decision to AQE
       val sup = Tables.supplier(s, d)
         .join(broadcast(Tables.nation(s, d)),
           col("s_nationkey") === col("n_nationkey"))
         .select(col("s_suppkey"), col("n_name").as("nation"))
       Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -

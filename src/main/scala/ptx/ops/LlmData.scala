@@ -84,11 +84,8 @@ object LlmData {
       // Released by the harness via Caching.releaseAll() post-action.
       val sh = ptx.Caching.pin(
         ptx.functions.TextShingles.shingles(Tables.documents(s, d)))
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.toDF("doc1", "shingle")
-      val b = sh.toDF("doc2", "shingle")
-      val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+      val n = ptx.functions.TextShingles.docSizes(sh)
+      val inter = ptx.functions.TextShingles.intersections(sh, _ < _)
       val jac = col("inter").cast("double") /
         (col("na.n_sh") + col("nb.n_sh") - col("inter"))
       inter
@@ -224,11 +221,10 @@ object LlmData {
         .select(col("probe_id"), col("cand_id"), col("rnk").as("sem_rnk"))
       val sh = ptx.Caching.pin(
         ptx.functions.TextShingles.shingles(Tables.documents(s, d)))
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val probeSh = sh.filter(col("doc_id") < 10).toDF("probe_id", "shingle")
-      val inter = probeSh.join(sh.toDF("cand_id", "shingle"), Seq("shingle"))
-        .filter(col("probe_id") =!= col("cand_id"))
-        .groupBy(col("probe_id"), col("cand_id")).agg(count(lit(1)).as("inter"))
+      val n = ptx.functions.TextShingles.docSizes(sh)
+      val inter = ptx.functions.TextShingles
+        .intersections(sh, (p, c) => p < 10 && p =!= c)
+        .toDF("probe_id", "cand_id", "inter")
       val jac = col("inter").cast("double") /
         (col("np.n_sh") + col("nc.n_sh") - col("inter"))
       val wLex = Window.partitionBy(col("probe_id"))
@@ -263,11 +259,8 @@ object LlmData {
     "llm_containment" -> ((s, d) => {
       val sh = ptx.Caching.pin(
         ptx.functions.TextShingles.shingles(Tables.documents(s, d)))
-      val n = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = sh.toDF("doc1", "shingle")
-      val b = sh.toDF("doc2", "shingle")
-      val inter = a.join(b, Seq("shingle")).filter(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2")).agg(count(lit(1)).as("inter"))
+      val n = ptx.functions.TextShingles.docSizes(sh)
+      val inter = ptx.functions.TextShingles.intersections(sh, _ < _)
       val dir = inter.select(col("doc1").as("src"), col("doc2").as("dst"), col("inter"))
         .union(inter.select(col("doc2"), col("doc1"), col("inter")))
       val c = col("inter").cast("double") / col("n_sh")

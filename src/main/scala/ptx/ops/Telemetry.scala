@@ -201,16 +201,6 @@ object Telemetry {
             .as("avg_winsor"))
         .orderBy(col("event_type"))
     }),
-    // ✓ cohort retention (r5): users grouped by first-seen day, distinct
-    // actives per (cohort, day-offset), plus the retention fraction
-    // against the cohort size. Two shuffles, both on natural keys: one
-    // groupBy(user) for first-seen, one groupBy(cohort, offset) — the
-    // user⋈first join reuses the user_id partitioning. Offsets divide by
-    // 7-free exact day deltas (both frames day-truncated), and the
-    // retention ratio divides exact BIGINTs, so no float boundary exists.
-    // At 100 TB the cohort dimension (days × cohort sizes) is tiny; only
-    // the per-user first-seen frame scales with users, and it broadcasts
-    // or shuffle-joins as AQE decides.
     // ✓ hysteresis alerting (r5): an alert ARMS when value ≥ 200 and only
     // clears when value ≤ 50 — the two-threshold debounce every telemetry
     // monitor needs (a single threshold flaps on noise around it; compare
@@ -233,6 +223,16 @@ object Telemetry {
           round(col("value"), 2).as("value"))
         .orderBy(col("user_id"), col("ts"), col("event_id"))
     }),
+    // ✓ cohort retention (r5): users grouped by first-seen day, distinct
+    // actives per (cohort, day-offset), plus the retention fraction
+    // against the cohort size. Two shuffles, both on natural keys: one
+    // groupBy(user) for first-seen, one groupBy(cohort, offset) — the
+    // user⋈first join reuses the user_id partitioning. Offsets divide by
+    // 7-free exact day deltas (both frames day-truncated), and the
+    // retention ratio divides exact BIGINTs, so no float boundary exists.
+    // At 100 TB the cohort dimension (days × cohort sizes) is tiny; only
+    // the per-user first-seen frame scales with users, and it broadcasts
+    // or shuffle-joins as AQE decides.
     "pt_retention" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("user_id"), date_trunc("day", col("ts")).as("day"))

@@ -68,6 +68,14 @@ object Io {
     */
   def compact(spark: SparkSession, src: String, dst: String,
               targetMB: Int = 128, sortCol: Option[String] = None): Long = {
+    require(targetMB > 0, s"targetMB must be positive, got $targetMB")
+    // enforce the never-in-place contract: a dst inside src would pass
+    // Spark's exact-path overwrite check and then write output files INTO
+    // the source, double-counting rows on the next read
+    val srcUri = new java.io.File(src).getCanonicalFile.toPath
+    val dstUri = new java.io.File(dst).getCanonicalFile.toPath
+    require(!dstUri.startsWith(srcUri) && !srcUri.startsWith(dstUri),
+      s"dst must be outside src (src=$src dst=$dst)")
     val hPath = new org.apache.hadoop.fs.Path(src)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength

@@ -34,6 +34,13 @@ case class Alert(user_id: Long, event_id: Long, kind: String, value: Double)
   */
 object Pipelines {
 
+  /** Epoch-µs of a Timestamp: ms base + sub-ms micros. Shared by every
+    * stateful processor — the (getNanos/1000)%1000 decomposition carries a
+    * subtle invariant (it assumes non-negative epoch), so there is exactly
+    * ONE copy to fix if pre-1970 timestamps ever matter. */
+  private def usOf(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
   /** Tumbling 1 h window counts with a 10 min watermark. */
   def tumbling(events: DataFrame): DataFrame =
     events
@@ -202,16 +209,19 @@ object Pipelines {
     */
   class FunnelProcessor
       extends StatefulProcessor[Long, Event, FunnelAdvance] {
+    // "unreached" sentinel OUTSIDE the valid epoch-µs domain: 0L would
+    // collide with a 1970-01-01T00:00:00 event (the classic null→zero
+    // coercion in dirty telemetry) and re-emit that user's view forever
+    private val Unreached = Long.MinValue
     @transient private var st: ValueState[(Long, Long, Long)] = _
-    private def usOf(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       st = getHandle.getValueState[(Long, Long, Long)]("funnel",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong),
         TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[FunnelAdvance] = {
-      var (v, c, p) = Option(st.get()).getOrElse((0L, 0L, 0L))
+      val init = Option(st.get()).getOrElse((Unreached, Unreached, Unreached))
+      var (v, c, p) = init
       val out = scala.collection.mutable.ArrayBuffer.empty[FunnelAdvance]
       // (getTime, getNanos): µs-exact ordering — getTime alone truncates
       // to ms, which could process a same-millisecond click before its
@@ -219,16 +229,18 @@ object Pipelines {
       rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
         val us = usOf(e.ts)
         e.event_type match {
-          case "view" if v == 0L =>
+          case "view" if v == Unreached =>
             v = us; out += FunnelAdvance(key, "view", e.ts)
-          case "click" if v != 0L && c == 0L && us > v =>
+          case "click" if v != Unreached && c == Unreached && us > v =>
             c = us; out += FunnelAdvance(key, "click", e.ts)
-          case "purchase" if c != 0L && p == 0L && us > c =>
+          case "purchase" if c != Unreached && p == Unreached && us > c =>
             p = us; out += FunnelAdvance(key, "purchase", e.ts)
           case _ =>
         }
       }
-      st.update((v, c, p))
+      // skip the RocksDB put when nothing advanced — at 10⁹ users the
+      // unconditional update is pure changelog write amplification
+      if ((v, c, p) != init) st.update((v, c, p))
       out.iterator
     }
   }
@@ -261,7 +273,8 @@ object Pipelines {
         Encoders.scalaBoolean, TTLConfig.NONE)
     override def handleInputRows(key: Long, rows: Iterator[Event],
                                  timers: TimerValues): Iterator[HysteresisEdge] = {
-      var on = Option(armed.get()).getOrElse(false)
+      val was = Option(armed.get()).getOrElse(false)
+      var on = was
       val out = scala.collection.mutable.ArrayBuffer.empty[HysteresisEdge]
       // (getTime, getNanos): ms then full fractional-second — µs-exact
       // without double-counting the ms part
@@ -271,7 +284,10 @@ object Pipelines {
             if (!on) { on = true; out += HysteresisEdge(key, e.event_id, e.ts, e.value) }
           } else if (e.value <= lo) on = false
         }
-      armed.update(on)
+      // skip the RocksDB put when the bit didn't change (the common case:
+      // values inside the band, or already-armed staying high) — avoids
+      // per-user changelog writes every batch at the 10⁹-user design point
+      if (on != was) armed.update(on)
       out.iterator
     }
   }
@@ -310,8 +326,6 @@ object Pipelines {
     // so the registered expiry is the CEILING of the µs expiry (never
     // fires early); registration and the stale-timer guard share timerMs.
     private val GapUs = 30L * 60 * 1000000
-    private def usOf(t: java.sql.Timestamp): Long =
-      t.getTime * 1000L + (t.getNanos / 1000) % 1000
     private def tsOf(us: Long): java.sql.Timestamp = {
       val t = new java.sql.Timestamp(us / 1000000 * 1000)
       t.setNanos((us % 1000000).toInt * 1000)

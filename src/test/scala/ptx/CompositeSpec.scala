@@ -107,10 +107,12 @@ class CompositeSpec extends AnyFunSuite {
   }
 
   test("q15: every reported supplier hits the quarter's max revenue") {
-    val rows = q("q15_top_supplier").collect()
-    assert(rows.nonEmpty)
-    val revs = rows.map(_.getDouble(2)).distinct
-    assert(revs.length == 1, s"q15 returned non-max rows: ${revs.toSeq}")
+    try {
+      val rows = q("q15_top_supplier").collect()
+      assert(rows.nonEmpty)
+      val revs = rows.map(_.getDouble(2)).distinct
+      assert(revs.length == 1, s"q15 returned non-max rows: ${revs.toSeq}")
+    } finally Caching.releaseAll() // q15 pins its aggregate apex
   }
 
   test("q16: excluded brand absent, sizes within the declared set") {

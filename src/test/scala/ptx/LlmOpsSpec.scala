@@ -196,6 +196,7 @@ class LlmOpsSpec extends AnyFunSuite {
     }.sum
     assert(math.abs(rows.head.getDouble(1) - expect) < 1e-6,
       s"bm25 top score ${rows.head.getDouble(1)} vs serial $expect")
+    Caching.releaseAll() // llm_bm25 pins its per-doc tf frame
   }
 
   test("llm_hybrid_rrf: 5 per probe, scores bounded by 2/61, fused beats single-source (r5)") {
@@ -216,6 +217,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // is doing work, not just concatenating one source)
     assert(rows.exists(_._4 > 1.0 / 61 + 1e-9),
       "no candidate was ranked by both sources — fusion degenerated")
+    Caching.releaseAll() // llm_hybrid_rrf pins the shingle frame
   }
 
   test("llm_containment: directed, bounded by 1, and implied by every exact-dup pair (r5)") {
@@ -239,5 +241,6 @@ class LlmOpsSpec extends AnyFunSuite {
       c.get((d1, d2)).foreach(v => assert(v >= j - 1e-9))
       c.get((d2, d1)).foreach(v => assert(v >= j - 1e-9))
     }
+    Caching.releaseAll() // both ops pin the shared shingle frame
   }
 }

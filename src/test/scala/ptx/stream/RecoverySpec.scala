@@ -59,9 +59,6 @@ class RecoverySpec extends AnyFunSuite {
   test("transformWithState hysteresis recovers the armed bit from a RocksDB checkpoint") {
     val src = Files.createTempDirectory("ptx-hrec-src").toString
     val ckpt = Files.createTempDirectory("ptx-hrec-ckpt").toString
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
 
     def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
     def writeBatch(rows: Seq[Event]): Unit =
@@ -88,7 +85,7 @@ class RecoverySpec extends AnyFunSuite {
     def edges(): Seq[Long] =
       spark.read.parquet(out).collect().map(_.getLong(1)).toSeq.sorted
 
-    try {
+    RocksDBFixture.withRocksDB(spark) {
       // run 1: user 9 arms at 250 → ONE edge; stop while still armed
       writeBatch(Seq(Event(1, ts(0), 9, "v", 250.0)))
       val q1 = startQuery()
@@ -105,11 +102,6 @@ class RecoverySpec extends AnyFunSuite {
       q2.stop()
       assert(edges() == Seq(1L, 4L),
         s"expected only the post-clear edge (armed bit recovered), got ${edges()}")
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 }

@@ -569,10 +569,7 @@ class StreamingSpec extends AnyFunSuite {
     // the batch query's min-timestamp funnel semantics (within one batch
     // the processor sorts by (ts, event_id), so one-batch replay IS the
     // batch ordering)
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    RocksDBFixture.withRocksDB(spark) {
       val sf = "/root/testdata/sf0.001"
       val events = ptx.Tables.events(spark, sf)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -597,19 +594,11 @@ class StreamingSpec extends AnyFunSuite {
         "n_purchase_after_click" -> b.getLong(2))
       assert(streamed == batch, s"streamed $streamed vs batch $batch")
       assert(batch("n_view") > 0)
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
   test("streaming hysteresis over the binding events equals the batch pt_hysteresis edges (r5)") {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+    RocksDBFixture.withRocksDB(spark) {
       val sf = "/root/testdata/sf0.001"
       val events = ptx.Tables.events(spark, sf)
         .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
@@ -629,18 +618,11 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed == batch,
         s"extra=${streamed -- batch} missing=${batch -- streamed}")
       assert(batch.nonEmpty)
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
     }
   }
 
   test("streaming hysteresis carries the armed bit across batches (r5)") {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    RocksDBFixture.withRocksDB(spark) {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "hyst_sink"
     val q = Pipelines.hysteresis(ms.toDS())
@@ -657,19 +639,12 @@ class StreamingSpec extends AnyFunSuite {
       q.processAllAvailable()
       val got = spark.table(name).collect().map(_.getLong(1)).toSeq.sorted
       assert(got == Seq(1L, 5L), s"edges: $got")
-    } finally {
-      q.stop()
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    } finally q.stop()
     }
   }
 
   test("streaming funnel advances stages across batches and stays monotone (r5)") {
-    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
-    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    RocksDBFixture.withRocksDB(spark) {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "funnel_sink"
     val q = Pipelines.funnel(ms.toDS())
@@ -699,12 +674,7 @@ class StreamingSpec extends AnyFunSuite {
       val u7 = spark.table(name).filter(col("user_id") === 7)
         .orderBy(col("ts")).collect().map(_.getString(1)).toSeq
       assert(u7 == Seq("view", "click", "purchase"))
-    } finally {
-      q.stop()
-      prev match {
-        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
-      }
+    } finally q.stop()
     }
   }
 }
