@@ -338,6 +338,31 @@ object Composite {
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
         .orderBy(col("s_suppkey"))
     }),
+    // Q2 shape adapted (no partsupp.ps_supplycost: cost = observed unit
+    // price from shipments): the cheapest supplier per size-9 part — the
+    // classic per-group argmin. row_number over (ROUNDED price, suppkey)
+    // instead of min_by: exact-double argmin ties are engine-arbitrary,
+    // and the rounded sort key + suppkey tie-break is deterministic in
+    // both engines. One shuffle on partkey; supplier/nation broadcast.
+    "q2_min_cost_supplier" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables.part(s, d).filter(col("p_size") === 9)
+        .select(col("p_partkey"))
+      val up = Tables.lineitem(s, d)
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price"))
+      val w = Window.partitionBy(col("l_partkey"))
+        .orderBy(col("unit_price"), col("l_suppkey"))
+      up.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), col("s_name"), col("n_name"), col("unit_price"))
+        .orderBy(col("l_partkey"))
+    }),
     // Q16 shape adapted (no partsupp: supplier⟷part pairs come from
     // lineitem shipments): how many distinct suppliers shipped each
     // (brand, type, size) combination, excluding one brand and limiting to
@@ -528,6 +553,18 @@ object Composite {
         |FROM supplier JOIN rev ON s_suppkey = l_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH up AS (
+        |  SELECT l_partkey, l_suppkey,
+        |         round(l_extendedprice / l_quantity, 6) AS unit_price
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 9),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_partkey
+        |             ORDER BY unit_price, l_suppkey) AS rn FROM up)
+        |SELECT l_partkey, s_name, n_name, unit_price
+        |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
         |       count(DISTINCT l_suppkey) AS supplier_cnt

@@ -125,6 +125,24 @@ class CompositeSpec extends AnyFunSuite {
     assert(rows.forall(_.getLong(3) <= nSup))
   }
 
+  test("q2: one winner per part, and it truly is that part's cheapest shipment") {
+    val rows = q("q2_min_cost_supplier").collect()
+    assert(rows.nonEmpty)
+    val parts = rows.map(_.getLong(0))
+    assert(parts.distinct.length == parts.length, "a part has two winners")
+    // the reported price is the part's global minimum rounded unit price
+    val mins = Tables.lineitem(spark, TestSpark.SF)
+      .join(Tables.part(spark, TestSpark.SF).filter(col("p_size") === 9),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"))
+      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6)).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) == mins(r.getLong(0)),
+        s"part ${r.getLong(0)}: reported ${r.getDouble(3)} vs min ${mins(r.getLong(0))}")
+    }
+  }
+
   test("q9: grouped by (nation, year) uniquely, years within order range") {
     val rows = q("q9_profit_proxy").collect()
     assert(rows.nonEmpty)
