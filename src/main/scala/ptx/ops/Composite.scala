@@ -256,8 +256,15 @@ object Composite {
         .select(col("s_suppkey"), col("n_name").as("supp_nation"))
       val p = Tables.part(s, d).filter(col("p_type") === "STANDARD")
         .select(col("p_partkey"))
-      val volE4 = round(col("l_extendedprice") * 100).cast("long") *
-        round((lit(1) - col("l_discount")) * 100).cast("long")
+      // Summed as DECIMAL(38,0), not BIGINT: per-row vol·10⁴ reaches ~1e9,
+      // so a per-year group at the 100 TB design point approaches the
+      // 9.2e18 long max and under ANSI mode an overflow would ABORT the
+      // job (ADVICE r5). Decimal keeps the fixed-point sum exact at any
+      // row count; the one cast back to double happens after aggregation,
+      // on group-count-many values.
+      val volE4 = (round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long"))
+        .cast("decimal(38,0)")
       Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey"))

@@ -84,9 +84,16 @@ object LlmScale {
     *    pipeline ~2.5×;
     *  - SELF-LOOPS make each round `min over neighbors ∪ self` in ONE
     *    join, and the self-loop row carries the node's previous label
-    *    through the same aggregation, so convergence detection is free:
-    *    the loop runs diameter+1 rounds and is correct for ANY component
-    *    diameter;
+    *    through the same aggregation, so convergence detection is free;
+    *  - each round chases the edge-hop with a POINTER-JUMP (path-halving,
+    *    r6): `lbl := min(lbl, lbl(lbl))` via a label-sized self-join, so
+    *    the distance a label travels per round roughly doubles and the
+    *    loop converges in O(log diameter) rounds instead of O(diameter) —
+    *    the difference between 64 rounds covering diameter 64 and
+    *    diameter ~2^64 (template-drift near-dup chains at 100 TB can
+    *    exceed any fixed linear bound). The jump join is over the
+    *    node-sized label frame, not the edge set, so its cost is dwarfed
+    *    by the propagation join it halves the count of;
     *  - each round is eagerly localCheckpoint'ed, keeping Catalyst
     *    analysis O(1) per round (the un-rooted form re-analyzed the whole
     *    upstream tree per round — 17.8 s of pure planning at 8 rounds);
@@ -95,7 +102,11 @@ object LlmScale {
     */
   private val MaxPropagationRounds = 64
 
-  private[ops] def clusterPairs(rawPairs: DataFrame): DataFrame = {
+  /** Rounds the last clusterPairs call took to converge — observability
+    * hook for the O(log diameter) convergence property test (r6). */
+  @volatile private[ptx] var lastPropagationRounds: Int = -1
+
+  private[ptx] def clusterPairs(rawPairs: DataFrame): DataFrame = {
     val pairs = ptx.Caching.checkpoint(rawPairs.toDF("doc1", "doc2"))
     // NOTE (r5, measured): re-deriving the node set twice below (once
     // lazily inside edges' checkpoint, once as the initial label frame)
@@ -104,8 +115,8 @@ object LlmScale {
     // 2.2-2.3 s → 3.5-4.3 s over 5 runs): the standalone distinct
     // materialization costs more than the fused recomputation it saves.
     // Kept: the fused form. The loop converges in 2 rounds on this data
-    // (SPARK_GRAFT_CLUSTER_DEBUG prints the count), so setup dominates
-    // and pointer-jumping variants have nothing to amortize.
+    // (SPARK_GRAFT_CLUSTER_DEBUG prints the count), so setup dominates;
+    // the r6 pointer-jump exists for deep components, not this fixture.
     val nodes = pairs.select(col("doc1").as("a"))
       .union(pairs.select(col("doc2"))).distinct()
     val edges = ptx.Caching.checkpoint(
@@ -119,28 +130,46 @@ object LlmScale {
     var converged = false
     var round = 0
     while (!converged && round < MaxPropagationRounds) {
-      val next = ptx.Caching.checkpoint(
+      // hop 1 — propagate: min label over the neighborhood in one join
+      val prop = ptx.Caching.checkpoint(
         edges.join(lbl, col("b") === col("id"))
           .groupBy(col("a"))
           .agg(min(col("lbl")).as("lbl"),
             // the self-loop row (b = a) holds a's own previous label
             min(when(col("b") === col("a"), col("lbl"))).as("prev")))
+      // hop 2 — pointer-jump (path-halving, r6): lbl := min(lbl, lbl(lbl)).
+      // Every label IS a node id and prop covers every node (self-loops),
+      // so the inner self-join is total. The join is label-frame-sized —
+      // node cardinality, not edge cardinality. `least` is defensive:
+      // lbl(lbl(a)) ≤ lbl(a) already holds because labels only decrease
+      // and never rise above their own id.
+      val next = ptx.Caching.checkpoint(
+        prop.join(prop.select(col("a").as("ja"), col("lbl").as("jl")),
+            col("lbl") === col("ja"))
+          .select(col("a"), least(col("lbl"), col("jl")).as("lbl"),
+            col("prev")))
       // round r-1's blocks are dead once round r is materialized
       // (checkpoint is eager) — free them now instead of holding up to
       // MaxPropagationRounds node-sized RDDs until releaseAll (ADVICE r4)
       ptx.Caching.free(lblCp)
+      ptx.Caching.free(prop)
+      // converged iff the FULL round (propagate + jump) lowered no label
+      // below its round-start value — then propagation alone was already
+      // at its fixpoint (per-component min), where the jump is identity
       converged = next.filter(col("lbl") < col("prev")).isEmpty
       lbl = next.select(col("a").as("id"), col("lbl"))
       lblCp = next
       round += 1
     }
     // fail LOUDLY: a silent cap would split one true component into
-    // several cluster ids with no signal (near-dup chains — template
-    // drift — can exceed any fixed diameter)
+    // several cluster ids with no signal. With path-halving the reachable
+    // diameter grows exponentially in rounds, so hitting this cap means
+    // something is broken, not that the data is deep.
     if (!converged) throw new IllegalStateException(
       s"clusterPairs: label propagation did not converge within " +
-        s"$MaxPropagationRounds rounds (component diameter exceeds the " +
-        s"bound); raise MaxPropagationRounds")
+        s"$MaxPropagationRounds rounds (unexpected at O(log diameter) " +
+        s"convergence); raise MaxPropagationRounds")
+    lastPropagationRounds = round
     if (sys.env.contains("SPARK_GRAFT_CLUSTER_DEBUG"))
       System.err.println(s"[clusterPairs] converged after $round rounds")
     lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))

@@ -71,11 +71,26 @@ object Io {
     require(targetMB > 0, s"targetMB must be positive, got $targetMB")
     // enforce the never-in-place contract: a dst inside src would pass
     // Spark's exact-path overwrite check and then write output files INTO
-    // the source, double-counting rows on the next read
-    val srcUri = new java.io.File(src).getCanonicalFile.toPath
-    val dstUri = new java.io.File(dst).getCanonicalFile.toPath
-    require(!dstUri.startsWith(srcUri) && !srcUri.startsWith(dstUri),
-      s"dst must be outside src (src=$src dst=$dst)")
+    // the source, double-counting rows on the next read. Qualify both
+    // paths through the Hadoop filesystem (NOT java.io.File, which would
+    // resolve s3://, hdfs:// etc. against the local cwd and collapse '//',
+    // mis-evaluating the check on exactly the remote object-store paths a
+    // compactor targets — ADVICE r5), then ancestor-check the qualified
+    // URIs at directory-component granularity.
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def qualify(p: String): java.net.URI = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(hconf).makeQualified(hp).toUri
+    }
+    val srcUri = qualify(src)
+    val dstUri = qualify(dst)
+    def isAncestor(a: java.net.URI, b: java.net.URI): Boolean =
+      a.getScheme == b.getScheme && a.getAuthority == b.getAuthority && {
+        val ap = a.getPath.stripSuffix("/")
+        b.getPath == ap || b.getPath.startsWith(ap + "/")
+      }
+    require(!isAncestor(srcUri, dstUri) && !isAncestor(dstUri, srcUri),
+      s"dst must be outside src (src=$srcUri dst=$dstUri)")
     val hPath = new org.apache.hadoop.fs.Path(src)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength

@@ -205,7 +205,15 @@ object Pipelines {
     * arrival-order and monotone (a late click that predates the recorded
     * view cannot advance anything — by then click is already passed or the
     * view mark is later; this matches funnel semantics where stages only
-    * move forward).
+    * move forward). The converse inversion is also dropped, permanently: a
+    * stage event arriving in an EARLIER batch than its prerequisite (a
+    * click/purchase whose view lands in a later batch) finds the
+    * prerequisite mark unset and is discarded, and nothing replays it when
+    * the view arrives — so the batch `pt_funnel` twin, which sees all
+    * events at once, can count a conversion this processor does not.
+    * That asymmetry is the deliberate trade: buffering unmatched
+    * out-of-order stage events in state to recover batch parity would grow
+    * state with arrival skew instead of staying 24 bytes/user.
     */
   class FunnelProcessor
       extends StatefulProcessor[Long, Event, FunnelAdvance] {

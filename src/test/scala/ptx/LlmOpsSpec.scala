@@ -154,6 +154,29 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("clusterPairs: path-halving converges in O(log diameter) rounds (r6)") {
+    import spark.implicits._
+    // a single chain is the adversarial shape for plain label propagation
+    // (min label travels one hop per round → O(diameter) rounds); with the
+    // r6 pointer-jump the covered distance roughly doubles per round
+    def rounds(diameter: Int): Int = {
+      val chain = (0L until diameter.toLong).map(i => (i, i + 1))
+        .toDF("doc1", "doc2")
+      val out = ptx.ops.LlmScale.clusterPairs(chain).collect()
+      ptx.Caching.releaseAll()
+      assert(out.length == diameter + 1)
+      assert(out.forall(_.getLong(1) == 0L),
+        s"chain must collapse to one component labelled 0 (d=$diameter)")
+      ptx.ops.LlmScale.lastPropagationRounds
+    }
+    val r20 = rounds(20)
+    assert(r20 <= 6, s"diameter 20 took $r20 rounds (expected ≤6)")
+    // diameter 63 would have needed 64 rounds — the old MaxPropagationRounds
+    // cap — under plain propagation; path-halving keeps it logarithmic
+    val r63 = rounds(63)
+    assert(r63 <= 8, s"diameter 63 took $r63 rounds (expected ≤8)")
+  }
+
   test("llm_quantize_embed: integer checksum matches a driver-side recompute; error bounded (r4)") {
     val vecs = Tables.embeddings(spark, SF01)
       .selectExpr("label", "transform(embedding, x -> CAST(x AS DOUBLE))")
