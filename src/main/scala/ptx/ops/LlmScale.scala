@@ -130,13 +130,18 @@ object LlmScale {
     var converged = false
     var round = 0
     while (!converged && round < MaxPropagationRounds) {
-      // hop 1 — propagate: min label over the neighborhood in one join
-      val prop = ptx.Caching.checkpoint(
+      // hop 1 — propagate: min label over the neighborhood in one join.
+      // LAZY on purpose: prop is referenced twice by the jump below, and
+      // ReuseExchange dedupes the expensive subtree (edge join + partial
+      // agg + shuffle) into one execution — only the node-sized final
+      // aggregate runs twice. Checkpointing prop instead measured as a
+      // whole extra materialization job per round.
+      val prop =
         edges.join(lbl, col("b") === col("id"))
           .groupBy(col("a"))
           .agg(min(col("lbl")).as("lbl"),
             // the self-loop row (b = a) holds a's own previous label
-            min(when(col("b") === col("a"), col("lbl"))).as("prev")))
+            min(when(col("b") === col("a"), col("lbl"))).as("prev"))
       // hop 2 — pointer-jump (path-halving, r6): lbl := min(lbl, lbl(lbl)).
       // Every label IS a node id and prop covers every node (self-loops),
       // so the inner self-join is total. The join is label-frame-sized —
@@ -152,7 +157,6 @@ object LlmScale {
       // (checkpoint is eager) — free them now instead of holding up to
       // MaxPropagationRounds node-sized RDDs until releaseAll (ADVICE r4)
       ptx.Caching.free(lblCp)
-      ptx.Caching.free(prop)
       // converged iff the FULL round (propagate + jump) lowered no label
       // below its round-start value — then propagation alone was already
       // at its fixpoint (per-component min), where the jump is identity

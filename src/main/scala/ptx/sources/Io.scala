@@ -63,11 +63,17 @@ object Io {
     * compression ratios vary too much for rows to predict bytes.
     * `sortCol` range-partitions before writing so each output file covers
     * a disjoint key range (min/max footer stats then prune scans on that
-    * column). Writes to a fresh directory — never in place: a failed
-    * in-place compaction loses the input.
+    * column). `partitionCols` (r6) writes a hive-style `col=value` layout
+    * instead: rows are clustered by partition value first so each
+    * directory receives its files from the few tasks that hold that value
+    * — without the clustering, every task writes a sliver into every
+    * directory and the "compaction" multiplies the file count by the
+    * partition count. Writes to a fresh directory — never in place: a
+    * failed in-place compaction loses the input.
     */
   def compact(spark: SparkSession, src: String, dst: String,
-              targetMB: Int = 128, sortCol: Option[String] = None): Long = {
+              targetMB: Int = 128, sortCol: Option[String] = None,
+              partitionCols: Seq[String] = Nil): Long = {
     require(targetMB > 0, s"targetMB must be positive, got $targetMB")
     // enforce the never-in-place contract: a dst inside src would pass
     // Spark's exact-path overwrite check and then write output files INTO
@@ -97,11 +103,20 @@ object Io {
     val parts = math.max(1L, (bytes + targetMB.toLong * 1024 * 1024 - 1) /
       (targetMB.toLong * 1024 * 1024)).toInt
     val df = spark.read.parquet(src)
-    val shaped = sortCol match {
-      case Some(c) => df.repartitionByRange(parts, org.apache.spark.sql.functions.col(c))
-      case None => df.repartition(parts)
-    }
-    shaped.write.mode(SaveMode.Overwrite).parquet(dst)
+    import org.apache.spark.sql.functions.col
+    val shaped =
+      if (partitionCols.nonEmpty) {
+        // cluster by partition value; a sortCol then orders WITHIN tasks
+        // so footer min/max stats still prune on it inside each partition
+        val rep = df.repartition(parts, partitionCols.map(col): _*)
+        sortCol.map(c => rep.sortWithinPartitions(col(c))).getOrElse(rep)
+      } else sortCol match {
+        case Some(c) => df.repartitionByRange(parts, col(c))
+        case None => df.repartition(parts)
+      }
+    val writer = shaped.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) writer.partitionBy(partitionCols: _*)
+     else writer).parquet(dst)
     parts.toLong
   }
 }

@@ -1,0 +1,86 @@
+package ptx.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming throughput probe (r6, VERDICT r5 §6): replays the events
+  * fixture through representative G10 pipelines with
+  * `Trigger.AvailableNow` and reports rows/s, so streaming performance
+  * regressions become a visible number instead of a correctness-only
+  * property. Two pipelines bracket the cost spectrum:
+  *   - `tumbling`  — stateless-shuffle windowed aggregation (HDFS-backed
+  *     window state, the cheap common case);
+  *   - `funnel`    — per-user `transformWithState` machine on RocksDB (a
+  *     state-store round-trip per event, the expensive stateful case).
+  *
+  * Method: the fixture is staged once to a plain parquet dir (the raw
+  * fixture is TIMESTAMP(NANOS); `Tables.events` normalizes to µs on
+  * load), then each pipeline runs a file-source → noop-sink stream to
+  * completion. Wall time covers the whole micro-batch execution; rows/s =
+  * fixture rows / wall. One untimed warm pass absorbs codegen/classload,
+  * mirroring graft.Bench's method.
+  *
+  * Output: one JSON line (and $SPARK_GRAFT_STREAMBENCH_OUT, default
+  * docs/STREAMBENCH.json) — committed per round so the number is diffable.
+  */
+object StreamBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // transformWithState requires the RocksDB provider
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val staged = Files.createTempDirectory("ptx-streambench").toString
+    val ev = ptx.Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").parquet(staged)
+    val rows = spark.read.parquet(staged).count()
+
+    def runOnce(build: DataFrame => DataFrame): Double = {
+      val cp = Files.createTempDirectory("ptx-sb-cp").toString
+      val src = spark.readStream.schema(ev.schema).parquet(staged)
+      val t0 = System.nanoTime()
+      val q = build(src).writeStream
+        .format("noop")
+        .option("checkpointLocation", cp)
+        .outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def bench(name: String)(build: DataFrame => DataFrame): (String, Double) = {
+      runOnce(build) // warm: codegen + state-store provider load
+      name -> runOnce(build)
+    }
+
+    val results = Seq(
+      bench("tumbling")(ptx.stream.Pipelines.tumbling),
+      bench("funnel")(df => ptx.stream.Pipelines.funnel(
+        df.as[ptx.stream.Event]).toDF()))
+
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val body = results.map { case (n, sec) =>
+      s""""$n":{"sec":${fmt(sec)},"rows_per_sec":${fmt(rows / sec)}}"""
+    }.mkString(",")
+    val json =
+      s"""{"metric":"stream_throughput","rows":$rows,"sf":"$sfDir","cpus":$cpus,"pipelines":{$body}}"""
+    println(json)
+    val out = sys.env.getOrElse("SPARK_GRAFT_STREAMBENCH_OUT", "docs/STREAMBENCH.json")
+    try Files.writeString(java.nio.file.Paths.get(out), json + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[streambench] write $out failed: ${e.getMessage}") }
+    spark.stop()
+  }
+}

@@ -20,6 +20,25 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("saltedAgg never leaks __salt/__key internals into the output schema (r6)") {
+    val e = Tables.events(spark, TestSpark.SF)
+    val out = Skew.saltedAgg(e, col("user_id"), buckets = 8)(
+      partial = g => g.agg(count(lit(1)).as("n")),
+      merge = g => g.agg(sum("n").as("n")))
+    // SURVEY §2.1(7): the salt derives from monotonically_increasing_id —
+    // partition-layout-dependent, so it must be aggregated away, never
+    // projected. The schema is the contract.
+    assert(out.columns.toSeq == Seq("key", "n"))
+    assert(!out.columns.exists(c => c.startsWith("__")))
+    // and a partial phase that tries to project the salt is rejected loudly
+    val ex = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(e, col("user_id"), buckets = 8)(
+        partial = g => g.agg(count(lit(1)).as("n")),
+        merge = g => g.agg(sum("n").as("n"), max("__salt").as("__salt")))
+    }
+    assert(ex.getMessage.contains("salt"))
+  }
+
   test("saltedJoin equals plain join (row multiplicity preserved)") {
     val e = Tables.events(spark, TestSpark.SF).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, TestSpark.SF)
