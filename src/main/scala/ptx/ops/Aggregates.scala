@@ -100,6 +100,36 @@ object Aggregates {
           round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
         .orderBy(col("l_returnflag"))
     }),
+    // ✓ linear-regression aggregates (r6): slope/intercept/R²/mean-x/
+    // mean-y of extendedprice ~ quantity per returnflag — the one-pass
+    // OLS stats family. Each regr_* compiles into the same fused
+    // two-phase hash aggregate as sum/avg (partial moments map-side, one
+    // shuffle), NOT a join of separately-computed moments.
+    "agg_regression" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("regr_count(l_extendedprice, l_quantity)").cast("long").as("n_pairs"),
+          round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+          round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+          round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+          round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avg_x"),
+          round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avg_y"))
+        .orderBy(col("l_returnflag"))
+    }),
+    // ✓ ordered string aggregation (r6): the LISTAGG / string_agg shape.
+    // Deterministic by construction — set → sort → join — because
+    // collect_set/collect_list order is partition-layout-dependent; an
+    // unordered string_agg would be the §2.1(7) trap in disguise.
+    "agg_string_concat" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
+            .as("statuses"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
     "agg_percentile" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
@@ -358,6 +388,20 @@ object Aggregates {
         |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
         |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_regression" ->
+      """SELECT l_returnflag,
+        |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(regr_avgx(l_extendedprice, l_quantity), 6) AS avg_x,
+        |  round(regr_avgy(l_extendedprice, l_quantity), 6) AS avg_y
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_string_concat" ->
+      """SELECT o_orderpriority,
+        |  string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "agg_percentile" ->
       """SELECT o_orderstatus,
         |  round(quantile_cont(o_totalprice, 0.5), 6) AS median,

@@ -106,6 +106,20 @@ object Joins {
             .over(w).as("last_error_ts"))
         .orderBy(col("event_id"))
     }),
+    // ✓ as-of FORWARD (r6): the first same-user error event strictly
+    // AFTER each event — pandas merge_asof direction='forward', the
+    // "time-to-next-failure" alignment. Mirror image of
+    // join_asof_last_error: same single user_id shuffle, one forward
+    // window frame, no self-join.
+    "join_asof_next_error" -> ((s, d) => {
+      val e = Tables.events(s, d)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      e.select(col("event_id"), col("user_id"), col("ts"),
+          first(when(col("event_type") === "error", col("ts")), ignoreNulls = true)
+            .over(w).as("next_error_ts"))
+        .orderBy(col("event_id"))
+    }),
     // as-of NEAREST: the closest same-user error event in EITHER direction
     // (backward wins exact ties) — the nearest-reading alignment telemetry
     // engines ship next to the backward as-of. Same scale shape as
@@ -242,6 +256,12 @@ object Joins {
         |       last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts
+        |FROM $EV ORDER BY event_id""".stripMargin,
+    "join_asof_next_error" ->
+      s"""SELECT event_id, user_id, ts,
+        |       first_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+        |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_error_ts
         |FROM $EV ORDER BY event_id""".stripMargin,
     "join_asof_nearest_error" ->
       s"""WITH w AS (

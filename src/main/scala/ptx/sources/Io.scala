@@ -31,6 +31,18 @@ object Io {
       .option("mode", "FAILFAST")
       .json(path)
 
+  /** ORC round-trip (r6) — the second columnar format a warehouse meets.
+    * Same explicit-schema contract as the CSV/JSON readers; ORC carries
+    * its own schema but pinning one rejects drifted files at plan time
+    * instead of poisoning downstream unions. Predicate pushdown and
+    * column pruning work the same as parquet (native vectorized reader).
+    */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

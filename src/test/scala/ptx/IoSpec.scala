@@ -26,6 +26,24 @@ class IoSpec extends AnyFunSuite {
            df.agg(sum("value")).collect()(0).getDouble(0))
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan (r6)") {
+    val dir = tmp("ptx-orc")
+    val df = events.select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    Io.writeOrc(df, dir)
+    val back = Io.readOrc(spark, dir, df.schema)
+    assert(back.count() == df.count())
+    assert(back.agg(sum("value")).collect()(0).getDouble(0) ==
+           df.agg(sum("value")).collect()(0).getDouble(0))
+    // ORC scans carry predicate pushdown like parquet — assert it reaches
+    // the physical scan, same discipline as the parquet PushedFilters checks
+    val filtered = back.filter(col("event_type") === "error")
+    val scan = filtered.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.dataFilters.nonEmpty, s"expected pushed filters:\n$scan")
+    assert(filtered.count() == df.filter(col("event_type") === "error").count())
+  }
+
   test("json-lines round-trip preserves rows under an explicit schema") {
     val dir = tmp("ptx-json")
     val df = events.select(col("event_id"), col("event_type"), col("props"))

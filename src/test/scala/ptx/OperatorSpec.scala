@@ -108,6 +108,22 @@ class OperatorSpec extends AnyFunSuite {
     budget("q21_late_suppliers", 5)
   }
 
+  test("plan budget: r6 additions hold their shuffle structure") {
+    def budget(name: String, bound: Int): Unit = {
+      val n = measuredExchanges(name)
+      ptx.Caching.releaseAll()
+      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
+    }
+    // each is ONE two-phase hash aggregate + the output sort — decimal
+    // sums, regression moments, and the set-sort-join string agg must all
+    // stay map-side-combinable single-shuffle shapes
+    budget("agg_decimal_pricing", 2)
+    budget("agg_regression", 2)
+    budget("agg_string_concat", 2)
+    // mirror of join_asof_last_error: one user_id shuffle + output sort
+    budget("join_asof_next_error", 2)
+  }
+
   test("q19: the disjunctive predicate partially pushes brand/size to the part scan") {
     // sparkPlan, not executedPlan: the AQE wrapper hides children from collect
     val scans = q("q19_disjunctive").queryExecution.sparkPlan.collect {

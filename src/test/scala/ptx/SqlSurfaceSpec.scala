@@ -53,6 +53,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "mm_binary_meta" -> "1-arg encode() (Spark encode needs charset)",
       // DuckDB-only syntax
       "agg_collect_sorted" -> "ORDER BY inside array_agg",
+      "agg_string_concat" -> "ORDER BY inside string_agg",
       "llm_ann_ivf" -> "ORDER BY inside array_agg",
       "llm_hybrid_rrf" -> "select-alias reference in same SELECT list",
       "llm_token_budget" -> "select-alias reference in same SELECT list",
