@@ -373,6 +373,29 @@ object LlmScale {
     // Formula parenthesization is pinned identically in the oracle:
     // x·127/mx (not x/(mx/127)) and floor(..)·(mx/127.0) — different
     // associativity rounds differently in IEEE.
+    // ✓ SemDeDup-shape semantic dedup (r6): within each coarse cell
+    // (the fixture's label column = the IVF cell id), a vector is
+    // non-canonical iff a LOWER-id vector in the SAME cell has cosine
+    // ≥ 0.45 with it — keep-lowest-id semantic dedup with candidate
+    // pairs bounded per cell (Σ|cell|² work, never the corpus-wide n²
+    // of `llm_dedup_embed`, which remains the exact anchor this refines;
+    // concept per Abbas et al. 2023, "SemDeDup"). One shuffle on the
+    // cell key; the codegen'd cosine kernel scores candidates.
+    "llm_semdedup" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      val dup = e.select(col("vec_id").as("v2"), col("label").as("l2"),
+          col("embedding").as("e2"))
+        .join(e.select(col("vec_id").as("v1"), col("label").as("l1"),
+            col("embedding").as("e1")),
+          col("l1") === col("l2") && col("v1") < col("v2"))
+        .filter(expr("cosine_sim(e1, e2)") >= 0.45)
+        .select(col("v2").as("dup_id")).distinct()
+      e.join(dup, col("vec_id") === col("dup_id"), "left_outer")
+        .select(col("vec_id"), col("label"),
+          col("dup_id").isNull.as("is_canonical"))
+        .orderBy(col("vec_id"))
+    }),
     "llm_quantize_embed" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),
@@ -459,6 +482,18 @@ object LlmScale {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id) t
         |WHERE sim >= 0.45
         |ORDER BY vec1, vec2""".stripMargin,
+    "llm_semdedup" ->
+      """WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings)
+        |SELECT e.vec_id, e.label,
+        |  NOT EXISTS (
+        |    SELECT 1 FROM v d
+        |    WHERE d.label = e.label AND d.vec_id < e.vec_id
+        |      AND list_dot_product(d.v, e.v)
+        |          / (sqrt(list_dot_product(d.v, d.v))
+        |             * sqrt(list_dot_product(e.v, e.v))) >= 0.45) AS is_canonical
+        |FROM v e ORDER BY vec_id""".stripMargin,
     "llm_quantize_embed" ->
       """WITH v AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

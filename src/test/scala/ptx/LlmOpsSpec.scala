@@ -154,6 +154,17 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("llm_semdedup: victims equal the exact anchor's same-cell higher ids (r6)") {
+    // the cell-bounded semantic dedup must agree with the all-pairs exact
+    // anchor restricted to same-label pairs: a vector is non-canonical
+    // exactly when the anchor reports a lower-id same-cell neighbor ≥ τ
+    val victims = q("llm_semdedup").collect()
+      .filter(!_.getBoolean(2)).map(_.getLong(0)).toSet
+    val expected = q("llm_dedup_embed").collect()
+      .filter(_.getBoolean(3)).map(_.getLong(1)).toSet
+    assert(victims == expected)
+  }
+
   test("clusterPairs: path-halving converges in O(log diameter) rounds (r6)") {
     import spark.implicits._
     // a single chain is the adversarial shape for plain label propagation

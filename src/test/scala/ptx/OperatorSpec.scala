@@ -122,6 +122,9 @@ class OperatorSpec extends AnyFunSuite {
     budget("agg_string_concat", 2)
     // mirror of join_asof_last_error: one user_id shuffle + output sort
     budget("join_asof_next_error", 2)
+    // cell-key candidate join + distinct + anti-ish left join + sort —
+    // the point is that NO exchange is corpus-crossing (all on label/id)
+    budget("llm_semdedup", 6)
   }
 
   test("q19: the disjunctive predicate partially pushes brand/size to the part scan") {

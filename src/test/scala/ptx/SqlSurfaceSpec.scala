@@ -43,7 +43,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_semantic_topk_text" -> listFns, "llm_text_clean" -> listFns,
       "llm_text_stats" -> listFns, "llm_tfidf" -> listFns,
       "llm_token_count" -> listFns, "llm_unigram_logprob" -> listFns,
-      "llm_wordcount" -> listFns, "agg_topk_sketch" -> listFns,
+      "llm_wordcount" -> listFns, "llm_semdedup" -> listFns,
+      "agg_topk_sketch" -> listFns,
       "agg_topk_union" -> listFns, "mm_frame_sample" -> listFns,
       // DuckDB-only functions
       "agg_percentile" -> "quantile_cont (Spark: percentile)",
