@@ -180,6 +180,50 @@ object Telemetry {
           last(col("v"), ignoreNulls = true).over(w).as("avg_val_ff"))
         .orderBy(col("user_id"), col("bucket"))
     }),
+    // ✓ linear-interpolation resampling (r6): the gap-fill grid, but an
+    // empty bucket takes the time-weighted lerp between the nearest
+    // observed bucket-averages on each side instead of carrying the last
+    // one forward — the resampler a rate/derivative model needs (forward
+    // fill puts a step exactly where a slope belongs). Interior gaps
+    // always have both neighbors because each user's spine spans its own
+    // observed min..max bucket. Same single user_id shuffle as
+    // pt_gap_fill: the spine join and the four ignoreNulls frames all
+    // reuse one partitioning. The OUTPUT is exact fixed-point micro-units
+    // (BIGINT): the free-double lerp measured a 1-ulp divergence exactly
+    // on a 6dp rounding boundary, so — q8 discipline — the 6dp bucket
+    // averages become integers (exact once rounded), the lerp numerator
+    // pv·(nb−b) + nv·(b−pb) stays integer (< 2^53, double-exact in both
+    // engines), and the single division + round-to-integer is
+    // deterministic across engines even on exact .5 ties (both round
+    // away from zero).
+    "pt_interp_linear" -> ((s, d) => {
+      val ag = Tables.events(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))
+        .agg(round(avg(col("value")), 6).as("vd"))
+        .withColumn("v", round(col("vd") * 1e6).cast("long")).drop("vd")
+      val spine = ag.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+        .select(col("user_id"),
+          explode(expr("sequence(b0, b1, interval 6 hours)")).as("bucket"))
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
+      val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+      val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+      spine.join(ag, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"), col("v"),
+          last(col("v"), ignoreNulls = true).over(back).as("pv"),
+          last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
+            .over(back).as("pb"),
+          first(col("v"), ignoreNulls = true).over(fwd).as("nv"),
+          first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
+            .over(fwd).as("nb"))
+        .select(col("user_id"), col("bucket"),
+          when(col("v").isNotNull, col("v")).otherwise(round(
+            (col("pv") * (unix_timestamp(col("nb")) - unix_timestamp(col("bucket"))) +
+             col("nv") * (unix_timestamp(col("bucket")) - unix_timestamp(col("pb")))) /
+              (unix_timestamp(col("nb")) - unix_timestamp(col("pb")))).cast("long"))
+            .as("v_interp_e6"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
     // ✓ percentile winsorization (r5): clip each type's values to its own
     // exact [p05, p95] and report raw-vs-clipped means — the outlier
     // containment step upstream of any z-score/threshold rule. Exact
@@ -382,6 +426,33 @@ object Telemetry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_val_ff
         |FROM sp LEFT JOIN ag ON sp.user_id = ag.user_id AND sp.bucket = ag.bucket
         |ORDER BY sp.user_id, sp.bucket""".stripMargin,
+    "pt_interp_linear" ->
+      s"""WITH ag AS (
+        |  SELECT user_id,
+        |    make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS bucket,
+        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v
+        |  FROM $EV GROUP BY user_id, bucket),
+        |sp AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(min(bucket), max(bucket), INTERVAL 6 HOUR)) AS bucket
+        |  FROM ag GROUP BY user_id),
+        |j AS (
+        |  SELECT sp.user_id, sp.bucket, v,
+        |    last_value(v IGNORE NULLS) OVER wb AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN sp.bucket END IGNORE NULLS) OVER wb AS pb,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN sp.bucket END IGNORE NULLS) OVER wf AS nb
+        |  FROM sp LEFT JOIN ag ON sp.user_id = ag.user_id AND sp.bucket = ag.bucket
+        |  WINDOW wb AS (PARTITION BY sp.user_id ORDER BY sp.bucket
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY sp.user_id ORDER BY sp.bucket
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, bucket,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE CAST(round((pv * (epoch(nb) - epoch(bucket))
+        |                        + nv * (epoch(bucket) - epoch(pb)))
+        |                       / (epoch(nb) - epoch(pb))) AS BIGINT) END AS v_interp_e6
+        |FROM j ORDER BY user_id, bucket""".stripMargin,
     "pt_winsorize" ->
       s"""SELECT e.event_type, count(*) AS n, round(avg(value), 6) AS avg_raw,
         |  round(avg(least(greatest(value, p05), p95)), 6) AS avg_winsor
