@@ -138,6 +138,25 @@ object Aggregates {
           round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
         .orderBy(col("o_orderstatus"))
     }),
+    // ✓ DISCRETE percentiles (r6): SQL-standard percentile_disc — the
+    // smallest actual data value whose cumulative distribution ≥ p. The
+    // result is always a real element, never an interpolated float, so
+    // the oracle compares exactly with no rounding discipline at all.
+    // Oracle side avoids DuckDB's quantile_disc (its index rule differs
+    // from the standard) and instead encodes the definition directly via
+    // cume_dist.
+    "agg_percentile_disc" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("median_disc"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p90_disc"),
+          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)")
+            .as("p99_disc"))
+        .orderBy(col("o_orderstatus"))
+    }),
     "agg_collect_sorted" -> ((s, d) => {
       val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
       sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
@@ -388,6 +407,17 @@ object Aggregates {
         |  round(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
         |  round(covar_samp(l_extendedprice, l_quantity), 2) AS cov_pq
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_percentile_disc" ->
+      """WITH cd AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    cume_dist() OVER (PARTITION BY o_orderstatus
+        |                      ORDER BY o_totalprice) AS c
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  min(CASE WHEN c >= 0.5 THEN o_totalprice END) AS median_disc,
+        |  min(CASE WHEN c >= 0.9 THEN o_totalprice END) AS p90_disc,
+        |  min(CASE WHEN c >= 0.99 THEN o_totalprice END) AS p99_disc
+        |FROM cd GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_regression" ->
       """SELECT l_returnflag,
         |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
