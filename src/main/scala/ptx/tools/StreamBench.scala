@@ -11,6 +11,8 @@ import org.apache.spark.sql.streaming.Trigger
   * property. Two pipelines bracket the cost spectrum:
   *   - `tumbling`  — stateless-shuffle windowed aggregation (HDFS-backed
   *     window state, the cheap common case);
+  *   - `sessions`  — native session windows (merging window state, the
+  *     middle case);
   *   - `funnel`    — per-user `transformWithState` machine on RocksDB (a
   *     state-store round-trip per event, the expensive stateful case).
   *
@@ -45,28 +47,30 @@ object StreamBench {
     ev.write.mode("overwrite").parquet(staged)
     val rows = spark.read.parquet(staged).count()
 
-    def runOnce(build: DataFrame => DataFrame): Double = {
+    def runOnce(mode: String)(build: DataFrame => DataFrame): Double = {
       val cp = Files.createTempDirectory("ptx-sb-cp").toString
       val src = spark.readStream.schema(ev.schema).parquet(staged)
       val t0 = System.nanoTime()
       val q = build(src).writeStream
         .format("noop")
         .option("checkpointLocation", cp)
-        .outputMode("update")
+        .outputMode(mode) // session windows accept append only
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
 
-    def bench(name: String)(build: DataFrame => DataFrame): (String, Double) = {
-      runOnce(build) // warm: codegen + state-store provider load
-      name -> runOnce(build)
+    def bench(name: String, mode: String)(
+        build: DataFrame => DataFrame): (String, Double) = {
+      runOnce(mode)(build) // warm: codegen + state-store provider load
+      name -> runOnce(mode)(build)
     }
 
     val results = Seq(
-      bench("tumbling")(ptx.stream.Pipelines.tumbling),
-      bench("funnel")(df => ptx.stream.Pipelines.funnel(
+      bench("tumbling", "update")(ptx.stream.Pipelines.tumbling),
+      bench("sessions", "append")(ptx.stream.Pipelines.sessions),
+      bench("funnel", "append")(df => ptx.stream.Pipelines.funnel(
         df.as[ptx.stream.Event]).toDF()))
 
     def fmt(v: Double): String =
