@@ -207,6 +207,22 @@ object Composite {
     // year. Suppliers/customers are pre-filtered to the two nations via
     // broadcast nation joins (each filtered dim is tiny → broadcasts into
     // the fact scans), so the only big shuffle is lineitem⋈orders.
+    // Q6 shape (r6): the forecast-revenue-change query — a single
+    // predicate-pushed scan and one global sum, THE canonical
+    // filter-selectivity benchmark. sum(price·disc) is exact in double
+    // (both factors 2dp-clean → 4dp products; total ≪ 2^53 at any SF the
+    // fixture reaches), so round(2) is presentation, not parity glue.
+    // All three predicates push to the parquet scan (PushedFilters).
+    "q6_forecast_revenue" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01")) &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
+          .as("revenue"),
+          count(lit(1)).as("n"))
+    }),
     "q7_volume_shipping" -> ((s, d) => {
       val n = Tables.nation(s, d)
         .filter(col("n_name").isin("NATION_18", "NATION_19"))
@@ -483,6 +499,14 @@ object Composite {
         |              WHERE l.l_orderkey = o.o_orderkey
         |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,

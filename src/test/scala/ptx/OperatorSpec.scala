@@ -127,6 +127,17 @@ class OperatorSpec extends AnyFunSuite {
     budget("llm_semdedup", 6)
   }
 
+  test("q6: all three predicates push to the lineitem scan (r6)") {
+    // the query IS the scan — if any predicate falls out of PushedFilters
+    // the canonical selectivity benchmark stops measuring the scan
+    val scan = q("q6_forecast_revenue").queryExecution.sparkPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val pushed = scan.dataFilters.map(_.toString).mkString(";")
+    for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
+      assert(pushed.contains(c), s"$c not pushed: $pushed")
+  }
+
   test("q19: the disjunctive predicate partially pushes brand/size to the part scan") {
     // sparkPlan, not executedPlan: the AQE wrapper hides children from collect
     val scans = q("q19_disjunctive").queryExecution.sparkPlan.collect {
