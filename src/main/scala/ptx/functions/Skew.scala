@@ -47,6 +47,18 @@ object Skew {
       s"saltedAgg internals escaped into the output schema " +
         s"(${out.columns.mkString(", ")}): the partition-layout-dependent " +
         s"salt must be aggregated away, never projected")
+    // name check alone misses an ALIASED projection (max(__salt) AS x);
+    // the merge-level Aggregate — the topmost one — may reference __salt
+    // through no expression at all, aliased or not
+    val topAgg = out.queryExecution.analyzed.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    topAgg.foreach { a =>
+      val refs = a.aggregateExpressions.flatMap(_.references).map(_.name)
+      require(!refs.contains("__salt"),
+        "saltedAgg: the merge phase references __salt (possibly aliased) " +
+          "— the partition-layout-dependent salt must not reach the output")
+    }
     out
   }
 

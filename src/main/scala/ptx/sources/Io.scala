@@ -76,8 +76,10 @@ object Io {
     * `sortCol` range-partitions before writing so each output file covers
     * a disjoint key range (min/max footer stats then prune scans on that
     * column). `partitionCols` (r6) writes a hive-style `col=value` layout
-    * instead: rows are clustered by partition value first so each
-    * directory receives its files from the few tasks that hold that value
+    * instead: rows are RANGE-clustered by (partition value, spread key)
+    * so each directory receives its files from the few tasks whose range
+    * covers that value, while a hot value still splits across enough
+    * tasks to honor `targetMB`
     * — without the clustering, every task writes a sliver into every
     * directory and the "compaction" multiplies the file count by the
     * partition count. Writes to a fresh directory — never in place: a
@@ -98,7 +100,13 @@ object Io {
     val hconf = spark.sparkContext.hadoopConfiguration
     def qualify(p: String): java.net.URI = {
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(hconf).makeQualified(hp).toUri
+      val q = hp.getFileSystem(hconf).makeQualified(hp).toUri
+      // makeQualified normalizes '..' but NOT symlinks; for local paths
+      // (the one scheme where java.io can see the real tree) canonicalize
+      // so a 'current -> v3' style symlink cannot smuggle dst inside src
+      if (q.getScheme == "file")
+        new java.io.File(q.getPath).getCanonicalFile.toURI
+      else q
     }
     val srcUri = qualify(src)
     val dstUri = qualify(dst)
@@ -115,13 +123,21 @@ object Io {
     val parts = math.max(1L, (bytes + targetMB.toLong * 1024 * 1024 - 1) /
       (targetMB.toLong * 1024 * 1024)).toInt
     val df = spark.read.parquet(src)
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, xxhash64, struct}
     val shaped =
       if (partitionCols.nonEmpty) {
-        // cluster by partition value; a sortCol then orders WITHIN tasks
-        // so footer min/max stats still prune on it inside each partition
-        val rep = df.repartition(parts, partitionCols.map(col): _*)
-        sortCol.map(c => rep.sortWithinPartitions(col(c))).getOrElse(rep)
+        // RANGE-partition by (partitionCols, spread): a plain hash on the
+        // partition columns would put EVERY row of one value in a single
+        // task — one arbitrarily large file per directory, silently
+        // ignoring targetMB. Ranging keeps a value's rows contiguous
+        // (each task writes into 1-2 directories) while the spread key
+        // splits a big value across enough tasks to honor the size
+        // target. Spread = sortCol when given (footer min/max stats then
+        // also prune on it), else a content hash (deterministic, layout-
+        // independent).
+        val spread = sortCol.map(col).getOrElse(
+          xxhash64(struct(df.columns.map(col): _*)))
+        df.repartitionByRange(parts, (partitionCols.map(col) :+ spread): _*)
       } else sortCol match {
         case Some(c) => df.repartitionByRange(parts, col(c))
         case None => df.repartition(parts)

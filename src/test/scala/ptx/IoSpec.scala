@@ -34,13 +34,16 @@ class IoSpec extends AnyFunSuite {
     assert(back.count() == df.count())
     assert(back.agg(sum("value")).collect()(0).getDouble(0) ==
            df.agg(sum("value")).collect()(0).getDouble(0))
-    // ORC scans carry predicate pushdown like parquet — assert it reaches
-    // the physical scan, same discipline as the parquet PushedFilters checks
+    // ORC scans carry predicate pushdown like parquet — assert the filter
+    // is actually TRANSLATED to the reader (metadata PushedFilters), not
+    // merely adjacent to the scan (dataFilters stays populated even with
+    // spark.sql.orc.filterPushdown=false)
     val filtered = back.filter(col("event_type") === "error")
     val scan = filtered.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.head
-    assert(scan.dataFilters.nonEmpty, s"expected pushed filters:\n$scan")
+    assert(scan.metadata("PushedFilters").contains("event_type"),
+      s"filter not pushed to the ORC reader: ${scan.metadata("PushedFilters")}")
     assert(filtered.count() == df.filter(col("event_type") === "error").count())
   }
 

@@ -133,7 +133,9 @@ class OperatorSpec extends AnyFunSuite {
     val scan = q("q6_forecast_revenue").queryExecution.sparkPlan.collect {
       case s: org.apache.spark.sql.execution.FileSourceScanExec => s
     }.head
-    val pushed = scan.dataFilters.map(_.toString).mkString(";")
+    // metadata("PushedFilters") holds the TRANSLATED source filters —
+    // dataFilters would stay populated even with pushdown disabled
+    val pushed = scan.metadata("PushedFilters")
     for (c <- Seq("l_shipdate", "l_discount", "l_quantity"))
       assert(pushed.contains(c), s"$c not pushed: $pushed")
   }

@@ -30,13 +30,21 @@ class SkewSpec extends AnyFunSuite {
     // projected. The schema is the contract.
     assert(out.columns.toSeq == Seq("key", "n"))
     assert(!out.columns.exists(c => c.startsWith("__")))
-    // and a partial phase that tries to project the salt is rejected loudly
+    // and a merge phase that tries to project the salt is rejected loudly
     val ex = intercept[IllegalArgumentException] {
       Skew.saltedAgg(e, col("user_id"), buckets = 8)(
         partial = g => g.agg(count(lit(1)).as("n")),
         merge = g => g.agg(sum("n").as("n"), max("__salt").as("__salt")))
     }
     assert(ex.getMessage.contains("salt"))
+    // ...including under an innocent-looking ALIAS (the name check alone
+    // would miss this; the plan-reference check catches it)
+    val ex2 = intercept[IllegalArgumentException] {
+      Skew.saltedAgg(e, col("user_id"), buckets = 8)(
+        partial = g => g.agg(count(lit(1)).as("n")),
+        merge = g => g.agg(sum("n").as("n"), max("__salt").as("salt_out")))
+    }
+    assert(ex2.getMessage.contains("salt"))
   }
 
   test("saltedJoin equals plain join (row multiplicity preserved)") {
