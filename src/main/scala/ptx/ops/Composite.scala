@@ -223,6 +223,27 @@ object Composite {
           .as("revenue"),
           count(lit(1)).as("n"))
     }),
+    // Q12 shape (r6): shipping-speed vs order-priority cross-tab. The
+    // fixture has no l_shipmode/commitdate, so the Q12 bucketing is
+    // re-keyed on ship lag (shipped >60 days after order date = 'slow');
+    // the analytical core — a fact⋈fact equi-join feeding conditional
+    // counts into a 2-row result — is intact. Both sides project to 2-3
+    // columns before the one orderkey shuffle; the conditional sums are
+    // map-side partial aggregates, so the final exchange moves 2 rows.
+    "q12_ship_lag_priority" -> ((s, d) => {
+      val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("speed",
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+            "slow").otherwise("fast"))
+        .groupBy(col("speed"))
+        .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
+        .orderBy(col("speed"))
+    }),
     "q7_volume_shipping" -> ((s, d) => {
       val n = Tables.nation(s, d)
         .filter(col("n_name").isin("NATION_18", "NATION_19"))
@@ -507,6 +528,15 @@ object Composite {
         |  AND l_shipdate < TIMESTAMP '1997-01-01'
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q12_ship_lag_priority" ->
+      """SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |            THEN 'slow' ELSE 'fast' END AS speed,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       year(l_shipdate) AS l_year,

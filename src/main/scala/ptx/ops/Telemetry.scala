@@ -293,6 +293,59 @@ object Telemetry {
           round(col("n_active").cast("double") / col("cohort_n"), 6)
             .as("retention"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+    // ✓ truncated exponential moving average (r6): halflife-one EWM over
+    // the last 8 samples per user. Weights are powers of two (128..1) and
+    // values are e2 fixed point (the fixture has exactly 2dp), so the
+    // numerator/denominator are exact BIGINTs and the single double
+    // division + round is engine-deterministic — the same discipline as
+    // pt_interp_linear. The 8-term truncation keeps the EWM expressible
+    // as a fixed lag() expression tree (no sequential recursion): one
+    // user_id shuffle, one window pass, codegen throughout. The residual
+    // weight below 2^-8 is under 0.4% — the normalizing denominator
+    // (sum of PRESENT weights) removes the warm-up bias a fixed divisor
+    // would have on the first 7 rows.
+    "pt_ewma" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val e = Tables.events(s, d)
+        .withColumn("v", round(col("value") * 100).cast("long"))
+      val cols = Seq(col("event_id"), col("user_id"), col("ts"), col("v")) ++
+        (1 to 7).map(k => lag(col("v"), k).over(w).as(s"v$k"))
+      val lagged = e.select(cols: _*)
+      val num = (1 to 7).foldLeft(col("v") * lit(128L)) { (acc, k) =>
+        acc + coalesce(col(s"v$k"), lit(0L)) * lit(1L << (7 - k)) }
+      val den = (1 to 7).foldLeft(lit(128L): org.apache.spark.sql.Column) {
+        (acc, k) =>
+          acc + when(col(s"v$k").isNotNull, lit(1L << (7 - k))).otherwise(lit(0L)) }
+      lagged
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(num / den).cast("long").as("ewma_e2"))
+        .orderBy(col("event_id"))
+    }),
+    // ✓ CUSUM drift detection (r6): per-user cumulative sum of deviations
+    // from the GLOBAL mean, flagged where the sum rises > 500.00 above its
+    // running minimum — the classic one-sided change-point detector.
+    // Everything stays in exact e2 BIGINTs: the global mean is an integer
+    // sum/count (order-independent) broadcast as a one-row frame, the
+    // cumsum is an integer running window, and the drift flag compares
+    // integers — no float crosses an engine boundary. One user_id shuffle,
+    // two stacked running-window passes over the same sort.
+    "pt_cusum" -> ((s, d) => {
+      val v = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("v"))
+      val m = v.agg(
+        round(sum(col("v")) * lit(1.0) / count(lit(1))).cast("long").as("mean_e2"))
+      val run = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      v.crossJoin(broadcast(m))
+        .withColumn("cusum_e2", sum(col("v") - col("mean_e2")).over(run))
+        .withColumn("drift",
+          col("cusum_e2") - min(col("cusum_e2")).over(run) > lit(50000L))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("cusum_e2"), col("drift"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -493,6 +546,44 @@ object Telemetry {
         |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, day_offset, n_active,
         |       round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
         |FROM act JOIN sz USING (cohort_day)
-        |ORDER BY cohort_day, day_offset""".stripMargin
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+    "pt_ewma" ->
+      s"""WITH v AS (
+        |  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM $EV),
+        |l AS (
+        |  SELECT event_id, user_id, ts, v,
+        |    lag(v,1) OVER w AS v1, lag(v,2) OVER w AS v2, lag(v,3) OVER w AS v3,
+        |    lag(v,4) OVER w AS v4, lag(v,5) OVER w AS v5, lag(v,6) OVER w AS v6,
+        |    lag(v,7) OVER w AS v7
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT event_id, user_id, ts,
+        |  CAST(round((v*128 + coalesce(v1,0)*64 + coalesce(v2,0)*32
+        |    + coalesce(v3,0)*16 + coalesce(v4,0)*8 + coalesce(v5,0)*4
+        |    + coalesce(v6,0)*2 + coalesce(v7,0)*1) * 1.0
+        |   / (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+        |      + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+        |      + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+        |      + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+        |      + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+        |      + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+        |      + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)) AS BIGINT) AS ewma_e2
+        |FROM l ORDER BY event_id""".stripMargin,
+    "pt_cusum" ->
+      s"""WITH v AS (
+        |  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS v
+        |  FROM $EV),
+        |m AS (
+        |  SELECT CAST(round(CAST(sum(v) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+        |    AS mean_e2 FROM v),
+        |cs AS (
+        |  SELECT event_id, user_id, ts,
+        |    sum(v - mean_e2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+        |  FROM v, m)
+        |SELECT event_id, user_id, ts, CAST(cusum AS BIGINT) AS cusum_e2,
+        |  cusum - min(cusum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 50000 AS drift
+        |FROM cs ORDER BY event_id""".stripMargin
   )
 }

@@ -3,8 +3,8 @@ package ptx.stream
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode,
-  TimerValues, ValueState}
+  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
+  TimeMode, TimerValues, ValueState}
 
 /** A telemetry event — the streaming-side row type (events table schema
   * after the ns→µs load fix; `props` omitted where not needed). */
@@ -190,6 +190,50 @@ object Pipelines {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new RunningTotalsProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One EWM output row: the event plus its truncated EWM value (e2). */
+  case class EwmaPoint(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                       ewma_e2: Long)
+
+  /** Streaming twin of the batch `pt_ewma` query (ops.Telemetry): a
+    * halflife-one exponential moving average truncated to the last 8
+    * samples, exact e2 fixed point. The ring of up-to-8 previous samples
+    * lives in typed ListState (the one state primitive ValueState can't
+    * express without packing) — 8 longs per user, bounded regardless of
+    * stream length. Within a batch rows process in (ts, event_id) order;
+    * the ring carries across batches, so replaying the fixture in
+    * event-time-ordered batches reproduces the batch query row-for-row
+    * (StreamingSpec asserts this against the declared pt_ewma twin). */
+  class EwmaProcessor extends StatefulProcessor[Long, Event, EwmaPoint] {
+    @transient private var ring: ListState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      ring = getHandle.getListState[Long]("ring", Encoders.scalaLong,
+        TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[EwmaPoint] = {
+      var r = ring.get().toList // most-recent-first
+      val out = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).map { e =>
+        r = (math.round(e.value * 100) :: r).take(8)
+        var num = 0L; var den = 0L
+        r.iterator.zipWithIndex.foreach { case (x, k) =>
+          num += x * (128L >> k); den += 128L >> k }
+        // num/den mirrors the batch round(num/den): one double division of
+        // exact integers, round-half-up (all samples are positive)
+        EwmaPoint(key, e.event_id, e.ts, math.round(num.toDouble / den))
+      }
+      ring.clear()
+      ring.put(r.toArray)
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for EwmaProcessor. */
+  def ewma(events: Dataset[Event]): Dataset[EwmaPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new EwmaProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -444,6 +444,54 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  /** Run a transformWithState EWMA stream under the RocksDB provider,
+    * feeding `batches` in order; returns (event_id, ewma_e2) pairs. */
+  private def runEwma(batches: Seq[Seq[Event]]): Set[(Long, Long)] = {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+    val name = s"ewma_sink_${System.nanoTime()}"
+    val q = Pipelines.ewma(ms.toDS()).toDF()
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      batches.foreach { b => ms.addData(b); q.processAllAvailable() }
+      spark.table(name).collect().map(r => (r.getLong(1), r.getLong(3))).toSet
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streaming EWMA ring carries across batches in ListState (RocksDB, r6)") {
+    val got = runEwma(Seq(
+      Seq(Event(1, ts(0), 5, "click", 1.0), Event(2, ts(1), 5, "click", 2.0)),
+      Seq(Event(3, ts(2), 5, "click", 3.0))))
+    // e1: ring [100] → 100; e2: (200·128+100·64)/192 = 166.67 → 167;
+    // e3 continues batch 1's ring: (300·128+200·64+100·32)/224 = 242.86 → 243
+    assert(got == Set((1L, 100L), (2L, 167L), (3L, 243L)), s"got $got")
+  }
+
+  test("streaming EWMA over real sf0.001 events equals the declared pt_ewma batch twin (r6)") {
+    // event-time-ordered replay in two batches: the ring must carry across
+    // the batch boundary for the tail half to match the batch query
+    val evRows = ptx.Tables.events(spark, TestSpark.SF)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[Event].collect()
+      .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+    val (b1, b2) = evRows.splitAt(evRows.length / 2)
+    val streamed = runEwma(Seq(b1, b2))
+    val batch = ptx.QueryRegistry.all("pt_ewma")(spark, TestSpark.SF)
+      .select("event_id", "ewma_e2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(batch.size == evRows.length)
+  }
+
   test("stateful alerts carry state across micro-batches") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "alert_sink2"
