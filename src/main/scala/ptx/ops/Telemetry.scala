@@ -346,6 +346,48 @@ object Telemetry {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("cusum_e2"), col("drift"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ hourly OHLC bars (r6): open/high/low/close + count per
+    // (event_type, hour) — the standard time-series bar rollup. First/last
+    // are taken via row_number over a TOTAL (ts, event_id) order rather
+    // than min_by/arg_min, so ties can never make the bar
+    // engine-dependent, and values pass through untouched (no arithmetic
+    // → no float boundary). Both row_number windows and the groupBy share
+    // one (event_type, hour) shuffle: the second window re-sorts within
+    // partitions and the aggregate sees its clustering already satisfied.
+    "pt_ohlc" -> ((s, d) => {
+      val bar = date_trunc("hour", col("ts"))
+      val wa = Window.partitionBy(col("event_type"), col("bar"))
+        .orderBy(col("ts"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), col("bar"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .withColumn("bar", bar)
+        .withColumn("ra", row_number().over(wa))
+        .withColumn("rd", row_number().over(wd))
+        .groupBy(col("event_type"), col("bar"))
+        .agg(
+          max(when(col("ra") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("bar"))
+    }),
+    // ✓ local-maximum peak detection (r6): events strictly above both
+    // neighbors in the per-user series — the simplest telemetry peak
+    // picker (spike counting, cycle detection upstream). Boundary rows
+    // (no prev/next) are by definition not peaks. One user_id shuffle,
+    // one window pass, raw values pass through.
+    "pt_peak_detect" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("pv", lag(col("value"), 1).over(w))
+        .withColumn("nv", lead(col("value"), 1).over(w))
+        .filter(col("pv").isNotNull && col("nv").isNotNull &&
+          col("value") > col("pv") && col("value") > col("nv"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -584,6 +626,30 @@ object Telemetry {
         |SELECT event_id, user_id, ts, CAST(cusum AS BIGINT) AS cusum_e2,
         |  cusum - min(cusum) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 50000 AS drift
-        |FROM cs ORDER BY event_id""".stripMargin
+        |FROM cs ORDER BY event_id""".stripMargin,
+    "pt_ohlc" ->
+      s"""WITH b AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS bar, value,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+        |      ORDER BY ts DESC, event_id DESC) AS rd
+        |  FROM $EV)
+        |SELECT event_type, bar,
+        |  max(CASE WHEN ra = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rd = 1 THEN value END) AS close,
+        |  count(*) AS n
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pt_peak_detect" ->
+      s"""WITH w AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pv,
+        |    lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nv
+        |  FROM $EV)
+        |SELECT event_id, user_id, ts, value
+        |FROM w
+        |WHERE pv IS NOT NULL AND nv IS NOT NULL AND value > pv AND value > nv
+        |ORDER BY event_id""".stripMargin
   )
 }

@@ -125,6 +125,20 @@ class OperatorSpec extends AnyFunSuite {
     // cell-key candidate join + distinct + anti-ish left join + sort —
     // the point is that NO exchange is corpus-crossing (all on label/id)
     budget("llm_semdedup", 6)
+    // the 7-lag EWM tree must stay ONE user_id window pass (measured 1) —
+    // a naive per-lag self-join formulation would measure ~8
+    budget("pt_ewma", 2)
+    // global-mean agg + user_id window + output sort (broadcast of the
+    // one-row mean is not a shuffle); measured 3
+    budget("pt_cusum", 4)
+    // one orderkey shuffle pair + 2-row conditional agg; measured 3
+    budget("q12_ship_lag_priority", 4)
+    // both row_number windows AND the bar aggregate share one
+    // (event_type, hour) shuffle + output sort; measured 2 — a min_by or
+    // self-join formulation would add exchanges
+    budget("pt_ohlc", 3)
+    // one user_id window pass + output sort; measured 2
+    budget("pt_peak_detect", 3)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {
