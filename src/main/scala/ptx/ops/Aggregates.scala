@@ -56,6 +56,18 @@ object Aggregates {
           round(avg(when(col("c_acctbal") < 0, col("c_acctbal"))), 6).as("avg_neg"))
         .orderBy(col("n_name"))
     }),
+    // ✓ boolean aggregates (r6): bool_and / bool_or per group — the SQL
+    // EVERY/ANY surface (invariant checks, "did any row spike"). Both are
+    // map-side-combinable partial aggregates (AND/OR are associative), so
+    // the shape is the standard two-phase hash agg.
+    "agg_bool" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(bool_and(col("value") < 400.0).as("all_below"),
+          bool_or(col("value") > 450.0).as("any_spike"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
     "agg_having" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_suppkey"))
@@ -373,6 +385,12 @@ object Aggregates {
         |  round(avg(CASE WHEN c_acctbal < 0 THEN c_acctbal END), 6) AS avg_neg
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_bool" ->
+      """SELECT event_type,
+        |  bool_and(value < 400.0) AS all_below,
+        |  bool_or(value > 450.0) AS any_spike,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_having" ->
       """SELECT l_suppkey, round(sum(l_extendedprice), 2) AS total, count(*) AS n
         |FROM lineitem GROUP BY l_suppkey

@@ -388,6 +388,24 @@ object Telemetry {
           col("value") > col("pv") && col("value") > col("nv"))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ Apdex score (r6): per event_type, satisfied (≤T=100) and
+    // tolerating (≤4T=400) counts and the standard
+    // (satisfied + tolerating/2) / total score — the canonical
+    // latency-SLO rollup. The counts are exact integers; the one
+    // division is a single deterministic double op, rounded 6dp for
+    // presentation only (identical expression tree both engines).
+    // Map-side-combinable conditional sums — two-phase hash agg.
+    "pt_apdex" -> ((s, d) => {
+      val sat = sum(when(col("value") <= 100.0, 1L).otherwise(0L))
+      val tol = sum(when(col("value") > 100.0 && col("value") <= 400.0, 1L)
+        .otherwise(0L))
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(sat.as("satisfied"), tol.as("tolerating"),
+          count(lit(1)).as("n"),
+          round((sat + tol / lit(2.0)) / count(lit(1)), 6).as("apdex"))
+        .orderBy(col("event_type"))
     })
   )
 
@@ -650,6 +668,17 @@ object Telemetry {
         |SELECT event_id, user_id, ts, value
         |FROM w
         |WHERE pv IS NOT NULL AND nv IS NOT NULL AND value > pv AND value > nv
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+    "pt_apdex" ->
+      s"""SELECT event_type,
+        |  CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS satisfied,
+        |  CAST(sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tolerating,
+        |  count(*) AS n,
+        |  round((sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)
+        |    + sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)
+        |      / 2.0) / count(*), 6) AS apdex
+        |FROM $EV GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }
