@@ -237,6 +237,47 @@ object Pipelines {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** One CUSUM output row: the event's running deviation sum + drift flag. */
+  case class CusumPoint(user_id: Long, event_id: Long, ts: java.sql.Timestamp,
+                        cusum_e2: Long, drift: Boolean)
+
+  /** Streaming twin of the batch `pt_cusum` query: per-user cumulative sum
+    * of deviations from a reference mean, drift-flagged when the sum rises
+    * more than `thresholdE2` above its running minimum. The reference mean
+    * is a MODEL PARAMETER (computed by the batch side over history and
+    * passed in at query start) — the standard shape for streaming
+    * detectors: the stream never needs a global aggregate, and state is
+    * two longs per user (cusum, running min) regardless of volume. */
+  class CusumProcessor(meanE2: Long, thresholdE2: Long = 50000L)
+      extends StatefulProcessor[Long, Event, CusumPoint] {
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Long)]("cusum",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[CusumPoint] = {
+      // runMin starts at MaxValue so the first row's min is its own cusum —
+      // the batch running-min frame includes the current row, so drift is
+      // structurally false on a user's first event, matching the twin
+      var (cusum, runMin) = Option(st.get()).getOrElse((0L, Long.MaxValue))
+      val out = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).map { e =>
+        cusum += math.round(e.value * 100) - meanE2
+        runMin = math.min(runMin, cusum)
+        CusumPoint(key, e.event_id, e.ts, cusum, cusum - runMin > thresholdE2)
+      }
+      st.update((cusum, runMin))
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for CusumProcessor. */
+  def cusum(events: Dataset[Event], meanE2: Long): Dataset[CusumPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new CusumProcessor(meanE2),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** A funnel stage advance: the user reached `stage` at `ts`. */
   case class FunnelAdvance(user_id: Long, stage: String, ts: java.sql.Timestamp)
 

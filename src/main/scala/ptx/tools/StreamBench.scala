@@ -82,6 +82,8 @@ object StreamBench {
         bench("tumbling", "update")(ptx.stream.Pipelines.tumbling),
         bench("sessions", "append")(ptx.stream.Pipelines.sessions),
         bench("funnel", "append")(df => ptx.stream.Pipelines.funnel(
+          df.as[ptx.stream.Event]).toDF()),
+        bench("ewma", "append")(df => ptx.stream.Pipelines.ewma(
           df.as[ptx.stream.Event]).toDF()))
 
       def fmt(v: Double): String =

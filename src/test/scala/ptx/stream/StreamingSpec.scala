@@ -476,6 +476,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == Set((1L, 100L), (2L, 167L), (3L, 243L)), s"got $got")
   }
 
+  test("streaming CUSUM with a batch-computed reference mean equals the declared pt_cusum twin (r6)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evRows = ptx.Tables.events(spark, TestSpark.SF)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect()
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+      // the model parameter: the batch side's exact integer global mean
+      val meanE2 = math.round(
+        evRows.map(e => math.round(e.value * 100)).sum.toDouble / evRows.size)
+      val (b1, b2) = evRows.splitAt(evRows.length / 2)
+      val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+      val name = s"cusum_sink_${System.nanoTime()}"
+      val q = Pipelines.cusum(ms.toDS(), meanE2).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getBoolean(4))).toSet
+      q.stop()
+      val batch = ptx.QueryRegistry.all("pt_cusum")(spark, TestSpark.SF)
+        .select("event_id", "cusum_e2", "drift").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(streamed == batch)
+      assert(batch.size == evRows.length)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming EWMA over real sf0.001 events equals the declared pt_ewma batch twin (r6)") {
     // event-time-ordered replay in two batches: the ring must carry across
     // the batch boundary for the tail half to match the batch query
