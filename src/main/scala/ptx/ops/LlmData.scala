@@ -155,6 +155,32 @@ object LlmData {
         .select(col("lang"), col("rnk"), col("word"), round(col("score"), 6).as("score"))
         .orderBy(col("lang"), col("rnk"))
     }),
+    // ✓ per-document keyword extraction (r6): top-3 TF-IDF terms per doc —
+    // the summarization/tagging primitive downstream of the corpus-level
+    // llm_tfidf. Same float discipline as llm_tfidf (tf · ln ratio is one
+    // deterministic expression per row; ties break on word). The df side
+    // is a |vocab|-row aggregate joined back on word; the per-doc top-3
+    // window shuffles on doc_id — nothing is |corpus×vocab|-sized.
+    "llm_keyword_extract" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val tok = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      val tf = tok.groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfw = tok.groupBy(col("word"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("word"))
+      tf.join(dfw, Seq("word")).crossJoin(broadcast(nDocs))
+        .withColumn("score",
+          col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("word"),
+          round(col("score"), 6).as("score"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
     "llm_multimodal_join" -> ((s, d) => {
       Tables.documents(s, d)
         .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
@@ -345,6 +371,21 @@ object LlmData {
         |           FROM sc)
         |SELECT lang, rnk, word, round(score, 6) AS score FROM ranked
         |WHERE rnk <= 3 ORDER BY lang, rnk""".stripMargin,
+    "llm_keyword_extract" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfw AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, tf.word AS word,
+        |              tf * ln((n_docs + 1.0) / (df + 1.0)) AS score
+        |       FROM tf JOIN dfw ON tf.word = dfw.word CROSS JOIN nd),
+        |ranked AS (SELECT doc_id, word, score,
+        |                  row_number() OVER (PARTITION BY doc_id
+        |                                     ORDER BY score DESC, word) AS rnk
+        |           FROM sc)
+        |SELECT doc_id, rnk, word, round(score, 6) AS score FROM ranked
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "llm_multimodal_join" ->
       """SELECT label, count(*) AS n, round(avg(n_chars), 6) AS avg_chars,
         |       min(n_chars) AS min_chars, max(n_chars) AS max_chars

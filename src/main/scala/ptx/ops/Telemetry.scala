@@ -406,6 +406,28 @@ object Telemetry {
           count(lit(1)).as("n"),
           round((sat + tol / lit(2.0)) / count(lit(1)), 6).as("apdex"))
         .orderBy(col("event_type"))
+    }),
+    // ✓ moving median (r6): 5-row centered median per user — the robust
+    // denoise filter (median rejects spikes a moving MEAN averages in).
+    // Spark has no median window function, so the frame is materialized
+    // with collect_list + sort_array and the middle taken explicitly —
+    // for even (boundary-clipped) frames the two middles average, which
+    // is the oracle's interpolation rule. No aggregation arithmetic: the
+    // only float op is one two-value average, deterministic both engines.
+    // The 5-element frame list is O(1) per row; one user_id shuffle.
+    "pt_moving_median" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-2, 2)
+      Tables.events(s, d)
+        .withColumn("vals", sort_array(collect_list(col("value")).over(w)))
+        .withColumn("k", size(col("vals")))
+        .withColumn("med",
+          when(col("k") % 2 === 1,
+            element_at(col("vals"), expr("(k + 1) div 2").cast("int")))
+          .otherwise((element_at(col("vals"), expr("k div 2").cast("int")) +
+            element_at(col("vals"), expr("k div 2 + 1").cast("int"))) / 2.0))
+        .select(col("event_id"), col("user_id"), col("ts"), col("med"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -679,6 +701,11 @@ object Telemetry {
         |  round((sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)
         |    + sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)
         |      / 2.0) / count(*), 6) AS apdex
-        |FROM $EV GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM $EV GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pt_moving_median" ->
+      s"""SELECT event_id, user_id, ts,
+        |  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med
+        |FROM $EV ORDER BY event_id""".stripMargin
   )
 }
