@@ -104,4 +104,50 @@ class RecoverySpec extends AnyFunSuite {
         s"expected only the post-clear edge (armed bit recovered), got ${edges()}")
     }
   }
+
+  test("transformWithState EWMA recovers the ListState ring from a RocksDB checkpoint (r6)") {
+    val src = Files.createTempDirectory("ptx-erec-src").toString
+    val ckpt = Files.createTempDirectory("ptx-erec-ckpt").toString
+    val out = Files.createTempDirectory("ptx-erec-out").toString
+
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+    def writeBatch(rows: Seq[Event]): Unit =
+      rows.toDF().repartition(1).write.mode("append").parquet(src)
+
+    def startQuery() = {
+      val events = spark.readStream
+        .schema("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, " +
+          "value DOUBLE, props STRING")
+        .parquet(src)
+        .as[Event]
+      Pipelines.ewma(events)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0))
+        .start()
+    }
+
+    def points(): Map[Long, Long] =
+      spark.read.parquet(out).collect()
+        .map(r => r.getLong(1) -> r.getLong(3)).toMap
+
+    RocksDBFixture.withRocksDB(spark) {
+      // run 1: values 1.00, 2.00 → ewma 100, then (200·128+100·64)/192=167
+      writeBatch(Seq(Event(1, ts(0), 5, "v", 1.0), Event(2, ts(1), 5, "v", 2.0)))
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      assert(points() == Map(1L -> 100L, 2L -> 167L), s"got ${points()}")
+      // run 2 from checkpoint: 3.00 must continue the RECOVERED ring
+      // [200,100] → (300·128+200·64+100·32)/224 = 243; a re-initialized
+      // ring would emit 300
+      writeBatch(Seq(Event(3, ts(2), 5, "v", 3.0)))
+      val q2 = startQuery()
+      q2.processAllAvailable()
+      q2.stop()
+      assert(points()(3L) == 243L,
+        s"ring not recovered from checkpoint: got ${points()(3L)}")
+    }
+  }
 }
