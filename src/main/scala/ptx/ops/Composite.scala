@@ -340,6 +340,83 @@ object Composite {
           lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
         .orderBy(col("nation"), col("o_year").desc)
     }),
+    // Q11 shape adapted (no partsupp.ps_availqty·ps_supplycost: value =
+    // shipped value observed in lineitem): value concentration of
+    // ASIA-supplied parts — keep parts whose supplied value exceeds 2×
+    // the mean per-part value. The Q11 essence is HAVING against a
+    // scalar subquery: the threshold is a second aggregate over the SAME
+    // per-part frame (a |part|-sized frame, so the re-aggregate is
+    // cheap), broadcast back as one row. The compare runs EXACTLY in
+    // fixed point — v·np > 2·t in DECIMAL(38,0) — because near the cut
+    // a double mean would tie-break differently per engine. Double
+    // appears only in the final display division.
+    "q11_part_value_conc" -> ((s, d) => {
+      val asiaSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      // vol·10⁴ summed as DECIMAL(38,0) — same ANSI-overflow rationale as q8
+      val volE4 = (round(col("l_extendedprice") * 100).cast("long") *
+        round((lit(1) - col("l_discount")) * 100).cast("long"))
+        .cast("decimal(38,0)")
+      val per = Tables.lineitem(s, d)
+        .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(volE4).as("v"))
+      val pinned = ptx.Caching.pin(per) // apex: threshold branch + filter branch
+      val tot = pinned.agg(sum(col("v")).as("t"),
+        count(lit(1)).cast("decimal(38,0)").as("np"))
+      // e4 → 2dp display: half-up in INTEGER space ((v+50) div 100), then
+      // one IEEE division of an exact integer — round(v/1e4, 2) straddles
+      // engines when v ends in …50 (exactly on the 2dp grid; observed at
+      // sf0.1 rows 374/504: .075 → Spark .08 decimal-exact vs DuckDB .07
+      // via the double path)
+      pinned.crossJoin(broadcast(tot))
+        .filter(col("v") * col("np") > lit(2) * col("t"))
+        .select(col("l_partkey"),
+          (floor((col("v") + 50) / 100).cast("double") / 100).as("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    }),
+    // Q20 shape adapted (no partsupp.ps_availqty: availability = shipped
+    // volume): suppliers whose 1996 shipments of PROMO parts exceed half
+    // that pair's all-time shipped quantity — "surplus candidates". The
+    // Q20 essence is a correlated double-aggregate threshold feeding a
+    // semi-join chain up the dimension: BOTH sums come from ONE grouped
+    // pass (conditional agg — never two lineitem scans), the threshold
+    // compare is exact fixed point (2·q96 > qall in e2), and the
+    // surviving pairs re-aggregate to supplier grain BEFORE the dim
+    // join, so the join input is |supplier|-bounded. Supplier side
+    // unhinted: a region is ~20% of the dim — at 100 TB that exceeds any
+    // broadcast limit, so AQE makes the size call (q8 discipline).
+    "q20_promo_surplus" -> ((s, d) => {
+      val pp = Tables.part(s, d).filter(col("p_type").startsWith("PROMO"))
+        .select(col("p_partkey"))
+      val qtyE2 = round(col("l_quantity") * 100).cast("long")
+        .cast("decimal(38,0)")
+      val in96 = col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+        col("l_shipdate") < to_timestamp(lit("1997-01-01"))
+      val surplus = Tables.lineitem(s, d)
+        .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(when(in96, qtyE2).otherwise(lit(0).cast("decimal(38,0)")))
+          .as("q96_e2"),
+          sum(qtyE2).as("qall_e2"))
+        .filter(col("q96_e2") > 0 && col("q96_e2") * 2 > col("qall_e2"))
+        .groupBy(col("l_suppkey")).agg(count(lit(1)).as("surplus_parts"))
+      val eurSup = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      surplus.join(eurSup, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("surplus_parts"))
+        .orderBy(col("s_suppkey"))
+    }),
     // Q10 shape: returned-item reporting — top-20 customers by revenue lost
     // to returns in 1997Q1. Aggregate BEFORE the customer join: the
     // group-by runs on (orderkey-joined) facts keyed by custkey, and only
@@ -626,6 +703,45 @@ object Composite {
         |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+    "q11_part_value_conc" ->
+      """WITH base AS (
+        |  SELECT l_partkey,
+        |         CAST(round(l_extendedprice*100) AS BIGINT) *
+        |         CAST(round((1-l_discount)*100) AS BIGINT) AS vol_e4
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'
+        |), per AS (
+        |  SELECT l_partkey, CAST(sum(vol_e4) AS DECIMAL(38,0)) AS v
+        |  FROM base GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(v) AS DECIMAL(38,0)) AS t,
+        |         CAST(count(*) AS DECIMAL(38,0)) AS np FROM per)
+        |SELECT l_partkey,
+        |       CAST(floor((v + 50) / 100) AS DOUBLE) / 100 AS part_value
+        |FROM per, tot WHERE v * np > 2 * t
+        |ORDER BY part_value DESC, l_partkey""".stripMargin,
+    "q20_promo_surplus" ->
+      """WITH sp AS (
+        |  SELECT l_suppkey,
+        |         sum(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+        |                   AND l_shipdate < TIMESTAMP '1997-01-01'
+        |             THEN CAST(round(l_quantity*100) AS BIGINT) ELSE 0 END) AS q96_e2,
+        |         sum(CAST(round(l_quantity*100) AS BIGINT)) AS qall_e2
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_type LIKE 'PROMO%'
+        |  GROUP BY l_suppkey, l_partkey)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS surplus_parts
+        |FROM sp
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'EUROPE' AND q96_e2 > 0 AND 2*q96_e2 > qall_e2
+        |GROUP BY s_suppkey, s_name
+        |ORDER BY s_suppkey""".stripMargin,
     "q16_supplier_variety" ->
       """SELECT p_brand, p_type, p_size,
         |       count(DISTINCT l_suppkey) AS supplier_cnt

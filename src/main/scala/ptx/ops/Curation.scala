@@ -271,6 +271,41 @@ object Curation {
           md5(concat_ws(" ", expr("slice(w, st, 64)"))).as("chunk_fp"))
         .orderBy(col("doc_id"), col("chunk_id"))
     }),
+    // ✓ bigram-LM fluency score (r6): add-one-smoothed bigram model
+    // P(w2|w1) = (c(w1,w2)+1)/(c(w1)+V) trained on the corpus itself,
+    // each doc scored by the mean −ln P over its bigrams — the
+    // KenLM-style fluency gate one step up from llm_unigram_logprob
+    // (which a bag-of-frequent-words gibberish doc can fool; word ORDER
+    // can't be faked without a real LM). Scale shape: the model is two
+    // grouped passes (bigram + unigram counts) and scoring is a SHUFFLE
+    // join on the bigram key — a bigram vocabulary grows past any
+    // broadcastable map even where the unigram map still fits, so this
+    // deliberately does NOT reuse the map_from_entries broadcast trick.
+    // Parity: per-bigram −ln of identical IEEE rationals, avg rounded
+    // 6dp (the llm_unigram_logprob discipline).
+    "llm_bigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2) // sequence(1,0) would DESCEND
+      val bg = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = docs.select(explode(col("ws")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .join(uni, col("w1") === col("word"))
+        .crossJoin(broadcast(uni.agg(count(lit(1)).as("vocab"))))
+        .select(col("w1"), col("w2"),
+          (-log((col("c2") + 1).cast("double") / (col("c1") + col("vocab"))))
+            .as("lp"))
+      bg.join(model, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 6).as("avg_neg_logp"))
+        .withColumn("is_fluent", col("avg_neg_logp") <= 3.5)
+        .orderBy(col("doc_id"))
+    }),
     // ✓ temperature-weighted language mix (r5): the multilingual-sampling
     // weight w_l ∝ (n_l/N)^α with α=0.3 — upsamples tail languages
     // relative to their corpus share (the mBERT/XLM-R exponential
@@ -295,6 +330,21 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_bigram_lm" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT u.word AS word, count(*) AS c1
+        |        FROM w, unnest(ws) AS u(word) GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM uni),
+        |bg AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+        |       FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)
+        |       WHERE len(ws) >= 2),
+        |model AS (SELECT b.w1, b.w2, -ln((c2+1.0)/(c1+vocab)) AS lp
+        |          FROM (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1,2) b
+        |          JOIN uni ON b.w1 = uni.word CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 6) AS avg_neg_logp,
+        |       round(avg(lp), 6) <= 3.5 AS is_fluent
+        |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_decontaminate" ->
       """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
