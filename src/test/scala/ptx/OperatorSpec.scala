@@ -150,6 +150,27 @@ class OperatorSpec extends AnyFunSuite {
     budget("llm_keyword_extract", 9)
   }
 
+  test("plan budget: Q11/Q20/bigram-LM hold their shuffle structure (r6)") {
+    def budget(name: String, bound: Int): Unit = {
+      val n = measuredExchanges(name)
+      ptx.Caching.releaseAll()
+      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
+    }
+    // one partkey agg + one 1-row threshold agg off the pinned apex +
+    // output sort; dims all broadcast — NO second lineitem pass for the
+    // scalar subquery
+    budget("q11_part_value_conc", 5)
+    // one (supp,part) agg + supplier-grain re-agg + dim join + sort, PLUS
+    // four counted BroadcastExchanges (part/nation/region/supplier dims);
+    // measured 8 — the two period sums come from the SAME grouped pass (a
+    // two-scan formulation would add a corpus-sized shuffle)
+    budget("q20_promo_surplus", 9)
+    // tokenize feeds bigram+unigram counts (vocab-bounded shuffles), the
+    // model joins back on the bigram key, one doc-grain agg + sort — no
+    // exchange is corpus²-sized
+    budget("llm_bigram_lm", 9)
+  }
+
   test("q6: all three predicates push to the lineitem scan (r6)") {
     // the query IS the scan — if any predicate falls out of PushedFilters
     // the canonical selectivity benchmark stops measuring the scan
