@@ -332,10 +332,54 @@ object Aggregates {
         .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
         .filter(col("cnt") >= 200)
         .orderBy(col("cnt").desc, col("item"))
+    }),
+    // ✓ weighted percentile (r6) — no Spark built-in (percentile() weights
+    // each ROW equally; percentile_approx has no weight arg). Definition:
+    // the weighted p-quantile is the smallest value whose running weight
+    // share reaches p — here price weighted by shipped quantity, so a
+    // 50-unit lineitem counts 50×. Exactness: weights are integral
+    // (quantity rounds to long), the cume compare is INTEGER (cw·10 ≥ p·10·tw
+    // — no double share near the cut), and the result is a SELECTED
+    // element, never arithmetic — zero rounding discipline needed.
+    // Scale shape: pre-grouping by (flag, price) bounds the window input
+    // to |distinct prices| per flag and makes the ORDER BY total (no
+    // intra-price tie ambiguity); one flag shuffle shared by both window
+    // frames and the final agg. At 100 TB the per-flag running sum is
+    // sequential within a partition — acceptable because the grouped
+    // frame is |distinct prices|, not |lineitem|; a t-digest sketch
+    // (agg_approx_percentile) is the declared approximate path.
+    "agg_weighted_percentile" -> ((s, d) => {
+      val per = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
+        .agg(sum(round(col("l_quantity")).cast("long")).as("w"))
+      val cume = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("l_returnflag"))
+      per.withColumn("cw", sum(col("w")).over(cume))
+        .withColumn("tw", sum(col("w")).over(whole))
+        .groupBy(col("l_returnflag"))
+        .agg(min(when(col("cw") * 10 >= col("tw") * 5, col("price"))).as("wp50"),
+          min(when(col("cw") * 10 >= col("tw") * 9, col("price"))).as("wp90"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_weighted_percentile" ->
+      """WITH per AS (
+        |  SELECT l_returnflag, l_extendedprice AS price,
+        |         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, price, w,
+        |         sum(w) OVER (PARTITION BY l_returnflag ORDER BY price
+        |                      ROWS UNBOUNDED PRECEDING) AS cw,
+        |         sum(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM per)
+        |SELECT l_returnflag,
+        |       min(CASE WHEN cw*10 >= 5*tw THEN price END) AS wp50,
+        |       min(CASE WHEN cw*10 >= 9*tw THEN price END) AS wp90
+        |FROM cum GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_global" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

@@ -199,6 +199,25 @@ object Joins {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"))
         .orderBy(col("event_type"))
+    }),
+    // ✓ mark join (r6) — existence as a COLUMN, not a filter: every
+    // customer row survives, annotated with whether an urgent order
+    // exists. This is the decorrelation primitive optimizers rewrite
+    // `EXISTS(...)` in a SELECT list / disjunction into (semi join can
+    // only filter; the mark keeps non-matching rows). Composed as
+    // distinct-then-left-join: the distinct bounds the probe side at
+    // |custkeys with urgent orders| BEFORE the join, so the exchange
+    // carries keys, not orders. No broadcast hint — the distinct side is
+    // |customer|-scale in the worst case, AQE makes the size call.
+    "join_mark_exists" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey")).distinct()
+      Tables.customer(s, d)
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"),
+          col("o_custkey").isNotNull.as("has_urgent"))
+        .orderBy(col("c_custkey"))
     })
   )
 
@@ -207,6 +226,13 @@ object Joins {
     "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
 
   def oracle: Map[String, String] = Map(
+    "join_mark_exists" ->
+      """SELECT c_custkey, c_name, u.o_custkey IS NOT NULL AS has_urgent
+        |FROM customer
+        |LEFT JOIN (SELECT DISTINCT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT') u
+        |  ON c_custkey = u.o_custkey
+        |ORDER BY c_custkey""".stripMargin,
     "join_inner_shuffle" ->
       """SELECT c_custkey, c_name, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
         |FROM orders JOIN customer ON o_custkey = c_custkey
