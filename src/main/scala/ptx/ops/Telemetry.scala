@@ -448,6 +448,57 @@ object Telemetry {
           (col("v") - col("mean_e2")).as("dev_e2"),
           (abs(col("v") - col("mean_e2")) > 30000L).as("anomalous"))
         .orderBy(col("event_id"))
+    }),
+    // ✓ multi-window SLO burn rate (r6) — the SRE alerting recipe: page
+    // only when BOTH a fast window (1h error rate > 25%) and a slow
+    // window (trailing-6h rate > 20%) burn, so a blip can't page but a
+    // sustained burn pages fast. The trailing window is a RANGE frame
+    // over the hour NUMBER (gap-robust: a missing hour narrows the
+    // window rather than silently stretching it to 6 buckets of
+    // arbitrary age). Scale: the global window runs AFTER hourly
+    // aggregation, so its input is |calendar hours| (8.8k/year) no
+    // matter the event volume — the one acceptable unpartitioned window
+    // shape. Rates divide exact integer counts once, rounded 6dp; the
+    // alert compares the ROUNDED grid values.
+    "pt_burn_rate" -> ((s, d) => {
+      val hourly = Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errs"))
+        .select(col("w.start").as("hour"),
+          expr("unix_timestamp(w.start) div 3600").as("hr"),
+          col("total"), col("errs"))
+      val w6 = Window.orderBy(col("hr")).rangeBetween(-5, 0)
+      hourly
+        .withColumn("errs6", sum(col("errs")).over(w6))
+        .withColumn("total6", sum(col("total")).over(w6))
+        .withColumn("rate_1h",
+          round(col("errs").cast("double") / col("total"), 6))
+        .withColumn("rate_6h",
+          round(col("errs6").cast("double") / col("total6"), 6))
+        .select(col("hour"), col("total"), col("errs"), col("rate_1h"),
+          col("rate_6h"),
+          (col("rate_1h") > 0.25 && col("rate_6h") > 0.2).as("burn_alert"))
+        .orderBy(col("hour"))
+    }),
+    // ✓ per-user running event-type histogram (r6) — each event annotated
+    // with "how many of THIS type has this user produced so far" and the
+    // user's running total. The declared batch twin of the streaming
+    // MapState pipeline (Pipelines.typeHistogram): both windows share ONE
+    // user_id shuffle; (ts, event_id) makes the order total (event_id
+    // unique).
+    "pt_type_running_hist" -> ((s, d) => {
+      val byType = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          count(lit(1)).over(byType).as("n_type"),
+          count(lit(1)).over(byUser).as("n_seen"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 
@@ -491,6 +542,34 @@ object Telemetry {
        |       FROM $EV) g)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "pt_burn_rate" ->
+      s"""WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+        |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS hr,
+        |         count(*) AS total,
+        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+        |  FROM $EV GROUP BY 1, 2),
+        |win AS (
+        |  SELECT hour, total, errs,
+        |         sum(errs) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING
+        |                         AND CURRENT ROW) AS errs6,
+        |         sum(total) OVER (ORDER BY hr RANGE BETWEEN 5 PRECEDING
+        |                          AND CURRENT ROW) AS total6
+        |  FROM hourly)
+        |SELECT hour, total, errs,
+        |       round(CAST(errs AS DOUBLE) / total, 6) AS rate_1h,
+        |       round(CAST(errs6 AS DOUBLE) / total6, 6) AS rate_6h,
+        |       round(CAST(errs AS DOUBLE) / total, 6) > 0.25
+        |         AND round(CAST(errs6 AS DOUBLE) / total6, 6) > 0.2 AS burn_alert
+        |FROM win ORDER BY hour""".stripMargin,
+    "pt_type_running_hist" ->
+      s"""SELECT user_id, event_id, ts, event_type,
+        |       count(*) OVER (PARTITION BY user_id, event_type
+        |                      ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS n_type,
+        |       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                      ROWS UNBOUNDED PRECEDING) AS n_seen
+        |FROM $EV ORDER BY user_id, event_id""".stripMargin,
     "pt_threshold_alerts" ->
       s"""SELECT event_id, event_type, round(value, 2) AS value
         |FROM $EV e JOIN (VALUES ('click', 300.0), ('view', 310.0), ('purchase', 290.0),

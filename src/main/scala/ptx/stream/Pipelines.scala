@@ -3,8 +3,8 @@ package ptx.stream
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, ListState, OutputMode, StatefulProcessor, TTLConfig,
-  TimeMode, TimerValues, ValueState}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** A telemetry event — the streaming-side row type (events table schema
   * after the ns→µs load fix; `props` omitted where not needed). */
@@ -234,6 +234,45 @@ object Pipelines {
     import events.sparkSession.implicits._
     events.groupByKey(_.user_id)
       .transformWithState(new EwmaProcessor,
+        TimeMode.None(), OutputMode.Append())
+  }
+
+  /** One per-event histogram update: the event's type count + user total. */
+  case class TypeHistPoint(user_id: Long, event_id: Long,
+                           ts: java.sql.Timestamp, event_type: String,
+                           n_type: Long, n_seen: Long)
+
+  /** Streaming twin of the batch `pt_type_running_hist` query: each event
+    * annotated with its user's running per-type count and running total —
+    * the per-key histogram every online feature store maintains. This is
+    * the MapState exemplar (the third typed-state primitive after
+    * ValueState/ListState): state is one map entry per DISTINCT type the
+    * user has produced (≤5 here, bounded by the type domain, NOT by
+    * volume), and the running total is the sum of ≤|domain| entries —
+    * never a second counter that could drift from the map. */
+  class TypeHistProcessor extends StatefulProcessor[Long, Event, TypeHistPoint] {
+    @transient private var hist: MapState[String, Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      hist = getHandle.getMapState[String, Long]("hist", Encoders.STRING,
+        Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+                                 timers: TimerValues): Iterator[TypeHistPoint] = {
+      val out = rows.toSeq.sortBy(e => (usOf(e.ts), e.event_id)).map { e =>
+        val n = (if (hist.containsKey(e.event_type))
+          hist.getValue(e.event_type) else 0L) + 1
+        hist.updateValue(e.event_type, n)
+        val total = hist.values().foldLeft(0L)(_ + _)
+        TypeHistPoint(key, e.event_id, e.ts, e.event_type, n, total)
+      }
+      out.iterator
+    }
+  }
+
+  /** transformWithState wiring for TypeHistProcessor. */
+  def typeHistogram(events: Dataset[Event]): Dataset[TypeHistPoint] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new TypeHistProcessor,
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -528,6 +528,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size == evRows.length)
   }
 
+  test("streaming MapState type histogram equals the declared pt_type_running_hist twin (r6)") {
+    // event-time-ordered replay in two batches: the per-type map must
+    // carry across the boundary or the tail half's counts restart at 1
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val evRows = ptx.Tables.events(spark, TestSpark.SF)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .as[Event].collect()
+        .sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).toSeq
+      val (b1, b2) = evRows.splitAt(evRows.length / 2)
+      val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
+      val name = s"hist_sink_${System.nanoTime()}"
+      val q = Pipelines.typeHistogram(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      val streamed = spark.table(name).collect()
+        .map(r => (r.getLong(1), r.getLong(4), r.getLong(5))).toSet
+      q.stop()
+      val batch = ptx.QueryRegistry.all("pt_type_running_hist")(spark, TestSpark.SF)
+        .select("event_id", "n_type", "n_seen").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(batch.size == evRows.length)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("stateful alerts carry state across micro-batches") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "alert_sink2"
