@@ -333,6 +333,24 @@ object Aggregates {
         .filter(col("cnt") >= 200)
         .orderBy(col("cnt").desc, col("item"))
     }),
+    // ✓ ROLLUP with GROUPING flags (r6) — the disambiguator agg_rollup
+    // alone lacks: a NULL group value is indistinguishable from a
+    // subtotal row without grouping() (a real warehouse hits this the
+    // first time a dimension column is nullable). Flags cast to INT on
+    // both engines (Spark returns TINYINT, DuckDB BIGINT).
+    "agg_grouping_id" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        // grouping() must live INSIDE the agg — the grouping metadata
+        // column doesn't survive past the Aggregate node
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
+        .orderBy(col("g_flag"), col("g_status"),
+          col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
     // ✓ weighted percentile (r6) — no Spark built-in (percentile() weights
     // each ROW equally; percentile_approx has no weight arg). Definition:
     // the weighted p-quantile is the smallest value whose running weight
@@ -365,6 +383,15 @@ object Aggregates {
   )
 
   def oracle: Map[String, String] = Map(
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_flag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_status,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST,
+        |         l_linestatus NULLS FIRST""".stripMargin,
     "agg_weighted_percentile" ->
       """WITH per AS (
         |  SELECT l_returnflag, l_extendedprice AS price,

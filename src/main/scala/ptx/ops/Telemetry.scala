@@ -487,6 +487,25 @@ object Telemetry {
     // MapState pipeline (Pipelines.typeHistogram): both windows share ONE
     // user_id shuffle; (ts, event_id) makes the order total (event_id
     // unique).
+    // ✓ funnel latency (r6) — time from first view to first purchase per
+    // user: the "how fast do users convert" twin of pt_funnel's "how
+    // many". One grouped pass (conditional min — never per-stage scans);
+    // latency in whole seconds via INTEGER division of exact epoch-µs
+    // (a double divide would straddle engines on fractional seconds);
+    // converted is coalesce'd so no three-valued NULL leaks into the flag.
+    "pt_time_to_convert" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("first_purchase"))
+        .withColumn("converted", coalesce(
+          col("first_view").isNotNull && col("first_purchase") > col("first_view"),
+          lit(false)))
+        .withColumn("latency_s", when(col("converted"),
+          expr("(unix_micros(first_purchase) - unix_micros(first_view)) div 1000000")))
+        .orderBy(col("user_id"))
+    }),
     "pt_type_running_hist" -> ((s, d) => {
       val byType = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(col("ts"), col("event_id"))
@@ -562,6 +581,20 @@ object Telemetry {
         |       round(CAST(errs AS DOUBLE) / total, 6) > 0.25
         |         AND round(CAST(errs6 AS DOUBLE) / total6, 6) > 0.2 AS burn_alert
         |FROM win ORDER BY hour""".stripMargin,
+    "pt_time_to_convert" ->
+      s"""WITH per AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        |  FROM $EV GROUP BY 1)
+        |SELECT user_id, first_view, first_purchase,
+        |       coalesce(first_view IS NOT NULL
+        |                AND first_purchase > first_view, false) AS converted,
+        |       CASE WHEN coalesce(first_view IS NOT NULL
+        |                          AND first_purchase > first_view, false)
+        |            THEN (epoch_us(first_purchase) - epoch_us(first_view)) // 1000000
+        |            END AS latency_s
+        |FROM per ORDER BY user_id""".stripMargin,
     "pt_type_running_hist" ->
       s"""SELECT user_id, event_id, ts, event_type,
         |       count(*) OVER (PARTITION BY user_id, event_type
