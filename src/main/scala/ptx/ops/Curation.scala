@@ -161,6 +161,35 @@ object Curation {
           (col("cum_before") % 2048).as("seq_offset"))
         .orderBy(col("doc_id"))
     }),
+    // ✓ shard manifest (r6): WebDataset-style export sharding — each doc
+    // (per language, doc_id order) lands in the ~64 KB shard its RUNNING
+    // byte offset starts in; one manifest row per shard (doc count,
+    // bytes, id range) — what the tar-shard writer and the training
+    // loader both consume. Same block-scan discipline as
+    // llm_pack_sequences: per-1024-doc block totals + a broadcast
+    // |blocks|-row prefix + an intra-block window — no window ever
+    // orders the whole corpus, per language or otherwise.
+    "llm_shard_manifest" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .withColumn("blk", floor(col("doc_id") / 1024).cast("long"))
+      val blkTot = base.groupBy(col("lang"), col("blk"))
+        .agg(sum(col("n_chars")).as("blk_total"))
+      val wBlk = Window.partitionBy(col("lang")).orderBy(col("blk"))
+      val blkCum = blkTot
+        .withColumn("blk_before",
+          sum(col("blk_total")).over(wBlk) - col("blk_total"))
+        .select(col("lang"), col("blk"), col("blk_before"))
+      val wIntra = Window.partitionBy(col("lang"), col("blk")).orderBy(col("doc_id"))
+      base.join(broadcast(blkCum), Seq("lang", "blk"))
+        .withColumn("cum_before",
+          col("blk_before") + sum(col("n_chars")).over(wIntra) - col("n_chars"))
+        .withColumn("shard_id", floor(col("cum_before") / 65536).cast("long"))
+        .groupBy(col("lang"), col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("bytes"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"), col("shard_id"))
+    }),
     // ✓ deterministic train/val/test split (r4): 80/10/10 by the same
     // Knuth multiplicative hash the sampler uses — assignment is a pure
     // function of doc_id (stable across runs, engines, partitionings;
@@ -330,6 +359,16 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_shard_manifest" ->
+      """WITH cum AS (
+        |  SELECT lang, doc_id, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+        |                            ROWS UNBOUNDED PRECEDING) - n_chars AS cum_before
+        |  FROM documents)
+        |SELECT lang, CAST(floor(cum_before / 65536) AS BIGINT) AS shard_id,
+        |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM cum GROUP BY 1, 2 ORDER BY lang, shard_id""".stripMargin,
     "llm_bigram_lm" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |uni AS (SELECT u.word AS word, count(*) AS c1
