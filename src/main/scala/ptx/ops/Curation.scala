@@ -335,6 +335,37 @@ object Curation {
         .withColumn("is_fluent", col("avg_neg_logp") <= 3.5)
         .orderBy(col("doc_id"))
     }),
+    // ✓ PMI collocations (r6): top-50 word pairs by pointwise mutual
+    // information, support ≥5 — phrase mining (the "new_york"-merging
+    // step of vocabulary induction). PMI = ln(c₁₂·N / (c₁·c₂)) with the
+    // products computed in DOUBLE in a pinned operand order (c₁·c₂
+    // overflows BIGINT at 100 TB corpus counts; same-order IEEE ops are
+    // engine-identical), rounded 6dp BEFORE the rank so the LIMIT
+    // boundary ties cut on (pmi, w1, w2) deterministically. Same two
+    // count passes as llm_bigram_lm; the support filter bounds the PMI
+    // join to frequent pairs.
+    "llm_pmi_collocations" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+      val bg = docs.select(explode(expr(
+          "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
+          .as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val uni = docs.select(explode(col("ws")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c1"))
+      val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+        .filter(col("c12") >= 5)
+      bgc
+        .join(uni.select(col("word").as("w1"), col("c1").as("c1l")), Seq("w1"))
+        .join(uni.select(col("word").as("w2"), col("c1").as("c1r")), Seq("w2"))
+        .crossJoin(broadcast(bg.agg(count(lit(1)).as("nb"))))
+        .select(col("w1"), col("w2"), col("c12"),
+          round(log((col("c12").cast("double") * col("nb")) /
+            (col("c1l").cast("double") * col("c1r"))), 6).as("pmi"))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
     // ✓ temperature-weighted language mix (r5): the multilingual-sampling
     // weight w_l ∝ (n_l/N)^α with α=0.3 — upsamples tail languages
     // relative to their corpus share (the mBERT/XLM-R exponential
@@ -359,6 +390,21 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_pmi_collocations" ->
+      """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
+        |uni AS (SELECT u.word AS word, count(*) AS c1
+        |        FROM w, unnest(ws) AS u(word) GROUP BY 1),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2
+        |       FROM w, unnest(generate_series(1, len(ws)-1)) AS t(i)),
+        |bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1,2),
+        |n AS (SELECT count(*) AS nb FROM bg)
+        |SELECT w1, w2, c12,
+        |       round(ln((CAST(c12 AS DOUBLE) * nb)
+        |                / (CAST(u1.c1 AS DOUBLE) * u2.c1)), 6) AS pmi
+        |FROM bgc JOIN uni u1 ON w1 = u1.word JOIN uni u2 ON w2 = u2.word
+        |CROSS JOIN n
+        |WHERE c12 >= 5
+        |ORDER BY pmi DESC, w1, w2 LIMIT 50""".stripMargin,
     "llm_shard_manifest" ->
       """WITH cum AS (
         |  SELECT lang, doc_id, n_chars,

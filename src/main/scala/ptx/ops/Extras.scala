@@ -146,10 +146,52 @@ object Extras {
         .select(col("check_name"), (col("violations") === 0).as("pass"),
           col("violations"))
         .orderBy(col("check_name"))
+    }),
+    // ✓ referential-integrity audit (r6): orphan-key counts for every FK
+    // edge of the star — the Deequ `isContainedIn` check dq_constraints'
+    // row-level suite lacks. Each edge distinct()s the fact's key set
+    // FIRST (the exchange carries |keys|, never the fact) then left-anti
+    // joins the dimension; 4 one-row aggregates union to the report.
+    "dq_referential" -> ((s, d) => {
+      def orphans(fact: org.apache.spark.sql.DataFrame, fk: String,
+                  dim: org.apache.spark.sql.DataFrame, pk: String,
+                  name: String) =
+        fact.select(col(fk)).distinct()
+          .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphan_keys"))
+          .select(lit(name).as("fk"), col("n_orphan_keys"))
+      val li = Tables.lineitem(s, d); val o = Tables.orders(s, d)
+      orphans(li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders")
+        .unionAll(orphans(li, "l_partkey", Tables.part(s, d), "p_partkey",
+          "lineitem.l_partkey->part"))
+        .unionAll(orphans(li, "l_suppkey", Tables.supplier(s, d), "s_suppkey",
+          "lineitem.l_suppkey->supplier"))
+        .unionAll(orphans(o, "o_custkey", Tables.customer(s, d), "c_custkey",
+          "orders.o_custkey->customer"))
+        .withColumn("ok", col("n_orphan_keys") === 0)
+        .orderBy(col("fk"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "dq_referential" ->
+      """SELECT fk, n_orphan_keys, n_orphan_keys = 0 AS ok FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphan_keys
+        |  FROM (SELECT DISTINCT l_orderkey FROM lineitem) k
+        |  LEFT JOIN orders ON l_orderkey = o_orderkey WHERE o_orderkey IS NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part', count(*)
+        |  FROM (SELECT DISTINCT l_partkey FROM lineitem) k
+        |  LEFT JOIN part ON l_partkey = p_partkey WHERE p_partkey IS NULL
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier', count(*)
+        |  FROM (SELECT DISTINCT l_suppkey FROM lineitem) k
+        |  LEFT JOIN supplier ON l_suppkey = s_suppkey WHERE s_suppkey IS NULL
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer', count(*)
+        |  FROM (SELECT DISTINCT o_custkey FROM orders) k
+        |  LEFT JOIN customer ON o_custkey = c_custkey WHERE c_custkey IS NULL)
+        |ORDER BY fk""".stripMargin,
     "agg_decimal_pricing" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS sum_price,

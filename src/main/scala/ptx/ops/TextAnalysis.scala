@@ -107,7 +107,25 @@ object TextAnalysis {
     }),
     // ✓ C4/Gopher-style rule-chain document filter — see [[qualityFilter]]
     "llm_quality_filter" -> ((s, d) =>
-      qualityFilter(Tables.documents(s, d)).orderBy(col("doc_id")))
+      qualityFilter(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    // ✓ BPE pair counts (r6): one merge-learning round of byte-pair
+    // encoding — the most frequent adjacent character pair, weighted by
+    // word frequency (what a tokenizer trainer computes per merge; the
+    // top pair IS the next merge rule). Counting over word TYPES × their
+    // corpus counts, so the pair explode touches |vocab| rows, not the
+    // corpus; top-20 ties cut by pair text (deterministic LIMIT).
+    "llm_bpe_pair_counts" -> ((s, d) => {
+      val wc = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      wc.filter(length(col("word")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    })
   )
 
   /** C4/Gopher-style rule-chain document filter: length, mean word length,
@@ -153,6 +171,18 @@ object TextAnalysis {
         col("first_fail").isNull.as("pass"), col("first_fail"))
 
   def oracle: Map[String, String] = Map(
+    "llm_bpe_pair_counts" ->
+      """WITH wc AS (
+        |  SELECT u.word AS word, count(*) AS c
+        |  FROM (SELECT string_split(text,' ') AS ws FROM documents),
+        |       unnest(ws) AS u(word)
+        |  GROUP BY 1),
+        |pairs AS (
+        |  SELECT substring(word, i, 2) AS pair, c
+        |  FROM wc, unnest(generate_series(1, length(word)-1)) AS t(i)
+        |  WHERE length(word) >= 2)
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
     "llm_lang_id" ->
       s"""SELECT doc_id, s_en, s_es, s_de, s_fr, s_zh, $predCase AS pred,
         |       ($predCase = lang) AS agrees

@@ -43,6 +43,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_semantic_topk_text" -> listFns, "llm_text_clean" -> listFns,
       "llm_text_stats" -> listFns, "llm_tfidf" -> listFns,
       "llm_keyword_extract" -> listFns, "llm_bigram_lm" -> listFns,
+      "llm_pmi_collocations" -> listFns, "llm_bpe_pair_counts" -> listFns,
       "llm_token_count" -> listFns, "llm_unigram_logprob" -> listFns,
       "llm_wordcount" -> listFns, "llm_semdedup" -> listFns,
       "agg_topk_sketch" -> listFns,
