@@ -335,6 +335,87 @@ object Curation {
         .withColumn("is_fluent", col("avg_neg_logp") <= 3.5)
         .orderBy(col("doc_id"))
     }),
+    // ✓ end-to-end curation pipeline (r6): the four declared stages a
+    // pretraining data run actually chains — quality gate → exact dedup →
+    // benchmark decontamination → token budget — composed from the SAME
+    // module functions the standalone operators use (TextAnalysis
+    // .qualityFilter, the min-doc_id canonical rule, TextShingles +
+    // the llm_decontaminate predicate, the block-scan cumsum), reported
+    // as the survivor funnel (docs + tokens per stage) a pipeline run
+    // logs. Formulated as ONE corpus pass that computes per-doc survival
+    // FLAGS (q / dd / dc) instead of materializing each stage's frame: a
+    // naive stage-by-stage union re-executes the whole upstream DAG once
+    // per reported stage (measured 5.0 s / 24 exchanges at sf0.1; this
+    // form is 4 exchanges). The narrow flag frame (id + counts + 3
+    // booleans) is pinned so the budget branch and the funnel aggregate
+    // share it. Scale: quality is a pure scan; the canonical-id window is
+    // the dedup family's one text-key shuffle; decontamination broadcasts
+    // the (bounded) eval shingle index; the budget cumsum is block-scan
+    // (per-1024-doc block totals + broadcast prefix + intra-block window —
+    // widen the block at larger corpora), never a global-order window over
+    // the corpus.
+    "llm_curation_pipeline" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val evalSh = ptx.functions.TextShingles
+        .shingles(docs.filter(col("source") === "src0"), repartitionByDoc = false)
+        .toDF("eval_id", "shingle")
+      val trainSh = ptx.functions.TextShingles
+        .shingles(docs.filter(col("source") =!= "src0"))
+      val contaminated = trainSh.join(broadcast(evalSh), Seq("shingle"))
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("shingle")).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .select(col("doc_id"), lit(true).as("contam"))
+      // one pass: quality rule chain, canonical id per text (among quality
+      // survivors), decontamination flag — sequential-filter semantics
+      // preserved: dd is evaluated over quality rows INCLUDING src0 (an
+      // eval doc can be the canonical copy and shadow its train twin),
+      // THEN dc drops eval + contaminated.
+      val wTxt = Window.partitionBy(col("text"))
+      val flags = ptx.Caching.pin(
+        TextAnalysis.qualityFilter(docs, keep = Seq("text", "source"))
+          .withColumn("canon_id",
+            min(when(col("pass"), col("doc_id"))).over(wTxt))
+          .withColumn("dd", col("pass") && col("doc_id") === col("canon_id"))
+          .join(broadcast(contaminated), Seq("doc_id"), "left_outer")
+          .withColumn("dc",
+            col("dd") && col("source") =!= "src0" && col("contam").isNull)
+          .select(col("doc_id"), col("n_words"), col("pass").as("q"),
+            col("dd"), col("dc")))
+      val base = flags.filter(col("dc"))
+        .select(col("doc_id"), col("n_words"))
+        .withColumn("blk", floor(col("doc_id") / 1024).cast("long"))
+      val blkTot = base.groupBy(col("blk"))
+        .agg(sum(col("n_words")).as("blk_total"))
+      val wBlk = Window.orderBy(col("blk"))
+      val blkCum = blkTot
+        .withColumn("blk_before",
+          sum(col("blk_total")).over(wBlk) - col("blk_total"))
+        .select(col("blk"), col("blk_before"))
+      val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+      val budgetAgg = base.join(broadcast(blkCum), Seq("blk"))
+        .withColumn("cum", col("blk_before") + sum(col("n_words")).over(wIntra))
+        .filter(col("cum") <= 8000)
+        .agg(count(lit(1)).as("n4"), sum(col("n_words")).cast("long").as("t4"))
+      val funnel = flags.agg(
+        count(lit(1)).as("n0"), sum(col("n_words")).cast("long").as("t0"),
+        count(when(col("q"), 1)).as("n1"),
+        sum(when(col("q"), col("n_words"))).cast("long").as("t1"),
+        count(when(col("dd"), 1)).as("n2"),
+        sum(when(col("dd"), col("n_words"))).cast("long").as("t2"),
+        count(when(col("dc"), 1)).as("n3"),
+        sum(when(col("dc"), col("n_words"))).cast("long").as("t3"))
+      funnel.crossJoin(broadcast(budgetAgg))
+        .select(expr(
+          """stack(5,
+            |  0, 'raw',      n0, t0,
+            |  1, 'quality',  n1, t1,
+            |  2, 'dedup',    n2, t2,
+            |  3, 'decontam', n3, t3,
+            |  4, 'budget',   n4, t4) AS (stage_idx, stage, n_docs, n_tokens)"""
+            .stripMargin))
+        .orderBy(col("stage_idx"))
+    }),
     // ✓ PMI collocations (r6): top-50 word pairs by pointwise mutual
     // information, support ≥5 — phrase mining (the "new_york"-merging
     // step of vocabulary induction). PMI = ln(c₁₂·N / (c₁·c₂)) with the
@@ -390,6 +471,53 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_curation_pipeline" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |cnt AS (SELECT doc_id, max(c) AS mx FROM (
+        |    SELECT doc_id, word, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(words) AS word FROM w) e
+        |    GROUP BY doc_id, word) g
+        |  GROUP BY doc_id),
+        |m AS (SELECT w.doc_id,
+        |        len(words) AS n_words,
+        |        CAST(list_aggregate(list_transform(words, x -> length(x)), 'sum')
+        |             AS DOUBLE) / len(words) AS mean_len,
+        |        CAST(len(list_distinct(words)) AS DOUBLE) / len(words) AS distinct_ratio,
+        |        CAST(cnt.mx AS DOUBLE) / len(words) AS dominance
+        |      FROM w JOIN cnt ON w.doc_id = cnt.doc_id),
+        |quality AS (
+        |  SELECT d.doc_id, d.text, d.source, m.n_words
+        |  FROM documents d JOIN m ON d.doc_id = m.doc_id
+        |  WHERE m.n_words >= 20 AND m.mean_len >= 4.0 AND m.mean_len <= 5.0
+        |    AND m.distinct_ratio >= 0.4 AND m.dominance <= 0.125),
+        |dedup AS (
+        |  SELECT * FROM quality
+        |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)),
+        |words2 AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM words2 CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |contaminated AS (
+        |  SELECT t.doc_id FROM sh t JOIN sh e ON t.shingle = e.shingle
+        |  WHERE t.source <> 'src0' AND e.source = 'src0'
+        |  GROUP BY t.doc_id HAVING count(DISTINCT t.shingle) >= 5),
+        |decontam AS (
+        |  SELECT * FROM dedup
+        |  WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+        |budget AS (
+        |  SELECT * FROM (
+        |    SELECT doc_id, n_words,
+        |           sum(n_words) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |    FROM decontam) t
+        |  WHERE cum <= 8000)
+        |SELECT * FROM (
+        |  SELECT 0 AS stage_idx, 'raw' AS stage, count(*) AS n_docs,
+        |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS n_tokens FROM documents
+        |  UNION ALL SELECT 1, 'quality', count(*), CAST(sum(n_words) AS BIGINT) FROM quality
+        |  UNION ALL SELECT 2, 'dedup', count(*), CAST(sum(n_words) AS BIGINT) FROM dedup
+        |  UNION ALL SELECT 3, 'decontam', count(*), CAST(sum(n_words) AS BIGINT) FROM decontam
+        |  UNION ALL SELECT 4, 'budget', count(*), CAST(sum(n_words) AS BIGINT) FROM budget)
+        |ORDER BY stage_idx""".stripMargin,
     "llm_pmi_collocations" ->
       """WITH w AS (SELECT doc_id, string_split(text,' ') AS ws FROM documents),
         |uni AS (SELECT u.word AS word, count(*) AS c1

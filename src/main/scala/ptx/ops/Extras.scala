@@ -170,10 +170,41 @@ object Extras {
           "orders.o_custkey->customer"))
         .withColumn("ok", col("n_orphan_keys") === 0)
         .orderBy(col("fk"))
+    }),
+    // ✓ partition-completeness audit (r6): the full lang × source grid
+    // with per-cell doc counts, zero-filling cells that have NO rows — the
+    // "is a partition missing from last night's load?" check a groupBy
+    // alone cannot answer (absent groups produce no row to look at). The
+    // grid is the cross product of the two DISTINCT dimension sets (both
+    // tiny after their partial-agg distinct; the crossJoin broadcasts one
+    // side) left-joined against the observed counts, so the fact table is
+    // scanned once and nothing wide ever carries it.
+    "dq_completeness" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val langs = docs.select(col("lang")).distinct()
+      val srcs = docs.select(col("source")).distinct()
+      val actual = docs.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n"))
+      langs.crossJoin(broadcast(srcs))
+        .join(broadcast(actual), Seq("lang", "source"), "left_outer")
+        .select(col("lang"), col("source"),
+          coalesce(col("n"), lit(0L)).as("n_docs"),
+          col("n").isNull.as("missing"))
+        .orderBy(col("lang"), col("source"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "dq_completeness" ->
+      """WITH langs AS (SELECT DISTINCT lang FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |actual AS (SELECT lang, source, count(*) AS n
+        |           FROM documents GROUP BY 1, 2)
+        |SELECT g.lang, g.source, coalesce(a.n, 0) AS n_docs,
+        |       a.n IS NULL AS missing
+        |FROM (SELECT lang, source FROM langs CROSS JOIN srcs) g
+        |LEFT JOIN actual a ON g.lang = a.lang AND g.source = a.source
+        |ORDER BY g.lang, g.source""".stripMargin,
     "dq_referential" ->
       """SELECT fk, n_orphan_keys, n_orphan_keys = 0 AS ok FROM (
         |  SELECT 'lineitem.l_orderkey->orders' AS fk, count(*) AS n_orphan_keys

@@ -181,6 +181,38 @@ object LlmScale {
   }
 
   def queries: Map[String, QFn] = Map(
+    // ✓ blocked edit-distance near-dup (r6): the title/short-text dedup
+    // pass (Levenshtein) the shingle family can't express — character-level
+    // edits (typos, template slot changes) barely move a 3-word shingle
+    // set but show up directly as small edit distance. All-pairs Levenshtein
+    // is O(n²·L²) and unthinkable at 100 TB; the standard fix is BLOCKING:
+    // candidates must share a cheap key (here: first two words) and sit
+    // within ±20 chars of each other, which bounds each block's pair count
+    // by its own size, never the corpus (same candidate-bounding shape as
+    // the LSH band join). Dup = lev ≤ 20% of the shorter text (lev*5 ≤
+    // minlen in exact integers — no float threshold). Reported per block:
+    // candidate pairs, dup pairs, min distance — the audit grain a dedup
+    // run logs. Both engines implement classic Levenshtein (no transposes),
+    // so counts compare exactly.
+    "llm_dedup_lev" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"), col("n_chars"),
+          expr("split_part(text, ' ', 1) || ' ' || split_part(text, ' ', 2)")
+            .as("blk"))
+      val a = docs.toDF("id1", "t1", "len1", "blk")
+      val b = docs.toDF("id2", "t2", "len2", "blk")
+      a.join(b, Seq("blk"))
+        .filter(col("id1") < col("id2") &&
+          abs(col("len1") - col("len2")) <= 20)
+        .select(col("blk"),
+          levenshtein(col("t1"), col("t2")).as("lev"),
+          least(col("len1"), col("len2")).as("minlen"))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("lev") * 5 <= col("minlen"), 1)).as("n_dups"),
+          min(col("lev")).cast("long").as("min_lev"))
+        .orderBy(col("blk"))
+    }),
     // ◌ MinHash + LSH banding, exact-Jaccard verify on candidates only.
     // ONE aggregation pass over the shingle stream computes the 16-minhash
     // signature, the shingle count, AND the sorted shingle-set array per
@@ -417,6 +449,20 @@ object LlmScale {
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_dedup_lev" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, n_chars,
+        |         split_part(text,' ',1) || ' ' || split_part(text,' ',2) AS blk
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.blk, levenshtein(a.text, b.text) AS lev,
+        |         least(a.n_chars, b.n_chars) AS minlen
+        |  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        |  WHERE abs(a.n_chars - b.n_chars) <= 20)
+        |SELECT blk, count(*) AS n_pairs,
+        |       count(CASE WHEN lev * 5 <= minlen THEN 1 END) AS n_dups,
+        |       min(lev) AS min_lev
+        |FROM pairs GROUP BY blk ORDER BY blk""".stripMargin,
     "llm_dedup_cluster" ->
       """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

@@ -114,6 +114,33 @@ object TextAnalysis {
     // top pair IS the next merge rule). Counting over word TYPES × their
     // corpus counts, so the pair explode touches |vocab| rows, not the
     // corpus; top-20 ties cut by pair text (deterministic LIMIT).
+    // ✓ vocabulary coverage curve (r6): cumulative corpus-token share of
+    // the top-k most frequent word types — the Zipf curve a tokenizer
+    // designer reads to size a vocabulary ("how many types cover 95% of
+    // tokens?"). Scale shape: the only full-corpus work is the word-count
+    // aggregation; the ranked cumsum window runs AFTER orderBy().limit(100)
+    // cuts the vocab to ≤100 rows (TakeOrdered — no global-order window
+    // over the vocabulary), and the corpus total arrives as a broadcast
+    // one-row frame. Ties in frequency rank by word text so rnk and
+    // cum_frac are deterministic.
+    "llm_vocab_coverage" -> ((s, d) => {
+      val uni = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val top = uni.orderBy(col("c").desc, col("word")).limit(100)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("word"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      top
+        .crossJoin(broadcast(uni.agg(sum(col("c")).as("n"))))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("word")))
+          .cast("long"))
+        .withColumn("cum_frac",
+          round(sum(col("c")).over(w).cast("double") / col("n"), 6))
+        .select(col("rnk"), col("word"), col("c"), col("cum_frac"))
+        .orderBy(col("rnk"))
+    }),
     "llm_bpe_pair_counts" -> ((s, d) => {
       val wc = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
@@ -144,7 +171,8 @@ object TextAnalysis {
     * quality filtering is the curation step most often applied at INGEST
     * time, before anything lands in the lake.
     */
-  def qualityFilter(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def qualityFilter(docs: org.apache.spark.sql.DataFrame,
+                    keep: Seq[String] = Nil): org.apache.spark.sql.DataFrame =
     docs
       .withColumn("w", split(col("text"), " "))
       .withColumn("n_words", size(col("w")))
@@ -166,11 +194,25 @@ object TextAnalysis {
           .when(col("mean_len") < 4.0 || col("mean_len") > 5.0, "word_len")
           .when(col("distinct_ratio") < 0.4, "distinct_ratio")
           .when(col("dominance") > 0.125, "dominance"))
-      .select(col("doc_id"), col("n_words"), col("mean_len"),
-        col("distinct_ratio"), col("dominance"),
-        col("first_fail").isNull.as("pass"), col("first_fail"))
+      .select(col("doc_id") +: col("n_words") +: col("mean_len") +:
+        col("distinct_ratio") +: col("dominance") +:
+        col("first_fail").isNull.as("pass") +: col("first_fail") +:
+        keep.map(col): _*)
 
   def oracle: Map[String, String] = Map(
+    "llm_vocab_coverage" ->
+      """WITH uni AS (
+        |  SELECT u.word AS word, count(*) AS c
+        |  FROM (SELECT string_split(text,' ') AS ws FROM documents),
+        |       unnest(ws) AS u(word)
+        |  GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM uni),
+        |ranked AS (
+        |  SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rnk,
+        |         sum(c) OVER (ORDER BY c DESC, word ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM uni)
+        |SELECT rnk, word, c, round(CAST(cum AS DOUBLE) / n, 6) AS cum_frac
+        |FROM ranked CROSS JOIN tot WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
     "llm_bpe_pair_counts" ->
       """WITH wc AS (
         |  SELECT u.word AS word, count(*) AS c

@@ -44,6 +44,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_text_stats" -> listFns, "llm_tfidf" -> listFns,
       "llm_keyword_extract" -> listFns, "llm_bigram_lm" -> listFns,
       "llm_pmi_collocations" -> listFns, "llm_bpe_pair_counts" -> listFns,
+      "llm_curation_pipeline" -> listFns, "llm_vocab_coverage" -> listFns,
       "llm_token_count" -> listFns, "llm_unigram_logprob" -> listFns,
       "llm_wordcount" -> listFns, "llm_semdedup" -> listFns,
       "agg_topk_sketch" -> listFns,
