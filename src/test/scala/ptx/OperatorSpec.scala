@@ -171,6 +171,37 @@ class OperatorSpec extends AnyFunSuite {
     budget("llm_bigram_lm", 9)
   }
 
+  test("plan budget: r6 late additions hold their shuffle structure") {
+    def budget(name: String, bound: Int): Unit = {
+      val n = measuredExchanges(name)
+      ptx.Caching.releaseAll()
+      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
+    }
+    // pair explode runs over word TYPES (vocab agg first) — a corpus-grain
+    // explode formulation would blow past this
+    budget("llm_bpe_pair_counts", 3)
+    // two vocab-bounded count passes + support-filtered joins + top-50;
+    // no corpus² exchange
+    budget("llm_pmi_collocations", 6)
+    // 4 edges × (fact-key distinct shuffle + broadcast anti join) + union
+    // of one-row aggs — the exchanges carry |keys|, never the fact
+    budget("dq_referential", 10)
+    // blocked self-join: block-key shuffles + per-block agg + sort; an
+    // unblocked all-pairs formulation is structurally impossible here
+    budget("llm_dedup_lev", 9)
+    // vocab agg → TakeOrdered top-100 → 100-row cumsum window + broadcast
+    // total; the window must never see the full vocabulary
+    budget("llm_vocab_coverage", 4)
+    // two tiny distinct aggs + their broadcast exchanges + one observed-
+    // counts agg + its broadcast + output sort (broadcasts are counted) —
+    // the fact is scanned once, nothing wide carries it
+    budget("dq_completeness", 7)
+    // the one-flag-pass formulation: quality scan + text-key window +
+    // broadcast contamination join + block-scan budget + funnel agg —
+    // the per-stage-union formulation measured 24
+    budget("llm_curation_pipeline", 7)
+  }
+
   test("q6: all three predicates push to the lineitem scan (r6)") {
     // the query IS the scan — if any predicate falls out of PushedFilters
     // the canonical selectivity benchmark stops measuring the scan
