@@ -313,14 +313,17 @@ object Curation {
     // Parity: per-bigram −ln of identical IEEE rationals, avg rounded
     // 6dp (the llm_unigram_logprob discipline).
     "llm_bigram_lm" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val all = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2) // sequence(1,0) would DESCEND
+      val docs = all.filter(size(col("ws")) >= 2) // sequence(1,0) would DESCEND
       val bg = docs.select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
           .as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val uni = docs.select(explode(col("ws")).as("word"))
+      // unigram counts + vocab over ALL docs (incl. 1-word ones the
+      // bigram pass skips) — the oracle's uni CTE counts every word, so
+      // filtering here would skew c1/V the moment a short doc appears
+      val uni = all.select(explode(col("ws")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("c1"))
       val model = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
         .join(uni, col("w1") === col("word"))
@@ -426,14 +429,16 @@ object Curation {
     // count passes as llm_bigram_lm; the support filter bounds the PMI
     // join to frequent pairs.
     "llm_pmi_collocations" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val all = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 2)
+      val docs = all.filter(size(col("ws")) >= 2)
       val bg = docs.select(explode(expr(
           "transform(sequence(1, size(ws)-1), i -> struct(ws[i-1] AS w1, ws[i] AS w2))"))
           .as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
-      val uni = docs.select(explode(col("ws")).as("word"))
+      // unigram marginals over ALL docs — matches the oracle's uni CTE,
+      // which never filters to multi-word docs (llm_bigram_lm discipline)
+      val uni = all.select(explode(col("ws")).as("word"))
         .groupBy(col("word")).agg(count(lit(1)).as("c1"))
       val bgc = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
         .filter(col("c12") >= 5)
@@ -495,8 +500,7 @@ object Curation {
         |  WHERE doc_id IN (SELECT min(doc_id) FROM quality GROUP BY text)),
         |words2 AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM words2 CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
-        |       WHERE i <= len(w) - 2),
+        |       FROM words2, unnest(generate_series(1, len(w) - 2)) AS s(i)),
         |contaminated AS (
         |  SELECT t.doc_id FROM sh t JOIN sh e ON t.shingle = e.shingle
         |  WHERE t.source <> 'src0' AND e.source = 'src0'
@@ -561,8 +565,7 @@ object Curation {
     "llm_decontaminate" ->
       """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, source, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
-        |       WHERE i <= len(w) - 2)
+        |       FROM words, unnest(generate_series(1, len(w) - 2)) AS s(i))
         |SELECT t.doc_id, count(DISTINCT t.shingle) AS n_shared,
         |       count(DISTINCT e.doc_id) AS n_eval_docs
         |FROM sh t JOIN sh e ON t.shingle = e.shingle

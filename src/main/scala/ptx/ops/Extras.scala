@@ -99,7 +99,10 @@ object Extras {
           countDistinct(col(c)).as(s"${c}_distinct"),
           round(min(col(c)), 6).as(s"${c}_min"),
           round(max(col(c)), 6).as(s"${c}_max"),
-          round(avg(col(c)), 6).as(s"${c}_mean"))
+          // exact e2 sum + non-null count → e6 micro-mean via half-up
+          // integer division (round(avg) flips on 2^a·5^b row counts)
+          sum(round(col(c) * 100).cast("long")).as(s"${c}_sum_e2"),
+          count(col(c)).as(s"${c}_nn"))
       }
       val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
       val rows = cols.map { c =>
@@ -108,7 +111,8 @@ object Extras {
           col(s"${c}_distinct").as("n_distinct"),
           col(s"${c}_min").as("min_val"),
           col(s"${c}_max").as("max_val"),
-          col(s"${c}_mean").as("mean_val"))
+          expr(s"(2 * ${c}_sum_e2 * 10000 + ${c}_nn) div (2 * ${c}_nn)")
+            .as("mean_e6"))
       }
       wide.select(explode(array(rows: _*)).as("r"))
         .select(col("r.*"))
@@ -126,9 +130,16 @@ object Extras {
       def named(name: String, df: org.apache.spark.sql.DataFrame) =
         df.select(lit(name).as("check_name"), col("violations"))
       val checks = Seq(
-        named("lineitem_pk_unique", li.agg((count(lit(1)) -
-          countDistinct(col("l_orderkey"), col("l_linenumber")))
-          .as("violations"))),
+        // explicit not-null precheck: Spark's multi-arg countDistinct
+        // skips rows where ANY key is NULL while DuckDB's struct-distinct
+        // counts them, so the uniqueness check runs only over fully-keyed
+        // rows on BOTH engines (the fixture has none, but the semantics
+        // must not depend on that)
+        named("lineitem_pk_unique", li
+          .filter(col("l_orderkey").isNotNull && col("l_linenumber").isNotNull)
+          .agg((count(lit(1)) -
+            countDistinct(col("l_orderkey"), col("l_linenumber")))
+            .as("violations"))),
         named("orders_pk_unique", o.agg((count(lit(1)) -
           countDistinct(col("o_orderkey"))).as("violations"))),
         named("lineitem_fk_orders", li.join(o.select(col("o_orderkey")),
@@ -259,33 +270,37 @@ object Extras {
         |  SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem) u
         |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
     "dq_profile" ->
-      """SELECT col_name, n, n_null, n_distinct, min_val, max_val, mean_val FROM (
+      """SELECT col_name, n, n_null, n_distinct, min_val, max_val, mean_e6 FROM (
         |  SELECT 'l_quantity' AS col_name, count(*) AS n,
         |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |    count(DISTINCT l_quantity) AS n_distinct,
         |    round(min(l_quantity), 6) AS min_val, round(max(l_quantity), 6) AS max_val,
-        |    round(avg(l_quantity), 6) AS mean_val
+        |    (2 * CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) * 10000
+        |     + count(l_quantity)) // (2 * count(l_quantity)) AS mean_e6
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', count(*),
         |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT l_extendedprice),
         |    round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
-        |    round(avg(l_extendedprice), 6)
+        |    (2 * CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) * 10000
+        |     + count(l_extendedprice)) // (2 * count(l_extendedprice))
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', count(*),
         |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT l_discount),
         |    round(min(l_discount), 6), round(max(l_discount), 6),
-        |    round(avg(l_discount), 6)
+        |    (2 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) * 10000
+        |     + count(l_discount)) // (2 * count(l_discount))
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_tax', count(*),
         |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT l_tax),
         |    round(min(l_tax), 6), round(max(l_tax), 6),
-        |    round(avg(l_tax), 6)
+        |    (2 * CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) * 10000
+        |     + count(l_tax)) // (2 * count(l_tax))
         |  FROM lineitem) u
         |ORDER BY col_name""".stripMargin,
     "dq_constraints" ->
@@ -293,6 +308,7 @@ object Extras {
         |  SELECT 'lineitem_pk_unique' AS check_name,
         |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS violations
         |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
         |  UNION ALL SELECT 'orders_pk_unique',
         |    count(*) - count(DISTINCT o_orderkey) FROM orders
         |  UNION ALL SELECT 'lineitem_fk_orders', count(*) FROM lineitem

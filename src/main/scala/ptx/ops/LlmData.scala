@@ -119,13 +119,22 @@ object LlmData {
         .agg(round(avg(col("x").cast("double")), 6).as("c"))
         .orderBy(col("label"), col("pos"))
     }),
+    // e6 micro-means via half-up integer division — char/word sums and
+    // doc counts are exact BIGINTs, and round(sum/count) flips on
+    // 2^a·5^b group counts (the r6 pt_burn_rate half-point lesson).
     "llm_text_stats" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
-          round(avg(col("n_chars")), 6).as("avg_chars"),
-          round(avg(size(split(col("text"), " ")).cast("double")), 6).as("avg_words"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("sum_words"),
           countDistinct(col("source")).as("n_sources"))
+        .select(col("lang"), col("n_docs"),
+          expr("(2 * sum_chars * 1000000 + n_docs) div (2 * n_docs)")
+            .as("avg_chars_e6"),
+          expr("(2 * sum_words * 1000000 + n_docs) div (2 * n_docs)")
+            .as("avg_words_e6"),
+          col("n_sources"))
         .orderBy(col("lang"))
     }),
     "llm_wordcount" -> ((s, d) => {
@@ -351,8 +360,10 @@ object LlmData {
         |GROUP BY label, i ORDER BY label, pos""".stripMargin,
     "llm_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  round(avg(n_chars), 6) AS avg_chars,
-        |  round(avg(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_words,
+        |  (2 * CAST(sum(n_chars) AS BIGINT) * 1000000 + count(*))
+        |    // (2 * count(*)) AS avg_chars_e6,
+        |  (2 * CAST(sum(len(string_split(text, ' '))) AS BIGINT) * 1000000
+        |   + count(*)) // (2 * count(*)) AS avg_words_e6,
         |  count(DISTINCT source) AS n_sources
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_wordcount" ->

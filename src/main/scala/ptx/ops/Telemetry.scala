@@ -188,19 +188,21 @@ object Telemetry {
     // always have both neighbors because each user's spine spans its own
     // observed min..max bucket. Same single user_id shuffle as
     // pt_gap_fill: the spine join and the four ignoreNulls frames all
-    // reuse one partitioning. The OUTPUT is exact fixed-point micro-units
-    // (BIGINT): the free-double lerp measured a 1-ulp divergence exactly
-    // on a 6dp rounding boundary, so — q8 discipline — the 6dp bucket
-    // averages become integers (exact once rounded), the lerp numerator
-    // pv·(nb−b) + nv·(b−pb) stays integer (< 2^53, double-exact in both
-    // engines), and the single division + round-to-integer is
-    // deterministic across engines even on exact .5 ties (both round
-    // away from zero).
+    // reuse one partitioning. Everything is exact fixed-point INTEGER
+    // arithmetic end-to-end (r7, tightening the r6 q8 discipline): the
+    // bucket mean is a half-up integer division of the exact e2 sum
+    // scaled to e6 (no double avg, no round() — bucket counts can be
+    // 2^a·5^b and land a double ratio exactly on the grid), and the lerp
+    // numerator pv·(nb−b) + nv·(b−pb) stays integer with a half-up
+    // integer quotient (denominators are multiples of 21600 — even, so
+    // round(double) there was one unlucky numerator from a half-point
+    // flip).
     "pt_interp_linear" -> ((s, d) => {
       val ag = Tables.events(s, d)
+        .select(col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("v2"))
         .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))
-        .agg(round(avg(col("value")), 6).as("vd"))
-        .withColumn("v", round(col("vd") * 1e6).cast("long")).drop("vd")
+        .agg(expr("(2 * sum(v2) * 10000 + count(1)) div (2 * count(1))").as("v"))
       val spine = ag.groupBy(col("user_id"))
         .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
         .select(col("user_id"),
@@ -217,10 +219,12 @@ object Telemetry {
           first(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
             .over(fwd).as("nb"))
         .select(col("user_id"), col("bucket"),
-          when(col("v").isNotNull, col("v")).otherwise(round(
-            (col("pv") * (unix_timestamp(col("nb")) - unix_timestamp(col("bucket"))) +
-             col("nv") * (unix_timestamp(col("bucket")) - unix_timestamp(col("pb")))) /
-              (unix_timestamp(col("nb")) - unix_timestamp(col("pb")))).cast("long"))
+          when(col("v").isNotNull, col("v")).otherwise(expr(
+            """(2 * (pv * (unix_timestamp(nb) - unix_timestamp(bucket))
+              |     + nv * (unix_timestamp(bucket) - unix_timestamp(pb)))
+              | + (unix_timestamp(nb) - unix_timestamp(pb)))
+              |div (2 * (unix_timestamp(nb) - unix_timestamp(pb)))"""
+              .stripMargin))
             .as("v_interp_e6"))
         .orderBy(col("user_id"), col("bucket"))
     }),
@@ -273,7 +277,8 @@ object Telemetry {
     // groupBy(user) for first-seen, one groupBy(cohort, offset) — the
     // user⋈first join reuses the user_id partitioning. Offsets divide by
     // 7-free exact day deltas (both frames day-truncated), and the
-    // retention ratio divides exact BIGINTs, so no float boundary exists.
+    // retention rate is an e6 micro-rate from half-up INTEGER division —
+    // no float exists anywhere in the query.
     // At 100 TB the cohort dimension (days × cohort sizes) is tiny; only
     // the per-user first-seen frame scales with users, and it broadcasts
     // or shuffle-joins as AQE decides.
@@ -289,17 +294,20 @@ object Telemetry {
             .as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_active"))
         .join(broadcast(sizes), Seq("cohort_day"))
+        // e6 micro-rate via half-up integer division — cohort sizes are
+        // row counts, i.e. one 2^a·5^b away from an exact half-point
         .select(col("cohort_day"), col("day_offset"), col("n_active"),
-          round(col("n_active").cast("double") / col("cohort_n"), 6)
-            .as("retention"))
+          expr("(n_active * 2000000 + cohort_n) div (2 * cohort_n)")
+            .as("retention_e6"))
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
     // ✓ truncated exponential moving average (r6): halflife-one EWM over
     // the last 8 samples per user. Weights are powers of two (128..1) and
     // values are e2 fixed point (the fixture has exactly 2dp), so the
-    // numerator/denominator are exact BIGINTs and the single double
-    // division + round is engine-deterministic — the same discipline as
-    // pt_interp_linear. The 8-term truncation keeps the EWM expressible
+    // numerator/denominator are exact BIGINTs and the quotient is taken
+    // with half-up INTEGER division — warm-up denominators are EVEN
+    // (128..254), i.e. exactly the half-point class where round(double)
+    // diverges across engines (r6 burn-rate lesson). The 8-term truncation keeps the EWM expressible
     // as a fixed lag() expression tree (no sequential recursion): one
     // user_id shuffle, one window pass, codegen throughout. The residual
     // weight below 2^-8 is under 0.4% — the normalizing denominator
@@ -319,7 +327,11 @@ object Telemetry {
           acc + when(col(s"v$k").isNotNull, lit(1L << (7 - k))).otherwise(lit(0L)) }
       lagged
         .select(col("event_id"), col("user_id"), col("ts"),
-          round(num / den).cast("long").as("ewma_e2"))
+          num.as("num"), den.as("den"))
+        // half-up integer division (den is EVEN on warm-up rows —
+        // 128..254 — exactly the 2^a·5^b half-point hazard class)
+        .withColumn("ewma_e2", expr("(2 * num + den) div (2 * den)"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("ewma_e2"))
         .orderBy(col("event_id"))
     }),
     // ✓ CUSUM drift detection (r6): per-user cumulative sum of deviations
@@ -334,8 +346,10 @@ object Telemetry {
       val v = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"),
           round(col("value") * 100).cast("long").as("v"))
+      // half-up integer mean (not round(sum/count): a 2^a·5^b count puts
+      // the ratio exactly on the rounding grid — the r6 burn-rate bug)
       val m = v.agg(
-        round(sum(col("v")) * lit(1.0) / count(lit(1))).cast("long").as("mean_e2"))
+        expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("mean_e2"))
       val run = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -392,9 +406,11 @@ object Telemetry {
     // ✓ Apdex score (r6): per event_type, satisfied (≤T=100) and
     // tolerating (≤4T=400) counts and the standard
     // (satisfied + tolerating/2) / total score — the canonical
-    // latency-SLO rollup. The counts are exact integers; the one
-    // division is a single deterministic double op, rounded 6dp for
-    // presentation only (identical expression tree both engines).
+    // latency-SLO rollup. The counts are exact integers and the score is
+    // an e6 micro-score from half-up INTEGER division (apdex = (2·sat +
+    // tol)/(2n), so e6 = ((2·sat+tol)·10⁶ + n) div (2n)) — round() of an
+    // integer-ratio double is banned since r6's pt_burn_rate half-point
+    // flip (2^a·5^b denominators land exactly on the grid).
     // Map-side-combinable conditional sums — two-phase hash agg.
     "pt_apdex" -> ((s, d) => {
       val sat = sum(when(col("value") <= 100.0, 1L).otherwise(0L))
@@ -403,8 +419,9 @@ object Telemetry {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(sat.as("satisfied"), tol.as("tolerating"),
-          count(lit(1)).as("n"),
-          round((sat + tol / lit(2.0)) / count(lit(1)), 6).as("apdex"))
+          count(lit(1)).as("n"))
+        .withColumn("apdex_e6",
+          expr("((2 * satisfied + tolerating) * 1000000 + n) div (2 * n)"))
         .orderBy(col("event_type"))
     }),
     // ✓ moving median (r6): 5-row centered median per user — the robust
@@ -440,9 +457,10 @@ object Telemetry {
       val v = Tables.events(s, d).select(col("event_id"), col("event_type"),
         hour(col("ts")).as("hod"),
         round(col("value") * 100).cast("long").as("v"))
+      // half-up integer mean — same e2 discipline as pt_cusum (a
+      // round()'d double mean flips on 2^a·5^b group counts)
       val m = v.groupBy(col("event_type"), col("hod"))
-        .agg(round(sum(col("v")) * lit(1.0) / count(lit(1)))
-          .cast("long").as("mean_e2"))
+        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("mean_e2"))
       v.join(broadcast(m), Seq("event_type", "hod"))
         .select(col("event_id"), col("event_type"), col("hod"),
           (col("v") - col("mean_e2")).as("dev_e2"),
@@ -458,8 +476,12 @@ object Telemetry {
     // arbitrary age). Scale: the global window runs AFTER hourly
     // aggregation, so its input is |calendar hours| (8.8k/year) no
     // matter the event volume — the one acceptable unpartitioned window
-    // shape. Rates divide exact integer counts once, rounded 6dp; the
-    // alert compares the ROUNDED grid values.
+    // shape. Rates are e6 micro-rates from half-up INTEGER division —
+    // (errs*2e6 + total) div (2*total) — because round() of an
+    // integer-ratio double lands on exact half-points whenever total is
+    // 2^a*5^b (r6: total=128 flipped 6 rows under a half-to-even DuckDB
+    // build). The alert compares RAW integers (errs*4 > total AND
+    // errs6*5 > total6), so no float exists anywhere in the query.
     "pt_burn_rate" -> ((s, d) => {
       val hourly = Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour").as("w"))
@@ -472,13 +494,14 @@ object Telemetry {
       hourly
         .withColumn("errs6", sum(col("errs")).over(w6))
         .withColumn("total6", sum(col("total")).over(w6))
-        .withColumn("rate_1h",
-          round(col("errs").cast("double") / col("total"), 6))
-        .withColumn("rate_6h",
-          round(col("errs6").cast("double") / col("total6"), 6))
-        .select(col("hour"), col("total"), col("errs"), col("rate_1h"),
-          col("rate_6h"),
-          (col("rate_1h") > 0.25 && col("rate_6h") > 0.2).as("burn_alert"))
+        .withColumn("rate_1h_e6",
+          expr("(errs * 2000000 + total) div (2 * total)"))
+        .withColumn("rate_6h_e6",
+          expr("(errs6 * 2000000 + total6) div (2 * total6)"))
+        .select(col("hour"), col("total"), col("errs"), col("rate_1h_e6"),
+          col("rate_6h_e6"),
+          (col("errs") * 4 > col("total") &&
+            col("errs6") * 5 > col("total6")).as("burn_alert"))
         .orderBy(col("hour"))
     }),
     // ✓ per-user running event-type histogram (r6) — each event annotated
@@ -566,7 +589,8 @@ object Telemetry {
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
         |         CAST(epoch(date_trunc('hour', ts)) AS BIGINT) / 3600 AS hr,
         |         count(*) AS total,
-        |         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+        |         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS errs
         |  FROM $EV GROUP BY 1, 2),
         |win AS (
         |  SELECT hour, total, errs,
@@ -576,10 +600,13 @@ object Telemetry {
         |                          AND CURRENT ROW) AS total6
         |  FROM hourly)
         |SELECT hour, total, errs,
-        |       round(CAST(errs AS DOUBLE) / total, 6) AS rate_1h,
-        |       round(CAST(errs6 AS DOUBLE) / total6, 6) AS rate_6h,
-        |       round(CAST(errs AS DOUBLE) / total, 6) > 0.25
-        |         AND round(CAST(errs6 AS DOUBLE) / total6, 6) > 0.2 AS burn_alert
+        |       CAST((errs * 2000000 + total) // (2 * total) AS BIGINT)
+        |         AS rate_1h_e6,
+        |       CAST((CAST(errs6 AS BIGINT) * 2000000 + total6)
+        |            // (2 * CAST(total6 AS BIGINT)) AS BIGINT) AS rate_6h_e6,
+        |       errs * 4 > total
+        |         AND CAST(errs6 AS BIGINT) * 5 > CAST(total6 AS BIGINT)
+        |         AS burn_alert
         |FROM win ORDER BY hour""".stripMargin,
     "pt_time_to_convert" ->
       s"""WITH per AS (
@@ -697,7 +724,8 @@ object Telemetry {
       s"""WITH ag AS (
         |  SELECT user_id,
         |    make_timestamp(CAST(floor(epoch(ts) / 21600) AS BIGINT) * 21600 * 1000000) AS bucket,
-        |    CAST(round(round(avg(value), 6) * 1e6) AS BIGINT) AS v
+        |    (2 * CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) * 10000
+        |     + count(*)) // (2 * count(*)) AS v
         |  FROM $EV GROUP BY user_id, bucket),
         |sp AS (
         |  SELECT user_id,
@@ -716,9 +744,11 @@ object Telemetry {
         |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
         |SELECT user_id, bucket,
         |  CASE WHEN v IS NOT NULL THEN v
-        |       ELSE CAST(round((pv * (epoch(nb) - epoch(bucket))
-        |                        + nv * (epoch(bucket) - epoch(pb)))
-        |                       / (epoch(nb) - epoch(pb))) AS BIGINT) END AS v_interp_e6
+        |       ELSE (2 * (pv * CAST(epoch(nb) - epoch(bucket) AS BIGINT)
+        |                  + nv * CAST(epoch(bucket) - epoch(pb) AS BIGINT))
+        |             + CAST(epoch(nb) - epoch(pb) AS BIGINT))
+        |            // (2 * CAST(epoch(nb) - epoch(pb) AS BIGINT))
+        |       END AS v_interp_e6
         |FROM j ORDER BY user_id, bucket""".stripMargin,
     "pt_winsorize" ->
       s"""SELECT e.event_type, count(*) AS n, round(avg(value), 6) AS avg_raw,
@@ -758,7 +788,7 @@ object Telemetry {
         |  FROM ev JOIN f USING (user_id)
         |  GROUP BY 1, 2)
         |SELECT CAST(cohort_day AS TIMESTAMP) AS cohort_day, day_offset, n_active,
-        |       round(CAST(n_active AS DOUBLE) / cohort_n, 6) AS retention
+        |       (n_active * 2000000 + cohort_n) // (2 * cohort_n) AS retention_e6
         |FROM act JOIN sz USING (cohort_day)
         |ORDER BY cohort_day, day_offset""".stripMargin,
     "pt_ewma" ->
@@ -772,23 +802,30 @@ object Telemetry {
         |    lag(v,7) OVER w AS v7
         |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |SELECT event_id, user_id, ts,
-        |  CAST(round((v*128 + coalesce(v1,0)*64 + coalesce(v2,0)*32
+        |  (2 * (v*128 + coalesce(v1,0)*64 + coalesce(v2,0)*32
         |    + coalesce(v3,0)*16 + coalesce(v4,0)*8 + coalesce(v5,0)*4
-        |    + coalesce(v6,0)*2 + coalesce(v7,0)*1) * 1.0
-        |   / (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+        |    + coalesce(v6,0)*2 + coalesce(v7,0)*1)
+        |   + (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
         |      + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
         |      + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
         |      + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
         |      + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
         |      + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
-        |      + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)) AS BIGINT) AS ewma_e2
+        |      + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END))
+        |  // (2 * (128 + CASE WHEN v1 IS NULL THEN 0 ELSE 64 END
+        |      + CASE WHEN v2 IS NULL THEN 0 ELSE 32 END
+        |      + CASE WHEN v3 IS NULL THEN 0 ELSE 16 END
+        |      + CASE WHEN v4 IS NULL THEN 0 ELSE 8 END
+        |      + CASE WHEN v5 IS NULL THEN 0 ELSE 4 END
+        |      + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
+        |      + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)) AS ewma_e2
         |FROM l ORDER BY event_id""".stripMargin,
     "pt_cusum" ->
       s"""WITH v AS (
         |  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS v
         |  FROM $EV),
         |m AS (
-        |  SELECT CAST(round(CAST(sum(v) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+        |  SELECT (2 * CAST(sum(v) AS BIGINT) + count(*)) // (2 * count(*))
         |    AS mean_e2 FROM v),
         |cs AS (
         |  SELECT event_id, user_id, ts,
@@ -830,9 +867,10 @@ object Telemetry {
         |  CAST(sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)
         |    AS BIGINT) AS tolerating,
         |  count(*) AS n,
-        |  round((sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END)
-        |    + sum(CASE WHEN value > 100.0 AND value <= 400.0 THEN 1 ELSE 0 END)
-        |      / 2.0) / count(*), 6) AS apdex
+        |  ((2 * CAST(sum(CASE WHEN value <= 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    + CAST(sum(CASE WHEN value > 100.0 AND value <= 400.0
+        |               THEN 1 ELSE 0 END) AS BIGINT)) * 1000000 + count(*))
+        |    // (2 * count(*)) AS apdex_e6
         |FROM $EV GROUP BY event_type ORDER BY event_type""".stripMargin,
     "pt_moving_median" ->
       s"""SELECT event_id, user_id, ts,
@@ -845,7 +883,7 @@ object Telemetry {
         |    CAST(round(value*100) AS BIGINT) AS v FROM $EV),
         |m AS (
         |  SELECT event_type, hod,
-        |    CAST(round(CAST(sum(v) AS BIGINT) * 1.0 / count(*)) AS BIGINT)
+        |    (2 * CAST(sum(v) AS BIGINT) + count(*)) // (2 * count(*))
         |      AS mean_e2
         |  FROM v GROUP BY 1, 2)
         |SELECT event_id, v.event_type, v.hod, v - mean_e2 AS dev_e2,

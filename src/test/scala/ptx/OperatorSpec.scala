@@ -724,7 +724,9 @@ class OperatorSpec extends AnyFunSuite {
     assert(p.getLong(3) == qty.distinct.length)
     assert(p.getDouble(4) == qty.min)
     assert(p.getDouble(5) == qty.max)
-    assert(math.abs(p.getDouble(6) - qty.sum / qty.length) < 1e-6)
+    // mean_e6 is the half-up integer micro-mean of the exact e2 values
+    val sumE2 = qty.map(v => math.round(v * 100)).sum
+    assert(p.getLong(6) == (2 * sumE2 * 10000 + qty.length) / (2L * qty.length))
   }
 
   test("fn_try_arith: try_* yields NULL exactly where the ANSI-strict twin throws (r5)") {
@@ -781,16 +783,16 @@ class OperatorSpec extends AnyFunSuite {
     // every user is active on their first day → offset-0 retention is 1.0
     val day0 = rows.filter(_.getInt(1) == 0)
     assert(day0.nonEmpty)
-    day0.foreach(r => assert(r.getDouble(3) == 1.0,
-      s"cohort ${r.get(0)} day-0 retention ${r.getDouble(3)}"))
+    day0.foreach(r => assert(r.getLong(3) == 1000000L,
+      s"cohort ${r.get(0)} day-0 retention_e6 ${r.getLong(3)}"))
     // offset-0 actives across cohorts == total distinct users (a partition)
     val cohortTotal = day0.map(_.getLong(2)).sum
     val users = Tables.events(spark, TestSpark.SF)
       .select("user_id").distinct().count()
     assert(cohortTotal == users, s"cohorts cover $cohortTotal of $users users")
-    // retention never exceeds 1 and matches its own operands
+    // retention_e6 never exceeds 1e6 and is strictly positive
     rows.foreach { r =>
-      assert(r.getDouble(3) > 0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(3) > 0 && r.getLong(3) <= 1000000L)
     }
   }
 }

@@ -65,6 +65,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "fn_array_ops" -> "list slicing arr[a:b]",
       "llm_chunk_overlap" -> "// integer division",
       "mm_resize" -> "// integer division",
+      "dq_profile" -> "// integer division",
       "fn_string" -> "CAST(x AS VARCHAR) without length",
       "fn_try_arith" -> "CAST(x AS VARCHAR) without length",
       // parses in BOTH engines but means something different — the trap
