@@ -18,12 +18,16 @@ object Aggregates {
 
   def queries: Map[String, QFn] = Map(
     "agg_global" -> ((s, d) => {
+      // avg_disc_e6: e6 micro-mean via half-up integer division over the
+      // exact e2 sum — round(avg) of fixed-point data ties whenever the
+      // reduced sum/count denominator is 2^(d+1) (r7 half-point sweep)
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("n"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        round(avg(col("l_discount")), 6).as("avg_disc"))
+        expr("(2 * sum(cast(round(l_discount * 100) as bigint)) * 10000" +
+          " + count(1)) div (2 * count(1))").as("avg_disc_e6"))
     }),
     "agg_pricing_summary" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -34,9 +38,12 @@ object Aggregates {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 6).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          expr("(2 * sum(cast(round(l_quantity * 100) as bigint)) * 10000" +
+            " + count(1)) div (2 * count(1))").as("avg_qty_e6"),
+          expr("(2 * sum(cast(round(l_extendedprice * 100) as bigint)) * 10000" +
+            " + count(1)) div (2 * count(1))").as("avg_price_e6"),
+          expr("(2 * sum(cast(round(l_discount * 100) as bigint)) * 10000" +
+            " + count(1)) div (2 * count(1))").as("avg_disc_e6"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -53,7 +60,15 @@ object Aggregates {
         .agg(
           round(sum(when(col("c_acctbal") > 0, col("c_acctbal")).otherwise(lit(0.0))), 2).as("pos_bal"),
           count(when(col("c_mktsegment") === "BUILDING", lit(1))).as("n_building"),
-          round(avg(when(col("c_acctbal") < 0, col("c_acctbal"))), 6).as("avg_neg"))
+          // negative balances: half-AWAY-FROM-ZERO via negated
+          // non-negative half-up integer division (keeps div/​// operand
+          // signs identical across engines)
+          expr("""CASE WHEN count(CASE WHEN c_acctbal < 0 THEN 1 END) > 0
+            | THEN -((2 * -sum(CASE WHEN c_acctbal < 0
+            |          THEN cast(round(c_acctbal * 100) as bigint) END) * 10000
+            |        + count(CASE WHEN c_acctbal < 0 THEN 1 END))
+            |       div (2 * count(CASE WHEN c_acctbal < 0 THEN 1 END)))
+            | END""".stripMargin).as("avg_neg_e6"))
         .orderBy(col("n_name"))
     }),
     // ✓ boolean aggregates (r6): bool_and / bool_or per group — the SQL
@@ -182,7 +197,9 @@ object Aggregates {
       // construction on both engines
       Tables.events(s, d)
         .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
-        .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("bin_avg"))
+        .agg(count(lit(1)).as("n"),
+          expr("(2 * sum(cast(round(value * 100) as bigint)) * 10000" +
+            " + count(1)) div (2 * count(1))").as("bin_avg_e6"))
         .orderBy(col("bin"))
     }),
     // ◌ no oracle: sketch quantiles are engine-specific; unit-tested
@@ -282,7 +299,11 @@ object Aggregates {
         .agg(sum(col("value")).as("s"), count(lit(1)).as("c"))
       partial.groupBy(col("event_type"))
         .agg(round(sum(col("s")), 2).as("sum_value"), sum(col("c")).as("n"))
-        .withColumn("avg_value", round(col("sum_value") / col("n"), 6))
+        // avg from the ROUNDED sum's exact e2 integer, half-up int div —
+        // identical operands AND identical quotient rule on both engines
+        .withColumn("avg_value_e6",
+          expr("(2 * cast(round(sum_value * 100) as bigint) * 10000 + n)" +
+            " div (2 * n)"))
         .orderBy(col("event_type"))
     }),
     // ✓ heavy hitters via the Frequent-Items sketch (approx_top_k): per-lang
@@ -410,7 +431,8 @@ object Aggregates {
     "agg_global" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        |       round(avg(l_discount), 6) AS avg_disc
+        |       (2 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |        * 10000 + count(*)) // (2 * count(*)) AS avg_disc_e6
         |FROM lineitem""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -418,9 +440,12 @@ object Aggregates {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  (2 * CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |   * 10000 + count(*)) // (2 * count(*)) AS avg_qty_e6,
+        |  (2 * CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |   * 10000 + count(*)) // (2 * count(*)) AS avg_price_e6,
+        |  (2 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |   * 10000 + count(*)) // (2 * count(*)) AS avg_disc_e6,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
@@ -447,13 +472,20 @@ object Aggregates {
     "agg_salted_twophase" ->
       """SELECT event_type, round(sum(value), 2) AS sum_value,
         |       count(*) AS n,
-        |       round(round(sum(value), 2) / count(*), 6) AS avg_value
+        |       (2 * CAST(round(round(sum(value), 2) * 100) AS BIGINT) * 10000
+        |        + count(*)) // (2 * count(*)) AS avg_value_e6
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "agg_conditional" ->
       """SELECT n_name,
         |  round(sum(CASE WHEN c_acctbal > 0 THEN c_acctbal ELSE 0.0 END), 2) AS pos_bal,
         |  count(CASE WHEN c_mktsegment = 'BUILDING' THEN 1 END) AS n_building,
-        |  round(avg(CASE WHEN c_acctbal < 0 THEN c_acctbal END), 6) AS avg_neg
+        |  CASE WHEN count(CASE WHEN c_acctbal < 0 THEN 1 END) > 0
+        |   THEN -((2 * -CAST(sum(CASE WHEN c_acctbal < 0
+        |            THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS BIGINT)
+        |           * 10000
+        |          + count(CASE WHEN c_acctbal < 0 THEN 1 END))
+        |         // (2 * count(CASE WHEN c_acctbal < 0 THEN 1 END)))
+        |   END AS avg_neg_e6
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_bool" ->
@@ -480,7 +512,8 @@ object Aggregates {
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_histogram" ->
       """SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, count(*) AS n,
-        |       round(avg(value), 6) AS bin_avg
+        |       (2 * CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |        * 10000 + count(*)) // (2 * count(*)) AS bin_avg_e6
         |FROM events GROUP BY bin ORDER BY bin""".stripMargin,
     "agg_grouping_sets" ->
       """SELECT event_type, bucket, grouping(event_type) AS g_type,

@@ -109,15 +109,16 @@ object Composite {
       val c = Tables.customer(s, d)
       val urgent = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
-      // avg rounded before the compare: the raw double avg differs across
-      // engines at ~1e-12 (accumulation order), an engine-divergent
-      // boundary for any balance equal to it — same discipline as q14's
-      // rounded-operand division and llm_unigram_logprob's keep flag
+      // threshold as an exact e6 INTEGER (half-up integer division of the
+      // exact e2 sum) compared against the balance's exact e2 integer —
+      // a rounded double avg still ties on 2^(d+1)-reduced sum/count
+      // ratios, and a flipped threshold flips row membership (r7 sweep)
       val avgBal = c.filter(col("c_acctbal") > 0)
-        .agg(round(avg(col("c_acctbal")), 6).as("a"))
+        .agg(expr("(2 * sum(cast(round(c_acctbal * 100) as bigint)) * 10000" +
+          " + count(1)) div (2 * count(1))").as("a_e6"))
       val idle = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .crossJoin(broadcast(avgBal))
-        .filter(col("c_acctbal") > col("a"))
+        .filter(expr("cast(round(c_acctbal * 100) as bigint) * 10000 > a_e6"))
       idle.groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
@@ -469,19 +470,27 @@ object Composite {
       import org.apache.spark.sql.expressions.Window
       val p = Tables.part(s, d).filter(col("p_size") === 9)
         .select(col("p_partkey"))
+      // unit_price_e6 = half-up integer division of exact e2 price by the
+      // integral quantity — the fixture REALLY hits the round() tie here:
+      // 7 rows at sf0.1 have qty=32 and cents≡25 (mod 50), i.e. the price
+      // ratio is exactly odd/128, the binary-representable half-point
+      // where engine rounding rules diverge (r7 sweep)
       val up = Tables.lineitem(s, d)
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .select(col("l_partkey"), col("l_suppkey"),
-          round(col("l_extendedprice") / col("l_quantity"), 6).as("unit_price"))
+          expr("(2 * cast(round(l_extendedprice * 100) as bigint) * 10000" +
+            " + cast(l_quantity as bigint))" +
+            " div (2 * cast(l_quantity as bigint))").as("unit_price_e6"))
       val w = Window.partitionBy(col("l_partkey"))
-        .orderBy(col("unit_price"), col("l_suppkey"))
+        .orderBy(col("unit_price_e6"), col("l_suppkey"))
       up.withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .join(broadcast(Tables.supplier(s, d)),
           col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("s_nationkey") === col("n_nationkey"))
-        .select(col("l_partkey"), col("s_name"), col("n_name"), col("unit_price"))
+        .select(col("l_partkey"), col("s_name"), col("n_name"),
+          col("unit_price_e6"))
         .orderBy(col("l_partkey"))
     }),
     // Q16 shape adapted (no partsupp: supplier⟷part pairs come from
@@ -550,7 +559,10 @@ object Composite {
       """SELECT c_nationkey, count(*) AS numcust,
         |       round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer c
-        |WHERE c_acctbal > (SELECT round(avg(c_acctbal), 6) FROM customer WHERE c_acctbal > 0)
+        |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * 10000 >
+        |      (SELECT (2 * CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |                    AS BIGINT) * 10000 + count(*)) // (2 * count(*))
+        |       FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderpriority = '1-URGENT')
         |GROUP BY c_nationkey
@@ -694,12 +706,14 @@ object Composite {
     "q2_min_cost_supplier" ->
       """WITH up AS (
         |  SELECT l_partkey, l_suppkey,
-        |         round(l_extendedprice / l_quantity, 6) AS unit_price
+        |         (2 * CAST(round(l_extendedprice * 100) AS BIGINT) * 10000
+        |          + CAST(l_quantity AS BIGINT))
+        |         // (2 * CAST(l_quantity AS BIGINT)) AS unit_price_e6
         |  FROM lineitem JOIN part ON l_partkey = p_partkey AND p_size = 9),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY l_partkey
-        |             ORDER BY unit_price, l_suppkey) AS rn FROM up)
-        |SELECT l_partkey, s_name, n_name, unit_price
+        |             ORDER BY unit_price_e6, l_suppkey) AS rn FROM up)
+        |SELECT l_partkey, s_name, n_name, unit_price_e6
         |FROM ranked JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |WHERE rn = 1 ORDER BY l_partkey""".stripMargin,

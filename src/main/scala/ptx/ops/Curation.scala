@@ -462,15 +462,23 @@ object Curation {
     // last ulp, the same class of boundary round() discipline handles
     // everywhere else.
     "llm_sample_temperature" -> ((s, d) => {
+      // pa is snapped to an exact e6 INTEGER after the 6dp pow round
+      // (ulp-safe — the value already sits on the e6 grid), so z is an
+      // exact integer sum and the weight/effective-docs ratios are
+      // half-up integer divisions: pa/z is an integer ratio, i.e. the
+      // r6 half-point hazard class (r7 sweep). At petabyte doc counts
+      // the e6·n_total·100 product needs DECIMAL(38,0), not BIGINT.
       val byLang = Tables.documents(s, d)
         .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
         .crossJoin(broadcast(Tables.documents(s, d).agg(count(lit(1)).as("n_total"))))
-        .withColumn("pa",
-          round(pow(col("n_docs").cast("double") / col("n_total"), 0.3), 6))
-      byLang.crossJoin(broadcast(byLang.agg(sum(col("pa")).as("z"))))
+        .withColumn("pa_e6",
+          round(round(pow(col("n_docs").cast("double") / col("n_total"), 0.3), 6)
+            * 1e6).cast("long"))
+      byLang.crossJoin(broadcast(byLang.agg(sum(col("pa_e6")).as("z_e6"))))
         .select(col("lang"), col("n_docs"),
-          round(col("pa") / col("z"), 6).as("weight"),
-          round(col("pa") / col("z") * col("n_total"), 2).as("effective_docs"))
+          expr("(2 * pa_e6 * 1000000 + z_e6) div (2 * z_e6)").as("weight_e6"),
+          expr("(2 * pa_e6 * n_total * 100 + z_e6) div (2 * z_e6)")
+            .as("effective_docs_e2"))
         .orderBy(col("lang"))
     })
   )
@@ -668,11 +676,14 @@ object Curation {
       """WITH b AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT count(*) AS n_total FROM documents),
         |p AS (SELECT lang, n_docs, n_total,
-        |        round(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3), 6) AS pa
+        |        CAST(round(round(pow(CAST(n_docs AS DOUBLE) / n_total, 0.3), 6)
+        |                   * 1e6) AS BIGINT) AS pa_e6
         |      FROM b CROSS JOIN t),
-        |z AS (SELECT sum(pa) AS z FROM p)
-        |SELECT lang, n_docs, round(pa / z, 6) AS weight,
-        |       round(pa / z * n_total, 2) AS effective_docs
+        |z AS (SELECT CAST(sum(pa_e6) AS BIGINT) AS z_e6 FROM p)
+        |SELECT lang, n_docs,
+        |       (2 * pa_e6 * 1000000 + z_e6) // (2 * z_e6) AS weight_e6,
+        |       (2 * pa_e6 * n_total * 100 + z_e6) // (2 * z_e6)
+        |         AS effective_docs_e2
         |FROM p CROSS JOIN z ORDER BY lang""".stripMargin
   )
 }

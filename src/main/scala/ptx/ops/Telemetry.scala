@@ -238,15 +238,25 @@ object Telemetry {
     // clip join broadcasts.
     "pt_winsorize" -> ((s, d) => {
       val e = Tables.events(s, d)
+      // clip bounds snapped to e6 integers (round of an already-6dp
+      // double is ulp-safe), clipping and both means in exact integer
+      // space — round(avg) of e2 data over a row-count denominator is
+      // the r6 half-point hazard class (r7 sweep)
       val pct = e.groupBy(col("event_type")).agg(
-        round(expr("percentile(value, 0.05)"), 6).as("p05"),
-        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        round(expr("percentile(value, 0.05)"), 6).as("p05d"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95d"))
+        .select(col("event_type"),
+          round(col("p05d") * 1e6).cast("long").as("p05_e6"),
+          round(col("p95d") * 1e6).cast("long").as("p95_e6"))
       e.join(broadcast(pct), Seq("event_type"))
+        .withColumn("v_e6",
+          expr("cast(round(value * 100) as bigint) * 10000"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
-          round(avg(col("value")), 6).as("avg_raw"),
-          round(avg(least(greatest(col("value"), col("p05")), col("p95"))), 6)
-            .as("avg_winsor"))
+          expr("(2 * sum(v_e6) + count(1)) div (2 * count(1))")
+            .as("avg_raw_e6"),
+          expr("(2 * sum(least(greatest(v_e6, p05_e6), p95_e6)) + count(1))" +
+            " div (2 * count(1))").as("avg_winsor_e6"))
         .orderBy(col("event_type"))
     }),
     // ✓ hysteresis alerting (r5): an alert ARMS when value ≥ 200 and only
@@ -751,11 +761,19 @@ object Telemetry {
         |       END AS v_interp_e6
         |FROM j ORDER BY user_id, bucket""".stripMargin,
     "pt_winsorize" ->
-      s"""SELECT e.event_type, count(*) AS n, round(avg(value), 6) AS avg_raw,
-        |  round(avg(least(greatest(value, p05), p95)), 6) AS avg_winsor
+      s"""SELECT e.event_type, count(*) AS n,
+        |  (2 * CAST(sum(CAST(round(value * 100) AS BIGINT) * 10000) AS BIGINT)
+        |   + count(*)) // (2 * count(*)) AS avg_raw_e6,
+        |  (2 * CAST(sum(least(greatest(
+        |         CAST(round(value * 100) AS BIGINT) * 10000, p05_e6), p95_e6))
+        |       AS BIGINT)
+        |   + count(*)) // (2 * count(*)) AS avg_winsor_e6
         |FROM $EV e JOIN (
-        |  SELECT event_type, round(quantile_cont(value, 0.05), 6) AS p05,
-        |         round(quantile_cont(value, 0.95), 6) AS p95
+        |  SELECT event_type,
+        |         CAST(round(round(quantile_cont(value, 0.05), 6) * 1e6) AS BIGINT)
+        |           AS p05_e6,
+        |         CAST(round(round(quantile_cont(value, 0.95), 6) * 1e6) AS BIGINT)
+        |           AS p95_e6
         |  FROM $EV GROUP BY event_type) q USING (event_type)
         |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
     "pt_hysteresis" ->

@@ -385,13 +385,15 @@ class OperatorSpec extends AnyFunSuite {
 
   test("agg_salted_twophase equals the unsalted aggregate (r4)") {
     val salted = q("agg_salted_twophase").collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
     val plain = Tables.events(spark, TestSpark.SF)
       .groupBy(col("event_type"))
-      .agg(round(sum(col("value")), 2).as("s"), count(lit(1)).as("n"))
-      .withColumn("a", round(col("s") / col("n"), 6))
+      .agg(round(sum(col("value")), 2).as("sum_value"), count(lit(1)).as("n"))
+      .withColumn("a",
+        expr("(2 * cast(round(sum_value * 100) as bigint) * 10000 + n)" +
+          " div (2 * n)"))
       .orderBy(col("event_type")).collect()
-      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3)))
     assert(salted.toSeq == plain.toSeq)
   }
 
@@ -651,13 +653,13 @@ class OperatorSpec extends AnyFunSuite {
       .select(col("event_type"), col("value")).collect()
       .map(r => r.getString(0) -> r.getDouble(1))
     q("pt_winsorize").collect().foreach { r =>
-      val (t, n, avgRaw, avgW) =
-        (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      val (t, n, avgRawE6, avgWE6) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
       val vals = raw.filter(_._1 == t).map(_._2)
       assert(n == vals.length)
-      assert(math.abs(avgRaw - vals.sum / vals.length) < 1e-4)
+      assert(math.abs(avgRawE6 / 1e6 - vals.sum / vals.length) < 1e-4)
       // winsorized mean is bounded by the clip interval by construction
-      assert(avgW >= vals.min && avgW <= vals.max)
+      assert(avgWE6 / 1e6 >= vals.min && avgWE6 / 1e6 <= vals.max)
     }
   }
 
@@ -685,7 +687,8 @@ class OperatorSpec extends AnyFunSuite {
 
   test("llm_sample_temperature: weights normalize and upsample tail languages (r5)") {
     val rows = q("llm_sample_temperature").collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2) / 1e6,
+        r.getLong(3) / 100.0))
     val nTotal = rows.map(_._2).sum
     assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights must sum to 1")
     // α < 1 compresses the distribution: every tail language's weight

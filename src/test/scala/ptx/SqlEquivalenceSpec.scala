@@ -18,9 +18,12 @@ class SqlEquivalenceSpec extends AnyFunSuite {
         |  round(sum(l_extendedprice), 2) AS sum_base_price,
         |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        |  round(avg(l_quantity), 6) AS avg_qty,
-        |  round(avg(l_extendedprice), 6) AS avg_price,
-        |  round(avg(l_discount), 6) AS avg_disc,
+        |  (2 * sum(cast(round(l_quantity * 100) as bigint)) * 10000
+        |   + count(1)) div (2 * count(1)) AS avg_qty_e6,
+        |  (2 * sum(cast(round(l_extendedprice * 100) as bigint)) * 10000
+        |   + count(1)) div (2 * count(1)) AS avg_price_e6,
+        |  (2 * sum(cast(round(l_discount * 100) as bigint)) * 10000
+        |   + count(1)) div (2 * count(1)) AS avg_disc_e6,
         |  count(*) AS count_order
         |FROM lineitem_v
         |WHERE l_shipdate <= TIMESTAMP '2000-09-02'
