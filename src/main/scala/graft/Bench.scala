@@ -32,6 +32,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // events.ts is TIMESTAMP_NTZ in the current fixture and the loader
+      // casts it to TIMESTAMP — pin UTC (as Verify does) so that cast is
+      // machine-timezone-independent and epoch math matches the oracle
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Session-accumulation guards (r6): this JVM runs ~300 query
       // executions back-to-back. Broadcast blocks and shuffle files are

@@ -1,7 +1,8 @@
 package ptx
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Schema-asserted loaders for the binding tables (FIXTURES.md).
   *
@@ -12,68 +13,134 @@ import org.apache.spark.sql.functions._
   * assumes a single file.
   */
 object Tables {
-  /** Expected columns per table (FIXTURES.md): loads assert instead of
-    * inferring so a driver-side data change fails loudly, not silently. */
-  private val expectedCols: Map[String, Seq[String]] = Map(
-    "region" -> Seq("r_regionkey", "r_name"),
-    "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
-    "customer" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
-    "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
-    "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
-    "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
-      "o_orderdate", "o_orderpriority"),
-    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
-      "l_quantity", "l_extendedprice", "l_discount", "l_tax",
-      "l_returnflag", "l_linestatus", "l_shipdate"),
-    "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
-    "embeddings" -> Seq("vec_id", "embedding", "label"),
-    "events" -> Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+  /** Column types every query in the registry may rely on after loading.
+    * A set per column = the physical encodings the loader accepts; fixture
+    * regeneration has already changed encodings once (events.ts ns→µs in
+    * round 8, which cratered 49 queries because only names were asserted),
+    * so loads assert names AND types to fail loudly at the first read.
+    *
+    * Timestamp-ish columns accept NTZ/LTZ/date: under the UTC session both
+    * timestamp types denote the same instant and queries use them
+    * interchangeably through date/unix_timestamp functions.
+    */
+  private val timestampish: Set[DataType] = Set(TimestampType, TimestampNTZType, DateType)
+  private def exact(dt: DataType): Set[DataType] = Set(dt)
 
-  private def assertSchema(df: DataFrame, name: String): DataFrame = {
-    val missing = expectedCols(name).toSet -- df.columns.toSet
-    require(missing.isEmpty, s"table $name is missing expected columns $missing " +
-      s"(got ${df.columns.mkString(",")}) — fixture drift, see FIXTURES.md")
+  private val expectedTypes: Map[String, Seq[(String, Set[DataType])]] = Map(
+    "region" -> Seq("r_regionkey" -> exact(IntegerType), "r_name" -> exact(StringType)),
+    "nation" -> Seq("n_nationkey" -> exact(IntegerType), "n_name" -> exact(StringType),
+      "n_regionkey" -> exact(IntegerType)),
+    "customer" -> Seq("c_custkey" -> exact(LongType), "c_name" -> exact(StringType),
+      "c_nationkey" -> exact(IntegerType), "c_acctbal" -> exact(DoubleType),
+      "c_mktsegment" -> exact(StringType)),
+    "supplier" -> Seq("s_suppkey" -> exact(LongType), "s_name" -> exact(StringType),
+      "s_nationkey" -> exact(IntegerType), "s_acctbal" -> exact(DoubleType)),
+    "part" -> Seq("p_partkey" -> exact(LongType), "p_name" -> exact(StringType),
+      "p_brand" -> exact(StringType), "p_type" -> exact(StringType),
+      "p_size" -> exact(IntegerType), "p_retailprice" -> exact(DoubleType)),
+    "orders" -> Seq("o_orderkey" -> exact(LongType), "o_custkey" -> exact(LongType),
+      "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
+      "o_orderdate" -> timestampish, "o_orderpriority" -> exact(StringType)),
+    "lineitem" -> Seq("l_orderkey" -> exact(LongType), "l_partkey" -> exact(LongType),
+      "l_suppkey" -> exact(LongType), "l_linenumber" -> exact(IntegerType),
+      "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
+      "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
+      "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
+      "l_shipdate" -> timestampish),
+    "documents" -> Seq("doc_id" -> exact(LongType), "text" -> exact(StringType),
+      "lang" -> exact(StringType), "source" -> exact(StringType),
+      "n_chars" -> exact(LongType)),
+    "embeddings" -> Seq("vec_id" -> exact(LongType),
+      "embedding" -> Set[DataType](ArrayType(FloatType, true), ArrayType(FloatType, false)),
+      "label" -> exact(IntegerType)),
+    // post-normalization: events.ts is ALWAYS TimestampType (LTZ) — the
+    // normalizer below maps every accepted physical encoding onto it so the
+    // 186-query registry sees one stable type regardless of fixture vintage
+    "events" -> Seq("event_id" -> exact(LongType), "ts" -> exact(TimestampType),
+      "user_id" -> exact(LongType), "event_type" -> exact(StringType),
+      "value" -> exact(DoubleType), "props" -> exact(StringType)))
+
+  private[ptx] def assertSchema(df: DataFrame, name: String): DataFrame = {
+    val cols = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    val problems = expectedTypes(name).flatMap { case (col, allowed) =>
+      cols.get(col) match {
+        case None => Some(s"$col missing")
+        case Some(dt) if !allowed.contains(dt) =>
+          Some(s"$col has type ${dt.simpleString}, expected one of " +
+            allowed.map(_.simpleString).mkString("{", ", ", "}"))
+        case _ => None
+      }
+    }
+    require(problems.isEmpty, s"table $name schema mismatch: ${problems.mkString("; ")} " +
+      s"(got ${df.schema.simpleString}) — fixture drift, see FIXTURES.md")
     df
   }
 
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
-    require(expectedCols.contains(name), s"unknown table $name")
+    require(expectedTypes.contains(name), s"unknown table $name")
     if (name == "events") events(spark, dir)
     else assertSchema(spark.read.parquet(s"$dir/$name.parquet"), name)
   }
 
-  /** events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to load.
-    * Verified recipe (FIXTURES.md "events"): read nanos as long, then
-    * integer-divide to micros. `cast(ts/1000 as long)` would drift ±1 µs
-    * (double ulp at 1.7e18 ≈ 256 ns) — integer `div` is exact and matches
-    * DuckDB's ns→µs truncation bit-for-bit.
+  /** Normalize the physically-encoded events.ts onto TimestampType (LTZ):
     *
-    * Note: `nanosAsLong` is session-wide and stays set afterwards — any
-    * OTHER nanos-timestamp parquet read in the same session would load as
-    * long instead of failing. Acceptable here (events is the only nanos
-    * table in the binding data); a multi-tenant deployment would scope it.
+    *   - LongType — the fixture was parquet TIMESTAMP(NANOS), loaded as
+    *     epoch-nanos long under `nanosAsLong` (Spark 4 refuses nanos
+    *     otherwise). Integer-`div` to micros: `cast(ts/1000 as long)` would
+    *     drift ±1 µs (double ulp at 1.7e18 ≈ 256 ns) while `div` is exact
+    *     and matches DuckDB's ns→µs truncation bit-for-bit.
+    *   - TimestampNTZType — the fixture is parquet timestamp[us] without
+    *     timezone (the current vintage, since round 8's regeneration). Under
+    *     the UTC session `cast(TimestampType)` relabels the same micros
+    *     value, so epoch math (`unix_timestamp`, window(), as-of deltas)
+    *     is identical to what DuckDB computes on the native µs file.
+    *   - TimestampType — already the canonical type; pass through.
+    *
+    * Anything else (string, double, …) is fixture drift → loud error here
+    * instead of 49 per-query analysis failures downstream.
+    */
+  private[ptx] def normalizeEventsTs(dt: DataType): Column = dt match {
+    case LongType         => expr("timestamp_micros(ts div 1000)")
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType    => col("ts")
+    case other => throw new IllegalArgumentException(
+      s"events.ts has unsupported type ${other.simpleString} " +
+        "(expected TIMESTAMP(NANOS) long, TIMESTAMP_NTZ, or TIMESTAMP) — " +
+        "fixture drift, see FIXTURES.md")
+  }
+
+  /** Batch events load, adaptive to the fixture's physical ts encoding
+    * (see [[normalizeEventsTs]]). `nanosAsLong` is set before the read so a
+    * nanos-vintage fixture loads instead of throwing; the conf has no effect
+    * on µs files. It is session-wide and stays set afterwards — any OTHER
+    * nanos parquet read in the same session would load as long instead of
+    * failing. Acceptable here (events is the only possibly-nanos table in
+    * the binding data); a multi-tenant deployment would scope it.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    assertSchema(
-      spark.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)")),
-      "events")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    assertSchema(raw.withColumn("ts", normalizeEventsTs(raw.schema("ts").dataType)), "events")
   }
 
-  /** Streaming read of the events table (file source) with the same ns→µs
-    * recipe as the batch loader — the binding table as a stream. Streaming
-    * sources need an explicit schema; ts arrives as epoch-nanos long under
-    * the nanosAsLong conf.
+  /** Streaming read of the events table (file source) with the same
+    * ts normalization as the batch loader — the binding table as a stream.
+    * Streaming sources need an explicit schema, so peek at the batch
+    * footer to learn this fixture's physical ts encoding first.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
     // the file source requires a directory; glob-filter the single file
     spark.readStream
-      .schema("event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", normalizeEventsTs(tsType))
   }
 
   /** Streaming read of the documents table (file source) — for running the
