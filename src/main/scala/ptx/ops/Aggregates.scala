@@ -20,13 +20,16 @@ object Aggregates {
     "agg_global" -> ((s, d) => {
       // avg_disc_e6: e6 micro-mean via half-up integer division over the
       // exact e2 sum — round(avg) of fixed-point data ties whenever the
-      // reduced sum/count denominator is 2^(d+1) (r7 half-point sweep)
+      // reduced sum/count denominator is 2^(d+1) (r7 half-point sweep).
+      // Summed as DECIMAL(38,0) (q8 discipline): 2·sum(e2)·10⁴ in BIGINT
+      // overflows near 8.7e7 rows and ANSI mode ABORTS — far below the
+      // 100 TB design point; `div` accepts decimal operands, returns long.
       Tables.lineitem(s, d).agg(
         count(lit(1)).as("n"),
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        expr("(2 * sum(cast(round(l_discount * 100) as bigint)) * 10000" +
+        expr("(2 * sum(cast(round(l_discount * 100) as decimal(38,0))) * 10000" +
           " + count(1)) div (2 * count(1))").as("avg_disc_e6"))
     }),
     "agg_pricing_summary" -> ((s, d) => {
@@ -38,11 +41,12 @@ object Aggregates {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          expr("(2 * sum(cast(round(l_quantity * 100) as bigint)) * 10000" +
+          // e2 sums as DECIMAL(38,0) — see avg_disc_e6 note in agg_global
+          expr("(2 * sum(cast(round(l_quantity * 100) as decimal(38,0))) * 10000" +
             " + count(1)) div (2 * count(1))").as("avg_qty_e6"),
-          expr("(2 * sum(cast(round(l_extendedprice * 100) as bigint)) * 10000" +
+          expr("(2 * sum(cast(round(l_extendedprice * 100) as decimal(38,0))) * 10000" +
             " + count(1)) div (2 * count(1))").as("avg_price_e6"),
-          expr("(2 * sum(cast(round(l_discount * 100) as bigint)) * 10000" +
+          expr("(2 * sum(cast(round(l_discount * 100) as decimal(38,0))) * 10000" +
             " + count(1)) div (2 * count(1))").as("avg_disc_e6"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
@@ -65,7 +69,7 @@ object Aggregates {
           // signs identical across engines)
           expr("""CASE WHEN count(CASE WHEN c_acctbal < 0 THEN 1 END) > 0
             | THEN -((2 * -sum(CASE WHEN c_acctbal < 0
-            |          THEN cast(round(c_acctbal * 100) as bigint) END) * 10000
+            |          THEN cast(round(c_acctbal * 100) as decimal(38,0)) END) * 10000
             |        + count(CASE WHEN c_acctbal < 0 THEN 1 END))
             |       div (2 * count(CASE WHEN c_acctbal < 0 THEN 1 END)))
             | END""".stripMargin).as("avg_neg_e6"))
@@ -198,7 +202,7 @@ object Aggregates {
       Tables.events(s, d)
         .groupBy(floor(col("value") / 25.0).cast("long").as("bin"))
         .agg(count(lit(1)).as("n"),
-          expr("(2 * sum(cast(round(value * 100) as bigint)) * 10000" +
+          expr("(2 * sum(cast(round(value * 100) as decimal(38,0))) * 10000" +
             " + count(1)) div (2 * count(1))").as("bin_avg_e6"))
         .orderBy(col("bin"))
     }),
@@ -300,9 +304,10 @@ object Aggregates {
       partial.groupBy(col("event_type"))
         .agg(round(sum(col("s")), 2).as("sum_value"), sum(col("c")).as("n"))
         // avg from the ROUNDED sum's exact e2 integer, half-up int div —
-        // identical operands AND identical quotient rule on both engines
+        // identical operands AND identical quotient rule on both engines;
+        // decimal(38,0) so the ·10⁴ product cannot overflow-abort (q8 rule)
         .withColumn("avg_value_e6",
-          expr("(2 * cast(round(sum_value * 100) as bigint) * 10000 + n)" +
+          expr("(2 * cast(round(sum_value * 100) as decimal(38,0)) * 10000 + n)" +
             " div (2 * n)"))
         .orderBy(col("event_type"))
     }),

@@ -113,9 +113,13 @@ object Composite {
       // exact e2 sum) compared against the balance's exact e2 integer —
       // a rounded double avg still ties on 2^(d+1)-reduced sum/count
       // ratios, and a flipped threshold flips row membership (r7 sweep)
+      // DECIMAL(38,0) sum (q8 rule) + count guard: zero positive-balance
+      // customers would make this an ANSI div-by-zero ABORT; NULL threshold
+      // → the filter below selects nothing, which is the right semantics
       val avgBal = c.filter(col("c_acctbal") > 0)
-        .agg(expr("(2 * sum(cast(round(c_acctbal * 100) as bigint)) * 10000" +
-          " + count(1)) div (2 * count(1))").as("a_e6"))
+        .agg(expr("CASE WHEN count(1) > 0 THEN" +
+          " (2 * sum(cast(round(c_acctbal * 100) as decimal(38,0))) * 10000" +
+          " + count(1)) div (2 * count(1)) END").as("a_e6"))
       val idle = c.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
         .crossJoin(broadcast(avgBal))
         .filter(expr("cast(round(c_acctbal * 100) as bigint) * 10000 > a_e6"))
@@ -560,8 +564,9 @@ object Composite {
         |       round(sum(c_acctbal), 2) AS totacctbal
         |FROM customer c
         |WHERE CAST(round(c_acctbal * 100) AS BIGINT) * 10000 >
-        |      (SELECT (2 * CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
-        |                    AS BIGINT) * 10000 + count(*)) // (2 * count(*))
+        |      (SELECT CASE WHEN count(*) > 0 THEN
+        |         (2 * CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+        |              AS BIGINT) * 10000 + count(*)) // (2 * count(*)) END
         |       FROM customer WHERE c_acctbal > 0)
         |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
         |                  AND o.o_orderpriority = '1-URGENT')

@@ -477,8 +477,10 @@ object Curation {
       byLang.crossJoin(broadcast(byLang.agg(sum(col("pa_e6")).as("z_e6"))))
         .select(col("lang"), col("n_docs"),
           expr("(2 * pa_e6 * 1000000 + z_e6) div (2 * z_e6)").as("weight_e6"),
-          expr("(2 * pa_e6 * n_total * 100 + z_e6) div (2 * z_e6)")
-            .as("effective_docs_e2"))
+          // the e6·n_total·100 product needs DECIMAL(38,0) at petabyte doc
+          // counts (pa_e6 ≤ 1e6 keeps weight_e6's product in BIGINT range)
+          expr("(2 * cast(pa_e6 as decimal(38,0)) * n_total * 100 + z_e6)" +
+            " div (2 * z_e6)").as("effective_docs_e2"))
         .orderBy(col("lang"))
     })
   )

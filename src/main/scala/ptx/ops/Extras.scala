@@ -100,8 +100,10 @@ object Extras {
           round(min(col(c)), 6).as(s"${c}_min"),
           round(max(col(c)), 6).as(s"${c}_max"),
           // exact e2 sum + non-null count → e6 micro-mean via half-up
-          // integer division (round(avg) flips on 2^a·5^b row counts)
-          sum(round(col(c) * 100).cast("long")).as(s"${c}_sum_e2"),
+          // integer division (round(avg) flips on 2^a·5^b row counts);
+          // summed as DECIMAL(38,0) so the ·10⁴ product below cannot
+          // overflow-abort under ANSI at cluster row counts (q8 rule)
+          sum(round(col(c) * 100).cast("decimal(38,0)")).as(s"${c}_sum_e2"),
           count(col(c)).as(s"${c}_nn"))
       }
       val wide = Tables.lineitem(s, d).agg(aggs.head, aggs.tail: _*)
@@ -111,7 +113,10 @@ object Extras {
           col(s"${c}_distinct").as("n_distinct"),
           col(s"${c}_min").as("min_val"),
           col(s"${c}_max").as("max_val"),
-          expr(s"(2 * ${c}_sum_e2 * 10000 + ${c}_nn) div (2 * ${c}_nn)")
+          // guarded: an all-NULL column gives nn=0 and ANSI div-by-zero
+          // ABORTS the whole profile — NULL mean is the right answer
+          expr(s"CASE WHEN ${c}_nn > 0 THEN" +
+            s" (2 * ${c}_sum_e2 * 10000 + ${c}_nn) div (2 * ${c}_nn) END")
             .as("mean_e6"))
       }
       wide.select(explode(array(rows: _*)).as("r"))
@@ -275,32 +280,36 @@ object Extras {
         |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
         |    count(DISTINCT l_quantity) AS n_distinct,
         |    round(min(l_quantity), 6) AS min_val, round(max(l_quantity), 6) AS max_val,
-        |    (2 * CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) * 10000
-        |     + count(l_quantity)) // (2 * count(l_quantity)) AS mean_e6
+        |    CASE WHEN count(l_quantity) > 0 THEN
+        |      (2 * CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) * 10000
+        |       + count(l_quantity)) // (2 * count(l_quantity)) END AS mean_e6
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_extendedprice', count(*),
         |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT l_extendedprice),
         |    round(min(l_extendedprice), 6), round(max(l_extendedprice), 6),
-        |    (2 * CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) * 10000
-        |     + count(l_extendedprice)) // (2 * count(l_extendedprice))
+        |    CASE WHEN count(l_extendedprice) > 0 THEN
+        |      (2 * CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) * 10000
+        |       + count(l_extendedprice)) // (2 * count(l_extendedprice)) END
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_discount', count(*),
         |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT l_discount),
         |    round(min(l_discount), 6), round(max(l_discount), 6),
-        |    (2 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) * 10000
-        |     + count(l_discount)) // (2 * count(l_discount))
+        |    CASE WHEN count(l_discount) > 0 THEN
+        |      (2 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) * 10000
+        |       + count(l_discount)) // (2 * count(l_discount)) END
         |  FROM lineitem
         |  UNION ALL
         |  SELECT 'l_tax', count(*),
         |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         |    count(DISTINCT l_tax),
         |    round(min(l_tax), 6), round(max(l_tax), 6),
-        |    (2 * CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) * 10000
-        |     + count(l_tax)) // (2 * count(l_tax))
+        |    CASE WHEN count(l_tax) > 0 THEN
+        |      (2 * CAST(sum(CAST(round(l_tax * 100) AS BIGINT)) AS BIGINT) * 10000
+        |       + count(l_tax)) // (2 * count(l_tax)) END
         |  FROM lineitem) u
         |ORDER BY col_name""".stripMargin,
     "dq_constraints" ->

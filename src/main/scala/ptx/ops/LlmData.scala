@@ -130,10 +130,12 @@ object LlmData {
           sum(size(split(col("text"), " ")).cast("long")).as("sum_words"),
           countDistinct(col("source")).as("n_sources"))
         .select(col("lang"), col("n_docs"),
-          expr("(2 * sum_chars * 1000000 + n_docs) div (2 * n_docs)")
-            .as("avg_chars_e6"),
-          expr("(2 * sum_words * 1000000 + n_docs) div (2 * n_docs)")
-            .as("avg_words_e6"),
+          // char/word sums fit BIGINT even at 100 TB of text (~1e14), but
+          // the ·10⁶ product does not — lift to DECIMAL(38,0) (q8 rule)
+          expr("(2 * cast(sum_chars as decimal(38,0)) * 1000000 + n_docs)" +
+            " div (2 * n_docs)").as("avg_chars_e6"),
+          expr("(2 * cast(sum_words as decimal(38,0)) * 1000000 + n_docs)" +
+            " div (2 * n_docs)").as("avg_words_e6"),
           col("n_sources"))
         .orderBy(col("lang"))
     }),

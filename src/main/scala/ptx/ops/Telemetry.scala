@@ -13,6 +13,15 @@ import ptx.{QFn, Tables}
   * self-join). Hopping windows expand each event into len/slide rows before
   * the aggregate; partial aggregation absorbs the 4× blowup map-side.
   * Threshold lookup is a broadcast join against a tiny static dimension.
+  *
+  * Fixed-point discipline (FIXTURES.md "half-up integer mean"): every
+  * `(2N+D) div (2D)` half-up mean here PRESUPPOSES a non-negative
+  * numerator — `div` truncates toward zero, so N<0 would mis-round
+  * (half-down) on both engines. events.value ≥ 0 in the binding fixture
+  * and every N below is a sum/count of non-negative terms; a value domain
+  * going negative must switch to the negate-divide-negate pattern
+  * (`agg_conditional`'s avg_neg_e6). Sums feeding a ·10⁴/·10⁶ product are
+  * DECIMAL(38,0) so ANSI overflow cannot abort at cluster row counts.
   */
 object Telemetry {
 
@@ -202,7 +211,8 @@ object Telemetry {
         .select(col("user_id"), col("ts"),
           round(col("value") * 100).cast("long").as("v2"))
         .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))
-        .agg(expr("(2 * sum(v2) * 10000 + count(1)) div (2 * count(1))").as("v"))
+        .agg(expr("(2 * sum(cast(v2 as decimal(38,0))) * 10000 + count(1))" +
+          " div (2 * count(1))").as("v"))
       val spine = ag.groupBy(col("user_id"))
         .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
         .select(col("user_id"),
@@ -252,10 +262,13 @@ object Telemetry {
         .withColumn("v_e6",
           expr("cast(round(value * 100) as bigint) * 10000"))
         .groupBy(col("event_type"))
+        // e6 sums as DECIMAL(38,0): a BIGINT sum of per-row e6 values
+        // overflow-aborts near 1.8e9 rows per group under ANSI (q8 rule)
         .agg(count(lit(1)).as("n"),
-          expr("(2 * sum(v_e6) + count(1)) div (2 * count(1))")
-            .as("avg_raw_e6"),
-          expr("(2 * sum(least(greatest(v_e6, p05_e6), p95_e6)) + count(1))" +
+          expr("(2 * sum(cast(v_e6 as decimal(38,0))) + count(1))" +
+            " div (2 * count(1))").as("avg_raw_e6"),
+          expr("(2 * sum(cast(least(greatest(v_e6, p05_e6), p95_e6)" +
+            " as decimal(38,0))) + count(1))" +
             " div (2 * count(1))").as("avg_winsor_e6"))
         .orderBy(col("event_type"))
     }),
@@ -359,7 +372,8 @@ object Telemetry {
       // half-up integer mean (not round(sum/count): a 2^a·5^b count puts
       // the ratio exactly on the rounding grid — the r6 burn-rate bug)
       val m = v.agg(
-        expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("mean_e2"))
+        expr("(2 * sum(cast(v as decimal(38,0))) + count(1))" +
+          " div (2 * count(1))").as("mean_e2"))
       val run = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -430,8 +444,11 @@ object Telemetry {
         .groupBy(col("event_type"))
         .agg(sat.as("satisfied"), tol.as("tolerating"),
           count(lit(1)).as("n"))
+        // count·10⁶ products lifted to DECIMAL(38,0): 2·n·10⁶ passes the
+        // BIGINT ceiling near 4.6e12 rows per group (q8 rule)
         .withColumn("apdex_e6",
-          expr("((2 * satisfied + tolerating) * 1000000 + n) div (2 * n)"))
+          expr("((2 * cast(satisfied as decimal(38,0)) + tolerating)" +
+            " * 1000000 + n) div (2 * n)"))
         .orderBy(col("event_type"))
     }),
     // ✓ moving median (r6): 5-row centered median per user — the robust
@@ -470,7 +487,8 @@ object Telemetry {
       // half-up integer mean — same e2 discipline as pt_cusum (a
       // round()'d double mean flips on 2^a·5^b group counts)
       val m = v.groupBy(col("event_type"), col("hod"))
-        .agg(expr("(2 * sum(v) + count(1)) div (2 * count(1))").as("mean_e2"))
+        .agg(expr("(2 * sum(cast(v as decimal(38,0))) + count(1))" +
+          " div (2 * count(1))").as("mean_e2"))
       v.join(broadcast(m), Seq("event_type", "hod"))
         .select(col("event_id"), col("event_type"), col("hod"),
           (col("v") - col("mean_e2")).as("dev_e2"),

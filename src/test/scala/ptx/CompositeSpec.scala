@@ -130,16 +130,20 @@ class CompositeSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     val parts = rows.map(_.getLong(0))
     assert(parts.distinct.length == parts.length, "a part has two winners")
-    // the reported price is the part's global minimum rounded unit price
+    // the reported price is the part's global minimum half-up e6 unit
+    // price (the query switched from round(double) to exact fixed point
+    // in r7 — same integer formulation here, independently aggregated)
     val mins = Tables.lineitem(spark, TestSpark.SF)
       .join(Tables.part(spark, TestSpark.SF).filter(col("p_size") === 9),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_partkey"))
-      .agg(min(round(col("l_extendedprice") / col("l_quantity"), 6)).as("m"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      .agg(min(expr("(2 * cast(round(l_extendedprice * 100) as bigint) * 10000" +
+        " + cast(l_quantity as bigint))" +
+        " div (2 * cast(l_quantity as bigint))")).as("m"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     rows.foreach { r =>
-      assert(r.getDouble(3) == mins(r.getLong(0)),
-        s"part ${r.getLong(0)}: reported ${r.getDouble(3)} vs min ${mins(r.getLong(0))}")
+      assert(r.getLong(3) == mins(r.getLong(0)),
+        s"part ${r.getLong(0)}: reported ${r.getLong(3)} vs min ${mins(r.getLong(0))}")
     }
   }
 

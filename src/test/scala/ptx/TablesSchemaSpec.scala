@@ -1,0 +1,72 @@
+package ptx
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pins the schema-adaptive events loader (round 9, after the round-8
+  * fixture regeneration silently flipped events.ts from TIMESTAMP(NANOS)
+  * to timestamp[us] and the name-only schema assert let 49 queries fail at
+  * analysis): both accepted physical encodings must normalize onto
+  * TimestampType with identical instants, and any other drift must fail
+  * loudly at the first read, not per-query.
+  */
+class TablesSchemaSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+
+  test("events loads from the current fixture with ts as TIMESTAMP") {
+    val s = TestSpark.spark
+    val ev = Tables.events(s, sf)
+    assert(ev.schema("ts").dataType == TimestampType)
+    assert(ev.count() > 0)
+  }
+
+  test("nanos-long and NTZ encodings normalize to the same instant") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // 2021-03-04T05:06:07.123456789 as epoch-nanos: the ns recipe must
+    // truncate (not round) to ...123456 µs, bit-identical to DuckDB's
+    // ns→µs conversion; the NTZ path must relabel the same micros value.
+    val ns = 1614834367123456789L
+    val fromLong = Seq(ns).toDF("ts")
+      .withColumn("ts", Tables.normalizeEventsTs(LongType))
+    val fromNtz = s.sql(s"SELECT timestamp_ntz '2021-03-04 05:06:07.123456' AS ts")
+      .withColumn("ts", Tables.normalizeEventsTs(TimestampNTZType))
+    assert(fromLong.schema("ts").dataType == TimestampType)
+    assert(fromNtz.schema("ts").dataType == TimestampType)
+    val a = fromLong.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+    val b = fromNtz.select(unix_micros(col("ts"))).collect()(0).getLong(0)
+    assert(a == ns / 1000)
+    assert(a == b)
+  }
+
+  test("an unsupported ts encoding fails loudly at the loader") {
+    val e = intercept[IllegalArgumentException] {
+      Tables.normalizeEventsTs(StringType)
+    }
+    assert(e.getMessage.contains("fixture drift"))
+  }
+
+  test("assertSchema rejects a mistyped column with the fixture-drift message") {
+    val s = TestSpark.spark
+    import s.implicits._
+    // right names, wrong type: r_regionkey as STRING must be caught —
+    // the round-8 regression was exactly a type flip behind stable names
+    val bad = Seq(("1", "AFRICA")).toDF("r_regionkey", "r_name")
+    val e = intercept[IllegalArgumentException] {
+      Tables.assertSchema(bad, "region")
+    }
+    assert(e.getMessage.contains("fixture drift"))
+    assert(e.getMessage.contains("r_regionkey"))
+  }
+
+  test("assertSchema rejects a missing column") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val bad = Seq(1).toDF("r_regionkey")
+    val e = intercept[IllegalArgumentException] {
+      Tables.assertSchema(bad, "region")
+    }
+    assert(e.getMessage.contains("r_name missing"))
+  }
+}
