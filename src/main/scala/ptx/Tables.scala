@@ -14,17 +14,32 @@ import org.apache.spark.sql.types._
   */
 object Tables {
   /** Column types every query in the registry may rely on after loading.
-    * A set per column = the physical encodings the loader accepts; fixture
-    * regeneration has already changed encodings once (events.ts ns→µs in
-    * round 8, which cratered 49 queries because only names were asserted),
-    * so loads assert names AND types to fail loudly at the first read.
-    *
-    * Timestamp-ish columns accept NTZ/LTZ/date: under the UTC session both
-    * timestamp types denote the same instant and queries use them
-    * interchangeably through date/unix_timestamp functions.
+    * A set per column = the types the loader can emit; fixture regeneration
+    * has already changed encodings once (events.ts ns→µs in round 8, which
+    * cratered 49 queries because only names were asserted), so loads assert
+    * names AND types to fail loudly at the first read. Asserts run AFTER
+    * normalization: drift in an accepted encoding is absorbed (events.ts →
+    * TimestampType, order/ship dates → TIMESTAMP_NTZ below), anything else
+    * is one loud fixture-drift error.
     */
-  private val timestampish: Set[DataType] = Set(TimestampType, TimestampNTZType, DateType)
   private def exact(dt: DataType): Set[DataType] = Set(dt)
+
+  /** Order/ship-date columns are canonically TIMESTAMP_NTZ (the physical
+    * µs-no-tz encoding of the current fixtures). A regen that flips them to
+    * DATE or TIMESTAMP (LTZ) is normalized back onto NTZ — a pure relabel
+    * under the UTC session — so ~100 downstream queries never see the
+    * drift; today's fixtures make this a no-op. */
+  private val dateishCols: Map[String, Seq[String]] = Map(
+    "orders" -> Seq("o_orderdate"), "lineitem" -> Seq("l_shipdate"))
+
+  private def normalizeDateish(df: DataFrame, name: String): DataFrame =
+    dateishCols.getOrElse(name, Nil).foldLeft(df) { (acc, c) =>
+      acc.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(DateType) | Some(TimestampType) =>
+          acc.withColumn(c, col(c).cast(TimestampNTZType))
+        case _ => acc // NTZ already, or missing/mistyped — assertSchema reports it
+      }
+    }
 
   private val expectedTypes: Map[String, Seq[(String, Set[DataType])]] = Map(
     "region" -> Seq("r_regionkey" -> exact(IntegerType), "r_name" -> exact(StringType)),
@@ -40,13 +55,13 @@ object Tables {
       "p_size" -> exact(IntegerType), "p_retailprice" -> exact(DoubleType)),
     "orders" -> Seq("o_orderkey" -> exact(LongType), "o_custkey" -> exact(LongType),
       "o_orderstatus" -> exact(StringType), "o_totalprice" -> exact(DoubleType),
-      "o_orderdate" -> timestampish, "o_orderpriority" -> exact(StringType)),
+      "o_orderdate" -> exact(TimestampNTZType), "o_orderpriority" -> exact(StringType)),
     "lineitem" -> Seq("l_orderkey" -> exact(LongType), "l_partkey" -> exact(LongType),
       "l_suppkey" -> exact(LongType), "l_linenumber" -> exact(IntegerType),
       "l_quantity" -> exact(DoubleType), "l_extendedprice" -> exact(DoubleType),
       "l_discount" -> exact(DoubleType), "l_tax" -> exact(DoubleType),
       "l_returnflag" -> exact(StringType), "l_linestatus" -> exact(StringType),
-      "l_shipdate" -> timestampish),
+      "l_shipdate" -> exact(TimestampNTZType)),
     "documents" -> Seq("doc_id" -> exact(LongType), "text" -> exact(StringType),
       "lang" -> exact(StringType), "source" -> exact(StringType),
       "n_chars" -> exact(LongType)),
@@ -79,7 +94,8 @@ object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(expectedTypes.contains(name), s"unknown table $name")
     if (name == "events") events(spark, dir)
-    else assertSchema(spark.read.parquet(s"$dir/$name.parquet"), name)
+    else assertSchema(
+      normalizeDateish(spark.read.parquet(s"$dir/$name.parquet"), name), name)
   }
 
   /** Normalize the physically-encoded events.ts onto TimestampType (LTZ):
@@ -120,6 +136,8 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    require(raw.columns.contains("ts"), s"table events is missing column ts " +
+      s"(got ${raw.columns.mkString(",")}) — fixture drift, see FIXTURES.md")
     assertSchema(raw.withColumn("ts", normalizeEventsTs(raw.schema("ts").dataType)), "events")
   }
 
@@ -130,7 +148,10 @@ object Tables {
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+    val peek = spark.read.parquet(s"$dir/events.parquet")
+    require(peek.columns.contains("ts"), s"table events is missing column ts " +
+      s"(got ${peek.columns.mkString(",")}) — fixture drift, see FIXTURES.md")
+    val tsType = peek.schema("ts").dataType
     val schema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),

@@ -29,8 +29,9 @@ object Aggregates {
         round(sum(col("l_extendedprice")), 2).as("sum_price"),
         min(col("l_quantity")).as("min_qty"),
         max(col("l_quantity")).as("max_qty"),
-        expr("(2 * sum(cast(round(l_discount * 100) as decimal(38,0))) * 10000" +
-          " + count(1)) div (2 * count(1))").as("avg_disc_e6"))
+        expr("CASE WHEN count(1) > 0 THEN" +
+          " (2 * sum(cast(round(l_discount * 100) as decimal(38,0))) * 10000" +
+          " + count(1)) div (2 * count(1)) END").as("avg_disc_e6"))
     }),
     "agg_pricing_summary" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -436,8 +437,9 @@ object Aggregates {
     "agg_global" ->
       """SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS sum_price,
         |       min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
-        |       (2 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
-        |        * 10000 + count(*)) // (2 * count(*)) AS avg_disc_e6
+        |       CASE WHEN count(*) > 0 THEN
+        |         (2 * CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+        |          * 10000 + count(*)) // (2 * count(*)) END AS avg_disc_e6
         |FROM lineitem""".stripMargin,
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

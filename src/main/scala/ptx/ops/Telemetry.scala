@@ -371,9 +371,11 @@ object Telemetry {
           round(col("value") * 100).cast("long").as("v"))
       // half-up integer mean (not round(sum/count): a 2^a·5^b count puts
       // the ratio exactly on the rounding grid — the r6 burn-rate bug)
+      // global agg: guard the empty-input count like dq_profile/q22 —
+      // zero events would otherwise be an ANSI div-by-zero abort
       val m = v.agg(
-        expr("(2 * sum(cast(v as decimal(38,0))) + count(1))" +
-          " div (2 * count(1))").as("mean_e2"))
+        expr("CASE WHEN count(1) > 0 THEN (2 * sum(cast(v as decimal(38,0)))" +
+          " + count(1)) div (2 * count(1)) END").as("mean_e2"))
       val run = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -861,7 +863,8 @@ object Telemetry {
         |  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS v
         |  FROM $EV),
         |m AS (
-        |  SELECT (2 * CAST(sum(v) AS BIGINT) + count(*)) // (2 * count(*))
+        |  SELECT CASE WHEN count(*) > 0 THEN
+        |      (2 * CAST(sum(v) AS BIGINT) + count(*)) // (2 * count(*)) END
         |    AS mean_e2 FROM v),
         |cs AS (
         |  SELECT event_id, user_id, ts,

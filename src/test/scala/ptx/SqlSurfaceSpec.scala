@@ -107,8 +107,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
           // Both truncate toward zero on integer operands (verified — the
           // half-up identities depend on it), so the rewrite is
           // meaning-preserving and keeps the r7 fixed-point oracles on
-          // this surface instead of growing the skip list.
-          val viaSql = shape(spark.sql(sql.replace("//", " div ")))
+          // this surface instead of growing the skip list. Only operator
+          // position (whitespace/paren-delimited) is rewritten so a future
+          // '//' inside a string literal (URL, regex) survives untouched.
+          val viaSql = shape(spark.sql(
+            sql.replaceAll("""(?<=[\s)])//(?=[\s(])""", " div ")))
           val viaDf = shape(QueryRegistry.all(name)(spark, SF))
           ptx.Caching.releaseAll()
           if (viaSql == viaDf) matched += 1

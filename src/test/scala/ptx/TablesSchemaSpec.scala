@@ -12,7 +12,7 @@ import org.apache.spark.sql.types._
   * loudly at the first read, not per-query.
   */
 class TablesSchemaSpec extends AnyFunSuite {
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.SF
 
   test("events loads from the current fixture with ts as TIMESTAMP") {
     val s = TestSpark.spark
@@ -58,6 +58,33 @@ class TablesSchemaSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("fixture drift"))
     assert(e.getMessage.contains("r_regionkey"))
+  }
+
+  test("a DATE-encoded order date normalizes onto the canonical TIMESTAMP_NTZ") {
+    val s = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("ptx_dateish").toFile.getAbsolutePath
+    s.sql(
+      """SELECT id AS o_orderkey, id AS o_custkey, 'O' AS o_orderstatus,
+        |  cast(id as double) AS o_totalprice,
+        |  date '1997-06-01' AS o_orderdate, '5-LOW' AS o_orderpriority
+        |FROM range(3)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val o = Tables.orders(s, dir)
+    assert(o.schema("o_orderdate").dataType == TimestampNTZType)
+    assert(o.count() == 3)
+  }
+
+  test("a renamed events ts column fails with the fixture-drift message") {
+    val s = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("ptx_notS").toFile.getAbsolutePath
+    s.sql(
+      """SELECT id AS event_id, timestamp_ntz '2024-01-01 00:00:00' AS event_time,
+        |  id AS user_id, 'click' AS event_type, cast(id as double) AS value,
+        |  '{}' AS props FROM range(3)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.events(s, dir) }
+    assert(e.getMessage.contains("fixture drift"))
+    assert(e.getMessage.contains("missing column ts"))
   }
 
   test("assertSchema rejects a missing column") {
