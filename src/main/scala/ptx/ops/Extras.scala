@@ -207,10 +207,34 @@ object Extras {
           coalesce(col("n"), lit(0L)).as("n_docs"),
           col("n").isNull.as("missing"))
         .orderBy(col("lang"), col("source"))
+    }),
+    // ✓ freshness audit (r9): per event stream, how stale is the newest
+    // record vs the freshest stream — the "is ingestion keeping up" check
+    // a pipeline runs before trusting a partition. Exact integer lag in
+    // whole seconds from the µs epochs (no double time math); the global
+    // max is a broadcast 1-row frame, one scan total.
+    "dq_freshness" -> ((s, d) => {
+      val per = Tables.events(s, d).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"),
+          max(unix_micros(col("ts"))).as("last_us"))
+      per.crossJoin(broadcast(per.agg(max(col("last_us")).as("global_us"))))
+        .select(col("event_type"), col("n"), col("last_ts"),
+          expr("(global_us - last_us) div 1000000").as("lag_s"))
+        .orderBy(col("event_type"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "dq_freshness" ->
+      """WITH per AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(max(ts) AS TIMESTAMP) AS last_ts,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT max(last_us) AS global_us FROM per)
+        |SELECT event_type, n, last_ts,
+        |       (global_us - last_us) // 1000000 AS lag_s
+        |FROM per, g ORDER BY event_type""".stripMargin,
     "dq_completeness" ->
       """WITH langs AS (SELECT DISTINCT lang FROM documents),
         |srcs AS (SELECT DISTINCT source FROM documents),

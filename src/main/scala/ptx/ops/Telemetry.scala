@@ -453,6 +453,31 @@ object Telemetry {
             " * 1000000 + n) div (2 * n)"))
         .orderBy(col("event_type"))
     }),
+    // ✓ hourly latency percentiles (r9): the p50/p95/p99-per-hour board
+    // every SLI dashboard renders. EXACT per-group percentile (buffers one
+    // group's values) — the declared bounded-memory path at 100 TB is the
+    // mergeable sketch (agg_approx_percentile); same plan shape, hour+type
+    // grouping keeps groups to one hour of one event type.
+    "pt_hourly_percentiles" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+    // ✓ SLI heatmap (r9): hour-of-day × value-bucket 2-D histogram — the
+    // latency-over-the-day heat grid. One two-key hash agg; bucket edges
+    // are IEEE-identical on both engines (same double divide + floor, the
+    // agg_histogram discipline).
+    "pt_sli_heatmap" -> ((s, d) => {
+      Tables.events(s, d)
+        .groupBy(hour(col("ts")).as("hod"),
+          floor(col("value") / 50.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("hod"), col("bucket"))
+    }),
     // ✓ moving median (r6): 5-row centered median per user — the robust
     // denoise filter (median rejects spikes a moving MEAN averages in).
     // Spark has no median window function, so the frame is materialized
@@ -858,6 +883,17 @@ object Telemetry {
         |      + CASE WHEN v6 IS NULL THEN 0 ELSE 2 END
         |      + CASE WHEN v7 IS NULL THEN 0 ELSE 1 END)) AS ewma_e2
         |FROM l ORDER BY event_id""".stripMargin,
+    "pt_hourly_percentiles" ->
+      s"""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+        |  count(*) AS n,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM $EV GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pt_sli_heatmap" ->
+      s"""SELECT CAST(hour(ts) AS INTEGER) AS hod,
+        |  CAST(floor(value / 50.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM $EV GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "pt_cusum" ->
       s"""WITH v AS (
         |  SELECT event_id, user_id, ts, CAST(round(value*100) AS BIGINT) AS v

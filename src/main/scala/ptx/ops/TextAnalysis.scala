@@ -152,6 +152,40 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(sum(col("c")).as("n"))
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
+    }),
+    // ✓ length histogram (r9): 50-char bucket distribution of document
+    // lengths with each bucket's corpus share — the length profile a
+    // curation pass checks before choosing truncation/packing budgets.
+    // Bucketing is exact integer `div`; the share is the half-up e6 ratio
+    // (decimal-lifted, FIXTURES.md fixed-point discipline) against a
+    // broadcast 1-row total.
+    "llm_length_histogram" -> ((s, d) => {
+      val h = Tables.documents(s, d)
+        .groupBy(expr("n_chars div 50").as("bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+      h.crossJoin(broadcast(h.agg(sum(col("n")).as("total"))))
+        .select(col("bucket"), col("n"), col("sum_chars"),
+          expr("CASE WHEN total > 0 THEN" +
+            " (2 * cast(n as decimal(38,0)) * 1000000 + total)" +
+            " div (2 * total) END").as("share_e6"))
+        .orderBy(col("bucket"))
+    }),
+    // ✓ tokenizer fertility (r9): chars-per-token per language — the
+    // multilingual tokenizer-efficiency stat (high fertility = a language
+    // is paying more tokens per character of text). Whitespace tokens as
+    // everywhere in this corpus; exact integer ratio as half-up e6 with
+    // the decimal lift, zero-token guard per the ANSI discipline.
+    "llm_tokenizer_fertility" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+          sum(length(col("text")).cast("long")).as("sum_chars"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          expr("CASE WHEN n_tokens > 0 THEN" +
+            " (2 * cast(sum_chars as decimal(38,0)) * 1000000 + n_tokens)" +
+            " div (2 * n_tokens) END").as("chars_per_token_e6"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -200,6 +234,27 @@ object TextAnalysis {
         keep.map(col): _*)
 
   def oracle: Map[String, String] = Map(
+    "llm_length_histogram" ->
+      """WITH h AS (
+        |  SELECT n_chars // 50 AS bucket, count(*) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM h)
+        |SELECT bucket, n, sum_chars,
+        |  CASE WHEN total > 0 THEN
+        |    (2 * n * 1000000 + total) // (2 * total) END AS share_e6
+        |FROM h, t ORDER BY bucket""".stripMargin,
+    "llm_tokenizer_fertility" ->
+      """WITH s AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN
+        |    (2 * sum_chars * 1000000 + n_tokens) // (2 * n_tokens) END
+        |    AS chars_per_token_e6
+        |FROM s ORDER BY lang""".stripMargin,
     "llm_vocab_coverage" ->
       """WITH uni AS (
         |  SELECT u.word AS word, count(*) AS c

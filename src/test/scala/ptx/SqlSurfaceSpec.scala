@@ -47,7 +47,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_curation_pipeline" -> listFns, "llm_vocab_coverage" -> listFns,
       "llm_token_count" -> listFns, "llm_unigram_logprob" -> listFns,
       "llm_wordcount" -> listFns, "llm_semdedup" -> listFns,
-      "llm_chunk_overlap" -> listFns,
+      "llm_chunk_overlap" -> listFns, "llm_tokenizer_fertility" -> listFns,
       "agg_topk_sketch" -> listFns,
       "agg_topk_union" -> listFns, "mm_frame_sample" -> listFns,
       // DuckDB-only functions
