@@ -79,6 +79,35 @@ object Pipelines {
       .agg(approx_count_distinct(col("user_id")).as("approx_users"))
       .select(col("w.start").as("hour"), col("approx_users"))
 
+  /** Streaming twin of `pt_hourly_percentiles` (r9): windowed hourly
+    * p50/p95 via the approx-percentile sketch — exact percentile is
+    * impossible in a stream (it would buffer every value per open
+    * window), while the sketch is fixed-width per window and merges
+    * across micro-batches like any partial aggregate. The batch op's
+    * exact result is the accuracy oracle; the sketch itself is
+    * deterministic, so stream replay equals the batch sketch bit-for-bit.
+    */
+  def hourlyPercentiles(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pcts"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        round(col("pcts")(0), 6).as("p50"), round(col("pcts")(1), 6).as("p95"))
+
+  /** Streaming twin of `dq_freshness` (r9): per-stream newest event time.
+    * A plain un-windowed max per type — state is one timestamp per
+    * event_type (bounded by the type domain), the cheapest liveness
+    * monitor a stream can carry. Lag-vs-global is left to the reader of
+    * the 5-row result (a cross-stream max would force a single-partition
+    * agg every micro-batch).
+    */
+  def freshness(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
+
   /** Exactly-once semantics over an at-least-once feed: drop duplicate
     * event_ids within the watermark. */
   def dedup(events: DataFrame): DataFrame =

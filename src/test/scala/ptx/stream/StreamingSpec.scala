@@ -72,6 +72,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2.size == 2, s"user2 sessions: $u2")
   }
 
+  test("hourly percentile sketch stream equals its batch twin (r9)") {
+    val streamed = runStream(feed, "complete")(Pipelines.hourlyPercentiles)
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val batch = Pipelines.hourlyPercentiles(feed.toDF())
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+    // at the feed's tiny per-window counts the sketch is exact: the single
+    // hour-0 error window is {1.0, 2.0, 3.0} → p50 = 2.0
+    val err0 = batch.find(t => t._2 == "error" && t._1 == ts(0))
+    assert(err0.exists(_._4 == 2.0), s"error-window p50: $err0")
+  }
+
+  test("freshness stream tracks the per-type max event time like the batch agg (r9)") {
+    val streamed = runStream(feed, "complete")(Pipelines.freshness)
+      .map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+    val batch = Pipelines.freshness(feed.toDF())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getTimestamp(2))).toSet
+    assert(streamed == batch)
+    assert(streamed.find(_._1 == "error").exists(_._3 == ts(125)),
+      "newest error event time must be the 125-minute row")
+  }
+
   test("late rows beyond the watermark are dropped from append-mode windows") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "late_sink"
