@@ -214,9 +214,13 @@ object Extras {
     // whole seconds from the µs epochs (no double time math); the global
     // max is a broadcast 1-row frame, one scan total.
     "dq_freshness" -> ((s, d) => {
-      val per = Tables.events(s, d).groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"),
-          max(unix_micros(col("ts"))).as("last_us"))
+      // apex frame pinned: the per-type aggregate feeds both the output
+      // rows and the global-max branch — unpinned, Spark re-scans the
+      // whole events table for the 1-row max (two full scans at 100 TB)
+      val per = ptx.Caching.pin(
+        Tables.events(s, d).groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"),
+            max(unix_micros(col("ts"))).as("last_us")))
       per.crossJoin(broadcast(per.agg(max(col("last_us")).as("global_us"))))
         .select(col("event_type"), col("n"), col("last_ts"),
           expr("(global_us - last_us) div 1000000").as("lag_s"))

@@ -160,9 +160,11 @@ object TextAnalysis {
     // (decimal-lifted, FIXTURES.md fixed-point discipline) against a
     // broadcast 1-row total.
     "llm_length_histogram" -> ((s, d) => {
-      val h = Tables.documents(s, d)
+      // apex pinned: the bucket aggregate feeds both the output rows and
+      // the corpus-total branch — unpinned, the corpus is scanned twice
+      val h = ptx.Caching.pin(Tables.documents(s, d)
         .groupBy(expr("n_chars div 50").as("bucket"))
-        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars")))
       h.crossJoin(broadcast(h.agg(sum(col("n")).as("total"))))
         .select(col("bucket"), col("n"), col("sum_chars"),
           expr("CASE WHEN total > 0 THEN" +

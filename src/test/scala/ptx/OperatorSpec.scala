@@ -202,6 +202,25 @@ class OperatorSpec extends AnyFunSuite {
     budget("llm_curation_pipeline", 7)
   }
 
+  test("plan budget: r9 additions hold their shuffle structure") {
+    def budget(name: String, bound: Int): Unit = {
+      val n = measuredExchanges(name)
+      ptx.Caching.releaseAll()
+      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
+    }
+    // each is ONE hash agg + the output sort; the percentile board's
+    // buffer lives inside the (hour,type) groups, never a second exchange
+    budget("pt_hourly_percentiles", 2)
+    budget("pt_sli_heatmap", 2)
+    // per-type agg + broadcast 1-row global max + sort — the lag compare
+    // must not re-shuffle the 5-row aggregate
+    budget("dq_freshness", 4)
+    // bucket agg + broadcast 1-row total + sort
+    budget("llm_length_histogram", 4)
+    // one per-lang two-phase agg + sort
+    budget("llm_tokenizer_fertility", 2)
+  }
+
   test("q6: all three predicates push to the lineitem scan (r6)") {
     // the query IS the scan — if any predicate falls out of PushedFilters
     // the canonical selectivity benchmark stops measuring the scan
