@@ -475,7 +475,11 @@ object Composite {
       val p = Tables.part(s, d).filter(col("p_size") === 9)
         .select(col("p_partkey"))
       // unit_price_e6 = half-up integer division of exact e2 price by the
-      // integral quantity — the fixture REALLY hits the round() tie here:
+      // integral quantity. Precondition: l_quantity ≥ 1 (FIXTURES domain
+      // 1..50) — a zero quantity would ANSI-abort here AND error the
+      // oracle's `//`; a source without that guarantee needs a
+      // CASE WHEN l_quantity > 0 guard on both sides.
+      // The fixture REALLY hits the round() tie here:
       // 7 rows at sf0.1 have qty=32 and cents≡25 (mod 50), i.e. the price
       // ratio is exactly odd/128, the binary-representable half-point
       // where engine rounding rules diverge (r7 sweep)
