@@ -172,17 +172,21 @@ object TextAnalysis {
             " div (2 * total) END").as("share_e6"))
         .orderBy(col("bucket"))
     }),
-    // ✓ tokenizer fertility (r9): chars-per-token per language — the
-    // multilingual tokenizer-efficiency stat (high fertility = a language
-    // is paying more tokens per character of text). Whitespace tokens as
-    // everywhere in this corpus; exact integer ratio as half-up e6 with
+    // ✓ tokenizer fertility (r9): the multilingual tokenizer-efficiency
+    // stat, reported as its conventional inverse — chars-per-token
+    // (HIGHER = the tokenizer covers more text per token = MORE
+    // efficient; a high-fertility language pays more tokens per char and
+    // so scores LOWER here). Whitespace tokens as everywhere in this
+    // corpus; char counts from the fixture's n_chars (= length(text),
+    // FIXTURES.md — same source as llm_length_histogram, so the two r9
+    // ops cannot drift apart); exact integer ratio as half-up e6 with
     // the decimal lift, zero-token guard per the ANSI discipline.
     "llm_tokenizer_fertility" -> ((s, d) => {
       Tables.documents(s, d)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
-          sum(length(col("text")).cast("long")).as("sum_chars"))
+          sum(col("n_chars")).as("sum_chars"))
         .select(col("lang"), col("n_docs"), col("n_tokens"),
           expr("CASE WHEN n_tokens > 0 THEN" +
             " (2 * cast(sum_chars as decimal(38,0)) * 1000000 + n_tokens)" +
@@ -250,7 +254,7 @@ object TextAnalysis {
       """WITH s AS (
         |  SELECT lang, count(*) AS n_docs,
         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-        |    CAST(sum(len(text)) AS BIGINT) AS sum_chars
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |  FROM documents GROUP BY lang)
         |SELECT lang, n_docs, n_tokens,
         |  CASE WHEN n_tokens > 0 THEN

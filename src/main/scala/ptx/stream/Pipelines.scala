@@ -84,8 +84,11 @@ object Pipelines {
     * impossible in a stream (it would buffer every value per open
     * window), while the sketch is fixed-width per window and merges
     * across micro-batches like any partial aggregate. The batch op's
-    * exact result is the accuracy oracle; the sketch itself is
-    * deterministic, so stream replay equals the batch sketch bit-for-bit.
+    * exact result is the accuracy oracle. Note the sketch carries no RNG
+    * but its summary-merge tree is order-dependent once compression
+    * triggers, so a multi-batch replay is only guaranteed equal to the
+    * batch run within the sketch's rank-error bound — the spec pins exact
+    * equality only for the single-batch, sub-compression case.
     */
   def hourlyPercentiles(events: DataFrame): DataFrame =
     events

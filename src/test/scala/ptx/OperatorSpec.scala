@@ -52,6 +52,14 @@ class OperatorSpec extends AnyFunSuite {
     } finally spark.listenerManager.unregister(l)
   }
 
+  /** Shared plan-budget assertion: measure runtime exchanges for one
+    * query run, release its pinned caches, and bound the count. */
+  private def budget(name: String, bound: Int): Unit = {
+    val n = measuredExchanges(name)
+    ptx.Caching.releaseAll()
+    assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
+  }
+
   private def measuredExchanges(name: String): Int = {
     val l = ptx.tools.Metrics.install(spark)
     try {
@@ -78,11 +86,6 @@ class OperatorSpec extends AnyFunSuite {
     // broadcast/partitioning structure. Static sparkPlan counting is not
     // usable here: exchanges are inserted by EnsureRequirements and the
     // pinned-cache subtrees are opaque.
-    def budget(name: String, bound: Int): Unit = {
-      val n = measuredExchanges(name)
-      ptx.Caching.releaseAll()
-      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
-    }
     // bounds = max observed across sessions (2-5) + headroom; the old
     // distinct()-based shingle formulation measured well above these
     budget("llm_dedup_near", 6)
@@ -92,11 +95,6 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("plan budget: r5 additions hold their shuffle structure") {
-    def budget(name: String, bound: Int): Unit = {
-      val n = measuredExchanges(name)
-      ptx.Caching.releaseAll()
-      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
-    }
     // zero-shuffle scan + output sort only
     budget("llm_quality_filter", 2)
     // one user_id shuffle shared by all windows/aggs + output sort
@@ -109,11 +107,6 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("plan budget: r6 additions hold their shuffle structure") {
-    def budget(name: String, bound: Int): Unit = {
-      val n = measuredExchanges(name)
-      ptx.Caching.releaseAll()
-      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
-    }
     // each is ONE two-phase hash aggregate + the output sort — decimal
     // sums, regression moments, and the set-sort-join string agg must all
     // stay map-side-combinable single-shuffle shapes
@@ -151,11 +144,6 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("plan budget: Q11/Q20/bigram-LM hold their shuffle structure (r6)") {
-    def budget(name: String, bound: Int): Unit = {
-      val n = measuredExchanges(name)
-      ptx.Caching.releaseAll()
-      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
-    }
     // one partkey agg + one 1-row threshold agg off the pinned apex +
     // output sort; dims all broadcast — NO second lineitem pass for the
     // scalar subquery
@@ -172,11 +160,6 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("plan budget: r6 late additions hold their shuffle structure") {
-    def budget(name: String, bound: Int): Unit = {
-      val n = measuredExchanges(name)
-      ptx.Caching.releaseAll()
-      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
-    }
     // pair explode runs over word TYPES (vocab agg first) — a corpus-grain
     // explode formulation would blow past this
     budget("llm_bpe_pair_counts", 3)
@@ -203,11 +186,6 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   test("plan budget: r9 additions hold their shuffle structure") {
-    def budget(name: String, bound: Int): Unit = {
-      val n = measuredExchanges(name)
-      ptx.Caching.releaseAll()
-      assert(n <= bound, s"$name spent $n exchanges (budget $bound)")
-    }
     // each is ONE hash agg + the output sort; the percentile board's
     // buffer lives inside the (hour,type) groups, never a second exchange
     budget("pt_hourly_percentiles", 2)

@@ -73,6 +73,9 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("hourly percentile sketch stream equals its batch twin (r9)") {
+    // single-batch replay below the sketch's compression threshold: exact
+    // equality holds; a multi-batch feed would only agree within the
+    // sketch's rank-error bound (order-dependent summary merges)
     val streamed = runStream(feed, "complete")(Pipelines.hourlyPercentiles)
       .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2),
         r.getDouble(3), r.getDouble(4))).toSet
