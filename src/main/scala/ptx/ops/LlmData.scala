@@ -293,9 +293,12 @@ object LlmData {
     // a long one has low Jaccard but high containment). Same inverted
     // index as llm_dedup_near — intersections computed ONCE on unordered
     // pairs, then both directions emitted — and the same scale guard
-    // applies: df-quadratic, anchor only; at 100 TB route candidates
-    // through MinHash banding first (docs/SCALE.md §G11). Containment
-    // divides exact ints → no float boundary.
+    // applies: df-quadratic, anchor only. NOTE (r9): MinHash banding is
+    // NOT a valid candidate router here — high-containment/low-Jaccard
+    // pairs sit below any banding threshold; the df-skew-robust scale
+    // formulation is `llm_containment_prefix` (LlmScale.scala, one-sided
+    // prefix filtering — exact at its threshold). Containment divides
+    // exact ints → no float boundary.
     "llm_containment" -> ((s, d) => {
       val sh = ptx.Caching.pin(
         ptx.functions.TextShingles.shingles(Tables.documents(s, d)))

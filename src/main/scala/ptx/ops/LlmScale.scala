@@ -181,6 +181,55 @@ object LlmScale {
   }
 
   def queries: Map[String, QFn] = Map(
+    // ✓ prefix-filtered STRONG containment (r9, t=0.8 — the quote /
+    // verbatim-extraction detector): the scale-path formulation the
+    // containment family lacked. Jaccard-banding (minhash LSH) CANNOT
+    // route containment candidates — the pairs containment exists to find
+    // (short doc embedded in a long one) have high containment but LOW
+    // Jaccard, below any banding threshold. One-sided prefix filtering is
+    // exact instead: if dst misses ALL of src's ⌊(1−t)·n⌋+1
+    // globally-rarest shingles, then |src∩dst| ≤ n − ⌊(1−t)n⌋ − 1 < t·n —
+    // so every qualifying pair shares a PREFIX shingle (SSJoin/PPJoin
+    // prefix theorem). Candidates are generated ONLY through each doc's
+    // rarest-20% shingles (df-ascending order), so a corpus-wide
+    // boilerplate shingle never fans out from the probe side; verification
+    // is the codegen'd sorted-merge count on candidates only. The t=0.5
+    // anchor stays on the full inverted index (at that threshold the
+    // prefix is half the shingles and filters too weakly to pay for
+    // itself — measured, docs/SCALE.md §10× probe); at t=0.8 the filter
+    // bites and the formulation survives df skew. Same ≈2e-11 64-bit
+    // hash-collision caveat as minhash-lsh.
+    "llm_containment_prefix" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s) // sorted_intersect_count kernel
+      val t = 0.8 // strong containment — quote/extraction detection
+      val sh = shingles(s, d)
+        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+      val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      // diamond apex: per-doc size + sorted hash set feed the prefix rank,
+      // and both verify sides. Released via Caching.releaseAll().
+      val docAgg = ptx.Caching.pin(
+        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"),
+          sort_array(collect_list(col("h"))).as("shset")))
+      val rarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+      val pref = sh.join(dfreq, Seq("h"))
+        .withColumn("rk", row_number().over(rarity))
+        .join(docAgg.select(col("doc_id"), col("n_sh")), Seq("doc_id"))
+        .filter(col("rk") <= floor(col("n_sh") * (1 - t)) + 1)
+        .select(col("doc_id"), col("h"))
+      // directed candidates: src's prefix shingle hits ANY shingle of dst
+      val cands = pref.toDF("src", "h")
+        .join(sh.toDF("dst", "h"), Seq("h"))
+        .filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst")).distinct()
+      val c = col("inter").cast("double") / col("n1")
+      cands
+        .join(docAgg.toDF("src", "n1", "set1"), Seq("src"))
+        .join(docAgg.toDF("dst", "n2", "set2"), Seq("dst"))
+        .withColumn("inter", expr("sorted_intersect_count(set1, set2)"))
+        .filter(c >= t)
+        .select(col("src"), col("dst"), round(c, 6).as("containment"))
+        .orderBy(col("src"), col("dst"))
+    }),
     // ✓ blocked edit-distance near-dup (r6): the title/short-text dedup
     // pass (Levenshtein) the shingle family can't express — character-level
     // edits (typos, template slot changes) barely move a 3-word shingle
@@ -449,6 +498,23 @@ object LlmScale {
   )
 
   def oracle: Map[String, String] = Map(
+    // the prefix filter is exact (see the operator note), so the full
+    // inverted-index oracle applies — at the strong threshold
+    "llm_containment_prefix" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
+        |       WHERE i <= len(w) - 2),
+        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |dir AS (SELECT doc1 AS src, doc2 AS dst, inter FROM inter
+        |        UNION ALL SELECT doc2, doc1, inter FROM inter)
+        |SELECT src, dst, round(CAST(inter AS DOUBLE) / n_sh, 6) AS containment
+        |FROM dir JOIN n ON src = n.doc_id
+        |WHERE CAST(inter AS DOUBLE) / n_sh >= 0.8
+        |ORDER BY src, dst""".stripMargin,
     "llm_dedup_lev" ->
       """WITH d AS (
         |  SELECT doc_id, text, n_chars,

@@ -197,6 +197,10 @@ class OperatorSpec extends AnyFunSuite {
     budget("llm_length_histogram", 4)
     // one per-lang two-phase agg + sort
     budget("llm_tokenizer_fertility", 2)
+    // shingle-hash agg + df agg + doc agg + rarity window + candidate
+    // join/distinct + two verify joins + sort — every exchange is
+    // vocab- or candidate-bounded, none is corpus²
+    budget("llm_containment_prefix", 12)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {

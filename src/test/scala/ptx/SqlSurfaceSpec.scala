@@ -48,6 +48,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_token_count" -> listFns, "llm_unigram_logprob" -> listFns,
       "llm_wordcount" -> listFns, "llm_semdedup" -> listFns,
       "llm_chunk_overlap" -> listFns, "llm_tokenizer_fertility" -> listFns,
+      "llm_containment_prefix" -> listFns,
       "agg_topk_sketch" -> listFns,
       "agg_topk_union" -> listFns, "mm_frame_sample" -> listFns,
       // DuckDB-only functions
