@@ -482,10 +482,97 @@ object Curation {
           expr("(2 * cast(pa_e6 as decimal(38,0)) * n_total * 100 + z_e6)" +
             " div (2 * z_e6)").as("effective_docs_e2"))
         .orderBy(col("lang"))
+    }),
+    // ✓ mix-entropy report (r9): Shannon entropy of the TOKEN share across
+    // sources plus its exponential — the "effective number of sources"
+    // (perplexity of the mix), the one-number diversity stat a mix design
+    // is judged by (eff_sources ≪ #sources ⇒ a few shards dominate the
+    // token budget; the companion knob is llm_mix_rebalance). Token-share,
+    // not doc-share: training cost is paid in tokens. Per-source rows
+    // carry share (exact half-up e6), the -p·ln p contribution, and the
+    // corpus-level entropy/eff_sources (same on every row — the broadcast
+    // 1-row frame pattern). The entropy is the exact BIGINT sum of
+    // per-source e6-snapped contributions (entropy_e6) — summing raw
+    // doubles is accumulation-order-dependent (the dq_drift_psi lesson;
+    // per-term rounding precedes any order-sensitive reduction), and
+    // eff_sources applies exp to the e6-grid value so both engines
+    // exponentiate the identical double.
+    // Scale: one per-source agg scans the corpus; everything downstream is
+    // #sources-sized with both reduction branches broadcast.
+    "llm_mix_entropy" -> ((s, d) => {
+      // apex pinned: per-source token sums feed the total branch, the
+      // entropy branch, and the output rows
+      val bySrc = ptx.Caching.pin(Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens")))
+      val tot = bySrc.agg(sum(col("n_tokens")).as("total"))
+      val withT = bySrc.crossJoin(broadcast(tot))
+        .withColumn("contrib_e6", round(expr(
+          "-(n_tokens * 1e0 / total) * ln(n_tokens * 1e0 / total)")
+          * lit(1000000d)).cast("long"))
+      val h = withT.agg(sum(col("contrib_e6")).as("entropy_e6"))
+      withT.crossJoin(broadcast(h))
+        .select(col("source"), col("n_tokens"),
+          expr("CASE WHEN total > 0 THEN" +
+            " (2 * cast(n_tokens as decimal(38,0)) * 1000000 + total)" +
+            " div (2 * total) END").as("share_e6"),
+          col("contrib_e6"), col("entropy_e6"),
+          round(exp(col("entropy_e6") / lit(1000000d)), 6).as("eff_sources"))
+        .orderBy(col("source"))
+    }),
+    // ✓ chunk-grain cross-doc dedup audit (r9): how much of each doc is
+    // made of chunks (the llm_chunk_overlap 64/48 grid) that ALSO appear
+    // verbatim in other docs — the dedup check at the grain a RAG corpus
+    // or WebDataset shard is actually stored and retrieved at. Sits
+    // between doc-level dedup (llm_dedup_exact — misses partial reuse)
+    // and span-level (llm_dedup_spans — any 5-gram; this one only fires
+    // on WHOLE 64-token chunks, the coarser/cheaper signal). flagged =
+    // ≥50% duplicated chunks, exact integer compare.
+    // Scale: chunk stream is linear in corpus tokens, built scan-local;
+    // the df join fans each chunk occurrence × 1 (dfreq is unique per
+    // fp) — a hot chunk is one agg group, never a pair join.
+    "llm_chunk_dedup" -> ((s, d) => {
+      // pinned: the chunk stream feeds the df count and the join back
+      val chunks = ptx.Caching.pin(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), col("w"),
+          posexplode(expr("sequence(1, greatest(size(w), 1), 48)"))
+            .as(Seq("chunk_id", "st")))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", expr("slice(w, st, 64)"))).as("fp")))
+      val dfreq = chunks.distinct()
+        .groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      chunks.join(dfreq, Seq("fp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          expr("CASE WHEN n_chunks > 0 THEN" +
+            " (2 * cast(n_dup_chunks as decimal(38,0)) * 1000000 + n_chunks)" +
+            " div (2 * n_chunks) END").as("dup_frac_e6"),
+          expr("2 * n_dup_chunks >= n_chunks").as("flagged"))
+        .orderBy(col("doc_id"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "llm_mix_entropy" ->
+      """WITH s AS (SELECT source,
+        |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |           FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM s),
+        |w AS (SELECT source, n_tokens, total,
+        |        CAST(round(-(n_tokens * 1e0 / total) *
+        |                   ln(n_tokens * 1e0 / total) * 1000000) AS BIGINT)
+        |          AS contrib_e6
+        |      FROM s CROSS JOIN t),
+        |h AS (SELECT CAST(sum(contrib_e6) AS BIGINT) AS entropy_e6 FROM w)
+        |SELECT source, n_tokens,
+        |  CASE WHEN total > 0 THEN
+        |    (2 * n_tokens * 1000000 + total) // (2 * total) END AS share_e6,
+        |  contrib_e6, entropy_e6,
+        |  round(exp(entropy_e6 / 1000000.0), 6) AS eff_sources
+        |FROM w CROSS JOIN h ORDER BY source""".stripMargin,
     "llm_curation_pipeline" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
         |cnt AS (SELECT doc_id, max(c) AS mx FROM (
@@ -665,6 +752,25 @@ object Curation {
         |  GROUP BY doc_id)
         |SELECT doc_id, avg_neg_logp, avg_neg_logp <= 3.41 AS is_natural
         |FROM scored ORDER BY doc_id""".stripMargin,
+    "llm_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, w,
+        |        unnest(generate_series(1, greatest(len(w), 1), 48)) AS st
+        |      FROM t),
+        |c AS (SELECT doc_id,
+        |        md5(array_to_string(list_slice(w, st, st + 63), ' ')) AS fp
+        |      FROM s),
+        |dfreq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM c GROUP BY 1),
+        |per AS (SELECT doc_id, count(*) AS n_chunks,
+        |          CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_dup_chunks
+        |        FROM c JOIN dfreq USING (fp) GROUP BY 1)
+        |SELECT doc_id, n_chunks, n_dup_chunks,
+        |  CASE WHEN n_chunks > 0 THEN
+        |    (2 * n_dup_chunks * 1000000 + n_chunks) // (2 * n_chunks) END
+        |    AS dup_frac_e6,
+        |  2 * n_dup_chunks >= n_chunks AS flagged
+        |FROM per ORDER BY doc_id""".stripMargin,
     "llm_chunk_overlap" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT doc_id, w,

@@ -225,10 +225,135 @@ object Extras {
         .select(col("event_type"), col("n"), col("last_ts"),
           expr("(global_us - last_us) div 1000000").as("lag_s"))
         .orderBy(col("event_type"))
+    }),
+    // ✓ distribution-drift audit (r9): per-source Population Stability
+    // Index of the document-length distribution against the corpus-wide
+    // distribution — the standard "did shard X drift from the reference?"
+    // gate (PSI > 0.25 is the conventional act-now threshold) run before
+    // admitting a crawl shard into a training mix. Buckets reuse the
+    // llm_length_histogram grain (n_chars div 50); Laplace-smoothed
+    // (+1 per cell over the GLOBAL bucket list) so empty source-cells
+    // contribute finite terms instead of ln(0). Each bucket TERM is
+    // snapped to the e6 grid and the PSI is the exact BIGINT sum of the
+    // snapped terms (psi_e6): summing the raw doubles is accumulation-
+    // ORDER-dependent, and PSI's signed terms cancel enough that Spark's
+    // partial-agg order vs the oracle's scan order really flips the 6th
+    // decimal (measured: src1 at sf0.01) — the per-term round runs
+    // BEFORE any order-sensitive reduction, so both engines sum identical
+    // integers. (ln ulp skew could still move one term across its .5
+    // boundary, but that is a ~1e-12 event, not the raw sum's per-row
+    // coin flip.)
+    // Scale: one (source,bucket) agg scans the corpus once; everything
+    // after runs on the sources×buckets grid (#shards × #buckets rows,
+    // independent of corpus size), with the global side broadcast.
+    "dq_drift_psi" -> ((s, d) => {
+      // apex pinned: the cell counts feed the global-bucket branch, the
+      // per-source totals, and the grid join — unpinned, three corpus scans
+      val c = ptx.Caching.pin(Tables.documents(s, d)
+        .groupBy(col("source"), expr("n_chars div 50").as("b"))
+        .agg(count(lit(1)).as("n")))
+      val g = c.groupBy(col("b")).agg(sum(col("n")).as("gn"))
+      val tot = g.agg(sum(col("gn")).as("gt"), count(lit(1)).as("nb"))
+      val st = c.groupBy(col("source")).agg(sum(col("n")).as("sn_tot"))
+      val grid = c.select(col("source")).distinct()
+        .crossJoin(broadcast(g))
+        .join(broadcast(c), Seq("source", "b"), "left_outer")
+        .withColumn("sn", coalesce(col("n"), lit(0L)))
+      val term = expr(
+        "((sn + 1e0) / (sn_tot + nb) - (gn + 1e0) / (gt + nb)) * " +
+          "ln(((sn + 1e0) / (sn_tot + nb)) / ((gn + 1e0) / (gt + nb)))")
+      grid.join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("term_e6", round(term * lit(1000000d)).cast("long"))
+        .groupBy(col("source"), col("sn_tot"))
+        .agg(sum(col("term_e6")).as("psi_e6"))
+        .select(col("source"), col("sn_tot").as("n_docs"), col("psi_e6"),
+          (col("psi_e6") > 250000L).as("drifted"))
+        .orderBy(col("source"))
+    }),
+    // ✓ embedding-space drift audit (r9): per-label centroid vs the
+    // corpus-wide centroid — cosine + L2 — the representation-space twin
+    // of dq_drift_psi (a shard can hold its LENGTH distribution while its
+    // topical/semantic mix drifts; centroid-vs-global is the standard
+    // one-vector-per-shard summary a curation dashboard plots). Each
+    // centroid COMPONENT is e6-snapped (the llm_centroid precedent: the
+    // snap absorbs avg()'s accumulation-order ulps), then dot/norm/dist
+    // are EXACT BIGINT sums of component products (≤ 64·1e12 ≪ 2^53, so
+    // even their double images are exact) — both engines take sqrt/divide
+    // on identical integers and round identical doubles.
+    // Scale: one corpus scan into the pinned (label,pos) exploded frame;
+    // everything downstream is labels×dim-sized with the global side
+    // broadcast.
+    "dq_embedding_drift" -> ((s, d) => {
+      // apex pinned: the exploded component frame feeds the per-label AND
+      // the global centroid branch — unpinned, two corpus scans
+      val expl = ptx.Caching.pin(Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x"))))
+      val perLabel = expl.groupBy(col("label"), col("pos"))
+        .agg(expr("cast(round(avg(cast(x as double)) * 1e6) as long)").as("c_e6"),
+          count(lit(1)).as("n"))
+      val global = expl.groupBy(col("pos"))
+        .agg(expr("cast(round(avg(cast(x as double)) * 1e6) as long)").as("g_e6"))
+      perLabel.join(broadcast(global), Seq("pos"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          sum(col("c_e6") * col("g_e6")).as("dot_e12"),
+          sum(col("c_e6") * col("c_e6")).as("cc_e12"),
+          sum(col("g_e6") * col("g_e6")).as("gg_e12"),
+          sum((col("c_e6") - col("g_e6")) * (col("c_e6") - col("g_e6"))).as("d2_e12"))
+        .select(col("label"), col("n_vecs"),
+          when(col("cc_e12") > 0 && col("gg_e12") > 0,
+            round(col("dot_e12") / (sqrt(col("cc_e12")) * sqrt(col("gg_e12"))), 6))
+            .as("cos_to_global"),
+          round(sqrt(col("d2_e12")) / lit(1e6), 6).as("l2_to_global"))
+        .orderBy(col("label"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // pos is 1-based here vs 0-based in Spark — it is only a join key
+    // within each engine, never output, so the pairing is identical
+    "dq_embedding_drift" ->
+      """WITH e AS (SELECT label, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+        |           FROM embeddings, unnest(generate_series(1, 64)) AS t(i)),
+        |per AS (SELECT label, pos,
+        |          CAST(round(avg(x) * 1e6) AS BIGINT) AS c_e6,
+        |          count(*) AS n
+        |        FROM e GROUP BY 1, 2),
+        |g AS (SELECT pos, CAST(round(avg(x) * 1e6) AS BIGINT) AS g_e6
+        |      FROM e GROUP BY 1),
+        |a AS (SELECT label, max(n) AS n_vecs,
+        |        CAST(sum(c_e6 * g_e6) AS BIGINT) AS dot_e12,
+        |        CAST(sum(c_e6 * c_e6) AS BIGINT) AS cc_e12,
+        |        CAST(sum(g_e6 * g_e6) AS BIGINT) AS gg_e12,
+        |        CAST(sum((c_e6 - g_e6) * (c_e6 - g_e6)) AS BIGINT) AS d2_e12
+        |      FROM per JOIN g USING (pos) GROUP BY 1)
+        |SELECT label, n_vecs,
+        |  CASE WHEN cc_e12 > 0 AND gg_e12 > 0 THEN
+        |    round(dot_e12 / (sqrt(cc_e12) * sqrt(gg_e12)), 6) END
+        |    AS cos_to_global,
+        |  round(sqrt(d2_e12) / 1e6, 6) AS l2_to_global
+        |FROM a ORDER BY label""".stripMargin,
+    "dq_drift_psi" ->
+      """WITH c AS (SELECT source, n_chars // 50 AS b, count(*) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT b, CAST(sum(n) AS BIGINT) AS gn FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gn) AS BIGINT) AS gt, count(*) AS nb FROM g),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS sn_tot FROM c GROUP BY 1),
+        |grid AS (SELECT s.source, g.b, g.gn, coalesce(c.n, 0) AS sn
+        |         FROM (SELECT DISTINCT source FROM c) s
+        |         CROSS JOIN g LEFT JOIN c ON c.source = s.source AND c.b = g.b),
+        |terms AS (
+        |  SELECT grid.source, sn_tot,
+        |    CAST(round((((sn + 1e0) / (sn_tot + nb) - (gn + 1e0) / (gt + nb)) *
+        |                ln(((sn + 1e0) / (sn_tot + nb)) /
+        |                   ((gn + 1e0) / (gt + nb)))) * 1000000) AS BIGINT)
+        |      AS term_e6
+        |  FROM grid JOIN st ON st.source = grid.source CROSS JOIN tot)
+        |SELECT source, sn_tot AS n_docs,
+        |  CAST(sum(term_e6) AS BIGINT) AS psi_e6,
+        |  CAST(sum(term_e6) AS BIGINT) > 250000 AS drifted
+        |FROM terms GROUP BY source, sn_tot ORDER BY source""".stripMargin,
     "dq_freshness" ->
       """WITH per AS (
         |  SELECT event_type, count(*) AS n,

@@ -230,6 +230,67 @@ object LlmScale {
         .select(col("src"), col("dst"), round(c, 6).as("containment"))
         .orderBy(col("src"), col("dst"))
     }),
+    // ✓ cross-document duplicated-SPAN detection (r9) — the exact-substring
+    // dedup pass of "Deduplicating Training Data Makes Language Models
+    // Better" (Lee et al., arXiv:2107.06499), re-expressed relationally:
+    // instead of a corpus suffix array, every word 5-gram OCCURRENCE is
+    // keyed and counted across docs; an occurrence whose gram appears in
+    // ≥2 distinct docs marks its 5 token positions, and the per-doc UNION
+    // of marked positions is the doc's verbatim-duplicated fraction. This
+    // catches partial-overlap duplication (shared boilerplate paragraphs,
+    // quoted spans) that doc-LEVEL Jaccard/MinHash dilutes away — a doc
+    // that is 30% pasted boilerplate scores ~0.18 Jaccard against its
+    // source (below every dedup threshold) but 30% here. Candidate space
+    // is LINEAR in corpus tokens (one row per gram occurrence) and every
+    // shuffle keys on gram hash / doc / (doc,pos) — no self-join pair
+    // explosion anywhere, so df skew CANNOT blow it up: a corpus-wide hot
+    // gram is one aggregation group here, not an O(|bucket|²) join bucket
+    // (contrast the llm_dedup_near anchor, docs/SCALE.md probe). Grams
+    // are xxhash64'd so shuffles move 8-byte keys, not strings (same
+    // ≈2e-11 collision caveat as minhash-lsh; the oracle groups the
+    // strings themselves). flagged = ≥20% of tokens covered, exact
+    // integer compare (5·covered ≥ n_tokens), the Lee et al. removal
+    // grain being doc-level here since the fixture has no span rewriter.
+    "llm_dedup_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+      // per-doc gram stream built scan-local with ONE HOF (no
+      // explode-then-window): (pos, hash) for each of the n−4 grams.
+      // Pinned: feeds both the df count and the dup-occurrence join —
+      // unpinned, the corpus is tokenized and hashed twice.
+      val grams = ptx.Caching.pin(docs
+        .withColumn("g", expr(
+          "CASE WHEN n_tokens >= 5 THEN " +
+            "transform(sequence(1, cast(n_tokens as int) - 4), " +
+            "i -> struct(i as pos, xxhash64(array_join(slice(w, i, 5), ' ')) as h)) " +
+            "ELSE array() END"))
+        .select(col("doc_id"), explode(col("g")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h")))
+      val dfreq = grams.select(col("doc_id"), col("h")).distinct()
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+      val dup = grams.join(dfreq.filter(col("df") >= 2), Seq("h"))
+        .select(col("doc_id"), col("pos"))
+      val cov = dup
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + 4)).as("tp"))
+        .distinct()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("covered"))
+      val occ = dup.groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+      docs.select(col("doc_id"), col("n_tokens"))
+        .join(cov, Seq("doc_id"), "left_outer")
+        .join(occ, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          greatest(col("n_tokens") - 4, lit(0L)).as("n_grams"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup_grams"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"))
+        .withColumn("dup_frac_e6", expr(
+          "CASE WHEN n_tokens > 0 THEN " +
+            "(2 * cast(covered_tokens as decimal(38,0)) * 1000000 + n_tokens)" +
+            " div (2 * n_tokens) END"))
+        .withColumn("flagged", expr("5 * covered_tokens >= n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     // ✓ blocked edit-distance near-dup (r6): the title/short-text dedup
     // pass (Levenshtein) the shingle family can't express — character-level
     // edits (typos, template slot changes) barely move a 3-word shingle
@@ -515,6 +576,30 @@ object LlmScale {
         |FROM dir JOIN n ON src = n.doc_id
         |WHERE CAST(inter AS DOUBLE) / n_sh >= 0.8
         |ORDER BY src, dst""".stripMargin,
+    // grams grouped by their STRING here (the hash is a Spark-side
+    // shuffle-width optimization; equal counts absent 64-bit collision)
+    "llm_dedup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t2 AS (SELECT doc_id, len(w) AS n_tokens, w FROM toks),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM t2, unnest(generate_series(1, n_tokens - 4)) AS g(i)
+        |  WHERE n_tokens >= 5),
+        |dfreq AS (SELECT gram, count(DISTINCT doc_id) AS df FROM grams GROUP BY 1),
+        |dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN dfreq USING (gram)
+        |        WHERE df >= 2),
+        |cov AS (SELECT doc_id, count(DISTINCT pos + k) AS covered
+        |        FROM dup, unnest(generate_series(0, 4)) AS o(k) GROUP BY doc_id),
+        |occ AS (SELECT doc_id, count(*) AS n_dup FROM dup GROUP BY 1)
+        |SELECT t.doc_id, t.n_tokens, greatest(t.n_tokens - 4, 0) AS n_grams,
+        |  coalesce(occ.n_dup, 0) AS n_dup_grams,
+        |  coalesce(cov.covered, 0) AS covered_tokens,
+        |  CASE WHEN t.n_tokens > 0 THEN
+        |    (2 * coalesce(cov.covered, 0) * 1000000 + t.n_tokens)
+        |      // (2 * t.n_tokens) END AS dup_frac_e6,
+        |  5 * coalesce(cov.covered, 0) >= t.n_tokens AS flagged
+        |FROM t2 t LEFT JOIN cov USING (doc_id) LEFT JOIN occ USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
     "llm_dedup_lev" ->
       """WITH d AS (
         |  SELECT doc_id, text, n_chars,

@@ -192,6 +192,71 @@ object TextAnalysis {
             " (2 * cast(sum_chars as decimal(38,0)) * 1000000 + n_tokens)" +
             " div (2 * n_tokens) END").as("chars_per_token_e6"))
         .orderBy(col("lang"))
+    }),
+    // ✓ Zipf fit (r9): OLS of ln(count) on ln(rank) over the top-100 word
+    // types — the slope (≈ −1 for natural language, flatter for templated/
+    // synthetic text) plus r² is the classic one-glance corpus-health
+    // diagnostic next to the coverage curve (llm_vocab_coverage shares the
+    // rank order). Determinism end to end: ranks tie-break on word text,
+    // each regression INPUT is e6-snapped (x=ln rank, y=ln count as
+    // BIGINTs — per-term rounding precedes every order-sensitive sum, the
+    // dq_drift_psi lesson), and slope/intercept/r² come out of the exact
+    // integer normal equations via sign-aware half-up division (the
+    // numerators go NEGATIVE — slope ≈ −1 — so the plain half-up identity
+    // is wrong here; negate-divide-negate keeps both engines' integer
+    // division on non-negative operands, where they agree).
+    // Products are lifted to DECIMAL(38,0): n·Σxy at 100 TB token counts
+    // (y_e6 ≈ 41e6 at 1e18 tokens) leaves BIGINT's 9.2e18 headroom.
+    // Scale: the only corpus-sized work is the word-count agg; the
+    // regression runs on a 100-row frame after TakeOrdered.
+    "llm_zipf_fit" -> ((s, d) => {
+      val uni = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val top = uni.orderBy(col("c").desc, col("word")).limit(100)
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("word")))
+          .cast("long"))
+        .withColumn("x", expr("cast(round(ln(rnk) * 1e6) as long)"))
+        .withColumn("y", expr("cast(round(ln(c) * 1e6) as long)"))
+      top.agg(
+        count(lit(1)).as("n_types"),
+        sum(col("x")).cast("decimal(38,0)").as("sx"),
+        sum(col("y")).cast("decimal(38,0)").as("sy"),
+        sum(col("x") * col("y")).cast("decimal(38,0)").as("sxy"),
+        sum(col("x") * col("x")).cast("decimal(38,0)").as("sxx"),
+        sum(col("y") * col("y")).cast("decimal(38,0)").as("syy"))
+        // normal equations on the e6 grid: num/den/syyc are exact integers
+        // (the 1e12 input scale cancels in every ratio below)
+        .withColumn("num", expr("n_types * sxy - sx * sy"))
+        .withColumn("den", expr("n_types * sxx - sx * sx"))
+        .withColumn("syyc", expr("n_types * syy - sy * sy"))
+        // r² = num²/(den·syyc): num² would pass DECIMAL(38,0)'s 1e38
+        // ceiling (num ~1e18 even at fixture scale), so num and den·syyc
+        // are first truncated by 1e6/1e18 — the scales chosen so
+        // r2_e6 = rk²/dk exactly (the 1e12 input scale and the e6 output
+        // scale fold into the divisors) and every intermediate fits both
+        // LONG (div results) and DECIMAL(38,0) (the rk² square, lifted
+        // below). A ≤1e-10 relative perturbation of the true r², identical
+        // integer ops on both engines — parity is exact
+        .withColumn("rk", expr("abs(num) div 1000000"))
+        .withColumn("dk", expr("(den * syyc) div 1000000000000000000"))
+        .select(col("n_types"),
+          expr("""CASE WHEN den > 0 THEN
+            |  CASE WHEN num >= 0
+            |    THEN (2 * num * 1000000 + den) div (2 * den)
+            |    ELSE -((2 * (-num) * 1000000 + den) div (2 * den))
+            |  END END""".stripMargin).as("slope_e6"),
+          expr("""CASE WHEN den > 0 THEN
+            |  CASE WHEN sy * den - num * sx >= 0
+            |    THEN (2 * (sy * den - num * sx) + n_types * den)
+            |         div (2 * n_types * den)
+            |    ELSE -((2 * (num * sx - sy * den) + n_types * den)
+            |           div (2 * n_types * den))
+            |  END END""".stripMargin).as("intercept_e6"),
+          expr("""CASE WHEN dk > 0 THEN
+            |  (2 * cast(rk as decimal(38,0)) * rk + dk) div (2 * dk)
+            |  END""".stripMargin).as("r2_e6"))
     })
   )
 
@@ -240,6 +305,39 @@ object TextAnalysis {
         keep.map(col): _*)
 
   def oracle: Map[String, String] = Map(
+    // HUGEINT mirrors the Spark side's DECIMAL(38,0) lift; every // runs
+    // on non-negative operands (negate-divide-negate) so both engines'
+    // integer division agrees
+    "llm_zipf_fit" ->
+      """WITH uni AS (SELECT word, count(*) AS c FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY 1),
+        |top AS (SELECT * FROM (
+        |    SELECT word, c, row_number() OVER (ORDER BY c DESC, word) AS rnk
+        |    FROM uni) WHERE rnk <= 100),
+        |xy AS (SELECT CAST(round(ln(rnk) * 1e6) AS BIGINT) AS x,
+        |              CAST(round(ln(c) * 1e6) AS BIGINT) AS y FROM top),
+        |s AS (SELECT count(*) AS n,
+        |        CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |        CAST(sum(x * y) AS HUGEINT) AS sxy,
+        |        CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |        CAST(sum(y * y) AS HUGEINT) AS syy FROM xy),
+        |d AS (SELECT n, sx, sy, n * sxy - sx * sy AS num,
+        |        n * sxx - sx * sx AS den, n * syy - sy * sy AS syyc FROM s),
+        |e AS (SELECT *, abs(num) // 1000000 AS rk,
+        |        (den * syyc) // 1000000000000000000 AS dk FROM d)
+        |SELECT n AS n_types,
+        |  CAST(CASE WHEN den > 0 THEN CASE WHEN num >= 0
+        |    THEN (2 * num * 1000000 + den) // (2 * den)
+        |    ELSE -((2 * (-num) * 1000000 + den) // (2 * den)) END END
+        |    AS BIGINT) AS slope_e6,
+        |  CAST(CASE WHEN den > 0 THEN CASE WHEN sy * den - num * sx >= 0
+        |    THEN (2 * (sy * den - num * sx) + n * den) // (2 * n * den)
+        |    ELSE -((2 * (num * sx - sy * den) + n * den) // (2 * n * den))
+        |    END END AS BIGINT) AS intercept_e6,
+        |  CAST(CASE WHEN dk > 0 THEN
+        |    (2 * rk * rk + dk) // (2 * dk) END AS BIGINT) AS r2_e6
+        |FROM e""".stripMargin,
     "llm_length_histogram" ->
       """WITH h AS (
         |  SELECT n_chars // 50 AS bucket, count(*) AS n,

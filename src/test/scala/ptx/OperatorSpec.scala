@@ -203,6 +203,34 @@ class OperatorSpec extends AnyFunSuite {
     budget("llm_containment_prefix", 12)
   }
 
+  test("plan budget: r9 batch-2 additions hold their shuffle structure") {
+    // one pinned per-source agg; the total and entropy reductions both run
+    // on the #sources-sized frame with their 1-row results broadcast —
+    // the corpus is scanned exactly once
+    budget("llm_mix_entropy", 2)
+    // one pinned (source,bucket) cell agg feeds every downstream branch;
+    // the grid, totals, and PSI sum all run on the sources×buckets frame
+    // (broadcast-joined) — a second corpus scan would double this
+    budget("dq_drift_psi", 4)
+    // gram stream is scan-local (one HOF + explode, no shuffle to BUILD
+    // it); every exchange after keys on gram hash / doc / (doc,pos) —
+    // linear in corpus tokens, never a pair join. df skew cannot widen
+    // this: a hot gram is one agg group, not an O(|bucket|²) join bucket
+    budget("llm_dedup_spans", 12)
+    // the only corpus-sized work is the word-count agg; the regression
+    // runs on the 100-row TakeOrdered frame (its rank window and the
+    // 1-row normal-equation agg never see the vocabulary)
+    budget("llm_zipf_fit", 1)
+    // one pinned corpus explode feeds both centroid branches; the join
+    // and moment sums run on the labels×dim grid with the global side
+    // broadcast
+    budget("dq_embedding_drift", 5)
+    // chunk stream built scan-local off the pinned frame; df agg +
+    // occurrence join + doc agg + sort, all keyed on fp/doc — a hot
+    // chunk is one agg group, never a pair join
+    budget("llm_chunk_dedup", 5)
+  }
+
   test("q6: all three predicates push to the lineitem scan (r6)") {
     // the query IS the scan — if any predicate falls out of PushedFilters
     // the canonical selectivity benchmark stops measuring the scan

@@ -49,6 +49,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_wordcount" -> listFns, "llm_semdedup" -> listFns,
       "llm_chunk_overlap" -> listFns, "llm_tokenizer_fertility" -> listFns,
       "llm_containment_prefix" -> listFns,
+      "llm_mix_entropy" -> listFns, "llm_dedup_spans" -> listFns,
+      "llm_chunk_dedup" -> listFns,
+      "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
+      "dq_embedding_drift" -> ("embedding[i] is 1-based in DuckDB, 0-based " +
+        "in Spark (join-key only, but generate_series/unnest don't parse)"),
       "agg_topk_sketch" -> listFns,
       "agg_topk_union" -> listFns, "mm_frame_sample" -> listFns,
       // DuckDB-only functions
