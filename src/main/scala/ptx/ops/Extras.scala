@@ -12,6 +12,39 @@ import ptx.{QFn, Tables}
   */
 object Extras {
 
+  /** Laplace-smoothed Population Stability Index of per-source bucket
+    * distributions `c(source, b, n)` against a reference distribution
+    * `g(b, gn)` — the shared core of `dq_drift_psi` (reference = the same
+    * corpus's own global distribution) and the streaming drift gate
+    * (reference = a static broadcast frame from a trusted snapshot).
+    * Each bucket term is snapped to the e6 grid BEFORE the summation so
+    * the signed, cancellation-prone PSI sum is an exact BIGINT reduction
+    * (accumulation-order-free); sources missing a reference bucket get
+    * the +1 smoothing cell instead of ln(0). Everything here runs on the
+    * sources×buckets grid — corpus-size-independent — with the reference
+    * and the per-source totals broadcast.
+    */
+  def psiAgainst(c: org.apache.spark.sql.DataFrame,
+                 g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tot = g.agg(sum(col("gn")).as("gt"), count(lit(1)).as("nb"))
+    val st = c.groupBy(col("source")).agg(sum(col("n")).as("sn_tot"))
+    val grid = c.select(col("source")).distinct()
+      .crossJoin(broadcast(g))
+      .join(broadcast(c), Seq("source", "b"), "left_outer")
+      .withColumn("sn", coalesce(col("n"), lit(0L)))
+    val term = expr(
+      "((sn + 1e0) / (sn_tot + nb) - (gn + 1e0) / (gt + nb)) * " +
+        "ln(((sn + 1e0) / (sn_tot + nb)) / ((gn + 1e0) / (gt + nb)))")
+    grid.join(broadcast(st), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("term_e6", round(term * lit(1000000d)).cast("long"))
+      .groupBy(col("source"), col("sn_tot"))
+      .agg(sum(col("term_e6")).as("psi_e6"))
+      .select(col("source"), col("sn_tot").as("n_docs"), col("psi_e6"),
+        (col("psi_e6") > 250000L).as("drifted"))
+      .orderBy(col("source"))
+  }
+
   def queries: Map[String, QFn] = Map(
     "sub_scalar" -> ((s, d) => {
       // view name carries the data dir so interleaved construction against
@@ -252,24 +285,7 @@ object Extras {
       val c = ptx.Caching.pin(Tables.documents(s, d)
         .groupBy(col("source"), expr("n_chars div 50").as("b"))
         .agg(count(lit(1)).as("n")))
-      val g = c.groupBy(col("b")).agg(sum(col("n")).as("gn"))
-      val tot = g.agg(sum(col("gn")).as("gt"), count(lit(1)).as("nb"))
-      val st = c.groupBy(col("source")).agg(sum(col("n")).as("sn_tot"))
-      val grid = c.select(col("source")).distinct()
-        .crossJoin(broadcast(g))
-        .join(broadcast(c), Seq("source", "b"), "left_outer")
-        .withColumn("sn", coalesce(col("n"), lit(0L)))
-      val term = expr(
-        "((sn + 1e0) / (sn_tot + nb) - (gn + 1e0) / (gt + nb)) * " +
-          "ln(((sn + 1e0) / (sn_tot + nb)) / ((gn + 1e0) / (gt + nb)))")
-      grid.join(broadcast(st), Seq("source"))
-        .crossJoin(broadcast(tot))
-        .withColumn("term_e6", round(term * lit(1000000d)).cast("long"))
-        .groupBy(col("source"), col("sn_tot"))
-        .agg(sum(col("term_e6")).as("psi_e6"))
-        .select(col("source"), col("sn_tot").as("n_docs"), col("psi_e6"),
-          (col("psi_e6") > 250000L).as("drifted"))
-        .orderBy(col("source"))
+      psiAgainst(c, c.groupBy(col("b")).agg(sum(col("n")).as("gn")))
     }),
     // ✓ embedding-space drift audit (r9): per-label centroid vs the
     // corpus-wide centroid — cosine + L2 — the representation-space twin

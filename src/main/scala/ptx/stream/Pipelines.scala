@@ -111,6 +111,32 @@ object Pipelines {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), max(col("ts")).as("last_ts"))
 
+  /** Streaming twin of `dq_drift_psi` (r9): a per-micro-batch drift GATE.
+    * Each batch's per-source document-length distribution is scored
+    * (Laplace-smoothed PSI, exact e6-integer summation — the shared
+    * `ops.Extras.psiAgainst` core) against a STATIC reference bucket
+    * distribution `ref(b, gn)` from a trusted snapshot, and the per-source
+    * verdict lands in `dir/batch=<id>` (overwrite — idempotent on retried
+    * batches, the writeBatch discipline). This is the ingest-time
+    * admission gate: a crawl shard whose batch drifts past PSI 0.25 is
+    * flagged BEFORE it reaches the lake. Zero streaming state by design —
+    * the gate is per-batch; cumulative drift is the batch audit's job —
+    * and the reference is a broadcast-sized static frame.
+    */
+  def driftGate(docs: DataFrame, ref: DataFrame, dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cells = batch
+          .groupBy(col("source"), expr("n_chars div 50").as("b"))
+          .agg(count(lit(1)).as("n"))
+        ptx.ops.Extras.psiAgainst(cells, ref)
+          .write.mode("overwrite").parquet(s"$dir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Exactly-once semantics over an at-least-once feed: drop duplicate
     * event_ids within the watermark. */
   def dedup(events: DataFrame): DataFrame =

@@ -259,6 +259,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming drift gate: one-batch stream PSI equals the batch dq_drift_psi audit (r9)") {
+    // reference = the corpus's own global bucket distribution, so the
+    // single-batch streamed verdict must be ROW-IDENTICAL to the declared
+    // batch audit (which measures each source against that same global)
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    val ref = docs.groupBy(expr("n_chars div 50").as("b"))
+      .agg(count(lit(1)).as("gn"))
+    val out = java.nio.file.Files.createTempDirectory("ptx-drift").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ptx-drift-ckpt").toString
+    val q = Pipelines.driftGate(
+      ptx.Tables.documentsStream(spark, TestSpark.SF), ref, out, ckpt)
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    val streamed = spark.read.parquet(s"$out/batch=0").collect().map(key).toSet
+    val batch = ptx.QueryRegistry.all("dq_drift_psi")(spark, TestSpark.SF)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
   test("streaming the documents table through the quality filter equals batch (r5)") {
     val name = "qf_stream_sink"
     val q = ptx.ops.TextAnalysis.qualityFilter(ptx.Tables.documentsStream(spark, TestSpark.SF))
