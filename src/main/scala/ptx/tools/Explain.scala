@@ -10,8 +10,13 @@ import org.apache.spark.sql.SparkSession
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
+    // --time counts rows (the graft.Bench methodology); --timefull forces
+    // every output column via the final plan's RDD, so column pruning
+    // under count() cannot skip expensive projections/joins — use it to
+    // sanity-check that a count-based figure isn't measuring a pruned plan
     val time = args.contains("--time")
-    val names = args.drop(1).filterNot(_ == "--time")
+    val timeFull = args.contains("--timefull")
+    val names = args.drop(1).filterNot(a => a == "--time" || a == "--timefull")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -20,17 +25,19 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // warm up the JVM/codegen so --time measures steady state
-    if (time) ptx.QueryRegistry.all("scan_filter_pushdown")(spark, sfDir).count()
+    if (time || timeFull) ptx.QueryRegistry.all("scan_filter_pushdown")(spark, sfDir).count()
     names.foreach { n =>
       val df = ptx.QueryRegistry.all(n)(spark, sfDir)
-      if (time) {
+      if (time || timeFull) {
         val t0 = System.nanoTime()
-        val cnt = df.count()
-        println(f"[time] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
+        val cnt = if (timeFull) df.queryExecution.toRdd.count() else df.count()
+        val tag = if (timeFull) "timefull" else "time"
+        println(f"[$tag] $n: ${(System.nanoTime() - t0) / 1e9}%.2f s ($cnt rows)")
       } else {
         println(s"===== $n =====")
         df.explain("formatted")
       }
+      ptx.Caching.releaseAll()
     }
     spark.stop()
   }
