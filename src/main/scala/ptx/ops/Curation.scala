@@ -520,6 +520,53 @@ object Curation {
           round(exp(col("entropy_e6") / lit(1000000d)), 6).as("eff_sources"))
         .orderBy(col("source"))
     }),
+    // ✓ CCNet-style perplexity bucketing (r9): per-language head/middle/
+    // tail split of the corpus by LM quality score — the CCNet recipe's
+    // final step (keep head, sample middle, drop tail) that turns the
+    // unigram quality proxy (llm_unigram_logprob's score, recomputed here
+    // on the e6 grid) into an actionable partition. Thresholds are the
+    // per-lang discrete tertiles of the SNAPPED score (percentile_disc
+    // picks actual data values — integers, so the bucket compare is
+    // exact on both engines; the oracle spells disc via the cume_dist
+    // identity per the agg_percentile_disc precedent). LOWER score =
+    // more natural = head, per CCNet.
+    // Scale: model + thresholds broadcast; the corpus is scanned once to
+    // score (pinned — the threshold agg and the bucket count reuse it).
+    // The exact per-lang percentile buffers each lang's scores in one
+    // agg group; at 100 TB swap approx_percentile thresholds (CCNet
+    // itself thresholds on a sample) — the bucketing join is unchanged.
+    "llm_ccnet_buckets" -> ((s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+      val wc = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val lp = wc.crossJoin(broadcast(wc.agg(sum(col("c")).as("t"))))
+        .select(col("word"), (-log(col("c").cast("double") / col("t"))).as("lp"))
+      val model = lp.agg(
+        map_from_entries(collect_list(struct(col("word"), col("lp")))).as("m"))
+      // apex pinned: the scored frame feeds the threshold agg AND the
+      // bucket assignment — unpinned, the corpus is scored twice
+      val scored = ptx.Caching.pin(Tables.documents(s, d)
+        .crossJoin(broadcast(model))
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          expr("cast(round(round(aggregate(w, 0.0D, (a, x) -> a + element_at(m, x))" +
+            " / size(w), 6) * 1e6) as long)").as("score_e6")))
+      val th = scored.groupBy(col("lang")).agg(
+        expr("percentile_disc(0.3333333333) WITHIN GROUP (ORDER BY score_e6)")
+          .as("t33"),
+        expr("percentile_disc(0.6666666667) WITHIN GROUP (ORDER BY score_e6)")
+          .as("t66"))
+      scored.join(broadcast(th), Seq("lang"))
+        .withColumn("bucket",
+          when(col("score_e6") <= col("t33"), "head")
+            .when(col("score_e6") <= col("t66"), "middle")
+            .otherwise("tail"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("score_e6")).as("min_score_e6"),
+          max(col("score_e6")).as("max_score_e6"))
+        .orderBy(col("lang"), col("bucket"))
+    }),
     // ✓ chunk-grain cross-doc dedup audit (r9): how much of each doc is
     // made of chunks (the llm_chunk_overlap 64/48 grid) that ALSO appear
     // verbatim in other docs — the dedup check at the grain a RAG corpus
@@ -556,6 +603,38 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    // percentile_disc spelled via the cume_dist identity (the
+    // agg_percentile_disc precedent): min value with cume_dist >= q
+    "llm_ccnet_buckets" ->
+      """WITH wc AS (
+        |  SELECT word, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents) e
+        |  GROUP BY word),
+        |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM wc),
+        |e AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(round(round(avg(-ln(c / t)), 6) * 1e6) AS BIGINT) AS score_e6
+        |  FROM e JOIN wc USING (word) CROSS JOIN tot GROUP BY doc_id),
+        |sl AS (SELECT s.doc_id, d.lang, s.score_e6
+        |       FROM scored s JOIN documents d USING (doc_id)),
+        |cd AS (SELECT lang, score_e6,
+        |         cume_dist() OVER (PARTITION BY lang ORDER BY score_e6) AS cd
+        |       FROM sl),
+        |th AS (SELECT lang,
+        |         min(CASE WHEN cd >= 0.3333333333 THEN score_e6 END) AS t33,
+        |         min(CASE WHEN cd >= 0.6666666667 THEN score_e6 END) AS t66
+        |       FROM cd GROUP BY lang),
+        |b AS (SELECT sl.lang,
+        |        CASE WHEN score_e6 <= t33 THEN 'head'
+        |             WHEN score_e6 <= t66 THEN 'middle'
+        |             ELSE 'tail' END AS bucket,
+        |        score_e6
+        |      FROM sl JOIN th USING (lang))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(min(score_e6) AS BIGINT) AS min_score_e6,
+        |  CAST(max(score_e6) AS BIGINT) AS max_score_e6
+        |FROM b GROUP BY lang, bucket ORDER BY lang, bucket""".stripMargin,
     "llm_mix_entropy" ->
       """WITH s AS (SELECT source,
         |             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

@@ -193,6 +193,37 @@ object TextAnalysis {
             " div (2 * n_tokens) END").as("chars_per_token_e6"))
         .orderBy(col("lang"))
     }),
+    // ✓ n-gram diversity (r9): per-source distinct-4-gram / total-4-gram
+    // type-token ratio — the standard templated/synthetic-text tell (a
+    // template-generated shard repeats its 4-grams; natural text's ratio
+    // stays high). The corpus-level complement to the per-doc repetition
+    // score (llm_repetition sees within-doc loops; this sees a THOUSAND
+    // docs stamped from one template, each individually clean). Distinct
+    // counts the gram STRINGS (exact, oracle-identical); at 100 TB hash
+    // first (xxhash64 — 8-byte shuffle keys, the llm_dedup_spans trade).
+    // templated = ttr < 0.5, the conventional real-world gate; VACUOUS on
+    // this fixture (every source measures 0.97-1.0 — natural-ish synthetic
+    // text, the llm_text_clean no-PII-tokens precedent) but the dup-heavy
+    // 10x probe corpus does trip it.
+    // Scale: gram stream linear in corpus tokens, built scan-local; the
+    // two-phase distinct agg is the only shuffle (plus output sort).
+    "llm_ngram_diversity" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .withColumn("n", size(col("w")))
+        .filter(col("n") >= 4)
+        .select(col("source"), explode(expr(
+          "transform(sequence(1, n - 3), i -> array_join(slice(w, i, 4), ' '))"))
+          .as("g"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
+        .select(col("source"), col("n_grams"), col("n_distinct"),
+          expr("CASE WHEN n_grams > 0 THEN" +
+            " (2 * cast(n_distinct as decimal(38,0)) * 1000000 + n_grams)" +
+            " div (2 * n_grams) END").as("ttr_e6"))
+        .withColumn("templated", col("ttr_e6") < lit(500000L))
+        .orderBy(col("source"))
+    }),
     // ✓ Zipf fit (r9): OLS of ln(count) on ln(rank) over the top-100 word
     // types — the slope (≈ −1 for natural language, flatter for templated/
     // synthetic text) plus r² is the classic one-glance corpus-health
@@ -305,6 +336,20 @@ object TextAnalysis {
         keep.map(col): _*)
 
   def oracle: Map[String, String] = Map(
+    "llm_ngram_diversity" ->
+      """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT source, array_to_string(w[i:i+3], ' ') AS g
+        |  FROM t, unnest(generate_series(1, len(w) - 3)) AS s(i)
+        |  WHERE len(w) >= 4)
+        |SELECT source, count(*) AS n_grams,
+        |  CAST(count(DISTINCT g) AS BIGINT) AS n_distinct,
+        |  CASE WHEN count(*) > 0 THEN
+        |    (2 * count(DISTINCT g) * 1000000 + count(*)) // (2 * count(*))
+        |    END AS ttr_e6,
+        |  (2 * count(DISTINCT g) * 1000000 + count(*)) // (2 * count(*))
+        |    < 500000 AS templated
+        |FROM g GROUP BY source ORDER BY source""".stripMargin,
     // HUGEINT mirrors the Spark side's DECIMAL(38,0) lift; every // runs
     // on non-negative operands (negate-divide-negate) so both engines'
     // integer division agrees

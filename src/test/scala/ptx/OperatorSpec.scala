@@ -229,6 +229,13 @@ class OperatorSpec extends AnyFunSuite {
     // occurrence join + doc agg + sort, all keyed on fp/doc — a hot
     // chunk is one agg group, never a pair join
     budget("llm_chunk_dedup", 5)
+    // gram stream scan-local; the two-phase distinct agg (expand) is the
+    // only shuffle family + output sort
+    budget("llm_ngram_diversity", 3)
+    // vocab agg + model fold feed the pinned scored frame; per-lang
+    // exact-tertile agg + broadcast threshold join + bucket agg + sort —
+    // the corpus is scored ONCE (unpinned, twice)
+    budget("llm_ccnet_buckets", 7)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {

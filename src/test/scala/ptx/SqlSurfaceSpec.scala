@@ -50,7 +50,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_chunk_overlap" -> listFns, "llm_tokenizer_fertility" -> listFns,
       "llm_containment_prefix" -> listFns,
       "llm_mix_entropy" -> listFns, "llm_dedup_spans" -> listFns,
-      "llm_chunk_dedup" -> listFns,
+      "llm_chunk_dedup" -> listFns, "llm_ngram_diversity" -> listFns,
+      "llm_ccnet_buckets" -> listFns,
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_embedding_drift" -> ("embedding[i] is 1-based in DuckDB, 0-based " +
         "in Spark (join-key only, but generate_series/unnest don't parse)"),
