@@ -60,4 +60,15 @@ class GuardrailSpec extends AnyFunSuite {
     // divides by zero; guarded: NULL threshold -> comparison never true
     assert(QueryRegistry.all("q22_idle_customers")(s, dir).collect().isEmpty)
   }
+
+  test("psiAgainst on an empty micro-batch yields an empty verdict, not NaN/abort") {
+    // the streaming drift gate scores EVERY micro-batch, including empty
+    // ones (idle trigger with no new files) — the PSI core must degrade
+    // to zero rows, never a ln(0)/NaN cast abort
+    val s = TestSpark.spark
+    import s.implicits._
+    val emptyCells = Seq.empty[(String, Long, Long)].toDF("source", "b", "n")
+    val ref = Seq((0L, 10L), (1L, 20L)).toDF("b", "gn")
+    assert(ptx.ops.Extras.psiAgainst(emptyCells, ref).collect().isEmpty)
+  }
 }

@@ -216,7 +216,7 @@ class OperatorSpec extends AnyFunSuite {
     // it); every exchange after keys on gram hash / doc / (doc,pos) —
     // linear in corpus tokens, never a pair join. df skew cannot widen
     // this: a hot gram is one agg group, not an O(|bucket|²) join bucket
-    budget("llm_dedup_spans", 12)
+    budget("llm_dedup_spans", 10)
     // the only corpus-sized work is the word-count agg; the regression
     // runs on the 100-row TakeOrdered frame (its rank window and the
     // 1-row normal-equation agg never see the vocabulary)
