@@ -67,6 +67,27 @@ object Multimodal {
           explode(expr("sequence(CAST(0 AS BIGINT), n_frames - 1, 7)")).as("frame_idx"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
+    // ✓ payload checksum dedup (r9): exact dedup of BINARY payloads by
+    // content — the first pass of every multimodal ingest (the same image
+    // re-crawled under different ids). The grouping key is the payload's
+    // md5, so at 100 TB the 16-byte digest shuffles, never payload
+    // bytes — the module's scale invariant holds through the dedup too.
+    // n_copies + keep-lowest-id canonical mirror llm_dedup_exact's
+    // semantics at the byte grain (md5 collision odds ~2^-64 at any
+    // plausible corpus size; a byte-exact verify join would bolt on the
+    // llm_dedup family's pattern if that ever mattered).
+    "mm_dedup_payload" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          md5(col("payload")).as("fp"))
+        .withColumn("n_copies", count(lit(1)).over(w))
+        .withColumn("keep_id", min(col("doc_id")).over(w))
+        .withColumn("is_canonical", col("doc_id") === col("keep_id"))
+        .orderBy(col("doc_id"))
+    }),
     // ◌ partition-wise decode + feature extraction (stubbed decoder),
     // then a relational agg over the features — no oracle (imperative
     // mapPartitions path); covered by MultimodalSpec.
@@ -89,6 +110,16 @@ object Multimodal {
   )
 
   def oracle: Map[String, String] = Map(
+    "mm_dedup_payload" ->
+      """WITH b AS (SELECT doc_id,
+        |             octet_length(encode(text)) AS n_bytes,
+        |             md5(text) AS fp
+        |           FROM documents)
+        |SELECT doc_id, n_bytes, fp,
+        |  count(*) OVER (PARTITION BY fp) AS n_copies,
+        |  min(doc_id) OVER (PARTITION BY fp) AS keep_id,
+        |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
+        |FROM b ORDER BY doc_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, img_w, img_h,
         |  CAST(CASE WHEN img_w <= 32 AND img_h <= 32 THEN img_w

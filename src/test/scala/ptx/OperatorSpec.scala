@@ -236,6 +236,9 @@ class OperatorSpec extends AnyFunSuite {
     // exact-tertile agg + broadcast threshold join + bucket agg + sort —
     // the corpus is scored ONCE (unpinned, twice)
     budget("llm_ccnet_buckets", 7)
+    // one fp-keyed window shuffle + output sort; the 16-byte digest is
+    // the shuffle key — payload bytes never cross the wire
+    budget("mm_dedup_payload", 2)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {

@@ -63,6 +63,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "fn_date" -> "epoch() (Spark: unix_timestamp)",
       "fn_regex" -> "regexp_matches (Spark: rlike)",
       "mm_binary_meta" -> "1-arg encode() (Spark encode needs charset)",
+      "mm_dedup_payload" -> "1-arg encode() (Spark encode needs charset)",
       // DuckDB-only syntax
       "agg_collect_sorted" -> "ORDER BY inside array_agg",
       "agg_string_concat" -> "ORDER BY inside string_agg",
