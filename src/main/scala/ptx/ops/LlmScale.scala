@@ -251,6 +251,54 @@ object LlmScale {
     // strings themselves). flagged = ≥20% of tokens covered, exact
     // integer compare (5·covered ≥ n_tokens), the Lee et al. removal
     // grain being doc-level here since the fixture has no span rewriter.
+    // ✓ duplicated-span REWRITER (r9) — the removal half of the Lee et al.
+    // exact-substring pass that llm_dedup_spans only detects: every word
+    // 5-gram occurring in ≥2 docs keeps its occurrence in the KEEPER doc
+    // (lowest doc_id containing the gram — "all but one" removal) and is
+    // cut everywhere else; each doc is rebuilt from its surviving tokens
+    // and fingerprinted. Outputs stay narrow (counts + md5 of the cleaned
+    // text, not the text). Same linearity argument as the detector: the
+    // token and marked-position streams are corpus-token-sized, the
+    // rebuild is one doc-keyed sorted fold, and no self-join exists for
+    // df skew to inflate (the keeper rule is one min() in the same gram
+    // aggregation the df count already pays for).
+    "llm_span_rewrite" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("n_tokens", size(col("w")).cast("long"))
+      val grams = ptx.Caching.pin(docs
+        .withColumn("g", expr(
+          "CASE WHEN n_tokens >= 5 THEN " +
+            "transform(sequence(1, cast(n_tokens as int) - 4), " +
+            "i -> struct(i as pos, xxhash64(array_join(slice(w, i, 5), ' ')) as h)) " +
+            "ELSE array() END"))
+        .select(col("doc_id"), explode(col("g")).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h")))
+      val gstat = grams.groupBy(col("h")).agg(
+        countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
+      val dup = grams.join(gstat.filter(col("df") >= 2), Seq("h"))
+        .filter(col("doc_id") =!= col("keeper"))
+        .select(col("doc_id"), col("pos"))
+      val marked = dup
+        .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + 4)).as("tp"))
+        .distinct()
+      val toks = docs
+        .select(col("doc_id"), posexplode(col("w")).as(Seq("i0", "word")))
+        .select(col("doc_id"), (col("i0") + 1).as("idx"), col("word"))
+      val kept = toks.join(marked,
+        toks("doc_id") === marked("doc_id") && col("idx") === col("tp"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(expr("array_join(transform(array_sort(collect_list(struct(idx, word)))," +
+            " s -> s.word), ' ')")).as("clean_fp"))
+      docs.select(col("doc_id"), col("n_tokens"))
+        .join(rebuilt, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          col("clean_fp"), // NULL = the doc was removed entirely
+          (coalesce(col("n_kept"), lit(0L)) < col("n_tokens")).as("rewritten"))
+        .orderBy(col("doc_id"))
+    }),
     "llm_dedup_spans" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -588,8 +636,35 @@ object LlmScale {
         |FROM dir JOIN n ON src = n.doc_id
         |WHERE CAST(inter AS DOUBLE) / n_sh >= 0.8
         |ORDER BY src, dst""".stripMargin,
-    // grams grouped by their STRING here (the hash is a Spark-side
-    // shuffle-width optimization; equal counts absent 64-bit collision)
+    // grams grouped by their STRING here too (the Spark side's xxhash64
+    // keys are a shuffle-width optimization; identical keeper/df absent
+    // 64-bit collision)
+    "llm_span_rewrite" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |d AS (SELECT doc_id, len(w) AS n_tokens, w FROM t),
+        |grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(w[i:i+4], ' ') AS gram
+        |  FROM d, unnest(generate_series(1, n_tokens - 4)) AS g(i)
+        |  WHERE n_tokens >= 5),
+        |gstat AS (SELECT gram, count(DISTINCT doc_id) AS df,
+        |            min(doc_id) AS keeper
+        |          FROM grams GROUP BY 1),
+        |dup AS (SELECT g.doc_id, g.pos FROM grams g JOIN gstat USING (gram)
+        |        WHERE df >= 2 AND g.doc_id <> keeper),
+        |marked AS (SELECT DISTINCT doc_id, pos + k AS tp
+        |           FROM dup, unnest(generate_series(0, 4)) AS o(k)),
+        |toks AS (SELECT doc_id, i AS idx, w[i] AS word
+        |         FROM d, unnest(generate_series(1, n_tokens)) AS x(i)),
+        |kept AS (SELECT t.doc_id, t.idx, t.word FROM toks t
+        |         LEFT JOIN marked m ON m.doc_id = t.doc_id AND m.tp = t.idx
+        |         WHERE m.tp IS NULL),
+        |rb AS (SELECT doc_id, count(*) AS n_kept,
+        |         md5(string_agg(word, ' ' ORDER BY idx)) AS clean_fp
+        |       FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+        |  coalesce(rb.n_kept, 0) AS n_kept, rb.clean_fp,
+        |  coalesce(rb.n_kept, 0) < d.n_tokens AS rewritten
+        |FROM d LEFT JOIN rb USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "llm_dedup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |t2 AS (SELECT doc_id, len(w) AS n_tokens, w FROM toks),

@@ -239,6 +239,10 @@ class OperatorSpec extends AnyFunSuite {
     // one fp-keyed window shuffle + output sort; the 16-byte digest is
     // the shuffle key — payload bytes never cross the wire
     budget("mm_dedup_payload", 2)
+    // gram agg (df+keeper in ONE pass), occurrence join, marked distinct,
+    // token anti join, doc-keyed rebuild fold, output sort — every
+    // exchange corpus-token-linear, none pair-shaped
+    budget("llm_span_rewrite", 8)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {

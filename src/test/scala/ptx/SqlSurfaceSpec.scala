@@ -50,6 +50,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_chunk_overlap" -> listFns, "llm_tokenizer_fertility" -> listFns,
       "llm_containment_prefix" -> listFns,
       "llm_mix_entropy" -> listFns, "llm_dedup_spans" -> listFns,
+      "llm_span_rewrite" -> listFns,
       "llm_chunk_dedup" -> listFns, "llm_ngram_diversity" -> listFns,
       "llm_ccnet_buckets" -> listFns,
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
