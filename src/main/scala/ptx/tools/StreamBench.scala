@@ -86,11 +86,35 @@ object StreamBench {
         bench("ewma", "append")(df => ptx.stream.Pipelines.ewma(
           df.as[ptx.stream.Event]).toDF()))
 
+      // documents-side ingest gate (r9): the foreachBatch PSI drift gate
+      // against a static reference — a different modality from the
+      // events pipelines above (batch-side plan per micro-batch + parquet
+      // verdict write, zero streaming state), so it gets its own staged
+      // source and row base.
+      import org.apache.spark.sql.functions.{col, count, expr, lit}
+      val docStaged = tmpDir("ptx-sb-docs")
+      val docs = ptx.Tables.documents(spark, sfDir)
+      docs.write.mode("overwrite").parquet(docStaged)
+      val docRows = spark.read.parquet(docStaged).count()
+      val ref = docs.groupBy(expr("n_chars div 50").as("b"))
+        .agg(count(lit(1)).as("gn"))
+      def runGate(): Double = {
+        val cp = tmpDir("ptx-sb-gatecp"); val outDir = tmpDir("ptx-sb-gateout")
+        val src = spark.readStream.schema(docs.schema).parquet(docStaged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.driftGate(src, ref, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runGate() // warm
+      val gateSec = runGate()
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-      val body = results.map { case (n, sec) =>
+      val body = (results.map { case (n, sec) =>
         s""""$n":{"sec":${fmt(sec)},"rows_per_sec":${fmt(rows / sec)}}"""
-      }.mkString(",")
+      } :+ s""""drift_gate":{"sec":${fmt(gateSec)},"rows_per_sec":${fmt(docRows / gateSec)},"rows":$docRows}""")
+        .mkString(",")
       val json =
         s"""{"metric":"stream_throughput","rows":$rows,"sf":"$sfDir","cpus":$cpus,"pipelines":{$body}}"""
       println(json)
