@@ -323,10 +323,48 @@ object Extras {
             .as("cos_to_global"),
           round(sqrt(col("d2_e12")) / lit(1e6), 6).as("l2_to_global"))
         .orderBy(col("label"))
+    }),
+    // ✓ multimodal pairing audit (r9): doc↔embedding coverage across the
+    // text/vector pair (vec_id overlaps doc_id by fixture contract) —
+    // the dq_referential shape applied to the multimodal join key. A doc
+    // without a vector silently drops out of every embedding-side op
+    // (knn, semdedup, drift); a vector without a doc is an orphan the
+    // index would serve with no payload. Three one-row counts unioned.
+    // Scale: two anti joins + one semi-shaped count on the id key only
+    // (both sides pre-projected to their key column — the exchanges
+    // carry 8-byte ids, never text or vectors).
+    "dq_doc_embedding_coverage" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"))
+      val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+      val a = docs.join(vecs, col("doc_id") === col("vec_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("doc_without_embedding").as("check_name"), col("n"))
+      val b = vecs.join(docs, col("vec_id") === col("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("embedding_without_doc").as("check_name"), col("n"))
+      val c = docs.join(vecs, col("doc_id") === col("vec_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("paired").as("check_name"), col("n"))
+      a.union(b).union(c).orderBy(col("check_name"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "dq_doc_embedding_coverage" ->
+      """SELECT 'doc_without_embedding' AS check_name,
+        |  (SELECT count(*) FROM documents d
+        |   WHERE NOT EXISTS (SELECT 1 FROM embeddings e
+        |                     WHERE e.vec_id = d.doc_id)) AS n
+        |UNION ALL
+        |SELECT 'embedding_without_doc',
+        |  (SELECT count(*) FROM embeddings e
+        |   WHERE NOT EXISTS (SELECT 1 FROM documents d
+        |                     WHERE d.doc_id = e.vec_id))
+        |UNION ALL
+        |SELECT 'paired',
+        |  (SELECT count(*) FROM documents d JOIN embeddings e
+        |   ON e.vec_id = d.doc_id)
+        |ORDER BY check_name""".stripMargin,
     // pos is 1-based here vs 0-based in Spark — it is only a join key
     // within each engine, never output, so the pairing is identical
     "dq_embedding_drift" ->

@@ -193,6 +193,27 @@ object TextAnalysis {
             " div (2 * n_tokens) END").as("chars_per_token_e6"))
         .orderBy(col("lang"))
     }),
+    // ✓ corpus-derived stopword candidates (r9): word types appearing in
+    // ≥50% of documents, with doc frequency and the half-up e6 df ratio —
+    // the data-driven denylist that feeds llm_text_clean (whose shipped
+    // list is hand-pinned; a real pipeline derives it from exactly this
+    // query, per-corpus, before cleaning). Ordered (df desc, word) so the
+    // report reads top-down.
+    // Scale: one (word → distinct-doc) df aggregation — vocab-bounded
+    // output, corpus-bounded input, the llm_tfidf df pass reused verbatim;
+    // the doc total is a broadcast 1-row frame.
+    "llm_stopword_candidates" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dfw = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(countDistinct(col("doc_id")).as("df"))
+      dfw.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .filter(col("df") * 2 >= col("n_docs"))
+        .select(col("word"), col("df"), col("n_docs"),
+          expr("(2 * cast(df as decimal(38,0)) * 1000000 + n_docs)" +
+            " div (2 * n_docs)").as("df_ratio_e6"))
+        .orderBy(col("df").desc, col("word"))
+    }),
     // ✓ n-gram diversity (r9): per-source distinct-4-gram / total-4-gram
     // type-token ratio — the standard templated/synthetic-text tell (a
     // template-generated shard repeats its 4-grams; natural text's ratio
@@ -336,6 +357,18 @@ object TextAnalysis {
         keep.map(col): _*)
 
   def oracle: Map[String, String] = Map(
+    "llm_stopword_candidates" ->
+      """WITH dfw AS (
+        |  SELECT word, count(DISTINCT doc_id) AS df
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents) e
+        |  GROUP BY word),
+        |t AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT word, df, n_docs,
+        |  (2 * df * 1000000 + n_docs) // (2 * n_docs) AS df_ratio_e6
+        |FROM dfw CROSS JOIN t
+        |WHERE df * 2 >= n_docs
+        |ORDER BY df DESC, word""".stripMargin,
     "llm_ngram_diversity" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
         |g AS (

@@ -243,6 +243,11 @@ class OperatorSpec extends AnyFunSuite {
     // token anti join, doc-keyed rebuild fold, output sort — every
     // exchange corpus-token-linear, none pair-shaped
     budget("llm_span_rewrite", 8)
+    // 3 one-row counts (anti/anti/inner on the 8-byte id key) + union;
+    // both sides pre-projected to their key column
+    budget("dq_doc_embedding_coverage", 5)
+    // one vocab df agg (distinct expand) + broadcast doc total + sort
+    budget("llm_stopword_candidates", 5)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {

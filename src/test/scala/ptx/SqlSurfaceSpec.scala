@@ -52,6 +52,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_mix_entropy" -> listFns, "llm_dedup_spans" -> listFns,
       "llm_span_rewrite" -> listFns,
       "llm_chunk_dedup" -> listFns, "llm_ngram_diversity" -> listFns,
+      "llm_stopword_candidates" -> listFns,
       "llm_ccnet_buckets" -> listFns,
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_embedding_drift" -> ("embedding[i] is 1-based in DuckDB, 0-based " +
