@@ -346,10 +346,80 @@ object Extras {
         .agg(count(lit(1)).as("n"))
         .select(lit("paired").as("check_name"), col("n"))
       a.union(b).union(c).orderBy(col("check_name"))
+    }),
+    // ✓ Kolmogorov–Smirnov drift statistic (r9): per-source max CDF gap
+    // of the doc-length distribution vs the corpus-wide distribution —
+    // PSI's standard companion (PSI integrates the whole distribution;
+    // KS pins the single worst point, so a localized shift PSI smooths
+    // over still fires here). EXACT until the last step: with per-source
+    // denominator ns·ng constant, D = max_b |cs_b·ng − cg_b·ns| /
+    // (ns·ng), so the max runs over exact DECIMAL(38,0) integers and a
+    // single half-up division lands ks_e6 — no per-bucket double ever
+    // enters the max (the PSI snap lesson, taken to zero rounding).
+    // drifted = D above the α=0.05 two-sample critical value
+    // 1.36·√((ns+ng)/(ns·ng)) — both engines evaluate the identical
+    // integers through the identical double expression.
+    // Scale: same pinned cell agg as the PSI audit; the cumulative sums
+    // run on the sources×buckets grid (bounded), never the corpus.
+    "dq_drift_ks" -> ((s, d) => {
+      val c = ptx.Caching.pin(Tables.documents(s, d)
+        .groupBy(col("source"), expr("n_chars div 50").as("b"))
+        .agg(count(lit(1)).as("n")))
+      val g = c.groupBy(col("b")).agg(sum(col("n")).as("gn"))
+      val st = c.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+      val tot = g.agg(sum(col("gn")).as("ng"))
+      val grid = c.select(col("source")).distinct()
+        .crossJoin(broadcast(g))
+        .join(broadcast(c), Seq("source", "b"), "left_outer")
+        .withColumn("sn", coalesce(col("n"), lit(0L)))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      grid
+        .withColumn("cs", sum(col("sn")).over(wb))
+        .withColumn("cg", sum(col("gn")).over(wb))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dnum", abs(
+          col("cs").cast("decimal(38,0)") * col("ng") -
+            col("cg").cast("decimal(38,0)") * col("ns")))
+        .groupBy(col("source"), col("ns"), col("ng"))
+        .agg(max(col("dnum")).as("dmax"))
+        .select(col("source"), col("ns").as("n_docs"),
+          expr("(2 * dmax * 1000000 + cast(ns as decimal(38,0)) * ng)" +
+            " div (2 * cast(ns as decimal(38,0)) * ng)").as("ks_e6"),
+          expr("(dmax * 1e0) / (ns * 1e0 * ng) >" +
+            " 1.36 * sqrt((ns + ng) * 1e0 / (ns * 1e0 * ng))").as("drifted"))
+        .orderBy(col("source"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "dq_drift_ks" ->
+      """WITH c AS (SELECT source, n_chars // 50 AS b, count(*) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT b, CAST(sum(n) AS BIGINT) AS gn FROM c GROUP BY 1),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gn) AS BIGINT) AS ng FROM g),
+        |grid AS (SELECT s.source, g.b, g.gn, coalesce(c.n, 0) AS sn
+        |         FROM (SELECT DISTINCT source FROM c) s
+        |         CROSS JOIN g LEFT JOIN c ON c.source = s.source AND c.b = g.b),
+        |cum AS (SELECT source, b,
+        |          sum(sn) OVER (PARTITION BY source ORDER BY b) AS cs,
+        |          sum(gn) OVER (PARTITION BY source ORDER BY b) AS cg
+        |        FROM grid),
+        |j AS (SELECT cum.source, cs, cg, ns, ng
+        |      FROM cum JOIN st ON st.source = cum.source CROSS JOIN tot),
+        |d AS (SELECT source, ns, ng,
+        |        max(abs(CAST(cs AS HUGEINT) * ng - CAST(cg AS HUGEINT) * ns))
+        |          AS dmax
+        |      FROM j GROUP BY 1, 2, 3)
+        |SELECT source, ns AS n_docs,
+        |  CAST((2 * dmax * 1000000 + CAST(ns AS HUGEINT) * ng)
+        |       // (2 * CAST(ns AS HUGEINT) * ng) AS BIGINT) AS ks_e6,
+        |  (dmax * 1e0) / (ns * 1e0 * ng) >
+        |    1.36 * sqrt((ns + ng) * 1e0 / (ns * 1e0 * ng)) AS drifted
+        |FROM d ORDER BY source""".stripMargin,
     "dq_doc_embedding_coverage" ->
       """SELECT 'doc_without_embedding' AS check_name,
         |  (SELECT count(*) FROM documents d

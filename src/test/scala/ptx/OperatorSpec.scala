@@ -248,6 +248,9 @@ class OperatorSpec extends AnyFunSuite {
     budget("dq_doc_embedding_coverage", 5)
     // one vocab df agg (distinct expand) + broadcast doc total + sort
     budget("llm_stopword_candidates", 5)
+    // shares the PSI audit's pinned cell agg; the grid window + max run
+    // on sources×buckets rows with the reference and totals broadcast
+    budget("dq_drift_ks", 3)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {
