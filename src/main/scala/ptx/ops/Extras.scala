@@ -391,10 +391,79 @@ object Extras {
           expr("(dmax * 1e0) / (ns * 1e0 * ng) >" +
             " 1.36 * sqrt((ns + ng) * 1e0 / (ns * 1e0 * ng))").as("drifted"))
         .orderBy(col("source"))
+    }),
+    // ✓ Welch t-test drift significance (r9): per source, the two-sample
+    // t statistic of mean doc length vs the REST of the corpus — the
+    // inferential member of the drift family (PSI/KS say how far the
+    // distributions sit apart; the t-test says whether the MEAN gap
+    // clears sampling noise, the first question a small-shard alert
+    // raises). Rest-of-corpus moments come free as global − source
+    // (exact integer subtraction — no second scan, no self-join). All
+    // moments are exact DECIMAL(38,0)/BIGINT sums; the t value is then
+    // one pinned-parenthesization double expression over identical
+    // integers on both engines (the PMI discipline), rounded 6dp.
+    // significant = |t| > 1.96 (α=0.05 normal approx — per-source n
+    // makes dof large enough that the z threshold is the honest frame).
+    // Guards: sources with n<2 or a zero variance denominator yield NULL.
+    // Scale: one corpus scan into per-source moments; everything after is
+    // #sources-sized with the 1-row global broadcast.
+    "dq_drift_ttest" -> ((s, d) => {
+      val m = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("decimal(38,0)").as("sx"),
+          sum(col("n_chars") * col("n_chars")).cast("decimal(38,0)").as("sxx"))
+      val g = m.agg(sum(col("n")).as("ng"),
+        sum(col("sx")).as("gx"), sum(col("sxx")).as("gxx"))
+      m.crossJoin(broadcast(g))
+        .withColumn("n2", col("ng") - col("n"))
+        .withColumn("sx2", col("gx") - col("sx"))
+        .withColumn("sxx2", col("gxx") - col("sxx"))
+        .select(col("source"), col("n").as("n_docs"),
+          expr("CASE WHEN n > 0 THEN" +
+            " (2 * sx * 1000000 + n) div (2 * n) END").as("mean_e6"),
+          expr("""CASE WHEN n >= 2 AND n2 >= 2 AND
+            |  ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+            |  ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2 > 0
+            |THEN round(
+            |  ((sx * 1e0) / n - (sx2 * 1e0) / n2) / sqrt(
+            |    ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+            |    ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2),
+            |  6) END""".stripMargin).as("t_stat"))
+        .withColumn("significant",
+          when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
+        .orderBy(col("source"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "dq_drift_ttest" ->
+      """WITH m AS (SELECT source, count(*) AS n,
+        |             CAST(sum(n_chars) AS HUGEINT) AS sx,
+        |             CAST(sum(n_chars * n_chars) AS HUGEINT) AS sxx
+        |           FROM documents GROUP BY 1),
+        |g AS (SELECT CAST(sum(n) AS BIGINT) AS ng,
+        |        CAST(sum(sx) AS HUGEINT) AS gx,
+        |        CAST(sum(sxx) AS HUGEINT) AS gxx FROM m),
+        |j AS (SELECT source, n, sx, sxx,
+        |        ng - n AS n2, gx - sx AS sx2, gxx - sxx AS sxx2
+        |      FROM m CROSS JOIN g),
+        |t AS (SELECT source, n, sx,
+        |        CASE WHEN n >= 2 AND n2 >= 2 AND
+        |          ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+        |          ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2 > 0
+        |        THEN round(
+        |          ((sx * 1e0) / n - (sx2 * 1e0) / n2) / sqrt(
+        |            ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+        |            ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2),
+        |          6) END AS t_stat
+        |      FROM j)
+        |SELECT source, n AS n_docs,
+        |  CAST(CASE WHEN n > 0 THEN
+        |    (2 * sx * 1000000 + n) // (2 * n) END AS BIGINT) AS mean_e6,
+        |  t_stat,
+        |  CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
+        |FROM t ORDER BY source""".stripMargin,
     "dq_drift_ks" ->
       """WITH c AS (SELECT source, n_chars // 50 AS b, count(*) AS n
         |           FROM documents GROUP BY 1, 2),

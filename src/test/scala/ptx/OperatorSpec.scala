@@ -251,6 +251,9 @@ class OperatorSpec extends AnyFunSuite {
     // shares the PSI audit's pinned cell agg; the grid window + max run
     // on sources×buckets rows with the reference and totals broadcast
     budget("dq_drift_ks", 3)
+    // one per-source moment agg + 1-row global broadcast + sort; the
+    // rest-of-corpus moments are global − source, never a second scan
+    budget("dq_drift_ttest", 4)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {
