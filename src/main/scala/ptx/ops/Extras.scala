@@ -433,10 +433,143 @@ object Extras {
         .withColumn("significant",
           when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
         .orderBy(col("source"))
+    }),
+    // ✓ composed drift report (r9): PSI + KS + Welch-t per source in ONE
+    // call — the dashboard row a data-quality monitor actually renders.
+    // The composition is where the efficiency lives: one pinned
+    // (source,bucket) aggregate carrying count AND the n_chars moments
+    // feeds all three statistics (the standalone audits each scan the
+    // corpus once; three separate calls = three scans, this = one), the
+    // llm_curation_pipeline share-the-apex discipline applied to the
+    // drift family. Values are formula-identical to the standalone ops —
+    // per-source t moments are exact sums of the bucket-level moments.
+    "dq_drift_report" -> ((s, d) => {
+      val c = ptx.Caching.pin(Tables.documents(s, d)
+        .groupBy(col("source"), expr("n_chars div 50").as("b"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).cast("decimal(38,0)").as("sxc"),
+          sum(expr("n_chars * n_chars")).cast("decimal(38,0)").as("sxxc")))
+      val cells = c.select(col("source"), col("b"), col("n"))
+      val g = cells.groupBy(col("b")).agg(sum(col("n")).as("gn"))
+      val psi = psiAgainst(cells, g)
+        .select(col("source"), col("n_docs"), col("psi_e6"),
+          col("drifted").as("drifted_psi"))
+      val st = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+      val tot = g.agg(sum(col("gn")).as("ng"))
+      val grid = cells.select(col("source")).distinct()
+        .crossJoin(broadcast(g))
+        .join(broadcast(cells), Seq("source", "b"), "left_outer")
+        .withColumn("sn", coalesce(col("n"), lit(0L)))
+      val wb = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("b"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val ks = grid
+        .withColumn("cs", sum(col("sn")).over(wb))
+        .withColumn("cg", sum(col("gn")).over(wb))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(tot))
+        .withColumn("dnum", abs(
+          col("cs").cast("decimal(38,0)") * col("ng") -
+            col("cg").cast("decimal(38,0)") * col("ns")))
+        .groupBy(col("source"), col("ns"), col("ng"))
+        .agg(max(col("dnum")).as("dmax"))
+        .select(col("source"),
+          expr("(2 * dmax * 1000000 + cast(ns as decimal(38,0)) * ng)" +
+            " div (2 * cast(ns as decimal(38,0)) * ng)").as("ks_e6"),
+          expr("(dmax * 1e0) / (ns * 1e0 * ng) >" +
+            " 1.36 * sqrt((ns + ng) * 1e0 / (ns * 1e0 * ng))").as("drifted_ks"))
+      val m = c.groupBy(col("source"))
+        .agg(sum(col("n")).as("n"), sum(col("sxc")).as("sx"),
+          sum(col("sxxc")).as("sxx"))
+      val gm = m.agg(sum(col("n")).as("ngl"),
+        sum(col("sx")).as("gx"), sum(col("sxx")).as("gxx"))
+      val tt = m.crossJoin(broadcast(gm))
+        .withColumn("n2", col("ngl") - col("n"))
+        .withColumn("sx2", col("gx") - col("sx"))
+        .withColumn("sxx2", col("gxx") - col("sxx"))
+        .select(col("source"),
+          expr("""CASE WHEN n >= 2 AND n2 >= 2 AND
+            |  ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+            |  ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2 > 0
+            |THEN round(
+            |  ((sx * 1e0) / n - (sx2 * 1e0) / n2) / sqrt(
+            |    ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+            |    ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2),
+            |  6) END""".stripMargin).as("t_stat"))
+        .withColumn("significant",
+          when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
+      psi.join(ks, Seq("source")).join(tt, Seq("source"))
+        .orderBy(col("source"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    // the three drift statistics' oracle formulations composed over one
+    // shared cell CTE — formula-identical to the standalone oracles
+    "dq_drift_report" ->
+      """WITH c AS (SELECT source, n_chars // 50 AS b, count(*) AS n,
+        |             CAST(sum(n_chars) AS HUGEINT) AS sxc,
+        |             CAST(sum(n_chars * n_chars) AS HUGEINT) AS sxxc
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT b, CAST(sum(n) AS BIGINT) AS gn FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gn) AS BIGINT) AS gt, count(*) AS nb FROM g),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS sn_tot FROM c GROUP BY 1),
+        |grid AS (SELECT s.source, g.b, g.gn, coalesce(c.n, 0) AS sn
+        |         FROM (SELECT DISTINCT source FROM c) s
+        |         CROSS JOIN g LEFT JOIN c ON c.source = s.source AND c.b = g.b),
+        |terms AS (
+        |  SELECT grid.source, sn_tot,
+        |    CAST(round((((sn + 1e0) / (sn_tot + nb) - (gn + 1e0) / (gt + nb)) *
+        |                ln(((sn + 1e0) / (sn_tot + nb)) /
+        |                   ((gn + 1e0) / (gt + nb)))) * 1000000) AS BIGINT)
+        |      AS term_e6
+        |  FROM grid JOIN st ON st.source = grid.source CROSS JOIN tot),
+        |psi AS (SELECT source, sn_tot AS n_docs,
+        |          CAST(sum(term_e6) AS BIGINT) AS psi_e6,
+        |          CAST(sum(term_e6) AS BIGINT) > 250000 AS drifted_psi
+        |        FROM terms GROUP BY source, sn_tot),
+        |cum AS (SELECT source, b,
+        |          sum(sn) OVER (PARTITION BY source ORDER BY b) AS cs,
+        |          sum(gn) OVER (PARTITION BY source ORDER BY b) AS cg
+        |        FROM grid),
+        |ksj AS (SELECT cum.source, cs, cg, sn_tot AS ns, gt AS ng
+        |        FROM cum JOIN st ON st.source = cum.source CROSS JOIN tot),
+        |ks AS (SELECT source, ns, ng,
+        |         max(abs(CAST(cs AS HUGEINT) * ng - CAST(cg AS HUGEINT) * ns))
+        |           AS dmax
+        |       FROM ksj GROUP BY 1, 2, 3),
+        |ks2 AS (SELECT source,
+        |          CAST((2 * dmax * 1000000 + CAST(ns AS HUGEINT) * ng)
+        |               // (2 * CAST(ns AS HUGEINT) * ng) AS BIGINT) AS ks_e6,
+        |          (dmax * 1e0) / (ns * 1e0 * ng) >
+        |            1.36 * sqrt((ns + ng) * 1e0 / (ns * 1e0 * ng)) AS drifted_ks
+        |        FROM ks),
+        |m AS (SELECT source, CAST(sum(n) AS BIGINT) AS n,
+        |        CAST(sum(sxc) AS HUGEINT) AS sx,
+        |        CAST(sum(sxxc) AS HUGEINT) AS sxx
+        |      FROM c GROUP BY 1),
+        |gm AS (SELECT CAST(sum(n) AS BIGINT) AS ngl,
+        |         CAST(sum(sx) AS HUGEINT) AS gx,
+        |         CAST(sum(sxx) AS HUGEINT) AS gxx FROM m),
+        |tj AS (SELECT source, n, sx, sxx,
+        |         ngl - n AS n2, gx - sx AS sx2, gxx - sxx AS sxx2
+        |       FROM m CROSS JOIN gm),
+        |tt AS (SELECT source,
+        |         CASE WHEN n >= 2 AND n2 >= 2 AND
+        |           ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+        |           ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2 > 0
+        |         THEN round(
+        |           ((sx * 1e0) / n - (sx2 * 1e0) / n2) / sqrt(
+        |             ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+        |             ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2),
+        |           6) END AS t_stat
+        |       FROM tj)
+        |SELECT psi.source, n_docs, psi_e6, drifted_psi, ks_e6, drifted_ks,
+        |  t_stat,
+        |  CASE WHEN t_stat IS NOT NULL THEN abs(t_stat) > 1.96 END AS significant
+        |FROM psi JOIN ks2 ON ks2.source = psi.source
+        |JOIN tt ON tt.source = psi.source
+        |ORDER BY psi.source""".stripMargin,
     "dq_drift_ttest" ->
       """WITH m AS (SELECT source, count(*) AS n,
         |             CAST(sum(n_chars) AS HUGEINT) AS sx,

@@ -254,6 +254,10 @@ class OperatorSpec extends AnyFunSuite {
     // one per-source moment agg + 1-row global broadcast + sort; the
     // rest-of-corpus moments are global − source, never a second scan
     budget("dq_drift_ttest", 4)
+    // ALL THREE statistics off one pinned cell agg: the composed report
+    // measures 3 exchanges / one corpus scan where three standalone
+    // calls pay 4+3+4 and three scans — the share-the-apex payoff
+    budget("dq_drift_report", 3)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {

@@ -57,6 +57,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_drift_ks" -> "HUGEINT type (Spark: DECIMAL(38,0))",
       "dq_drift_ttest" -> "HUGEINT type (Spark: DECIMAL(38,0))",
+      "dq_drift_report" -> "HUGEINT type (Spark: DECIMAL(38,0))",
       "dq_embedding_drift" -> ("embedding[i] is 1-based in DuckDB, 0-based " +
         "in Spark (join-key only, but generate_series/unnest don't parse)"),
       "agg_topk_sketch" -> listFns,
