@@ -137,6 +137,20 @@ object Pipelines {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming exact content dedup at ingest (r9): the documents-side
+    * twin of the batch checksum-dedup family — drop any doc whose
+    * payload content (md5 of text) was already seen on the stream.
+    * `dropDuplicates` on a stream keeps ONE state entry per distinct
+    * fingerprint forever (documents carry no event time, so no watermark
+    * can bound it) — that is the honest cost of GLOBAL exactly-once
+    * content dedup, and the 16-byte key keeps it ~16 GB per billion
+    * distinct docs sharded across the cluster's state stores. A bounded
+    * deployment TTLs it via transformWithState; the events-side
+    * [[dedup]] shows the watermarked shape where event time exists.
+    */
+  def contentDedup(docs: DataFrame): DataFrame =
+    docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
+
   /** Exactly-once semantics over an at-least-once feed: drop duplicate
     * event_ids within the watermark. */
   def dedup(events: DataFrame): DataFrame =

@@ -59,4 +59,31 @@ class FixedPointSpec extends AnyFunSuite {
         |FROM fixed_point_null_probe""".stripMargin).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  test("half-up identity (2N+D) div (2D) = round-half-up(N/D), both sign branches (seeded sweep)") {
+    // the bedrock identity ~40 declared queries stand on, swept over 10k
+    // seeded pairs incl. the .5-boundary and near-overflow regimes;
+    // negative numerators go through negate-divide-negate (the zipf/
+    // intercept discipline) because truncating division only agrees
+    // across engines on NON-negative operands. Seeded generator, not the
+    // scalatest-scalacheck bridge (house rule, LlmOpsSpec:8).
+    val rnd = new scala.util.Random(20260814L)
+    def halfUpNonNeg(n: BigInt, d: BigInt): BigInt = (2 * n + d) / (2 * d)
+    var boundaryHits = 0
+    for (_ <- 1 to 10000) {
+      val d = BigInt(rnd.nextLong(Long.MaxValue / 4) + 1)
+      val base = BigInt(rnd.nextLong(Long.MaxValue / 4))
+      // force exact .5 boundaries on a third of the sweep — the only
+      // inputs where half-up and truncation genuinely part ways
+      val n0 = if (rnd.nextInt(3) == 0 && d % 2 == 0) base / d * d + d / 2 else base
+      val n = if (rnd.nextBoolean()) n0 else -n0
+      if ((2 * n.abs) % (2 * d) == d) boundaryHits += 1
+      val expected = BigInt(new java.math.BigDecimal(n.bigInteger)
+        .divide(new java.math.BigDecimal(d.bigInteger), 0,
+          java.math.RoundingMode.HALF_UP).toBigInteger)
+      val got = if (n >= 0) halfUpNonNeg(n, d) else -halfUpNonNeg(-n, d)
+      assert(got == expected, s"N=$n D=$d got=$got expected=$expected")
+    }
+    assert(boundaryHits > 500, s"sweep must exercise .5 boundaries ($boundaryHits)")
+  }
 }

@@ -280,6 +280,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming content dedup keeps one doc per distinct text under duplicate delivery (r9)") {
+    // the re-crawl scenario: every doc arrives a second time under a NEW
+    // id (so id-keyed dedup would pass both copies); content dedup must
+    // emit each distinct text exactly once. WHICH copy survives is
+    // first-arrival (engine scheduling) — assert the fingerprint SET.
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    ms.addData(docs)
+    ms.addData(docs.map { case (id, t) => (id + 10000000L, t) })
+    val name = "content_dedup_sink"
+    val q = Pipelines.contentDedup(ms.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName(name).outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamedFps = spark.table(name).select("fp").collect()
+      .map(_.getString(0)).toSeq
+    assert(streamedFps.distinct.size == streamedFps.size, "emitted a duplicate fp")
+    val batchFps = ptx.Tables.documents(spark, TestSpark.SF)
+      .select(md5(col("text")).as("fp")).distinct().collect()
+      .map(_.getString(0)).toSet
+    assert(streamedFps.toSet == batchFps && batchFps.nonEmpty)
+    assert(streamedFps.size < 2 * docs.size, "duplicate delivery must be dropped")
+  }
+
   test("streaming the documents table through the quality filter equals batch (r5)") {
     val name = "qf_stream_sink"
     val q = ptx.ops.TextAnalysis.qualityFilter(ptx.Tables.documentsStream(spark, TestSpark.SF))
