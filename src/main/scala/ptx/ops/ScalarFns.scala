@@ -185,10 +185,27 @@ object ScalarFns {
           expr("""try_cast(IF(l_linenumber % 2 = 1,
                    CAST(CAST(l_quantity AS INT) AS STRING), l_returnflag)
                    AS INT)""").as("mixed_int"))
+    }),
+    // ✓ cryptographic-hash parity (r9): md5 + sha256 over the same utf-8
+    // text bytes on both engines — the fingerprint functions are the
+    // dedup/manifest backbone of this library (chunk fps, payload
+    // checksums, shard manifests), so their cross-engine byte-level
+    // agreement is a contract worth pinning as its own query, not only
+    // as a side effect of dedup results. Pure scan, zero shuffle but the
+    // output sort.
+    "fn_hash" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("h_md5"),
+          sha2(col("text"), 256).as("h_sha256"))
+        .orderBy(col("doc_id"))
     })
   )
 
   def oracle: Map[String, String] = Map(
+    "fn_hash" ->
+      """SELECT doc_id, md5(text) AS h_md5, sha256(text) AS h_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "fn_string" ->
       """SELECT p_partkey,
         |  upper(p_name) AS up, lower(p_brand) AS lo,

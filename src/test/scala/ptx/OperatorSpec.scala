@@ -258,6 +258,8 @@ class OperatorSpec extends AnyFunSuite {
     // measures 3 exchanges / one corpus scan where three standalone
     // calls pay 4+3+4 and three scans — the share-the-apex payoff
     budget("dq_drift_report", 3)
+    // pure scan + output sort
+    budget("fn_hash", 1)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {

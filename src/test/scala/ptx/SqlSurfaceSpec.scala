@@ -67,6 +67,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "fn_bitwise" -> "xor() function (Spark: ^ operator)",
       "fn_date" -> "epoch() (Spark: unix_timestamp)",
       "fn_regex" -> "regexp_matches (Spark: rlike)",
+      "fn_hash" -> "sha256() (Spark: sha2(x, 256))",
       "mm_binary_meta" -> "1-arg encode() (Spark encode needs charset)",
       "mm_dedup_payload" -> "1-arg encode() (Spark encode needs charset)",
       // DuckDB-only syntax
