@@ -31,6 +31,23 @@ object Telemetry {
     "signup" -> 280.0, "error" -> 250.0)
 
   def queries: Map[String, QFn] = Map(
+    // ✓ value-distribution drift per event stream (r9): PSI of each
+    // event_type's VALUE distribution against the all-streams reference —
+    // the telemetry twin of dq_drift_psi ("did the error stream's latency
+    // distribution move?"), computed by the SAME shared exact-integer
+    // core (Extras.psiAgainst): one pinned (type,bucket) cell agg, grid
+    // arithmetic, e6-snap-before-sum. Buckets are floor(value/10) —
+    // identical doubles floor identically on both engines.
+    "pt_value_drift" -> ((s, d) => {
+      val c = ptx.Caching.pin(Tables.events(s, d)
+        .groupBy(col("event_type").as("source"),
+          floor(col("value") / 10).cast("long").as("b"))
+        .agg(count(lit(1)).as("n")))
+      Extras.psiAgainst(c, c.groupBy(col("b")).agg(sum(col("n")).as("gn")))
+        .select(col("source").as("event_type"), col("n_docs").as("n_events"),
+          col("psi_e6"), col("drifted"))
+        .orderBy(col("event_type"))
+    }),
     "pt_threshold_alerts" -> ((s, d) => {
       val thr = s.createDataFrame(thresholds).toDF("event_type", "thr")
       Tables.events(s, d)
@@ -639,6 +656,27 @@ object Telemetry {
        |       FROM $EV) g)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "pt_value_drift" ->
+      """WITH c AS (SELECT event_type AS source,
+        |             CAST(floor(value / 10) AS BIGINT) AS b, count(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT b, CAST(sum(n) AS BIGINT) AS gn FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(sum(gn) AS BIGINT) AS gt, count(*) AS nb FROM g),
+        |st AS (SELECT source, CAST(sum(n) AS BIGINT) AS sn_tot FROM c GROUP BY 1),
+        |grid AS (SELECT s.source, g.b, g.gn, coalesce(c.n, 0) AS sn
+        |         FROM (SELECT DISTINCT source FROM c) s
+        |         CROSS JOIN g LEFT JOIN c ON c.source = s.source AND c.b = g.b),
+        |terms AS (
+        |  SELECT grid.source, sn_tot,
+        |    CAST(round((((sn + 1e0) / (sn_tot + nb) - (gn + 1e0) / (gt + nb)) *
+        |                ln(((sn + 1e0) / (sn_tot + nb)) /
+        |                   ((gn + 1e0) / (gt + nb)))) * 1000000) AS BIGINT)
+        |      AS term_e6
+        |  FROM grid JOIN st ON st.source = grid.source CROSS JOIN tot)
+        |SELECT source AS event_type, sn_tot AS n_events,
+        |  CAST(sum(term_e6) AS BIGINT) AS psi_e6,
+        |  CAST(sum(term_e6) AS BIGINT) > 250000 AS drifted
+        |FROM terms GROUP BY source, sn_tot ORDER BY event_type""".stripMargin,
     "pt_burn_rate" ->
       s"""WITH hourly AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,

@@ -260,6 +260,8 @@ class OperatorSpec extends AnyFunSuite {
     budget("dq_drift_report", 3)
     // pure scan + output sort
     budget("fn_hash", 1)
+    // the shared PSI core on (event_type, value-bucket) cells
+    budget("pt_value_drift", 4)
   }
 
   test("q6: all three predicates push to the lineitem scan (r6)") {
