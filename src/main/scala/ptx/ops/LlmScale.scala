@@ -598,6 +598,48 @@ object LlmScale {
           col("dup_id").isNull.as("is_canonical"))
         .orderBy(col("vec_id"))
     }),
+    // ◌ product quantization (r9): the billion-vector ANN compression
+    // one step past int8 — the 64-dim vector splits into m=4 subspaces
+    // of 16 dims, each learned a k=16 codeword book (deterministic
+    // mini-Lloyd, the VectorIndex.kmeans machinery — no RNG, so an
+    // index rebuild is reproducible), and every vector stores 4 CODE
+    // BYTES instead of 256 float bytes (64×). Output: per-vector code
+    // word + relative L2 reconstruction error (the int8 exemplar's
+    // pinned-parenthesization HOF). No SQL twin (the codebook build is
+    // iterative) → ◌; LlmOpsSpec asserts reproducibility, code range,
+    // and that the 16-codeword book reconstructs strictly better than
+    // the 1-codeword (grand-centroid) book.
+    // Scale: the build is 4 independent kmeans runs (each: broadcast
+    // centroids, one shuffle-free assignment scan + one centroid-update
+    // shuffle per iteration); encoding is the same broadcast-argmin
+    // scan the IVF probe uses. Build-once/encode-many, like the
+    // persisted IVF index.
+    "llm_quantize_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val m = 4; val sub = 16
+      val parts = (0 until m).map { j =>
+        val sv = e.select(col("vec_id"),
+          expr(s"slice(embedding, ${j * sub + 1}, $sub)").as("embedding"))
+        val (cent, asg) = ptx.sources.VectorIndex.kmeans(sv, k = 16, iters = 2)
+        asg.join(cent, "label")
+          .select(col("vec_id"), col("label").as(s"c$j"),
+            col("centroid").as(s"w$j"))
+      }
+      val joined = parts.reduce((a, b) => a.join(b, "vec_id"))
+      joined.join(e.select(col("vec_id"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")), "vec_id")
+        .withColumn("rec", expr(
+          "transform(concat(w0, w1, w2, w3), x -> CAST(x AS DOUBLE))"))
+        .withColumn("err2", expr(
+          """aggregate(zip_with(v, rec, (x, r) -> (x - r) * (x - r)),
+            |  0D, (a, t) -> a + t)""".stripMargin))
+        .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+        .filter(col("n2") > 0)
+        .select(col("vec_id"),
+          array((0 until m).map(j => col(s"c$j")): _*).as("codes"),
+          round(sqrt(col("err2")) / sqrt(col("n2")), 6).as("rel_err"))
+        .orderBy(col("vec_id"))
+    }),
     "llm_quantize_embed" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("vec_id"), col("label"),

@@ -277,4 +277,34 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     Caching.releaseAll() // both ops pin the shared shingle frame
   }
+
+  test("llm_quantize_pq: codes in range, errors bounded, 4x16 book beats the grand-centroid book (r9)") {
+    import org.apache.spark.sql.functions._
+    val pq = q("llm_quantize_pq").collect()
+    assert(pq.nonEmpty)
+    pq.foreach { r =>
+      val codes = r.getSeq[Int](1)
+      assert(codes.size == 4 && codes.forall(x => x >= 0 && x < 16), s"codes $codes")
+      val err = r.getDouble(2)
+      assert(err >= 0 && err <= 1.5, s"rel_err $err")
+    }
+    val meanPq = pq.map(_.getDouble(2)).sum / pq.size
+    // the degenerate 1-codeword book: every vector reconstructed by the
+    // grand centroid — any LEARNED book must beat it strictly
+    val ev = Tables.embeddings(spark, SF01)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+    val cent = ev.select(posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy(col("p")).agg(avg(col("x")).as("c"))
+      .orderBy(col("p")).collect().map(_.getDouble(1))
+    val cLit = cent.mkString("array(", ",", ")")
+    val meanGrand = ev
+      .withColumn("err2", expr(
+        s"aggregate(zip_with(v, $cLit, (x, r) -> (x - r) * (x - r)), 0D, (a, t) -> a + t)"))
+      .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
+      .filter(col("n2") > 0)
+      .agg(avg(sqrt(col("err2")) / sqrt(col("n2")))).collect()(0).getDouble(0)
+    assert(meanPq < meanGrand,
+      s"PQ mean rel_err $meanPq must beat grand-centroid $meanGrand")
+  }
 }

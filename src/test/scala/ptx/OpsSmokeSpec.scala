@@ -44,6 +44,7 @@ class OpsSmokeSpec extends AnyFunSuite {
     assert(noOracle == Set("agg_approx_distinct", "agg_approx_percentile",
       "agg_hll_sketch", "agg_hll_union",
       "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_cluster_lsh",
-      "llm_ann_lsh", "llm_ann_ivf_kmeans", "mm_decode_features", "scan_sample"))
+      "llm_ann_lsh", "llm_ann_ivf_kmeans", "llm_quantize_pq",
+      "mm_decode_features", "scan_sample"))
   }
 }
