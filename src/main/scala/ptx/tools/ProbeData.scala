@@ -53,7 +53,20 @@ object ProbeData {
         col("label"))
     emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    println(s"wrote 10x documents+embeddings under $out")
+    // events: key-shifted replicas — 10× rows AND 10× the user domain
+    // (user_id shifts per replica), event times unchanged so window/
+    // session group counts scale with users, matching the original
+    // probe's "1M events with 10× the users" construction.
+    val ev = ptx.Tables.events(spark, src)
+      .crossJoin(reps)
+      .select(
+        (col("event_id") + col("r") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("r") * 10000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    ev.write.mode("overwrite").parquet(s"$out/events.parquet")
+
+    println(s"wrote 10x documents+embeddings+events under $out")
     spark.stop()
   }
 }
