@@ -30,6 +30,20 @@ object QueryRegistry {
     qs.toMap
   }
 
+  /** The declared 100 TB posture of the quadratic EXACT ANCHORS (VERDICT
+    * r9 #5): each is intentionally pair-space-quadratic — it exists to
+    * verify its sub-quadratic scale twin on graded data, and the twin is
+    * what a 100 TB deployment runs. Machine-readable here so the pairing
+    * surfaces in docs/QUERIES.md (QueryIndex) instead of living only in
+    * per-op comments; everything not listed is scale-path by default.
+    * Guarded by a registry test: every key on either side must exist.
+    */
+  lazy val anchorScaleTwin: Map[String, String] = Map(
+    "llm_dedup_near"  -> "llm_dedup_minhash_lsh", // inverted-index Jaccard → banded MinHash
+    "llm_containment" -> "llm_containment_prefix", // full inverted index → rarity-ordered prefix filter
+    "llm_dedup_embed" -> "llm_semdedup" // all-pairs cosine BNLJ → cell-bounded semantic dedup
+  )
+
   lazy val oracleSql: Map[String, String] = {
     val pairs = groups.flatMap(_._2)
     require(pairs.size == pairs.map(_._1).distinct.size,

@@ -408,11 +408,16 @@ object Extras {
     // Scale: one corpus scan into per-source moments; everything after is
     // #sources-sized with the 1-row global broadcast.
     "dq_drift_ttest" -> ((s, d) => {
+      // Moments accumulate IN decimal(38,0) (per-row cast before the
+      // sum), not as a LONG sum cast afterwards: at 100 TB the long
+      // Σx² accumulator would overflow (ANSI abort / silent wrap)
+      // before any cast could help.
       val m = Tables.documents(s, d)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).cast("decimal(38,0)").as("sx"),
-          sum(col("n_chars") * col("n_chars")).cast("decimal(38,0)").as("sxx"))
+          sum(col("n_chars").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+          sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+            .cast("decimal(38,0)").as("sxx"))
       val g = m.agg(sum(col("n")).as("ng"),
         sum(col("sx")).as("gx"), sum(col("sxx")).as("gxx"))
       m.crossJoin(broadcast(g))
@@ -447,8 +452,10 @@ object Extras {
       val c = ptx.Caching.pin(Tables.documents(s, d)
         .groupBy(col("source"), expr("n_chars div 50").as("b"))
         .agg(count(lit(1)).as("n"),
-          sum(col("n_chars")).cast("decimal(38,0)").as("sxc"),
-          sum(expr("n_chars * n_chars")).cast("decimal(38,0)").as("sxxc")))
+          // per-row decimal cast BEFORE the sum — see dq_drift_ttest
+          sum(col("n_chars").cast("decimal(38,0)")).cast("decimal(38,0)").as("sxc"),
+          sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+            .cast("decimal(38,0)").as("sxxc")))
       val cells = c.select(col("source"), col("b"), col("n"))
       val g = cells.groupBy(col("b")).agg(sum(col("n")).as("gn"))
       val psi = psiAgainst(cells, g)

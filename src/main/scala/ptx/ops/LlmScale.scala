@@ -635,8 +635,15 @@ object LlmScale {
             |  0D, (a, t) -> a + t)""".stripMargin))
         .withColumn("n2", expr("aggregate(v, 0D, (a, x) -> a + x * x)"))
         .filter(col("n2") > 0)
+        // Codes pack into ONE BIGINT (base-16 digits: c0*4096+c1*256+
+        // c2*16+c3) rather than an array<int> column: the driver's dump
+        // canonicalization pandas-sorts every output column, and numpy
+        // arrays are unhashable there. The packed form is lossless for
+        // k=16 books and keeps the dump schema atomic (see the
+        // registry-wide atomic-output lint in OpsSmokeSpec).
         .select(col("vec_id"),
-          array((0 until m).map(j => col(s"c$j")): _*).as("codes"),
+          (0 until m).map(j => col(s"c$j").cast("long") * lit(1L << (4 * (m - 1 - j))))
+            .reduce(_ + _).as("code_word"),
           round(sqrt(col("err2")) / sqrt(col("n2")), 6).as("rel_err"))
         .orderBy(col("vec_id"))
     }),

@@ -130,7 +130,18 @@ object Pipelines {
         val cells = batch
           .groupBy(col("source"), expr("n_chars div 50").as("b"))
           .agg(count(lit(1)).as("n"))
-        ptx.ops.Extras.psiAgainst(cells, ref)
+        // PSI grid = the UNION of reference and batch buckets: a batch
+        // doc landing in a length bucket the reference never saw must
+        // enter the sum as a +1-Laplace cell with gn=0 (mirroring how
+        // source-missing buckets are smoothed), not silently drop out —
+        // otherwise drift INTO genuinely novel buckets (the strongest
+        // drift signal a gate can see) is understated. Batch-side
+        // distinct buckets are micro-batch-bounded, so the anti-join
+        // stays broadcast-sized.
+        val novel = cells.select(col("b")).distinct()
+          .join(ref.select(col("b")), Seq("b"), "left_anti")
+          .withColumn("gn", lit(0L))
+        ptx.ops.Extras.psiAgainst(cells, ref.unionByName(novel))
           .write.mode("overwrite").parquet(s"$dir/batch=$id")
       }
       .option("checkpointLocation", checkpoint)

@@ -11,11 +11,22 @@ import org.apache.spark.sql.functions._
   * reproducible:
   *   sbt "runMain ptx.tools.ProbeData /root/testdata/sf0.1 /tmp/probe10x"
   *   sbt "runMain ptx.tools.Explain /tmp/probe10x --time <query> ..."
+  *
+  * `--hot-events [reps]` instead writes the EVENTS-SKEW probe pair: the
+  * source events replicated `reps`× (default 30, key-shifted ids — the
+  * 10×-probe construction) land TWICE, as `$out/uniform/events.parquet`
+  * and as `$out/hot/events.parquet` with 80% of rows remapped onto ONE
+  * hot user_id and one hot event_type. Identical row counts, so a
+  * timing delta between the two dirs isolates KEY SKEW from volume —
+  * the hot-key shape for (a) user_id-partitioned windows/sessions and
+  * (b) the event_type-keyed shuffle join that `join_skew_salted` salts.
+  * Deterministic (event_id % 5 picks the hot slice), no RNG.
   */
 object ProbeData {
   def main(args: Array[String]): Unit = {
     val src = args(0)
     val out = args(1)
+    val hotEvents = args.contains("--hot-events")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
@@ -23,6 +34,30 @@ object ProbeData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (hotEvents) {
+      val nReps = args.dropWhile(_ != "--hot-events").drop(1).headOption
+        .map(_.toInt).getOrElse(30)
+      val reps = spark.range(nReps.toLong).select(col("id").as("r"))
+      val uniform = ptx.Tables.events(spark, src)
+        .crossJoin(reps)
+        .select(
+          (col("event_id") + col("r") * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("r") * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      uniform.write.mode("overwrite").parquet(s"$out/uniform/events.parquet")
+      val hot = expr("event_id % 5 < 4") // 80% of rows
+      uniform
+        .select(col("event_id"), col("ts"),
+          when(hot, lit(1L)).otherwise(col("user_id")).as("user_id"),
+          when(hot, lit("click")).otherwise(col("event_type")).as("event_type"),
+          col("value"), col("props"))
+        .write.mode("overwrite").parquet(s"$out/hot/events.parquet")
+      println(s"wrote ${nReps}x uniform + hot-user/hot-type events under $out")
+      spark.stop()
+      return
+    }
 
     val reps = spark.range(10).select(col("id").as("r"))
 

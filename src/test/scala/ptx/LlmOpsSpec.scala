@@ -283,8 +283,11 @@ class LlmOpsSpec extends AnyFunSuite {
     val pq = q("llm_quantize_pq").collect()
     assert(pq.nonEmpty)
     pq.foreach { r =>
-      val codes = r.getSeq[Int](1)
-      assert(codes.size == 4 && codes.forall(x => x >= 0 && x < 16), s"codes $codes")
+      // code_word packs the 4 subspace codes as base-16 digits
+      val word = r.getLong(1)
+      assert(word >= 0 && word < (1L << 16), s"code_word $word")
+      val codes = (0 until 4).map(j => ((word >> (4 * (3 - j))) & 0xF).toInt)
+      assert(codes.forall(x => x >= 0 && x < 16), s"codes $codes")
       val err = r.getDouble(2)
       assert(err >= 0 && err <= 1.5, s"rel_err $err")
     }

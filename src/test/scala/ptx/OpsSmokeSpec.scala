@@ -38,6 +38,37 @@ class OpsSmokeSpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"releaseAll left cached RDDs behind: $leaked")
   }
 
+  test("registry lint: every query output is atomic-typed (VERDICT r9 #2)") {
+    import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+    // The driver dumps EVERY declared query (◌ included) and
+    // pandas-sorts all columns to canonicalize; array/map/struct cells
+    // become unhashable ndarrays there and crash the compare (the r9
+    // llm_quantize_pq failure). Lint the whole registry so the failure
+    // class can't recur silently.
+    def atomic(dt: DataType): Boolean = dt match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+    // self-check: the lint must flag a deliberately array-emitting frame
+    val bad = spark.sql("SELECT array(1, 2) AS a, 1 AS b")
+    assert(bad.schema.fields.exists(f => !atomic(f.dataType)),
+      "lint self-check failed to flag an array column")
+    QueryRegistry.all.foreach { case (name, fn) =>
+      val schema = try fn(spark, TestSpark.SF).schema finally Caching.releaseAll()
+      val offenders = schema.fields.filterNot(f => atomic(f.dataType))
+      assert(offenders.isEmpty, s"$name emits non-atomic top-level columns: " +
+        offenders.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", "))
+    }
+  }
+
+  test("anchorScaleTwin pairs real registry keys, anchors distinct from twins") {
+    QueryRegistry.anchorScaleTwin.foreach { case (anchor, twin) =>
+      assert(QueryRegistry.all.contains(anchor), s"unknown anchor $anchor")
+      assert(QueryRegistry.all.contains(twin), s"unknown scale twin $twin")
+      assert(anchor != twin)
+    }
+  }
+
   test("every oracle key has a query; ◌ keys are the declared sketch ops") {
     assert((QueryRegistry.oracleSql.keySet -- QueryRegistry.all.keySet).isEmpty)
     val noOracle = QueryRegistry.all.keySet -- QueryRegistry.oracleSql.keySet

@@ -87,6 +87,21 @@ class TablesSchemaSpec extends AnyFunSuite {
     assert(e.getMessage.contains("missing column ts"))
   }
 
+  test("a re-typed documents parquet trips the canary loader loudly (VERDICT r9 #3)") {
+    val s = TestSpark.spark
+    // n_chars regenerated as STRING behind stable column names — the exact
+    // drift shape the preflight SchemaDigest canary exists to catch
+    val dir = java.nio.file.Files.createTempDirectory("ptx_docdrift").toFile.getAbsolutePath
+    s.sql(
+      """SELECT id AS doc_id, 'hello world' AS text, 'en' AS lang,
+        |  'web' AS source, cast(11 AS STRING) AS n_chars
+        |FROM range(3)""".stripMargin)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val e = intercept[IllegalArgumentException] { Tables.documents(s, dir) }
+    assert(e.getMessage.contains("fixture drift"))
+    assert(e.getMessage.contains("n_chars"))
+  }
+
   test("assertSchema rejects a missing column") {
     val s = TestSpark.spark
     import s.implicits._

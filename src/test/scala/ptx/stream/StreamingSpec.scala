@@ -280,6 +280,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming drift gate: batch buckets NOVEL to the reference enter the PSI sum (ADVICE r9)") {
+    // reference built from the SHORT half of the corpus only, so real
+    // batch docs land in length buckets the reference has never seen —
+    // the union grid must score them as gn=0 Laplace cells, not drop them
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    val cut = docs.agg(expr(
+        "cast(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS LONG)"))
+      .collect()(0).getLong(0)
+    val ref = docs.filter(col("n_chars") <= cut)
+      .groupBy(expr("n_chars div 50").as("b"))
+      .agg(count(lit(1)).as("gn"))
+    val cells = docs.groupBy(col("source"), expr("n_chars div 50").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val novel = cells.select(col("b")).distinct()
+      .join(ref.select(col("b")), Seq("b"), "left_anti")
+      .withColumn("gn", lit(0L))
+    assert(novel.count() > 0, "fixture must produce reference-novel buckets")
+    val out = java.nio.file.Files.createTempDirectory("ptx-drift-novel").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ptx-drift-novel-ckpt").toString
+    val q = Pipelines.driftGate(
+      ptx.Tables.documentsStream(spark, TestSpark.SF), ref, out, ckpt)
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    val streamed = spark.read.parquet(s"$out/batch=0").collect().map(key).toSet
+    val expected = ptx.ops.Extras.psiAgainst(cells, ref.unionByName(novel))
+      .collect().map(key).toSet
+    val dropped = ptx.ops.Extras.psiAgainst(cells, ref)
+      .collect().map(key).toSet
+    assert(streamed == expected && expected.nonEmpty)
+    // and the union grid genuinely changes the verdict vs silent dropping
+    assert(streamed != dropped,
+      "novel buckets should move the PSI relative to the dropped-bucket grid")
+  }
+
   test("streaming content dedup keeps one doc per distinct text under duplicate delivery (r9)") {
     // the re-crawl scenario: every doc arrives a second time under a NEW
     // id (so id-keyed dedup would pass both copies); content dedup must
