@@ -615,7 +615,10 @@ object LlmScale {
     // scan the IVF probe uses. Build-once/encode-many, like the
     // persisted IVF index.
     "llm_quantize_pq" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
+      // pinned: the 4 subspace books each slice this frame and iterate on
+      // it (assign + centroid-update per Lloyd step) — without the pin the
+      // parquet scan re-runs once per subspace per iteration
+      val e = ptx.Caching.pin(Tables.embeddings(s, d))
       val m = 4; val sub = 16
       val parts = (0 until m).map { j =>
         val sv = e.select(col("vec_id"),
