@@ -263,17 +263,15 @@ object LlmScale {
     // df skew to inflate (the keeper rule is one min() in the same gram
     // aggregation the df count already pays for).
     "llm_span_rewrite" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n_tokens", size(col("w")).cast("long"))
+      // gram stream via the codegen'd GramHashes kernel (see TextGrams:
+      // the HOF slice+join form allocated a gram string per occurrence)
       val grams = ptx.Caching.pin(docs
-        .withColumn("g", expr(
-          "CASE WHEN n_tokens >= 5 THEN " +
-            "transform(sequence(1, cast(n_tokens as int) - 4), " +
-            "i -> struct(i as pos, xxhash64(array_join(slice(w, i, 5), ' ')) as h)) " +
-            "ELSE array() END"))
-        .select(col("doc_id"), explode(col("g")).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h")))
+        .select(col("doc_id"), posexplode(expr("gram_hashes(w)")).as(Seq("i0", "h")))
+        .select(col("doc_id"), (col("i0") + 1).as("pos"), col("h")))
       val gstat = grams.groupBy(col("h")).agg(
         countDistinct(col("doc_id")).as("df"), min(col("doc_id")).as("keeper"))
       val dup = grams.join(gstat.filter(col("df") >= 2), Seq("h"))
@@ -300,21 +298,18 @@ object LlmScale {
         .orderBy(col("doc_id"))
     }),
     "llm_dedup_spans" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("n_tokens", size(col("w")).cast("long"))
-      // per-doc gram stream built scan-local with ONE HOF (no
-      // explode-then-window): (pos, hash) for each of the n−4 grams.
+      // per-doc gram stream built scan-local by the codegen'd GramHashes
+      // kernel (one fused loop per row — see TextGrams for why the HOF
+      // slice+join form lost): (pos, hash) for each of the n−4 grams.
       // Pinned: feeds both the df count and the dup-occurrence join —
       // unpinned, the corpus is tokenized and hashed twice.
       val grams = ptx.Caching.pin(docs
-        .withColumn("g", expr(
-          "CASE WHEN n_tokens >= 5 THEN " +
-            "transform(sequence(1, cast(n_tokens as int) - 4), " +
-            "i -> struct(i as pos, xxhash64(array_join(slice(w, i, 5), ' ')) as h)) " +
-            "ELSE array() END"))
-        .select(col("doc_id"), explode(col("g")).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.h").as("h")))
+        .select(col("doc_id"), posexplode(expr("gram_hashes(w)")).as(Seq("i0", "h")))
+        .select(col("doc_id"), (col("i0") + 1).as("pos"), col("h")))
       val dfreq = grams.select(col("doc_id"), col("h")).distinct()
         .groupBy(col("h")).agg(count(lit(1)).as("df"))
       val dup = grams.join(dfreq.filter(col("df") >= 2), Seq("h"))

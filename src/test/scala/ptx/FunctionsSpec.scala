@@ -90,6 +90,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(same - 1.0) < 1e-12)
   }
 
+  test("gram_hashes: window identity, position sensitivity, short rows, SQL twin (r10)") {
+    ptx.functions.TextGrams.register(spark)
+    // identical 5-token windows hash equal ACROSS docs; different windows
+    // differ; order matters (position sensitivity)
+    val rows = Seq(
+      (1L, "a b c d e f"),          // grams: [a..e], [b..f]
+      (2L, "x a b c d e"),          // gram 2 = [a..e] — must equal doc 1's first
+      (3L, "e d c b a z"),          // reversed tokens — must differ
+      (4L, "a b c d")               // 4 tokens → no grams
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), posexplode(expr("gram_hashes(w)")).as(Seq("i0", "h")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc(1L).length == 2 && byDoc(2L).length == 2 && byDoc(3L).length == 2)
+    assert(!byDoc.contains(4L), "a 4-token row must emit no grams")
+    val d1first = byDoc(1L).find(_._2 == 0).get._3
+    val d2second = byDoc(2L).find(_._2 == 1).get._3
+    assert(d1first == d2second, "identical grams must share the key across docs")
+    val d3 = byDoc(3L).map(_._3).toSet
+    assert(!d3.contains(d1first), "reversed token order must change the key")
+    assert(byDoc(1L).map(_._3).distinct.length == 2, "shifted windows must differ")
+    // the kernel must agree with its variadic-builtin construction:
+    // xxhash64 of the five per-token xxhash64 values, chained in order
+    val twin = spark.sql(
+      """SELECT xxhash64(xxhash64('a'), xxhash64('b'), xxhash64('c'),
+        |                xxhash64('d'), xxhash64('e'))""".stripMargin)
+      .collect()(0).getLong(0)
+    assert(d1first == twin, "GramHashes must equal the chained xxhash64 builtin")
+  }
+
   test("SimHash aggregator equals the 64-column sum(when) formulation") {
     val rnd = new scala.util.Random(11)
     val hashes = Seq.fill(200)(rnd.nextLong())
