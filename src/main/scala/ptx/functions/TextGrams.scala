@@ -37,19 +37,20 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * fused loop per row inside whole-stage codegen — the gram stream stays
   * corpus-token-LINEAR and the shuffle still moves 8-byte keys.
   */
-case class GramHashes(child: Expression) extends UnaryExpression {
+case class GramHashes(child: Expression, width: Int = 5) extends UnaryExpression {
+  require(width >= 1, s"gram width must be >= 1, got $width")
   // input must be array<string>; call sites are library-internal
   // (ExpectsInputTypes is private[sql], same caveat as CosineSim)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hashes"
 
   override def nullSafeEval(tokens: Any): Any =
-    GramHashes.hashes(tokens.asInstanceOf[ArrayData])
+    GramHashes.hashes(tokens.asInstanceOf[ArrayData], width)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, t => {
       val cls = GramHashes.getClass.getName.stripSuffix("$") + "$.MODULE$"
-      s"${ev.value} = $cls.hashes($t);"
+      s"${ev.value} = $cls.hashes($t, $width);"
     })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -57,30 +58,29 @@ case class GramHashes(child: Expression) extends UnaryExpression {
 }
 
 object GramHashes {
-  private val N = 5        // gram width — the Lee et al. span recipe
   private val Seed = 42L   // the builtin xxhash64's seed
 
   /** Shared kernel (interpreted + codegen paths): per-token byte hash,
-    * then a chained long-hash per 5-gram window. Returns the empty array
-    * for rows shorter than 5 tokens (posexplode then yields no rows,
-    * like the old CASE WHEN ... ELSE array() END). */
-  def hashes(tokens: ArrayData): ArrayData = {
-    val n = tokens.numElements()
-    if (n < N) return new GenericArrayData(Array.emptyLongArray)
-    val th = new Array[Long](n)
+    * then a chained long-hash per width-`n` gram window. Returns the
+    * empty array for rows shorter than `n` tokens (posexplode then
+    * yields no rows, like the old CASE WHEN ... ELSE array() END). */
+  def hashes(tokens: ArrayData, n: Int): ArrayData = {
+    val len = tokens.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val th = new Array[Long](len)
     var i = 0
-    while (i < n) {
+    while (i < len) {
       th(i) =
         if (tokens.isNullAt(i)) Seed
         else XXH64.hashUTF8String(tokens.getUTF8String(i), Seed)
       i += 1
     }
-    val out = new Array[Long](n - N + 1)
+    val out = new Array[Long](len - n + 1)
     var g = 0
-    while (g <= n - N) {
+    while (g <= len - n) {
       var h = Seed
       var k = 0
-      while (k < N) {
+      while (k < n) {
         h = XXH64.hashLong(th(g + k), h)
         k += 1
       }
@@ -93,12 +93,20 @@ object GramHashes {
 
 object TextGrams {
   /** Registers gram_hashes in the session's function registry so it is
-    * usable from `expr(...)` / `spark.sql(...)`. Idempotent. */
+    * usable from `expr(...)` / `spark.sql(...)`: `gram_hashes(w)` for the
+    * span family's 5-grams, `gram_hashes(w, n)` for any other width (the
+    * dedup family's 3-word shingles). The width must be a literal.
+    * Idempotent. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "gram_hashes", exprs => {
-        require(exprs.length == 1,
-          s"gram_hashes requires exactly 1 argument, got ${exprs.length}")
-        GramHashes(exprs(0))
+        require(exprs.length == 1 || exprs.length == 2,
+          s"gram_hashes requires 1 or 2 arguments, got ${exprs.length}")
+        val width = if (exprs.length == 1) 5 else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"gram_hashes width must be an integer literal, got $other")
+        }
+        GramHashes(exprs(0), width)
       }, "scala_udf")
 }

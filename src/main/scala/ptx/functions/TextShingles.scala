@@ -8,19 +8,22 @@ import org.apache.spark.sql.functions._
   * never diverge on what counts as a shingle.
   */
 object TextShingles {
-  /** SQL fragment producing the shingle array from a `w` words column.
-    * Documents with fewer than 3 words yield an empty array (matching the
-    * oracle's `WHERE i <= len(w) - 2` guard) — without the CASE,
-    * `sequence(1, size-2)` would DESCEND for short docs and the transform
-    * would index out of bounds (a hard error under Spark 4 ANSI mode).
-    */
-  val shingleExpr: String =
-    """CASE WHEN size(w) >= 3 THEN
-      |  transform(sequence(1, size(w) - 2),
-      |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-      |ELSE array() END""".stripMargin
-
-  /** distinct (doc_id, shingle) pairs for a documents frame.
+  /** distinct (doc_id, shingle) pairs for a documents frame. The shingle
+    * column is the 3-gram's 64-BIT KEY from the codegen'd [[GramHashes]]
+    * kernel (r10), not the joined string: every consumer (inverted-index
+    * joins, minhash signatures, the broadcast decontamination index) only
+    * ever compares/counts/aggregates shingles, so an 8-byte key gives the
+    * same answers with ~3× narrower exchanges and no per-shingle string
+    * allocation — measured 2× on this stream's build (MicroBench r10),
+    * with the identical distinct count on the fixture corpus. The prior
+    * HOF form (`transform(sequence(...), i -> concat_ws(...))`) also ran
+    * interpreted, the same pathology the span family's gram stream had.
+    * Same ≈2e-11 64-bit pair-collision caveat as the span/minhash keys
+    * (two distinct shingles colliding would merge their index entries);
+    * the DuckDB oracles group shingle STRINGS, so parity runs verify the
+    * counts agree. Documents with fewer than 3 words yield no rows
+    * (kernel returns the empty array, matching the oracle's
+    * `WHERE i <= len(w) - 2` guard).
     *
     * Dedup is per-doc, so `array_distinct` BEFORE the explode — the old
     * `.distinct()` after it shuffled the whole exploded shingle stream
@@ -38,10 +41,12 @@ object TextShingles {
     * driver anyway, so the repartition exchange would be pure overhead.
     */
   def shingles(documents: DataFrame, repartitionByDoc: Boolean = true): DataFrame = {
+    TextGrams.register(documents.sparkSession)
     val parted = if (repartitionByDoc) documents.repartition(col("doc_id")) else documents
     parted
       .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(shingleExpr))).as("shingle"))
+      .select(col("doc_id"),
+        explode(array_distinct(expr("gram_hashes(w, 3)"))).as("shingle"))
   }
 
   /** (doc1, doc2, inter): distinct-shingle intersection counts for every

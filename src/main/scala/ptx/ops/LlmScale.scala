@@ -202,8 +202,9 @@ object LlmScale {
     "llm_containment_prefix" -> ((s, d) => {
       ptx.functions.VectorOps.register(s) // sorted_intersect_count kernel
       val t = 0.8 // strong containment — quote/extraction detection
+      // shingles arrive as 64-bit keys already (TextShingles r10)
       val sh = shingles(s, d)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .select(col("doc_id"), col("shingle").as("h"))
       val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       // diamond apex: per-doc size + sorted hash set feed the prefix rank,
       // and both verify sides. Released via Caching.releaseAll().
@@ -395,7 +396,7 @@ object LlmScale {
       // two distinct shingles collide (P ≈ n²/2⁶⁵ ≈ 2e-11 at the 27k-
       // shingle vocab; the ◌ op's property tests run against exact pairs).
       val sh = shingles(s, d)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h"))
+        .select(col("doc_id"), col("shingle").as("h"))
       val aggCols = (0 until H).map(i =>
         min(xxhash64(lit(i), col("h"))).as(s"m$i")) ++ Seq(
         count(lit(1)).as("n_sh"),

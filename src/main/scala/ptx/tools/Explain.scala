@@ -24,8 +24,13 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    // warm up the JVM/codegen so --time measures steady state
-    if (time || timeFull) ptx.QueryRegistry.all("scan_filter_pushdown")(spark, sfDir).count()
+    // warm up the JVM/codegen so --time measures steady state — on the
+    // FIRST requested query, not a fixed one: probe dirs may carry only
+    // the tables that query reads (e.g. a documents-only skew corpus)
+    if (time || timeFull) names.headOption.foreach { n =>
+      try ptx.QueryRegistry.all(n)(spark, sfDir).queryExecution.toRdd.count()
+      finally ptx.Caching.releaseAll()
+    }
     names.foreach { n =>
       val df = ptx.QueryRegistry.all(n)(spark, sfDir)
       if (time || timeFull) {

@@ -21,6 +21,13 @@ import org.apache.spark.sql.functions._
   * the hot-key shape for (a) user_id-partitioned windows/sessions and
   * (b) the event_type-keyed shuffle join that `join_skew_salted` salts.
   * Deterministic (event_id % 5 picks the hot slice), no RNG.
+  *
+  * `--hot-shingles` writes the DF-SKEW documents corpus behind the
+  * docs/SCALE.md §probe table: the source documents with a fixed 12-word
+  * boilerplate suffix appended to EVERY doc, so ~10 shingles per doc have
+  * corpus-sized posting lists (the pair space the inverted-index anchors
+  * pay and the banded/prefix scale paths never see). n_chars recomputed
+  * to keep the fixture contract.
   */
 object ProbeData {
   def main(args: Array[String]): Unit = {
@@ -34,6 +41,18 @@ object ProbeData {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    if (args.contains("--hot-shingles")) {
+      val suffix = " subscribe to our newsletter for updates terms of service apply here"
+      ptx.Tables.documents(spark, src)
+        .select(col("doc_id"), concat(col("text"), lit(suffix)).as("text"),
+          col("lang"), col("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      println(s"wrote boilerplate-suffixed documents under $out")
+      spark.stop()
+      return
+    }
 
     if (hotEvents) {
       val nReps = args.dropWhile(_ != "--hot-events").drop(1).headOption

@@ -98,8 +98,15 @@ class LlmOpsSpec extends AnyFunSuite {
     val docs = Seq((1L, "one"), (2L, "two words"), (3L, "three word doc"),
       (4L, "a b c d")).toDF("doc_id", "text")
     val sh = ptx.functions.TextShingles.shingles(docs).collect()
-      .map(r => (r.getLong(0), r.getString(1))).toSet
-    assert(sh == Set((3L, "three word doc"), (4L, "a b c"), (4L, "b c d")))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // docs 1-2 are too short to shingle; doc 3 one shingle, doc 4 two
+    assert(sh.toSeq.map(_._1).groupBy(identity).view.mapValues(_.length).toMap ==
+      Map(3L -> 1, 4L -> 2))
+    // keys are GramHashes 3-gram keys: "a b c" in another doc shares one
+    val twin = ptx.functions.TextShingles.shingles(
+      Seq((9L, "a b c")).toDF("doc_id", "text")).collect()(0).getLong(1)
+    assert(sh.contains((4L, twin)))
+    assert(sh.map(_._2).size == 3, "the three distinct shingles must get distinct keys")
   }
 
   test("top-k aggregator ranks NaN scores first, matching SQL DESC order") {
