@@ -616,14 +616,26 @@ object LlmScale {
       // parquet scan re-runs once per subspace per iteration
       val e = ptx.Caching.pin(Tables.embeddings(s, d))
       val m = 4; val sub = 16
-      val parts = (0 until m).map { j =>
-        val sv = e.select(col("vec_id"),
-          expr(s"slice(embedding, ${j * sub + 1}, $sub)").as("embedding"))
-        val (cent, asg) = ptx.sources.VectorIndex.kmeans(sv, k = 16, iters = 2)
-        asg.join(cent, "label")
-          .select(col("vec_id"), col("label").as(s"c$j"),
-            col("centroid").as(s"w$j"))
-      }
+      // the 4 subspace books are INDEPENDENT — build them as concurrent
+      // Spark jobs (r10): each kmeans is a chain of small actions
+      // (centroid collect + localCheckpoint per Lloyd step), so run
+      // sequentially the query is driver-latency-bound, not compute-bound;
+      // overlapping them collapses the wall time without changing any
+      // result (each build is deterministic and shares only the pinned
+      // read-only frame)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val parts = Await.result(Future.sequence((0 until m).map { j =>
+        Future {
+          val sv = e.select(col("vec_id"),
+            expr(s"slice(embedding, ${j * sub + 1}, $sub)").as("embedding"))
+          val (cent, asg) = ptx.sources.VectorIndex.kmeans(sv, k = 16, iters = 2)
+          asg.join(cent, "label")
+            .select(col("vec_id"), col("label").as(s"c$j"),
+              col("centroid").as(s"w$j"))
+        }
+      }), Duration.Inf)
       val joined = parts.reduce((a, b) => a.join(b, "vec_id"))
       joined.join(e.select(col("vec_id"),
           expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v")), "vec_id")
