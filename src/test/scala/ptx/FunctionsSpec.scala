@@ -121,6 +121,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(d1first == twin, "GramHashes must equal the chained xxhash64 builtin")
   }
 
+  test("gram_hashes keys partition identically to string grams on 200 seeded random docs") {
+    ptx.functions.TextGrams.register(spark)
+    // equivalence property the dedup/span families rely on: two gram
+    // occurrences share a kernel KEY iff their joined-string grams are
+    // equal (collisions aside — none at this scale). Checked per width
+    // (3 = shingles, 5 = spans) by comparing the string-gram stream's
+    // per-gram occurrence counts against the kernel stream's per-key
+    // counts: equal partitioning ⇒ identical count multisets AND
+    // identical distinct counts. Seeded small vocab forces heavy gram
+    // repetition; doc lengths 0..12 cover the under-width edge.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "aa", "bb")
+    val docs = (1 to 200).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+    for (width <- Seq(3, 5)) {
+      val stringStream = df.select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(w) >= $width THEN
+           |  transform(sequence(1, size(w) - ${width - 1}),
+           |    i -> array_join(slice(w, i, $width), ' '))
+           |ELSE array() END""".stripMargin)).as(Seq("pos", "g")))
+      val kernelStream = df.select(col("doc_id"),
+        posexplode(expr(s"gram_hashes(w, $width)")).as(Seq("pos", "h")))
+      val both = stringStream.join(kernelStream, Seq("doc_id", "pos"))
+      assert(both.count() == stringStream.count() && both.count() > 0,
+        s"width $width: occurrence streams misaligned")
+      // bijection: every string gram maps to exactly one key, and every
+      // key back to exactly one string gram
+      assert(both.groupBy(col("g"))
+        .agg(countDistinct(col("h")).as("nh")).filter(col("nh") =!= 1).isEmpty,
+        s"width $width: a string gram maps to multiple kernel keys")
+      assert(both.groupBy(col("h"))
+        .agg(countDistinct(col("g")).as("ng")).filter(col("ng") =!= 1).isEmpty,
+        s"width $width: distinct string grams collide on one kernel key")
+    }
+  }
+
   test("SimHash aggregator equals the 64-column sum(when) formulation") {
     val rnd = new scala.util.Random(11)
     val hashes = Seq.fill(200)(rnd.nextLong())
