@@ -148,6 +148,95 @@ object Pipelines {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming composed drift-REPORT gate (r10): the full per-batch drift
+    * panel — Laplace-smoothed PSI, Kolmogorov–Smirnov, and Welch-t — of
+    * each batch source's document-length distribution against a STATIC
+    * reference snapshot, in ONE foreachBatch pass over one (source,
+    * bucket) cell aggregate (the batch `dq_drift_report` share-the-apex
+    * discipline applied at ingest). `ref` carries the snapshot's bucket
+    * frame `(b, gn, gsx, gsxx)`: count + exact DECIMAL(38,0) n_chars
+    * moment sums per bucket. Differences vs the batch audit trio: the
+    * comparison population is the REFERENCE (an admission gate asks "does
+    * this shard look like the lake?"), not same-corpus rest-of-global;
+    * and the PSI/KS grids take the union of reference and batch buckets
+    * so novel-bucket drift scores (the [[driftGate]] r10 fix). Zero
+    * streaming state; per-batch overwrite of `dir/batch=<id>` keeps
+    * retried batches idempotent. Scale: everything after the one corpus
+    * scan is sources×buckets-grid-sized with the reference broadcast.
+    */
+  def driftReportGate(docs: DataFrame, ref: DataFrame, dir: String,
+                      checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val cells = batch
+          .groupBy(col("source"), expr("n_chars div 50").as("b"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars").cast("decimal(38,0)")).cast("decimal(38,0)").as("sxc"),
+            sum(col("n_chars").cast("decimal(38,0)") * col("n_chars"))
+              .cast("decimal(38,0)").as("sxxc"))
+        val refN = ref.select(col("b"), col("gn"))
+        val novel = cells.select(col("b")).distinct()
+          .join(refN.select(col("b")), Seq("b"), "left_anti")
+          .withColumn("gn", lit(0L))
+        val g = refN.unionByName(novel)
+        val counts = cells.select(col("source"), col("b"), col("n"))
+        val psi = ptx.ops.Extras.psiAgainst(counts, g)
+          .select(col("source"), col("n_docs"), col("psi_e6"),
+            col("drifted").as("drifted_psi"))
+        // KS: max |batch cdf − reference cdf| over the union bucket grid,
+        // exact cross-multiplied integers (the dq_drift_ks recipe)
+        val st = counts.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+        val tot = g.agg(sum(col("gn")).as("ng"))
+        val wb = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val ks = counts.select(col("source")).distinct()
+          .crossJoin(broadcast(g))
+          .join(broadcast(counts), Seq("source", "b"), "left_outer")
+          .withColumn("sn", coalesce(col("n"), lit(0L)))
+          .withColumn("cs", sum(col("sn")).over(wb))
+          .withColumn("cg", sum(col("gn")).over(wb))
+          .join(broadcast(st), Seq("source"))
+          .crossJoin(broadcast(tot))
+          .withColumn("dnum", abs(
+            col("cs").cast("decimal(38,0)") * col("ng") -
+              col("cg").cast("decimal(38,0)") * col("ns")))
+          .groupBy(col("source"), col("ns"), col("ng"))
+          .agg(max(col("dnum")).as("dmax"))
+          .select(col("source"),
+            expr("(2 * dmax * 1000000 + cast(ns as decimal(38,0)) * ng)" +
+              " div (2 * cast(ns as decimal(38,0)) * ng)").as("ks_e6"),
+            expr("(dmax * 1e0) / (ns * 1e0 * ng) >" +
+              " 1.36 * sqrt((ns + ng) * 1e0 / (ns * 1e0 * ng))").as("drifted_ks"))
+        // Welch t of the batch source's mean length vs the REFERENCE
+        // population (its moments arrive pre-aggregated in ref)
+        val m = cells.groupBy(col("source"))
+          .agg(sum(col("n")).as("n"), sum(col("sxc")).as("sx"),
+            sum(col("sxxc")).as("sxx"))
+        val gm = ref.agg(sum(col("gn")).as("n2"),
+          sum(col("gsx")).cast("decimal(38,0)").as("sx2"),
+          sum(col("gsxx")).cast("decimal(38,0)").as("sxx2"))
+        val tt = m.crossJoin(broadcast(gm))
+          .select(col("source"),
+            expr("""CASE WHEN n >= 2 AND n2 >= 2 AND
+              |  ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+              |  ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2 > 0
+              |THEN round(
+              |  ((sx * 1e0) / n - (sx2 * 1e0) / n2) / sqrt(
+              |    ((sxx * 1e0 - (sx * 1e0) * (sx * 1e0) / n) / (n - 1)) / n +
+              |    ((sxx2 * 1e0 - (sx2 * 1e0) * (sx2 * 1e0) / n2) / (n2 - 1)) / n2),
+              |  6) END""".stripMargin).as("t_stat"))
+          .withColumn("significant",
+            when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
+        psi.join(ks, Seq("source")).join(tt, Seq("source"))
+          .orderBy(col("source"))
+          .write.mode("overwrite").parquet(s"$dir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact content dedup at ingest (r9): the documents-side
     * twin of the batch checksum-dedup family — drop any doc whose
     * payload content (md5 of text) was already seen on the stream.

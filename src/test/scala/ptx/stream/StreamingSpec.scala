@@ -315,6 +315,67 @@ class StreamingSpec extends AnyFunSuite {
       "novel buckets should move the PSI relative to the dropped-bucket grid")
   }
 
+  test("streaming drift-report gate: single-batch panel matches the batch PSI/KS audits + reference-moment t (r10)") {
+    // reference = the corpus's own bucket frame (counts + exact decimal
+    // moments), so the one-batch PSI and KS columns must be ROW-IDENTICAL
+    // to the batch dq_drift_psi / dq_drift_ks audits (both measure source
+    // vs this same global distribution); the t column compares against the
+    // REFERENCE population's moments and is checked against a direct
+    // Welch computation from the same integers.
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    val ref = docs.groupBy(expr("n_chars div 50").as("b"))
+      .agg(count(lit(1)).as("gn"),
+        sum(col("n_chars").cast("decimal(38,0)")).as("gsx"),
+        sum(expr("cast(n_chars as decimal(38,0)) * n_chars")).as("gsxx"))
+    val out = java.nio.file.Files.createTempDirectory("ptx-driftrep").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ptx-driftrep-ckpt").toString
+    val q = Pipelines.driftReportGate(
+      ptx.Tables.documentsStream(spark, TestSpark.SF), ref, out, ckpt)
+    q.awaitTermination()
+    val got = spark.read.parquet(s"$out/batch=0").collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.nonEmpty)
+    val psiBatch = ptx.QueryRegistry.all("dq_drift_psi")(spark, TestSpark.SF)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(psiBatch.nonEmpty)
+    psiBatch.foreach { case (src, nDocs, psiE6, drifted) =>
+      val r = got(src)
+      assert(r.getAs[Long]("n_docs") == nDocs)
+      assert(r.getAs[Long]("psi_e6") == psiE6, s"$src psi")
+      assert(r.getAs[Boolean]("drifted_psi") == drifted)
+    }
+    val ksBatch = ptx.QueryRegistry.all("dq_drift_ks")(spark, TestSpark.SF)
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getBoolean(3)))
+    ksBatch.foreach { case (src, ksE6, drifted) =>
+      val r = got(src)
+      assert(r.getAs[Long]("ks_e6") == ksE6, s"$src ks")
+      assert(r.getAs[Boolean]("drifted_ks") == drifted)
+    }
+    // Welch t against the reference moments, computed directly
+    val moments = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sx"),
+        sum(expr("n_chars * n_chars")).as("sxx"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val (n2, sx2, sxx2) = {
+      val t = docs.agg(count(lit(1)), sum(col("n_chars")),
+        sum(expr("n_chars * n_chars"))).collect()(0)
+      (t.getLong(0).toDouble, t.getLong(1).toDouble, t.getLong(2).toDouble)
+    }
+    moments.foreach { case (src, nL, sxL, sxxL) =>
+      val (n, sx, sxx) = (nL.toDouble, sxL.toDouble, sxxL.toDouble)
+      val varTerm = ((sxx - sx * sx / n) / (n - 1)) / n +
+        ((sxx2 - sx2 * sx2 / n2) / (n2 - 1)) / n2
+      val r = got(src)
+      if (nL >= 2 && varTerm > 0) {
+        val expected = (sx / n - sx2 / n2) / math.sqrt(varTerm)
+        val gotT = r.getAs[Double]("t_stat")
+        assert(math.abs(gotT - expected) < 1e-5, s"$src t: $gotT vs $expected")
+        assert(r.getAs[Boolean]("significant") == (math.abs(gotT) > 1.96))
+      }
+    }
+    ptx.Caching.releaseAll()
+  }
+
   test("streaming content dedup keeps one doc per distinct text under duplicate delivery (r9)") {
     // the re-crawl scenario: every doc arrives a second time under a NEW
     // id (so id-keyed dedup would pass both copies); content dedup must
