@@ -246,10 +246,11 @@ object LlmScale {
     // shuffle keys on gram hash / doc / (doc,pos) — no self-join pair
     // explosion anywhere, so df skew CANNOT blow it up: a corpus-wide hot
     // gram is one aggregation group here, not an O(|bucket|²) join bucket
-    // (contrast the llm_dedup_near anchor, docs/SCALE.md probe). Grams
-    // are xxhash64'd so shuffles move 8-byte keys, not strings (same
-    // ≈2e-11 collision caveat as minhash-lsh; the oracle groups the
-    // strings themselves). flagged = ≥20% of tokens covered, exact
+    // (contrast the llm_dedup_near anchor, docs/SCALE.md probe). Gram
+    // keys come from the codegen'd GramHashes kernel (r10 — XXH64 chain
+    // over per-token hashes), so shuffles move 8-byte keys, not strings
+    // (same ≈2e-11 collision caveat as minhash-lsh; the oracle groups
+    // the strings themselves). flagged = ≥20% of tokens covered, exact
     // integer compare (5·covered ≥ n_tokens), the Lee et al. removal
     // grain being doc-level here since the fixture has no span rewriter.
     // ✓ duplicated-span REWRITER (r9) — the removal half of the Lee et al.
@@ -387,9 +388,9 @@ object LlmScale {
     // scanned the corpus 12× per query; this plan scans it once).
     "llm_dedup_minhash_lsh" -> ((s, d) => {
       ptx.functions.VectorOps.register(s) // sorted_intersect_count kernel
-      // hash each distinct shingle ONCE; the 16 per-seed min-hashes rehash
-      // the 64-bit value (xxhash64(i, h) — no long-multiply, which would
-      // overflow-throw under Spark 4 ANSI mode), and the verify set stores
+      // shingles arrive as 64-bit GramHashes keys (r10); the 16 per-seed
+      // min-hashes rehash the value (xxhash64(i, h) — no long-multiply,
+      // which would overflow-throw under ANSI), and the verify set stores
       // the hashes instead of the strings: 8 bytes/entry instead of ~25,
       // and long compares in array_intersect instead of string compares.
       // Exactness: |∩| over 64-bit hashes equals |∩| over shingles unless
