@@ -29,9 +29,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * keys with the same ≈2e-11 pair-collision caveat (the DuckDB oracle
   * groups gram STRINGS); fixed-width token hashes additionally remove the
   * join-separator ambiguity. Position order is preserved by the chain
-  * order. Tokens are hashed by raw bytes; null tokens (impossible from
-  * `split`) fold as the seed unchanged, matching the variadic builtin's
-  * null-skip.
+  * order. Tokens are hashed by raw bytes; a null token (impossible from
+  * `split`, the only call-site producer) hashes as a fixed sentinel (the
+  * seed), which deliberately DIFFERS from the variadic builtin's
+  * null-skip — the skip would make "a NULL b" and "a b" grams collide,
+  * the sentinel keeps them distinct. The FunctionsSpec twin test pins
+  * the null-free construction only.
   *
   * Scale note (100 TB): embarrassingly parallel scan-local work, one
   * fused loop per row inside whole-stage codegen — the gram stream stays

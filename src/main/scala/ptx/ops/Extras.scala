@@ -118,13 +118,15 @@ object Extras {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
-    // ✓ column profiler (r5): Deequ/pandas-profiling shape — per numeric
-    // column: row count, nulls, exact distinct, min/max/mean — the
-    // pre-ingest data-quality snapshot every pipeline runs before trusting
-    // a new drop. ONE scan: all 4 columns' metrics in a single aggregate
-    // (the multi-countDistinct expands rows 4×, map-side partials absorb
-    // it), then a row-per-column explode of the wide result. At 100 TB
-    // swap the exact distinct for approx_count_distinct — same plan shape.
+    // ✓ column profiler (r5, replanned r10): Deequ/pandas-profiling shape
+    // — per numeric column: row count, nulls, exact distinct, min/max/
+    // mean — the pre-ingest data-quality snapshot every pipeline runs
+    // before trusting a new drop. The non-distinct metrics ride ONE wide
+    // aggregate; the 4 exact distinct counts run as separate single-
+    // column aggs crossJoined back (see the note below — the combined
+    // form's Expand was the whole query cost), then a row-per-column
+    // explode of the wide result. At 100 TB swap the exact distinct for
+    // approx_count_distinct — one pass, no extra scans.
     "dq_profile" -> ((s, d) => {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
       val aggs = Seq(count(lit(1)).as("n")) ++ cols.flatMap { c =>

@@ -27,19 +27,26 @@ object MicroBench {
     }
 
     val docs = ptx.Tables.documents(spark, sfDir)
+    // the PRE-r10 string formulation, inlined here so the comparison
+    // stays runnable after TextShingles itself moved to the kernel
+    val stringShingleExpr =
+      """CASE WHEN size(w) >= 3 THEN
+        |  transform(sequence(1, size(w) - 2),
+        |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
+        |ELSE array() END""".stripMargin
+    def stringStream = docs.repartition(col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), explode(array_distinct(expr(stringShingleExpr))).as("shingle"))
+
     // warmup
     ptx.functions.TextShingles.shingles(docs).queryExecution.toRdd.count()
 
-    time("shingle stream, HOF concat_ws strings (current)")(
+    time("shingle stream, HOF concat_ws strings (pre-r10 formulation)")(
+      stringStream)
+    time("shingle stream, HOF strings + xxhash64 (pre-r10 minhash/prefix input)")(
+      stringStream.select(col("doc_id"), xxhash64(col("shingle")).as("h")))
+    time("shingle stream, GramHashes(w, 3) hashed (current TextShingles)")(
       ptx.functions.TextShingles.shingles(docs))
-    time("shingle stream, HOF strings + xxhash64 (minhash/prefix input)")(
-      ptx.functions.TextShingles.shingles(docs)
-        .select(col("doc_id"), xxhash64(col("shingle")).as("h")))
-    time("shingle stream, GramHashes(w, 3) hashed (candidate)")(
-      docs.repartition(col("doc_id"))
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("doc_id"),
-          explode(array_distinct(expr("gram_hashes(w, 3)"))).as("shingle")))
     spark.stop()
   }
 }

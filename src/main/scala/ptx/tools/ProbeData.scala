@@ -42,6 +42,20 @@ object ProbeData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // the ONE events key-shift replication recipe (shared by the 10×
+    // volume probe and the --hot-events skew probe, so the two corpora
+    // cannot drift apart): key-shifted replicas — 10×/N× rows AND N× the
+    // user domain, event times unchanged so window/session group counts
+    // scale with users
+    def replicateEvents(reps: org.apache.spark.sql.DataFrame) =
+      ptx.Tables.events(spark, src)
+        .crossJoin(reps)
+        .select(
+          (col("event_id") + col("r") * 1000000000L).as("event_id"),
+          col("ts"),
+          (col("user_id") + col("r") * 10000000L).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+
     if (args.contains("--hot-shingles")) {
       val suffix = " subscribe to our newsletter for updates terms of service apply here"
       ptx.Tables.documents(spark, src)
@@ -57,14 +71,8 @@ object ProbeData {
     if (hotEvents) {
       val nReps = args.dropWhile(_ != "--hot-events").drop(1).headOption
         .map(_.toInt).getOrElse(30)
-      val reps = spark.range(nReps.toLong).select(col("id").as("r"))
-      val uniform = ptx.Tables.events(spark, src)
-        .crossJoin(reps)
-        .select(
-          (col("event_id") + col("r") * 1000000000L).as("event_id"),
-          col("ts"),
-          (col("user_id") + col("r") * 10000000L).as("user_id"),
-          col("event_type"), col("value"), col("props"))
+      val uniform = replicateEvents(
+        spark.range(nReps.toLong).select(col("id").as("r")))
       uniform.write.mode("overwrite").parquet(s"$out/uniform/events.parquet")
       val hot = expr("event_id % 5 < 4") // 80% of rows
       uniform
@@ -107,18 +115,10 @@ object ProbeData {
         col("label"))
     emb.write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
-    // events: key-shifted replicas — 10× rows AND 10× the user domain
-    // (user_id shifts per replica), event times unchanged so window/
-    // session group counts scale with users, matching the original
-    // probe's "1M events with 10× the users" construction.
-    val ev = ptx.Tables.events(spark, src)
-      .crossJoin(reps)
-      .select(
-        (col("event_id") + col("r") * 1000000000L).as("event_id"),
-        col("ts"),
-        (col("user_id") + col("r") * 10000000L).as("user_id"),
-        col("event_type"), col("value"), col("props"))
-    ev.write.mode("overwrite").parquet(s"$out/events.parquet")
+    // events: the shared key-shift recipe (replicateEvents above),
+    // matching the original probe's "1M events with 10× the users"
+    // construction.
+    replicateEvents(reps).write.mode("overwrite").parquet(s"$out/events.parquet")
 
     println(s"wrote 10x documents+embeddings+events under $out")
     spark.stop()
