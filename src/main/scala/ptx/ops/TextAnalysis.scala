@@ -220,8 +220,10 @@ object TextAnalysis {
     // stays high). The corpus-level complement to the per-doc repetition
     // score (llm_repetition sees within-doc loops; this sees a THOUSAND
     // docs stamped from one template, each individually clean). Distinct
-    // counts the gram STRINGS (exact, oracle-identical); at 100 TB hash
-    // first (xxhash64 — 8-byte shuffle keys, the llm_dedup_spans trade).
+    // counts 64-bit GramHashes keys (r10 — 8-byte shuffle keys through
+    // the two-phase distinct agg instead of gram strings, the
+    // llm_dedup_spans trade; identical counts mod the documented ≈2e-11
+    // collision caveat, parity-verified against the string oracle).
     // templated = ttr < 0.5, the conventional real-world gate; VACUOUS on
     // this fixture (every source measures 0.97-1.0 — natural-ish synthetic
     // text, the llm_text_clean no-PII-tokens precedent) but the dup-heavy
@@ -229,13 +231,10 @@ object TextAnalysis {
     // Scale: gram stream linear in corpus tokens, built scan-local; the
     // two-phase distinct agg is the only shuffle (plus output sort).
     "llm_ngram_diversity" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
       Tables.documents(s, d)
         .select(col("source"), split(col("text"), " ").as("w"))
-        .withColumn("n", size(col("w")))
-        .filter(col("n") >= 4)
-        .select(col("source"), explode(expr(
-          "transform(sequence(1, n - 3), i -> array_join(slice(w, i, 4), ' '))"))
-          .as("g"))
+        .select(col("source"), explode(expr("gram_hashes(w, 4)")).as("g"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_grams"), countDistinct(col("g")).as("n_distinct"))
         .select(col("source"), col("n_grams"), col("n_distinct"),
