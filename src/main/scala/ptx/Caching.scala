@@ -44,12 +44,28 @@ object Caching {
     * operator invocation rebuilds from scratch). Without this hook the
     * checkpoint blocks outlive releaseAll() until a GC triggers the
     * ContextCleaner, skewing later queries' timed runs. */
-  def checkpoint(df: DataFrame): DataFrame = {
-    val cp = df.localCheckpoint(true)
+  def checkpoint(df: DataFrame): DataFrame =
+    registerCheckpoint(df.localCheckpoint(true), df.sparkSession)
+
+  /** LAZY variant of [[checkpoint]]: re-root the plan now, materialize on
+    * the caller's NEXT action over the returned frame. For loops that need
+    * both the materialization and a scalar probe of the same round (e.g.
+    * clusterPairs' changed-label count): `checkpointLazy(df)` followed by
+    * one aggregating action materializes the blocks AND answers the probe
+    * in a single Spark job, where the eager form pays one job to
+    * materialize and a second to probe — and the loop's cost is sequential
+    * DRIVER-JOB latency, not data (VERDICT r10 #1). Registered for release
+    * exactly like the eager form; the same cannot-recompute-after-free
+    * contract applies once materialized. */
+  def checkpointLazy(df: DataFrame): DataFrame =
+    registerCheckpoint(df.localCheckpoint(false), df.sparkSession)
+
+  private def registerCheckpoint(cp: DataFrame,
+                                 session: SparkSession): DataFrame = {
     val rdds = cp.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }
-    val q = checkpointed.computeIfAbsent(df.sparkSession,
+    val q = checkpointed.computeIfAbsent(session,
       _ => new java.util.concurrent.ConcurrentLinkedQueue[
         org.apache.spark.rdd.RDD[_]]())
     rdds.foreach(q.add)

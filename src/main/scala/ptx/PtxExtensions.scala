@@ -19,19 +19,20 @@ class PtxExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSim].getName, "cosine_sim"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"cosine_sim requires exactly 2 arguments, got ${children.length}")
-        CosineSim(children(0), children(1))
-      }))
+      (children: Seq[Expression]) => ptx.functions.VectorOps.buildCosine(children)))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[ptx.functions.SortedIntersectCount].getName,
         "sorted_intersect_count"),
-      (children: Seq[Expression]) => {
-        require(children.length == 2,
-          s"sorted_intersect_count requires exactly 2 arguments, got ${children.length}")
-        ptx.functions.SortedIntersectCount(children(0), children(1))
-      }))
+      (children: Seq[Expression]) =>
+        ptx.functions.VectorOps.buildSortedIntersect(children)))
+    // gram_hashes joined the injected set in r11 (VERDICT r10 #6): SQL
+    // users of an extensions-built session get the span/shingle kernel
+    // without any operator call first; the operators' TextGrams.register
+    // then recognizes the injected binding and no-ops.
+    ext.injectFunction((
+      new FunctionIdentifier("gram_hashes"),
+      new ExpressionInfo(classOf[ptx.functions.GramHashes].getName, "gram_hashes"),
+      (children: Seq[Expression]) => ptx.functions.TextGrams.build(children)))
   }
 }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Word-5-gram hash stream over a token array: one 64-bit key per gram
   * occurrence, in position order — `posexplode(gram_hashes(w))` is the
@@ -42,8 +43,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   */
 case class GramHashes(child: Expression, width: Int = 5) extends UnaryExpression {
   require(width >= 1, s"gram width must be >= 1, got $width")
-  // input must be array<string>; call sites are library-internal
-  // (ExpectsInputTypes is private[sql], same caveat as CosineSim)
+  // registered into arbitrary spark.sql via TextGrams.register /
+  // PtxExtensions, so misuse must fail at ANALYSIS time with a clear
+  // message, not as a runtime ClassCastException from nullSafeEval
+  // (ADVICE r10). ExpectsInputTypes is private[sql]; overriding
+  // checkInputDataTypes directly gives the same analysis-time gate.
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"gram_hashes requires an array<string> argument, got ${other.catalogString}")
+  }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "gram_hashes"
 
@@ -95,21 +104,26 @@ object GramHashes {
 }
 
 object TextGrams {
-  /** Registers gram_hashes in the session's function registry so it is
-    * usable from `expr(...)` / `spark.sql(...)`: `gram_hashes(w)` for the
-    * span family's 5-grams, `gram_hashes(w, n)` for any other width (the
-    * dedup family's 3-word shingles). The width must be a literal.
-    * Idempotent. */
+  /** Shared builder: `gram_hashes(w)` for the span family's 5-grams,
+    * `gram_hashes(w, n)` for any other width (the dedup family's 3-word
+    * shingles). The width must be a literal. Used by both the temp-function
+    * registration below and the [[ptx.PtxExtensions]] injection. */
+  private[ptx] def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"gram_hashes requires 1 or 2 arguments, got ${exprs.length}")
+    val width = if (exprs.length == 1) 5 else exprs(1) match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"gram_hashes width must be an integer literal, got $other")
+    }
+    GramHashes(exprs(0), width)
+  }
+
+  /** Makes gram_hashes usable from `expr(...)` / `spark.sql(...)` in this
+    * session. Guarded (ADVICE r10): a no-op when the name already resolves
+    * to this kernel (prior call, or a PtxExtensions-built session); fails
+    * loudly if the session bound the name to something else — see
+    * [[Registration.ensure]]. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "gram_hashes", exprs => {
-        require(exprs.length == 1 || exprs.length == 2,
-          s"gram_hashes requires 1 or 2 arguments, got ${exprs.length}")
-        val width = if (exprs.length == 1) 5 else exprs(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"gram_hashes width must be an integer literal, got $other")
-        }
-        GramHashes(exprs(0), width)
-      }, "scala_udf")
+    Registration.ensure(spark, "gram_hashes", 1, build)
 }

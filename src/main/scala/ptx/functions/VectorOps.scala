@@ -66,21 +66,24 @@ object CosineSim {
 }
 
 object VectorOps {
-  /** Registers vector functions in the session's function registry so they
-    * are usable from `expr(...)` / `spark.sql(...)`. Idempotent.
-    */
+  /** Shared builders — also used by the [[ptx.PtxExtensions]] injection. */
+  private[ptx] def buildCosine(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
+    CosineSim(exprs(0), exprs(1))
+  }
+  private[ptx] def buildSortedIntersect(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
+    SortedIntersectCount(exprs(0), exprs(1))
+  }
+
+  /** Makes the vector kernels usable from `expr(...)` / `spark.sql(...)`
+    * in this session. Guarded like TextGrams.register (ADVICE r10): no-op
+    * when the names already resolve to these kernels, loud failure on a
+    * foreign binding — see [[Registration.ensure]]. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => {
-        require(exprs.length == 2,
-          s"cosine_sim requires exactly 2 arguments, got ${exprs.length}")
-        CosineSim(exprs(0), exprs(1))
-      }, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "sorted_intersect_count", exprs => {
-        require(exprs.length == 2,
-          s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
-        SortedIntersectCount(exprs(0), exprs(1))
-      }, "scala_udf")
+    Registration.ensure(spark, "cosine_sim", 2, buildCosine)
+    Registration.ensure(spark, "sorted_intersect_count", 2, buildSortedIntersect)
   }
 }

@@ -28,10 +28,16 @@ object QueryTime {
       // propagation loop (~4-7 s of real Spark jobs) just to explain the
       // final projection (ADVICE r4)
       var lastDf: org.apache.spark.sql.DataFrame = null
-      val times = (1 to 2).map { _ =>
+      // SPARK_GRAFT_FULLMAT=1 → graft.Bench's materialization (toRdd.count:
+      // every output column evaluated, sorts paid); default df.count() lets
+      // Catalyst prune output-only work and can read much faster than the
+      // bench line for output-heavy queries
+      val fullMat = sys.env.contains("SPARK_GRAFT_FULLMAT")
+      val reps = sys.env.get("SPARK_GRAFT_QT_REPS").map(_.toInt).getOrElse(2)
+      val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         lastDf = fn(spark, sfDir)
-        lastDf.count()
+        if (fullMat) lastDf.queryExecution.toRdd.count() else lastDf.count()
         val dt = (System.nanoTime() - t0) / 1e9
         ptx.Caching.releaseAll()
         dt
@@ -40,7 +46,7 @@ object QueryTime {
       while (l.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
       val ex = if (l.snapshot.isEmpty) -1 else l.snapshot.map(_.numExchanges).max
       spark.listenerManager.unregister(l)
-      println(f"[qt] $name cold=${times(0)}%.2f warm=${times(1)}%.2f exchanges=$ex (cpus=$cpus)")
+      println(f"[qt] $name cold=${times(0)}%.2f warm=${times.drop(1).map(t => f"$t%.2f").mkString(",")} exchanges=$ex (cpus=$cpus)")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         lastDf.explain("formatted")
     }

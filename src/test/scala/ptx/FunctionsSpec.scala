@@ -205,6 +205,51 @@ class FunctionsSpec extends AnyFunSuite {
     assert(row.getLong(0) == row.getLong(1) && row.getLong(0) == 2L)
   }
 
+  test("gram_hashes rejects non-array<string> input at analysis time (r11)") {
+    ptx.functions.TextGrams.register(spark)
+    // Dataset creation analyzes the plan, so the failure surfaces on select
+    // — not as a runtime ClassCastException mid-job (ADVICE r10)
+    val exInt = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Array(1, 2, 3))).toDF("id", "xs")
+        .select(expr("gram_hashes(xs)"))
+    }
+    assert(exInt.getMessage.contains("array<string>"), exInt.getMessage)
+    val exStr = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, "a b c")).toDF("id", "t").select(expr("gram_hashes(t)"))
+    }
+    assert(exStr.getMessage.contains("array<string>"), exStr.getMessage)
+    // the valid shape still analyzes and runs
+    val ok = Seq((1L, "a b c d e f")).toDF("id", "t")
+      .select(col("id"), split(col("t"), " ").as("w"))
+      .select(size(expr("gram_hashes(w)")).as("n")).collect()(0).getInt(0)
+    assert(ok == 2)
+  }
+
+  test("kernel registration is guarded: idempotent re-register, loud foreign-binding conflict (r11)") {
+    // fresh session state so the shared test session's registry is untouched
+    val s2 = spark.newSession()
+    // repeated register no-ops (previously clobbered via createOrReplace)
+    ptx.functions.TextGrams.register(s2)
+    ptx.functions.TextGrams.register(s2)
+    assert(s2.sql("SELECT size(gram_hashes(array('a','b','c','d','e','f')))")
+      .collect()(0).getInt(0) == 2)
+    // a session that bound the name to something ELSE must fail loudly:
+    // silently clobbering loses the user's function, silently reusing it
+    // would give wrong operator results
+    val s3 = spark.newSession()
+    s3.udf.register("gram_hashes", (xs: Seq[String]) => xs.length)
+    val ex = intercept[IllegalStateException] {
+      ptx.functions.TextGrams.register(s3)
+    }
+    assert(ex.getMessage.contains("gram_hashes"), ex.getMessage)
+    val s4 = spark.newSession()
+    s4.udf.register("cosine_sim", (a: Double, b: Double) => a * b)
+    val ex2 = intercept[IllegalStateException] {
+      ptx.functions.VectorOps.register(s4)
+    }
+    assert(ex2.getMessage.contains("cosine_sim"), ex2.getMessage)
+  }
+
   test("cosine_sim rejects mismatched vector dimensions instead of truncating") {
     val ex = intercept[IllegalArgumentException] {
       ptx.functions.CosineSim.cosine(Array(1f, 2f, 3f), Array(1f, 2f))

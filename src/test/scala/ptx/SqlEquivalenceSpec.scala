@@ -65,6 +65,22 @@ class SqlEquivalenceSpec extends AnyFunSuite {
         "SELECT cosine_sim(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
           "array(CAST(2 AS FLOAT), CAST(4 AS FLOAT)))").collect()(0).getDouble(0)
       assert(math.abs(v - 1.0) < 1e-12)
+      // gram_hashes is injected too (r11): usable from pure SQL with no
+      // operator call first, both widths
+      val g5 = s2.sql(
+        "SELECT size(gram_hashes(array('a','b','c','d','e','f')))")
+        .collect()(0).getInt(0)
+      assert(g5 == 2)
+      val g3 = s2.sql(
+        "SELECT size(gram_hashes(array('a','b','c','d'), 3))")
+        .collect()(0).getInt(0)
+      assert(g3 == 2)
+      // the operators' register() recognizes the injected binding: no-op,
+      // no clobber, no conflict error
+      ptx.functions.TextGrams.register(s2)
+      ptx.functions.VectorOps.register(s2)
+      assert(s2.sql("SELECT size(gram_hashes(array('x','y','z','w','v')))")
+        .collect()(0).getInt(0) == 1)
     } finally {
       SparkSession.setDefaultSession(old)
       SparkSession.setActiveSession(old)
