@@ -1,0 +1,90 @@
+package ptx.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Hot-key-safe running aggregates: the two-phase segmented form of a
+  * per-key running sum/count (r11, VERDICT r10 #3).
+  *
+  * The window form — `sum(x).over(Window.partitionBy(key).orderBy(ord))` —
+  * hash-exchanges on the key and then ONE task sorts and scans each key's
+  * entire history. No salt can split it: the scan is order-dependent, so a
+  * hot key (the r10 probe measured 25.8× max/avg partition skew with 80%
+  * of events on one user, docs/SCALE.md) becomes a straggler that caps the
+  * whole stage at one core's throughput, at any cluster size.
+  *
+  * For RE-ASSOCIABLE running aggregates (sum, count — anything with an
+  * associative merge) the scan decomposes like llm_pack_sequences' block
+  * scan, generalized to a per-key grain:
+  *   1. segment each row by a monotone function of its order key (e.g. the
+  *      hour bucket of the timestamp) — so a (key, segment) slice is a
+  *      CONTIGUOUS run of the key's order;
+  *   2. per-(key, segment) totals — an ordinary hash aggregation,
+  *      map-side-combined, never order-dependent;
+  *   3. per-key prefix over the segment totals — a window over the
+  *      (key, segment) frame, which holds ONE ROW per segment a key
+  *      touches, not one per event: the hot key contributes #segments
+  *      rows, bounded by the time span, not the volume;
+  *   4. intra-segment running sum partitioned by (key, segment) + the
+  *      segment prefix — the per-task work is now ONE SEGMENT of the hot
+  *      key, so the straggler is capped at (hot-key rows / #segments).
+  *
+  * The join back on (key, segment) spreads the hot key across segments the
+  * same way, so no single exchange bucket carries the whole key either.
+  *
+  * Exactness: for integer/decimal values the segmented result is
+  * bit-identical to the window form (addition is associative). For float
+  * doubles re-association perturbs ulps — cast to decimal first when exact
+  * parity matters (OperatorSpec's parity test does).
+  *
+  * This is a library primitive, not a registry query: the declared
+  * `win_running_sum` contract pins the window formulation (its oracle is
+  * the SQL window), and this is the drop-in the same pipeline reaches for
+  * when a key goes hot at 100 TB.
+  *
+  * Preconditions: `segment` must be monotone non-decreasing in the order
+  * key within every key (a function of the leading order column qualifies),
+  * and rows with equal order keys must share a segment.
+  */
+object SegmentedScan {
+
+  /** Running sum of `value` per `key` in `order`, computed segment-wise.
+    * Output: the input columns plus `out` — identical rows to
+    * `sum(value).over(Window.partitionBy(key*).orderBy(order*))` (for
+    * associative value types; see the ulp note above). */
+  def runningSum(df: DataFrame, key: Seq[String], order: Seq[String],
+                 segment: Column, value: Column, out: String): DataFrame = {
+    val segCol = "__ptx_seg"
+    val preCol = "__ptx_seg_before"
+    val keyCols = key.map(col)
+    val base = df.withColumn(segCol, segment.cast("long"))
+    // phase 1+2: per-(key, segment) totals — one row per touched segment
+    val segTot = base.groupBy(keyCols :+ col(segCol): _*)
+      .agg(sum(value).as("__ptx_seg_total"))
+    // phase 3: per-key prefix over segment totals. The frame is
+    // segment-count-sized; the hot key's partition here holds its
+    // #segments rows, not its events.
+    val wSeg = Window.partitionBy(keyCols: _*).orderBy(col(segCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val segPre = segTot
+      .withColumn(preCol, coalesce(sum(col("__ptx_seg_total")).over(wSeg), lit(0)))
+      .select(keyCols :+ col(segCol) :+ col(preCol): _*)
+    // phase 4: intra-segment scan + prefix. Partitioning by (key, segment)
+    // is what caps the straggler.
+    val wIntra = Window.partitionBy(keyCols :+ col(segCol): _*)
+      .orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(segPre, key :+ segCol)
+      .withColumn(out, col(preCol) + sum(value).over(wIntra))
+      // reselect to the input's column order (+ out): the join hoists its
+      // keys to the front, and a drop-in must not reshape the frame
+      .select(df.columns.map(col) :+ col(out): _*)
+  }
+
+  /** Running count per `key` in `order` — the other associative member the
+    * r10 skew probe called out; same mechanics with a unit value. */
+  def runningCount(df: DataFrame, key: Seq[String], order: Seq[String],
+                   segment: Column, out: String): DataFrame =
+    runningSum(df, key, order, segment, lit(1L), out)
+}

@@ -251,6 +251,67 @@ object Pipelines {
   def contentDedup(docs: DataFrame): DataFrame =
     docs.withColumn("fp", md5(col("text"))).dropDuplicates("fp")
 
+  /** A doc surviving the TTL'd dedup stream: its content fingerprint and
+    * the id of the copy that was admitted. */
+  case class FpDoc(fp: String, doc_id: Long)
+
+  /** TTL-BOUNDED streaming content dedup (r11, VERDICT r10 #5) — the
+    * production form of [[contentDedup]], whose dropDuplicates state holds
+    * one entry per distinct payload FOREVER. Here the fingerprint lives in
+    * a transformWithState ValueState with a processing-time TTL: a doc is
+    * admitted iff no live entry exists for its md5, and every sighting
+    * (admitted or suppressed) refreshes the entry — cache semantics, so a
+    * continuously re-crawled page never re-admits while a fingerprint
+    * unseen for `ttl` ages out and its next arrival is admitted again.
+    * Exactly-once holds WITHIN the TTL window (including within a batch:
+    * only the lowest doc_id of a batch's burst is admitted — deterministic,
+    * unlike dropDuplicates' first-arrival); the deliberate trade is
+    * re-admission after `ttl` of silence, which bounds state at
+    * (distinct fps seen within ttl) instead of all time. Requires the
+    * RocksDB state store provider, like every transformWithState pipeline;
+    * TTL needs TimeMode.ProcessingTime. State survives checkpoint
+    * recovery with its expiration schedule (RecoverySpec).
+    *
+    * Operational note: a TimeMode.ProcessingTime query runs a micro-batch
+    * EVERY trigger interval (the TTL sweep), including empty ones — the
+    * stream never quiesces, so `processAllAvailable` never latches and
+    * even `Trigger.AvailableNow` does not self-terminate (both observed,
+    * r11). Run it with a real `Trigger.ProcessingTime(interval)`, verify
+    * progress by watching the SINK, and shut down with `query.stop()` —
+    * committed batches and their state survive for the next start
+    * (RecoverySpec drives exactly that cycle).
+    */
+  class TtlContentDedupProcessor(ttl: java.time.Duration)
+      extends StatefulProcessor[String, FpDoc, FpDoc] {
+    @transient private var seen: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      seen = getHandle.getValueState[Long]("seen", Encoders.scalaLong,
+        TTLConfig(ttl))
+    override def handleInputRows(key: String, rows: Iterator[FpDoc],
+                                 timers: TimerValues): Iterator[FpDoc] = {
+      if (!seen.exists()) { // TTL-expired entries read as absent
+        // admit the batch's lowest doc_id (deterministic under replay);
+        // the update records first-sight and starts the TTL clock
+        val keep = rows.minBy(_.doc_id)
+        seen.update(keep.doc_id)
+        Iterator.single(keep)
+      } else {
+        seen.update(seen.get()) // refresh the TTL clock on every sighting
+        Iterator.empty
+      }
+    }
+  }
+
+  /** transformWithState wiring for TtlContentDedupProcessor: md5 the text,
+    * key by fingerprint, admit first-sight-within-TTL docs. */
+  def contentDedupTtl(docs: DataFrame, ttl: java.time.Duration): Dataset[FpDoc] = {
+    import docs.sparkSession.implicits._
+    docs.select(md5(col("text")).as("fp"), col("doc_id")).as[FpDoc]
+      .groupByKey(_.fp)
+      .transformWithState(new TtlContentDedupProcessor(ttl),
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
   /** Exactly-once semantics over an at-least-once feed: drop duplicate
     * event_ids within the watermark. */
   def dedup(events: DataFrame): DataFrame =

@@ -75,6 +75,19 @@ object SkewJoinProbe {
     Seq("pt_sessionize", "pt_trip_stats", "win_running_sum", "join_asof_tolerance")
       .foreach(q => timeIt(q, ptx.QueryRegistry.all(q)(spark, dir)))
 
+    // the r11 answer for the RE-ASSOCIABLE members of that family: the
+    // two-phase segmented running sum (ops.SegmentedScan) — same rows as
+    // win_running_sum's window (SkewSpec parity), but partitioned by
+    // (user, hour segment) so the hot user's scan splits across its
+    // segments instead of serializing on one task
+    def segmented = ptx.ops.SegmentedScan.runningSum(
+      ptx.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+      key = Seq("user_id"), order = Seq("ts", "event_id"),
+      segment = expr("unix_micros(ts) div 3600000000"),
+      value = col("value"), out = "running")
+    timeIt("segmented running sum (two-phase twin)", segmented)
+
     // shuffle balance: pre-aggregation join output (what each reducer
     // holds). Measured at 32 reducers with AQE frozen: AQE-coalescing at
     // local[4] folds everything to 3-4 partitions and hides the layout a
@@ -91,6 +104,10 @@ object SkewJoinProbe {
     // the window family's exchange shape (hash on user_id)
     balance("window exchange (user_id)",
       ev.repartition(col("user_id")))
+    // ...and the segmented twin's exchange shape: hash on (user_id, hour
+    // segment) — the hot user spreads across its segments
+    balance("segmented exchange (user_id, segment)",
+      ev.repartition(col("user_id"), expr("unix_micros(ts) div 3600000000")))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
 

@@ -62,6 +62,59 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("segmented running sum/count equals the window form exactly (r11)") {
+    import org.apache.spark.sql.expressions.Window
+    // decimal value → addition is associative → bit-exact parity between
+    // the segment-wise decomposition and the single ordered scan
+    val e = Tables.events(spark, TestSpark.SF)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("value").cast("decimal(18,6)").as("v"))
+    // segment = hour bucket of ts: monotone in the leading order key
+    val seg = expr("unix_micros(ts) div 3600000000")
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = e
+      .withColumn("run", sum(col("v")).over(w))
+      .withColumn("cnt", count(lit(1)).over(w))
+      .select("event_id", "run", "cnt").collect()
+      .map(r => r.getLong(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    val segSum = ops.SegmentedScan.runningSum(e,
+        key = Seq("user_id"), order = Seq("ts", "event_id"),
+        segment = seg, value = col("v"), out = "run")
+    val segmented = ops.SegmentedScan.runningCount(segSum,
+        key = Seq("user_id"), order = Seq("ts", "event_id"),
+        segment = seg, out = "cnt")
+      .select("event_id", "run", "cnt").collect()
+      .map(r => r.getLong(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    assert(segmented.size == windowed.size && windowed.nonEmpty)
+    assert(segmented == windowed)
+    // output schema: input columns + the out column, no __ptx internals
+    assert(segSum.columns.toSeq == e.columns.toSeq :+ "run")
+  }
+
+  test("segmented running sum parity under a synthetic hot key spanning many segments (r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // 80% of rows on ONE key across 16 segments — the shape the window
+    // form serializes into a single task and the segmented form splits
+    val rows = (0 until 4000).map { i =>
+      val key = if (i % 5 == 0) (i % 7).toLong + 1 else 0L // key 0 is hot
+      (i.toLong, key, (i / 250).toLong, ((i * 37) % 100).toLong)
+    }
+    val df = rows.toDF("row_id", "k", "segment_src", "x")
+    val w = Window.partitionBy(col("k")).orderBy(col("row_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("run", sum(col("x")).over(w))
+      .select("row_id", "run").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val got = ops.SegmentedScan.runningSum(df,
+        key = Seq("k"), order = Seq("row_id"),
+        segment = col("segment_src"), value = col("x"), out = "run")
+      .select("row_id", "run").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == expected && expected.size == 4000)
+  }
+
   test("loader schema assertion rejects unknown tables loudly") {
     val ex = intercept[IllegalArgumentException] {
       Tables.t(spark, TestSpark.SF, "nope")

@@ -105,6 +105,65 @@ class RecoverySpec extends AnyFunSuite {
     }
   }
 
+  test("TTL'd content dedup recovers its suppression state from a RocksDB checkpoint (r11)") {
+    val src = Files.createTempDirectory("ptx-ttlrec-src").toString
+    val ckpt = Files.createTempDirectory("ptx-ttlrec-ckpt").toString
+    val out = Files.createTempDirectory("ptx-ttlrec-out").toString
+
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").repartition(1).write.mode("append").parquet(src)
+
+    def startQuery() = {
+      val docs = spark.readStream
+        .schema("doc_id LONG, text STRING")
+        .parquet(src)
+      // TTL far beyond the test's wall time, so the only way run 2 can
+      // suppress is by RECOVERING the fingerprint entry from the checkpoint
+      Pipelines.contentDedupTtl(docs, java.time.Duration.ofMinutes(10))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(50))
+        .start()
+    }
+
+    def admitted(): Seq[Long] =
+      spark.read.parquet(out).collect().map(_.getLong(1)).toSeq.sorted
+
+    // a TimeMode.ProcessingTime query never quiesces (the TTL sweep runs a
+    // batch every trigger — Pipelines.contentDedupTtl scaladoc), so each
+    // run polls the sink for its expected admissions and then stops. The
+    // FileStreamSink's _spark_metadata log makes each batch's files visible
+    // atomically, so the polled set can never be a partial batch.
+    def awaitAdmitted(n: Int): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      def count(): Int =
+        scala.util.Try(spark.read.parquet(out).count().toInt).getOrElse(0)
+      while (count() < n && System.nanoTime() < deadline) Thread.sleep(100)
+      assert(count() >= n, s"timed out waiting for $n admitted rows")
+    }
+
+    RocksDBFixture.withRocksDB(spark) {
+      // run 1: two distinct payloads admitted; stop with live TTL state
+      writeBatch(Seq((1L, "epsilon text"), (2L, "zeta text")))
+      val q1 = startQuery()
+      awaitAdmitted(2)
+      q1.stop()
+      assert(admitted() == Seq(1L, 2L))
+      // run 2 from checkpoint: a re-crawl of payload 1 under a new id must
+      // stay suppressed (state recovered, TTL schedule intact) while new
+      // content is admitted — and run 1's files are not reprocessed.
+      // Both new rows arrive in ONE batch, so an unrecovered state would
+      // surface atomically as (1,2,3,4); recovered state as (1,2,4).
+      writeBatch(Seq((3L, "epsilon text"), (4L, "eta text")))
+      val q2 = startQuery()
+      awaitAdmitted(3)
+      q2.stop()
+      assert(admitted() == Seq(1L, 2L, 4L),
+        s"expected the recovered fingerprint to suppress id 3, got ${admitted()}")
+    }
+  }
+
   test("transformWithState EWMA recovers the ListState ring from a RocksDB checkpoint (r6)") {
     val src = Files.createTempDirectory("ptx-erec-src").toString
     val ckpt = Files.createTempDirectory("ptx-erec-ckpt").toString

@@ -403,6 +403,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamedFps.size < 2 * docs.size, "duplicate delivery must be dropped")
   }
 
+  test("TTL'd content dedup: exactly-once within the TTL window, re-admission after expiry (r11)") {
+    // TimeMode.ProcessingTime queries run a micro-batch EVERY trigger (the
+    // TTL sweep), so processAllAvailable never latches "no new data" — the
+    // tests poll the SINK for the expected admissions instead, and prove
+    // suppression by asserting the final set once a later admission (which
+    // must come after the suppressed sighting) has landed.
+    def awaitRows(name: String, n: Long): Unit = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (spark.table(name).count() < n && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      assert(spark.table(name).count() >= n,
+        s"timed out waiting for $n rows in $name")
+    }
+    RocksDBFixture.withRocksDB(spark) {
+      // phase 1 — long TTL (10 min): duplicate content under NEW ids is
+      // suppressed across batches AND within a batch; the admitted copy is
+      // the batch's lowest doc_id (deterministic, unlike dropDuplicates)
+      val ms = MemoryStream[(Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+      val name = "ttl_dedup_sink"
+      val q = Pipelines.contentDedupTtl(
+          ms.toDF().toDF("doc_id", "text"), java.time.Duration.ofMinutes(10))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        ms.addData(Seq((7L, "alpha text"), (3L, "alpha text"), (5L, "beta text")))
+        awaitRows(name, 2) // alpha (as id 3) + beta
+        ms.addData(Seq((9L, "alpha text"), (11L, "beta text"), (13L, "gamma text")))
+        awaitRows(name, 3) // + gamma; 9/11 must stay suppressed
+        val got = spark.table(name).collect()
+          .map(r => (r.getString(0), r.getLong(1))).toSet
+        val fp = (t: String) => java.security.MessageDigest.getInstance("MD5")
+          .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        // alpha admitted once as the batch-1 minimum id 3 (7 suppressed
+        // in-batch, 9 across batches); beta once as 5; gamma once as 13
+        assert(got == Set((fp("alpha text"), 3L), (fp("beta text"), 5L),
+          (fp("gamma text"), 13L)), s"got $got")
+      } finally q.stop()
+      // phase 2 — short TTL (1.5 s): after sleeping past the TTL the same
+      // content is ADMITTED AGAIN — the bounded-state trade contentDedup
+      // (state-forever dropDuplicates) cannot make
+      val ms2 = MemoryStream[(Long, String)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+      val name2 = "ttl_dedup_expiry_sink"
+      val q2 = Pipelines.contentDedupTtl(
+          ms2.toDF().toDF("doc_id", "text"), java.time.Duration.ofMillis(1500))
+        .writeStream.format("memory").queryName(name2).outputMode("append")
+        .trigger(Trigger.ProcessingTime(50)).start()
+      try {
+        ms2.addData(Seq((1L, "delta text")))
+        awaitRows(name2, 1)
+        Thread.sleep(4000) // strictly exceeds the 1.5 s TTL
+        ms2.addData(Seq((2L, "delta text")))
+        awaitRows(name2, 2) // re-admitted post-expiry — times out if not
+        val ids = spark.table(name2).collect().map(_.getLong(1)).sorted.toSeq
+        assert(ids == Seq(1L, 2L),
+          s"expired fingerprint must re-admit, got ids $ids")
+      } finally q2.stop()
+    }
+  }
+
   test("streaming the documents table through the quality filter equals batch (r5)") {
     val name = "qf_stream_sink"
     val q = ptx.ops.TextAnalysis.qualityFilter(ptx.Tables.documentsStream(spark, TestSpark.SF))
