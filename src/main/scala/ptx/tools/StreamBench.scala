@@ -109,11 +109,44 @@ object StreamBench {
       runGate() // warm
       val gateSec = runGate()
 
+      // TTL'd content dedup (r11): the bounded-state ingest dedup — a
+      // RocksDB ValueState round-trip per doc plus the TTL bookkeeping.
+      // TimeMode.ProcessingTime streams never quiesce (Pipelines scaladoc),
+      // so the run polls the sink for the full admission count (every
+      // fixture text is distinct → all docs admit) and then stops.
+      import org.apache.spark.sql.functions.md5
+      val expectedAdmits = docs.select(md5(col("text"))).distinct().count()
+      def runTtl(): Double = {
+        val cp = tmpDir("ptx-sb-ttlcp"); val outDir = tmpDir("ptx-sb-ttlout")
+        val src = spark.readStream.schema(docs.schema).parquet(docStaged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.contentDedupTtl(
+            src, java.time.Duration.ofMinutes(10))
+          .writeStream.format("parquet")
+          .option("path", outDir)
+          .option("checkpointLocation", cp)
+          .trigger(Trigger.ProcessingTime(10))
+          .start()
+        val deadline = System.nanoTime() + 300L * 1000 * 1000 * 1000
+        def admitted(): Long =
+          scala.util.Try(spark.read.parquet(outDir).count()).getOrElse(0L)
+        while (admitted() < expectedAdmits && System.nanoTime() < deadline)
+          Thread.sleep(25)
+        val sec = (System.nanoTime() - t0) / 1e9
+        q.stop()
+        require(admitted() >= expectedAdmits,
+          s"ttl dedup probe timed out: ${admitted()}/$expectedAdmits admitted")
+        sec
+      }
+      runTtl() // warm
+      val ttlSec = runTtl()
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val body = (results.map { case (n, sec) =>
         s""""$n":{"sec":${fmt(sec)},"rows_per_sec":${fmt(rows / sec)}}"""
-      } :+ s""""drift_gate":{"sec":${fmt(gateSec)},"rows_per_sec":${fmt(docRows / gateSec)},"rows":$docRows}""")
+      } :+ s""""drift_gate":{"sec":${fmt(gateSec)},"rows_per_sec":${fmt(docRows / gateSec)},"rows":$docRows}"""
+        :+ s""""ttl_dedup":{"sec":${fmt(ttlSec)},"rows_per_sec":${fmt(docRows / ttlSec)},"rows":$docRows}""")
         .mkString(",")
       val json =
         s"""{"metric":"stream_throughput","rows":$rows,"sf":"$sfDir","cpus":$cpus,"pipelines":{$body}}"""
