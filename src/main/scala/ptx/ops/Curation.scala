@@ -208,6 +208,78 @@ object Curation {
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
         .orderBy(col("split"))
     }),
+    // ✓ split-contamination audit (r11): the GPT-3-style decontamination
+    // MEASUREMENT the split family lacked — llm_decontaminate flags train
+    // docs overlapping a designated eval SOURCE, but after an 80/10/10
+    // hash split the question a training run actually asks is "how much
+    // of my held-out text also appears verbatim in train?" (Brown et al.
+    // 2020 §4 measure it at n-gram grain; leakage inflates eval). Over
+    // the SAME deterministic Knuth split as llm_split, for each non-train
+    // split: distinct word-8-grams, how many also occur anywhere in
+    // train, the e6 contamination fraction (house exact-integer half-up),
+    // and how many docs have ≥1 contaminated gram.
+    // Scale: everything gram-grained rides ONE gram-keyed aggregation
+    // (per-gram split-presence bits) shuffling 8-byte GramHashes keys,
+    // linear in corpus tokens, no pair space anywhere (a hot boilerplate
+    // gram is one agg group / one semi-join probe hit, not a fan-out);
+    // the only other gram-keyed exchange is the per-doc hit semi join.
+    // At 100 TB the gram aggregation is the big term; the standard
+    // production refinement is a Bloom filter on the train gram set
+    // broadcast to the eval scan — same answer minus false-positive
+    // noise, one corpus pass. Same ≈2e-11 64-bit key-collision caveat as
+    // llm_ngram_diversity (the oracle groups gram STRINGS; the LlmOpsSpec
+    // twin test pins hash↔string count identity end-to-end).
+    "llm_split_contamination" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", knuthBucket(col("doc_id"), 100))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+      // pinned: the gram stream feeds the per-gram presence agg AND the
+      // per-doc hit join — unpinned, the corpus tokenizes and hashes twice
+      val grams = ptx.Caching.pin(docs
+        .select(col("split"), col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("split"), col("doc_id"),
+          explode(expr("gram_hashes(w, 8)")).as("h")))
+      // ONE gram-keyed aggregation carries everything gram-grained: which
+      // splits each distinct gram appears in. Distinct counts and the
+      // contamination intersection then fall out of a grid-sized
+      // reduction — no (split, gram) distinct and no per-split semi join
+      // (the first formulation's two extra gram-keyed shuffles).
+      def in(sp: String) =
+        max(when(col("split") === sp, 1).otherwise(0)).as(s"in_$sp")
+      val gstat = ptx.Caching.pin(grams.groupBy(col("h"))
+        .agg(in("train"), in("val"), in("test")))
+      val perSplit = gstat.select(explode(array(
+          struct(lit("val").as("split"), col("in_val").as("present"), col("in_train")),
+          struct(lit("test").as("split"), col("in_test").as("present"), col("in_train"))))
+          .as("x"))
+        .filter(col("x.present") === 1)
+        .groupBy(col("x.split").as("split"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(col("x.in_train")).cast("long").as("n_contaminated"))
+      val docsHit = grams.filter(col("split") =!= "train")
+        .join(gstat.filter(col("in_train") === 1).select(col("h")),
+          Seq("h"), "left_semi")
+        .select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs_hit"))
+      val nDocs = docs.filter(col("split") =!= "train")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      nDocs
+        .join(perSplit, Seq("split"), "left_outer")
+        .join(docsHit, Seq("split"), "left_outer")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"))
+        .withColumn("contamination_e6", expr(
+          "CASE WHEN n_grams > 0 THEN " +
+            "(2 * cast(n_contaminated as decimal(38,0)) * 1000000 + n_grams)" +
+            " div (2 * n_grams) END"))
+        .orderBy(col("split"))
+    }),
     // ✓ mixture rebalancing (r4): language-balanced downsampling toward
     // the smallest language's count — the deterministic form of training
     // -mix reweighting. Per-lang keep rate = min(n)/n(lang), applied via
@@ -800,6 +872,38 @@ object Curation {
         |             ELSE 'test' END AS split
         |      FROM documents) t
         |GROUP BY split ORDER BY split""".stripMargin,
+    // grams grouped by their STRING here (the Spark side's 64-bit
+    // GramHashes keys are a shuffle-width optimization; identical counts
+    // absent a 64-bit collision — the llm_dedup_spans precedent)
+    "llm_split_contamination" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |         CASE WHEN ${knuthBucketSql("doc_id", 100)} < 80 THEN 'train'
+        |              WHEN ${knuthBucketSql("doc_id", 100)} < 90 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents),
+        |g AS (SELECT split, doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |      FROM t, unnest(generate_series(1, len(w) - 7)) AS s(i)
+        |      WHERE len(w) >= 8),
+        |train AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+        |ev AS (SELECT split, doc_id, gram FROM g WHERE split <> 'train'),
+        |evd AS (SELECT DISTINCT split, gram FROM ev),
+        |tot AS (SELECT split, count(*) AS n_grams FROM evd GROUP BY 1),
+        |cont AS (SELECT split, count(*) AS n_contaminated FROM evd
+        |         WHERE gram IN (SELECT gram FROM train) GROUP BY 1),
+        |hit AS (SELECT split, count(DISTINCT doc_id) AS n_docs_hit FROM ev
+        |        WHERE gram IN (SELECT gram FROM train) GROUP BY 1),
+        |nd AS (SELECT split, count(*) AS n_docs FROM t
+        |       WHERE split <> 'train' GROUP BY 1)
+        |SELECT nd.split, nd.n_docs,
+        |  coalesce(tot.n_grams, 0) AS n_grams,
+        |  coalesce(cont.n_contaminated, 0) AS n_contaminated,
+        |  coalesce(hit.n_docs_hit, 0) AS n_docs_hit,
+        |  CASE WHEN coalesce(tot.n_grams, 0) > 0 THEN
+        |    (2 * coalesce(cont.n_contaminated, 0) * 1000000 + tot.n_grams)
+        |      // (2 * tot.n_grams) END AS contamination_e6
+        |FROM nd LEFT JOIN tot USING (split) LEFT JOIN cont USING (split)
+        |  LEFT JOIN hit USING (split)
+        |ORDER BY nd.split""".stripMargin,
     "llm_mix_rebalance" ->
       s"""WITH c AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang),
         |t AS (SELECT min(n_total) AS target FROM c)

@@ -338,6 +338,34 @@ object Extras {
           round(sqrt(col("d2_e12")) / lit(1e6), 6).as("l2_to_global"))
         .orderBy(col("label"))
     }),
+    // ✓ per-vector embedding outlier audit (r11): each vector's cosine to
+    // its OWN label's centroid, rolled up per label with an outlier count
+    // (rounded cos < 0.6) — the vector-grain companion to
+    // `dq_embedding_drift` (distribution-grain) and the noise-prune gate
+    // SemDeDup-style curation runs before dedup: a vector far from every
+    // centroid is mislabeled/corrupt embedding output, and it degrades
+    // both the IVF index (wrong cell) and semantic dedup (false
+    // uniqueness). Determinism: the centroid is the SAME float32-cast
+    // mean `llm_ann_ivf` persists (bit-exact across engines and parquet
+    // round-trips), the cosine is the codegen'd kernel whose double fold
+    // is bit-identical to the oracle's list_dot_product, and the outlier
+    // threshold compares the ROUNDED cosine (engine-deterministic
+    // boundary — house pattern).
+    // Scale: one broadcast of the |labels|-row centroid frame + one
+    // corpus scan; per-label rollup is the only shuffle. Linear, no pair
+    // space (contrast llm_semdedup's Σ|cell|² verify).
+    "dq_embedding_outliers" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      e.join(broadcast(LlmScale.ivfCentroids(e)), Seq("label"))
+        .withColumn("cos", round(expr("cosine_sim(embedding, centroid)"), 6))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          count(when(col("cos") < 0.6, 1)).as("n_outliers"),
+          round(min(col("cos")), 6).as("min_cos"),
+          round(avg(col("cos")), 6).as("avg_cos"))
+        .orderBy(col("label"))
+    }),
     // ✓ multimodal pairing audit (r9): doc↔embedding coverage across the
     // text/vector pair (vec_id overlaps doc_id by fixture contract) —
     // the dq_referential shape applied to the multimodal join key. A doc
@@ -658,6 +686,29 @@ object Extras {
         |  (SELECT count(*) FROM documents d JOIN embeddings e
         |   ON e.vec_id = d.doc_id)
         |ORDER BY check_name""".stripMargin,
+    // same centroid recipe as llm_ann_ivf's oracle: float32 CAST absorbs
+    // avg() accumulation ulps, making the per-label centroid bit-exact
+    // across engines; cosine threshold compares the rounded value
+    "dq_embedding_outliers" ->
+      """WITH cent AS (
+        |  SELECT label, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS c
+        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+        |  GROUP BY label, i),
+        |centv AS (
+        |  SELECT label, list_transform(list(c ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
+        |  FROM cent GROUP BY label),
+        |v AS (
+        |  SELECT e.label,
+        |    round(list_dot_product(ev, cv)
+        |      / (sqrt(list_dot_product(ev, ev)) * sqrt(list_dot_product(cv, cv))), 6)
+        |      AS cos
+        |  FROM (SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+        |        FROM embeddings) e
+        |  JOIN centv USING (label))
+        |SELECT label, count(*) AS n_vecs,
+        |  count(CASE WHEN cos < 0.6 THEN 1 END) AS n_outliers,
+        |  round(min(cos), 6) AS min_cos, round(avg(cos), 6) AS avg_cos
+        |FROM v GROUP BY label ORDER BY label""".stripMargin,
     // pos is 1-based here vs 0-based in Spark — it is only a join key
     // within each engine, never output, so the pairing is identical
     "dq_embedding_drift" ->

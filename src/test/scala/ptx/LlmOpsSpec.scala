@@ -317,4 +317,68 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(meanPq < meanGrand,
       s"PQ mean rel_err $meanPq must beat grand-centroid $meanGrand")
   }
+
+  test("dq_embedding_outliers: per-label counts consistent, cosines bounded, centroid matches ivf (r11)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("dq_embedding_outliers").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, out, minC, avgC) =
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      assert(out <= n, s"outliers $out > n $n")
+      assert(minC >= -1.000001 && minC <= 1.000001, s"min_cos $minC")
+      assert(avgC >= minC - 1e-9 && avgC <= 1.000001, s"avg_cos $avgC vs min $minC")
+      assert((out > 0) == (minC < 0.6), "outlier count iff min below threshold")
+    }
+    // label counts must equal the raw per-label vector counts
+    val expectedN = Tables.embeddings(spark, SF01)
+      .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val gotN = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(gotN == expectedN)
+    ptx.Caching.releaseAll()
+  }
+
+  test("llm_split_contamination: invariants + string-gram twin parity (r11)") {
+    import org.apache.spark.sql.functions._
+    val rows = q("llm_split_contamination").collect()
+    // both non-train splits present, in order
+    assert(rows.map(_.getString(0)).toSeq == Seq("test", "val"))
+    rows.foreach { r =>
+      val (nDocs, nGrams, nCont, nHit) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nCont <= nGrams, s"contaminated $nCont > grams $nGrams")
+      assert(nHit <= nDocs, s"docs hit $nHit > docs $nDocs")
+      assert((nHit > 0) == (nCont > 0), "doc hits iff contaminated grams")
+    }
+    // the near-dup structure of the fixture must leak across a hash split:
+    // a contamination audit that reads zero on a corpus with known
+    // verbatim overlap would be vacuous
+    assert(rows.map(_.getLong(3)).sum > 0, "expected nonzero contamination")
+    // hash keys change nothing vs STRING 8-grams (the same partition
+    // identity FunctionsSpec pins for the kernel, here end-to-end):
+    // recompute n_contaminated per split with string grams
+    val docs = Tables.documents(spark, SF01)
+      .withColumn("bucket",
+        expr("pmod(doc_id, 2147483648L) * 2654435761L % 4294967296L % 100"))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val").otherwise("test"))
+      .select(col("split"), split(col("text"), " ").as("w"))
+      .withColumn("g", expr(
+        """CASE WHEN size(w) >= 8 THEN
+          |  transform(sequence(1, size(w) - 7),
+          |    i -> concat_ws(' ', slice(w, i, 8)))
+          |ELSE array() END""".stripMargin))
+      .select(col("split"), explode(col("g")).as("gram"))
+    val train = docs.filter(col("split") === "train").select("gram").distinct()
+    val expected = docs.filter(col("split") =!= "train").distinct()
+      .join(train, Seq("gram"), "left_semi")
+      .groupBy(col("split")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got.filter(_._2 > 0) == expected.filter(_._2 > 0),
+      s"hash-gram counts $got != string-gram counts $expected")
+    ptx.Caching.releaseAll()
+  }
 }

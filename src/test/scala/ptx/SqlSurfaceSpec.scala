@@ -54,6 +54,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_chunk_dedup" -> listFns, "llm_ngram_diversity" -> listFns,
       "llm_stopword_candidates" -> listFns,
       "llm_ccnet_buckets" -> listFns,
+      "llm_split_contamination" -> listFns,
+      "dq_embedding_outliers" -> "ORDER BY inside list() + list_dot_product",
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_drift_ks" -> "HUGEINT type (Spark: DECIMAL(38,0))",
       "dq_drift_ttest" -> "HUGEINT type (Spark: DECIMAL(38,0))",
