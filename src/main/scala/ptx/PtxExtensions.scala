@@ -34,5 +34,20 @@ class PtxExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[ptx.functions.GramHashes].getName, "gram_hashes"),
       (children: Seq[Expression]) => ptx.functions.TextGrams.build(children)))
+    // the Bloom pair (r11): Spark ships both halves but keeps them
+    // optimizer-internal (neither resolves from user SQL); injecting them
+    // gives pure-SQL sessions build + probe (ptx.functions.Blooms).
+    ext.injectFunction((
+      new FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      (children: Seq[Expression]) => ptx.functions.Blooms.buildMightContain(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      (children: Seq[Expression]) => ptx.functions.Blooms.buildAgg(children)))
   }
 }

@@ -280,6 +280,72 @@ object Curation {
             " div (2 * n_grams) END"))
         .orderBy(col("split"))
     }),
+    // ◌ Bloom-bounded split-contamination audit (r11): the 100 TB
+    // refinement `llm_split_contamination`'s scaladoc names, shipped as
+    // its declared-approximate twin (the anchorScaleTwin discipline at
+    // linear grain: here the EXACT form is already linear, and what the
+    // sketch removes is its dominant SHUFFLE — the train-side gram
+    // aggregation). Train grams stream into Spark's own
+    // `bloom_filter_agg` (fixed 2^23-bit sketch): duplicate insertions
+    // are idempotent bit-sets, so the build needs NO distinct and its
+    // partial buffers merge by bitwise OR — #partitions × 1 MB through
+    // the exchange, CONSTANT in corpus size, where the exact op shuffles
+    // every distinct train gram. The collected sketch (a model
+    // parameter, the kmeans-centroid precedent) then probes the eval
+    // splits scan-side via the codegen'd `might_contain`.
+    // Error is ONE-SIDED: no false negatives, so n_contaminated ≥ exact
+    // always; false positives ≈ fpp(2^23 bits, distinct train grams)
+    // (~1% at 1M grams — sized for the fixture band; a deployment sizes
+    // numBits to its gram budget or range-shards the filter past
+    // broadcastable sizes, LlmOpsSpec pins the ≥-and-margin contract
+    // against the exact op). Deterministic: fixed bits + order-
+    // independent insertion ⇒ dump-stable counts, but FP-inflated, hence
+    // declared ◌ with no DuckDB oracle.
+    "llm_split_contamination_bloom" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
+      ptx.functions.Blooms.register(s)
+      val docs = Tables.documents(s, d)
+        .withColumn("bucket", knuthBucket(col("doc_id"), 100))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+      val grams = ptx.Caching.pin(docs
+        .select(col("split"), col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("split"), col("doc_id"),
+          explode(expr("gram_hashes(w, 8)")).as("h")))
+      // build job: one pass over train occurrences → 1 MB sketch
+      val bloomRow = grams.filter(col("split") === "train")
+        .agg(call_function("bloom_filter_agg", col("h"),
+          lit(1000000L), lit(8388608L)).as("bf")).head()
+      val hit =
+        if (bloomRow.isNullAt(0)) lit(false) // no train docs at this sf
+        else call_function("might_contain",
+          lit(bloomRow.getAs[Array[Byte]](0)), col("h"))
+      val ev = grams.filter(col("split") =!= "train")
+      val perSplit = ev.select(col("split"), col("h")).distinct()
+        .withColumn("hit", hit)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("hit"), 1)).as("n_contaminated"))
+      val docsHit = ev.withColumn("hit", hit).filter(col("hit"))
+        .select(col("split"), col("doc_id")).distinct()
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs_hit"))
+      val nDocs = docs.filter(col("split") =!= "train")
+        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      nDocs
+        .join(perSplit, Seq("split"), "left_outer")
+        .join(docsHit, Seq("split"), "left_outer")
+        .select(col("split"), col("n_docs"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"))
+        .withColumn("contamination_e6", expr(
+          "CASE WHEN n_grams > 0 THEN " +
+            "(2 * cast(n_contaminated as decimal(38,0)) * 1000000 + n_grams)" +
+            " div (2 * n_grams) END"))
+        .orderBy(col("split"))
+    }),
     // ✓ mixture rebalancing (r4): language-balanced downsampling toward
     // the smallest language's count — the deterministic form of training
     // -mix reweighting. Per-lang keep rate = min(n)/n(lang), applied via

@@ -381,4 +381,32 @@ class LlmOpsSpec extends AnyFunSuite {
       s"hash-gram counts $got != string-gram counts $expected")
     ptx.Caching.releaseAll()
   }
+
+  test("llm_split_contamination_bloom: one-sided superset of exact within fpp margin (r11)") {
+    val exact = q("llm_split_contamination").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    ptx.Caching.releaseAll()
+    val bloom = q("llm_split_contamination_bloom").collect()
+    assert(bloom.map(_.getString(0)).toSeq == Seq("test", "val"))
+    bloom.foreach { r =>
+      val sp = r.getString(0)
+      val (nDocsB, nGramsB, nContB, nHitB) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (nDocsE, nGramsE, nContE, nHitE) = exact(sp)
+      // doc and distinct-gram counts are exact on both paths
+      assert(nDocsB == nDocsE, s"$sp: n_docs $nDocsB != $nDocsE")
+      assert(nGramsB == nGramsE, s"$sp: n_grams $nGramsB != $nGramsE")
+      // Bloom has no false negatives → counts can only grow...
+      assert(nContB >= nContE, s"$sp: bloom n_contaminated $nContB < exact $nContE")
+      assert(nHitB >= nHitE, s"$sp: bloom n_docs_hit $nHitB < exact $nHitE")
+      // ...and by at most an fpp-sized margin (2^23 bits over the
+      // fixture's gram count keeps true fpp ≪ 5%)
+      val margin = math.max(10L, nGramsB / 20)
+      assert(nContB - nContE <= margin,
+        s"$sp: FP inflation ${nContB - nContE} exceeds margin $margin")
+      assert(nHitB <= nDocsB, s"$sp: n_docs_hit $nHitB > n_docs $nDocsB")
+    }
+    ptx.Caching.releaseAll()
+  }
 }

@@ -75,10 +75,24 @@ class SqlEquivalenceSpec extends AnyFunSuite {
         "SELECT size(gram_hashes(array('a','b','c','d'), 3))")
         .collect()(0).getInt(0)
       assert(g3 == 2)
+      // might_contain is injected too (r11): the full Bloom pair from
+      // pure SQL — build with Spark's registered bloom_filter_agg, probe
+      // with the injected might_contain; an inserted value must hit
+      val bloomHits = s2.sql(
+        """WITH b AS (SELECT bloom_filter_agg(x, 10L, 1024L) AS bf
+          |           FROM (SELECT CAST(id AS LONG) AS x FROM range(5)))
+          |SELECT might_contain((SELECT bf FROM b), CAST(3 AS LONG)),
+          |       might_contain((SELECT bf FROM b), CAST(424242 AS LONG))
+          |""".stripMargin).collect()(0)
+      assert(bloomHits.getBoolean(0), "inserted value must hit the filter")
+      // (424242 is a non-member: true only under an fp — 1024 bits over
+      // 5 items makes that ~impossible, and determinism makes it stable)
+      assert(!bloomHits.getBoolean(1), "non-member unexpectedly hit")
       // the operators' register() recognizes the injected binding: no-op,
       // no clobber, no conflict error
       ptx.functions.TextGrams.register(s2)
       ptx.functions.VectorOps.register(s2)
+      ptx.functions.Blooms.register(s2)
       assert(s2.sql("SELECT size(gram_hashes(array('x','y','z','w','v')))")
         .collect()(0).getInt(0) == 1)
     } finally {
