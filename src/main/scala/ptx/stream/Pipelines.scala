@@ -237,6 +237,63 @@ object Pipelines {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Builds the eval-set gram sketch [[decontaminationGate]] probes: one
+    * pass over the benchmark/eval corpus inserting every word-8-gram hash
+    * into a 2^23-bit Bloom filter (`bloom_filter_agg` — duplicate
+    * insertions are idempotent, partials OR-merge). Eval suites are small,
+    * so the fixed 1 MB sketch holds fpp ≪ 1%; returns null-safe empty
+    * bytes when the eval frame has no grams. */
+  def evalGramSketch(evalDocs: DataFrame): Array[Byte] = {
+    ptx.functions.TextGrams.register(evalDocs.sparkSession)
+    ptx.functions.Blooms.register(evalDocs.sparkSession)
+    val row = evalDocs
+      .select(explode(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+      .agg(call_function("bloom_filter_agg", col("h"),
+        lit(1000000L), lit(8388608L)).as("bf")).head()
+    if (row.isNullAt(0)) Array.empty[Byte] else row.getAs[Array[Byte]](0)
+  }
+
+  /** Streaming DECONTAMINATION admission gate (r11): the ingest-time twin
+    * of `llm_split_contamination_bloom`, in the direction a training
+    * pipeline actually deploys it — each incoming TRAIN doc is probed
+    * against the held-out/benchmark gram sketch (GPT-3 §4's published
+    * recipe: drop training text that overlaps eval, so reported eval
+    * stays honest). Per batch, each doc's word-8-grams are hashed
+    * (`gram_hashes`) and probed scan-side against the broadcast sketch
+    * (`might_contain`, codegen'd); the per-doc verdict (n_grams, n_hit,
+    * contaminated = any hit) lands in `dir/batch=<id>` (overwrite —
+    * idempotent on retried batches, the writeBatch discipline).
+    * One-sided error inherited from the sketch: a contaminated doc is
+    * NEVER missed; a clean doc is flagged with probability ≈ fpp per
+    * gram — the safe direction for an admission gate (you only
+    * over-drop). Zero streaming state; the 1 MB sketch ships with the
+    * task binary, so at 100 TB the gate is a pure scan-side map — no
+    * join, no shuffle, no per-batch re-aggregation of the eval side.
+    */
+  def decontaminationGate(docs: DataFrame, evalSketch: Array[Byte],
+                          dir: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ptx.functions.TextGrams.register(batch.sparkSession)
+        ptx.functions.Blooms.register(batch.sparkSession)
+        val grams = batch.select(col("doc_id"),
+          explode_outer(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+        val hit =
+          if (evalSketch.isEmpty) lit(false)
+          else col("h").isNotNull &&
+            call_function("might_contain", lit(evalSketch), col("h"))
+        grams
+          .groupBy(col("doc_id"))
+          .agg(count(col("h")).as("n_grams"),
+            count(when(hit, 1)).as("n_hit"))
+          .withColumn("contaminated", col("n_hit") > 0)
+          .write.mode("overwrite").parquet(s"$dir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming exact content dedup at ingest (r9): the documents-side
     * twin of the batch checksum-dedup family — drop any doc whose
     * payload content (md5 of text) was already seen on the stream.

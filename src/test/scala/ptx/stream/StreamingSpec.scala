@@ -315,6 +315,48 @@ class StreamingSpec extends AnyFunSuite {
       "novel buckets should move the PSI relative to the dropped-bucket grid")
   }
 
+  test("streaming decontamination gate: no false negatives vs exact overlap, fp-bounded, per-doc gram counts (r11)") {
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    // "eval suite" = every 10th doc; the gate must flag any streamed doc
+    // sharing an 8-gram with it — including the eval docs themselves
+    val eval = docs.filter(col("doc_id") % 10 === 0)
+    val sketch = Pipelines.evalGramSketch(eval)
+    assert(sketch.nonEmpty)
+    val out = java.nio.file.Files.createTempDirectory("ptx-decon").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ptx-decon-ckpt").toString
+    val q = Pipelines.decontaminationGate(
+      ptx.Tables.documentsStream(spark, TestSpark.SF), sketch, out, ckpt)
+    q.awaitTermination()
+    val res = spark.read.parquet(s"$out/batch=0").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(res.size == docs.count(), "every streamed doc gets one verdict")
+    // exact overlap from the same hashed gram stream, batch-side
+    ptx.functions.TextGrams.register(spark)
+    val g = docs.select(col("doc_id"),
+      explode(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+    val evalG = g.filter(col("doc_id") % 10 === 0).select("h").distinct()
+    val exactHit = g.join(evalG, Seq("h"), "left_semi")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(exactHit.nonEmpty, "fixture must produce true train-eval overlap")
+    val flagged = res.filter(_._2._3).keySet
+    // one-sided: a truly contaminated doc is NEVER missed...
+    assert(exactHit.subsetOf(flagged),
+      s"missed ${exactHit -- flagged} truly contaminated docs")
+    // ...and false positives stay fpp-bounded (2^23 bits over the
+    // fixture's gram count keeps per-doc flag inflation tiny)
+    assert(flagged.size - exactHit.size <= math.max(5L, res.size / 20L),
+      s"fp inflation ${flagged.size - exactHit.size} too high")
+    // per-doc structural invariants: n_grams = max(0, words-7), hits bounded
+    val words = docs.select(col("doc_id"),
+        size(split(col("text"), " ")).as("nw")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    res.foreach { case (id, (ng, nh, _)) =>
+      assert(ng == math.max(0, words(id) - 7), s"doc $id n_grams $ng")
+      assert(nh <= ng, s"doc $id n_hit $nh > n_grams $ng")
+    }
+  }
+
   test("streaming drift-report gate: single-batch panel matches the batch PSI/KS audits + reference-moment t (r10)") {
     // reference = the corpus's own bucket frame (counts + exact decimal
     // moments), so the one-batch PSI and KS columns must be ROW-IDENTICAL
