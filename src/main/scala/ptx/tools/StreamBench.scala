@@ -141,12 +141,31 @@ object StreamBench {
       runTtl() // warm
       val ttlSec = runTtl()
 
+      // Bloom decontamination gate (r11): eval-gram sketch built once
+      // (every 10th doc as the stand-in benchmark suite), then each
+      // micro-batch is a pure scan-side probe + per-doc agg — the
+      // cheapest documents-side gate by construction (no join, no state).
+      val evalSketch = ptx.stream.Pipelines.evalGramSketch(
+        docs.filter(col("doc_id") % 10 === 0))
+      def runDecon(): Double = {
+        val cp = tmpDir("ptx-sb-deconcp"); val outDir = tmpDir("ptx-sb-deconout")
+        val src = spark.readStream.schema(docs.schema).parquet(docStaged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.decontaminationGate(
+          src, evalSketch, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runDecon() // warm
+      val deconSec = runDecon()
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val body = (results.map { case (n, sec) =>
         s""""$n":{"sec":${fmt(sec)},"rows_per_sec":${fmt(rows / sec)}}"""
       } :+ s""""drift_gate":{"sec":${fmt(gateSec)},"rows_per_sec":${fmt(docRows / gateSec)},"rows":$docRows}"""
-        :+ s""""ttl_dedup":{"sec":${fmt(ttlSec)},"rows_per_sec":${fmt(docRows / ttlSec)},"rows":$docRows}""")
+        :+ s""""ttl_dedup":{"sec":${fmt(ttlSec)},"rows_per_sec":${fmt(docRows / ttlSec)},"rows":$docRows}"""
+        :+ s""""decon_gate":{"sec":${fmt(deconSec)},"rows_per_sec":${fmt(docRows / deconSec)},"rows":$docRows}""")
         .mkString(",")
       val json =
         s"""{"metric":"stream_throughput","rows":$rows,"sf":"$sfDir","cpus":$cpus,"pipelines":{$body}}"""
