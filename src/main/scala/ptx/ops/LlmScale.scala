@@ -32,6 +32,55 @@ object LlmScale {
   private def shingles(s: SparkSession, d: String): DataFrame =
     ptx.functions.TextShingles.shingles(Tables.documents(s, d))
 
+  /** Per-doc MinHash signature frame from a (doc_id, h) hashed-shingle
+    * stream: the H per-seed minima `m0..m{H-1}`, the distinct-shingle
+    * count `n_sh`, and the ascending `shset` hash array the exact-Jaccard
+    * verify consumes. ONE definition shared by the `llm_dedup_minhash_lsh`
+    * query and the persisted [[ptx.sources.DedupIndex]] — the signature
+    * recipe (xxhash64(seed, h) minima) IS the index format, so an
+    * incremental probe against persisted signatures is bit-identical to
+    * an inline recompute (the ivfCentroids/VectorIndex discipline at the
+    * dedup grain). One corpus-shuffle aggregation, one row per doc. */
+  private[ptx] def minhashSignatures(sh: DataFrame): DataFrame = {
+    val aggCols = (0 until H).map(i =>
+      min(xxhash64(lit(i), col("h"))).as(s"m$i")) ++ Seq(
+      count(lit(1)).as("n_sh"),
+      sort_array(collect_list(col("h"))).as("shset"))
+    sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** (doc_id, band, key) LSH band-bucket keys from a signature frame —
+    * the candidate-join side of the banding scheme (R-row bands hashed to
+    * one 64-bit key each). Shared by the query and the persisted index;
+    * deterministic given the signature frame. */
+  private[ptx] def bandKeys(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until B).map(bi =>
+      struct(lit(bi).as("band"),
+        xxhash64((0 until R).map(r => col(s"m${bi * R + r}")): _*).as("key")).as(s"b$bi"))
+    sig.select(col("doc_id"), array(bandCols: _*).as("bs"))
+      .select(col("doc_id"), explode(col("bs")).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+  }
+
+  /** Exact-Jaccard verify over a candidate pair frame `(doc1, doc2)`
+    * against a signature-set frame `(doc_id, n_sh, shset)`: fused
+    * sorted-merge intersection (codegen'd SortedIntersectCount — shsets
+    * are ascending by construction) and the ≥ `threshold` filter applied
+    * to the UNROUNDED jaccard. Shared by the query and the index probe.
+    * Requires `VectorOps.register` on the session. */
+  private[ptx] def verifyJaccard(cands: DataFrame, sets: DataFrame,
+                                 threshold: Double): DataFrame = {
+    val jac = col("inter").cast("double") /
+      (col("n1") + col("n2") - col("inter"))
+    cands
+      .join(sets.toDF("doc1", "n1", "set1"), Seq("doc1"))
+      .join(sets.toDF("doc2", "n2", "set2"), Seq("doc2"))
+      .withColumn("inter", expr("sorted_intersect_count(set1, set2)"))
+      .withColumn("jaccard", round(jac, 6))
+      .filter(jac >= threshold)
+      .select(col("doc1"), col("doc2"), col("jaccard"))
+  }
+
   /** IVF coarse centroids: full-dimension float32 mean vector per cell
     * (cell = label; a production build substitutes k-means assignments).
     * The float32 CAST is deliberate — it absorbs avg()'s double-ulp
@@ -432,40 +481,20 @@ object LlmScale {
       // shingle vocab; the ◌ op's property tests run against exact pairs).
       val sh = shingles(s, d)
         .select(col("doc_id"), col("shingle").as("h"))
-      val aggCols = (0 until H).map(i =>
-        min(xxhash64(lit(i), col("h"))).as(s"m$i")) ++ Seq(
-        count(lit(1)).as("n_sh"),
-        sort_array(collect_list(col("h"))).as("shset"))
       // pin the diamond apex: three consumers (bands, both verify sides)
       // prune different columns, which defeats exchange reuse — without the
       // cache the corpus is re-scanned per consumer. One row per doc, small.
       // Released by the harness via Caching.releaseAll() post-action.
-      val docAgg = ptx.Caching.pin(
-        sh.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*))
-      val bandCols = (0 until B).map(bi =>
-        struct(lit(bi).as("band"),
-          xxhash64((0 until R).map(r => col(s"m${bi * R + r}")): _*).as("key")).as(s"b$bi"))
-      val bands = docAgg.select(col("doc_id"), array(bandCols: _*).as("bs"))
-        .select(col("doc_id"), explode(col("bs")).as("b"))
-        .select(col("doc_id"), col("b.band").as("band"), col("b.key").as("key"))
+      // (signature/band/verify recipes shared with sources.DedupIndex —
+      // r11 factoring, identical plan)
+      val docAgg = ptx.Caching.pin(minhashSignatures(sh))
+      val bands = bandKeys(docAgg)
       val cands = bands.toDF("doc1", "band", "key")
         .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
         .filter(col("doc1") < col("doc2"))
         .select(col("doc1"), col("doc2")).distinct()
       val sets = docAgg.select(col("doc_id"), col("n_sh"), col("shset"))
-      val jac = col("inter").cast("double") /
-        (col("n1") + col("n2") - col("inter"))
-      cands
-        .join(sets.toDF("doc1", "n1", "set1"), Seq("doc1"))
-        .join(sets.toDF("doc2", "n2", "set2"), Seq("doc2"))
-        // fused sorted-merge count (codegen'd SortedIntersectCount) — the
-        // shset arrays are ascending by construction; array_intersect would
-        // hash-build the intersection array per candidate only to take its
-        // size
-        .withColumn("inter", expr("sorted_intersect_count(set1, set2)"))
-        .withColumn("jaccard", round(jac, 6))
-        .filter(jac >= 0.4)
-        .select(col("doc1"), col("doc2"), col("jaccard"))
+      verifyJaccard(cands, sets, 0.4)
         .orderBy(col("doc1"), col("doc2"))
     }),
     // ◌ SimHash: 64-bit signature; candidates via 16-bit chunk equality

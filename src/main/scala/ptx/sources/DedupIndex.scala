@@ -1,0 +1,97 @@
+package ptx.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persisted near-dup index: the build-once / probe-many split of the
+  * MinHash-LSH path — the [[VectorIndex]] discipline at the dedup grain.
+  *
+  * `llm_dedup_minhash_lsh` signs and bands the whole corpus inline, which
+  * is right for a one-shot audit but wrong for the workflow a 100 TB lake
+  * actually runs: shards arrive INCREMENTALLY, and re-signing petabytes to
+  * admit a gigabyte shard is the cost this index removes. Persisting the
+  * per-doc signatures once makes each admission linear in the SHARD:
+  *
+  *  - `write` runs the corpus signature aggregation once and lays down two
+  *    parquet tables: `bands/` (doc_id, band, key — the candidate-join
+  *    side) and `sets/` (doc_id, n_sh, shset — the exact-verify side);
+  *  - `probe` signs ONLY the new shard, joins its band keys against the
+  *    persisted band table (plus the shard's own, so intra-shard dups are
+  *    caught too), and exact-verifies candidates against the union of
+  *    persisted and shard sets;
+  *  - `append` admits the shard into the index for the next round.
+  *
+  * Bit-stability: signatures are xxhash64 minima over the shared
+  * [[ptx.functions.TextShingles]] stream — pure integer functions of the
+  * text, so a parquet round-trip is exact and `probe` returns byte-identical
+  * pairs to an inline full recompute restricted to shard-touching pairs
+  * (asserted in IoSpec). Shared recipe objects
+  * ([[ptx.ops.LlmScale.minhashSignatures]]/`bandKeys`/`verifyJaccard`)
+  * make divergence from the query path a compile-time impossibility.
+  *
+  * Scale: the probe's band join shuffles the persisted band table by its
+  * 8-byte key once per admission — at deployment scale that table lives
+  * bucketed by `key` (bucketed table / liquid layout), making admissions
+  * shuffle-free on the index side. Candidate fan-out is banding-bounded
+  * exactly as in the inline query; the verify fetches only candidate
+  * doc_ids' sets. Caller contract: doc_ids are unique corpus-wide (a
+  * re-crawled payload arrives under a new id — that is what the index is
+  * for).
+  */
+object DedupIndex {
+
+  /** Corpus pass: build and persist signatures for `docs` (doc_id, text). */
+  def write(docs: DataFrame, dir: String): Unit = {
+    val sig = ptx.ops.LlmScale.minhashSignatures(
+      ptx.functions.TextShingles.shingles(docs)
+        .select(col("doc_id"), col("shingle").as("h")))
+      .persist(StorageLevel.MEMORY_AND_DISK) // two writers below; lifecycle
+    try {                                    // is contained in this call
+      ptx.ops.LlmScale.bandKeys(sig)
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
+      sig.select(col("doc_id"), col("n_sh"), col("shset"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sets")
+    } finally sig.unpersist()
+  }
+
+  /** Near-dup pairs `(doc1, doc2, jaccard ≥ threshold)` touching the new
+    * shard: shard↔index and shard↔shard, never index↔index (those were
+    * reported when their shards were admitted). Signs only the shard. */
+  def probe(spark: SparkSession, dir: String, newDocs: DataFrame,
+            threshold: Double = 0.4): DataFrame = {
+    ptx.functions.VectorOps.register(spark) // sorted_intersect_count
+    val shardSig = ptx.Caching.pin(ptx.ops.LlmScale.minhashSignatures(
+      ptx.functions.TextShingles.shingles(newDocs)
+        .select(col("doc_id"), col("shingle").as("h"))))
+    val shardBands = ptx.ops.LlmScale.bandKeys(shardSig)
+    val allBands = spark.read.parquet(s"$dir/bands").unionByName(shardBands)
+    // one side is always the shard; doc1 < doc2 dedups the shard↔shard
+    // mirror and canonicalizes shard↔index order
+    val cands = shardBands.toDF("a", "band", "key")
+      .join(allBands.toDF("b", "band", "key"), Seq("band", "key"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("doc1"),
+        greatest(col("a"), col("b")).as("doc2"))
+      .distinct()
+    val sets = spark.read.parquet(s"$dir/sets")
+      .unionByName(shardSig.select(col("doc_id"), col("n_sh"), col("shset")))
+    ptx.ops.LlmScale.verifyJaccard(cands, sets, threshold)
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
+  /** Admit a shard: append its signatures to the persisted index. Call
+    * after [[probe]]'s action completes (and its pins are released). */
+  def append(docs: DataFrame, dir: String): Unit = {
+    val sig = ptx.ops.LlmScale.minhashSignatures(
+      ptx.functions.TextShingles.shingles(docs)
+        .select(col("doc_id"), col("shingle").as("h")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      ptx.ops.LlmScale.bandKeys(sig)
+        .write.mode(SaveMode.Append).parquet(s"$dir/bands")
+      sig.select(col("doc_id"), col("n_sh"), col("shset"))
+        .write.mode(SaveMode.Append).parquet(s"$dir/sets")
+    } finally sig.unpersist()
+  }
+}

@@ -116,6 +116,41 @@ class IoSpec extends AnyFunSuite {
     assert(persisted == inline, "persisted-index probe diverged from the inline query")
   }
 
+  test("persisted dedup index: incremental shard probes equal the inline full recompute (r11)") {
+    val dir = tmp("ptx-dedupidx")
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val shard1 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 5)
+    val shard2 = docs.filter(col("doc_id") % 10 === 5)
+    // ground truth: the inline query over the FULL corpus — per-doc
+    // signatures don't depend on which subset they were computed in, so
+    // every incremental probe must return exactly the full-corpus pairs
+    // touching its shard (restricted to docs indexed-or-arriving so far)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = QueryRegistry.all("llm_dedup_minhash_lsh")(spark, TestSpark.SF)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    val s1 = shard1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = shard2.select("doc_id").collect().map(_.getLong(0)).toSet
+    ptx.sources.DedupIndex.write(base, dir)
+    val probe1 = ptx.sources.DedupIndex.probe(spark, dir, shard1)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    val want1 = full.filter { case (a, b, _) =>
+      (s1(a) || s1(b)) && !s2(a) && !s2(b) }
+    assert(probe1 == want1, s"shard1 probe diverged (${probe1.size} vs ${want1.size})")
+    // admit shard1, then shard2's probe must also see shard1's docs
+    ptx.sources.DedupIndex.append(shard1, dir)
+    val probe2 = ptx.sources.DedupIndex.probe(spark, dir, shard2)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    val want2 = full.filter { case (a, b, _) => s2(a) || s2(b) }
+    assert(probe2 == want2, s"shard2 probe diverged (${probe2.size} vs ${want2.size})")
+    // the fixture must actually exercise both pair classes
+    assert(want1.nonEmpty && want2.nonEmpty, "fixture produced no shard pairs")
+  }
+
   test("deterministic k-means: reproducible cells that beat the global mean cosine (r5)") {
     val e = Tables.embeddings(spark, TestSpark.SF)
     val (cent1, assign1) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
