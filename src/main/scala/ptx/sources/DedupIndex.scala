@@ -38,22 +38,20 @@ import org.apache.spark.storage.StorageLevel
   * doc_ids' sets. Caller contract: doc_ids are unique corpus-wide (a
   * re-crawled payload arrives under a new id — that is what the index is
   * for).
+  *
+  * Layout: every writer lands under a `batch=<tag>` partition subdir of
+  * `bands/` and `sets/` in OVERWRITE mode, so re-running an admission with
+  * the same tag REPLACES its files instead of duplicating them — the
+  * idempotent-replay contract the streaming admission pipeline
+  * ([[ptx.stream.Pipelines.shardAdmission]]) needs for retried
+  * micro-batches, and shard-grain compaction/pruning units at rest.
+  * Readers drop the discovered `batch` column by explicit projection.
   */
 object DedupIndex {
 
   /** Corpus pass: build and persist signatures for `docs` (doc_id, text). */
-  def write(docs: DataFrame, dir: String): Unit = {
-    val sig = ptx.ops.LlmScale.minhashSignatures(
-      ptx.functions.TextShingles.shingles(docs)
-        .select(col("doc_id"), col("shingle").as("h")))
-      .persist(StorageLevel.MEMORY_AND_DISK) // two writers below; lifecycle
-    try {                                    // is contained in this call
-      ptx.ops.LlmScale.bandKeys(sig)
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/bands")
-      sig.select(col("doc_id"), col("n_sh"), col("shset"))
-        .write.mode(SaveMode.Overwrite).parquet(s"$dir/sets")
-    } finally sig.unpersist()
-  }
+  def write(docs: DataFrame, dir: String): Unit =
+    writeTag(docs, dir, "base", SaveMode.Overwrite)
 
   /** Near-dup pairs `(doc1, doc2, jaccard ≥ threshold)` touching the new
     * shard: shard↔index and shard↔shard, never index↔index (those were
@@ -65,7 +63,11 @@ object DedupIndex {
       ptx.functions.TextShingles.shingles(newDocs)
         .select(col("doc_id"), col("shingle").as("h"))))
     val shardBands = ptx.ops.LlmScale.bandKeys(shardSig)
-    val allBands = spark.read.parquet(s"$dir/bands").unionByName(shardBands)
+    // explicit projections drop the batch=<tag> partition column the
+    // layout adds on read
+    val allBands = spark.read.parquet(s"$dir/bands")
+      .select(col("doc_id"), col("band"), col("key"))
+      .unionByName(shardBands)
     // one side is always the shard; doc1 < doc2 dedups the shard↔shard
     // mirror and canonicalizes shard↔index order
     val cands = shardBands.toDF("a", "band", "key")
@@ -75,23 +77,30 @@ object DedupIndex {
         greatest(col("a"), col("b")).as("doc2"))
       .distinct()
     val sets = spark.read.parquet(s"$dir/sets")
+      .select(col("doc_id"), col("n_sh"), col("shset"))
       .unionByName(shardSig.select(col("doc_id"), col("n_sh"), col("shset")))
     ptx.ops.LlmScale.verifyJaccard(cands, sets, threshold)
       .orderBy(col("doc1"), col("doc2"))
   }
 
-  /** Admit a shard: append its signatures to the persisted index. Call
-    * after [[probe]]'s action completes (and its pins are released). */
-  def append(docs: DataFrame, dir: String): Unit = {
+  /** Admit a shard: add its signatures to the persisted index under its
+    * own `batch=<tag>` partition (overwrite — re-admitting the same tag
+    * replaces, never duplicates). Call after [[probe]]'s action completes
+    * (and its pins are released). */
+  def append(docs: DataFrame, dir: String, tag: String): Unit =
+    writeTag(docs, dir, tag, SaveMode.Overwrite)
+
+  private def writeTag(docs: DataFrame, dir: String, tag: String,
+                       mode: SaveMode): Unit = {
     val sig = ptx.ops.LlmScale.minhashSignatures(
       ptx.functions.TextShingles.shingles(docs)
         .select(col("doc_id"), col("shingle").as("h")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
+      .persist(StorageLevel.MEMORY_AND_DISK) // two writers below; lifecycle
+    try {                                    // is contained in this call
       ptx.ops.LlmScale.bandKeys(sig)
-        .write.mode(SaveMode.Append).parquet(s"$dir/bands")
+        .write.mode(mode).parquet(s"$dir/bands/batch=$tag")
       sig.select(col("doc_id"), col("n_sh"), col("shset"))
-        .write.mode(SaveMode.Append).parquet(s"$dir/sets")
+        .write.mode(mode).parquet(s"$dir/sets/batch=$tag")
     } finally sig.unpersist()
   }
 }

@@ -938,6 +938,69 @@ object Pipelines {
       .start()
   }
 
+  /** Streaming SHARD ADMISSION against the persisted near-dup index
+    * (r11) — the dedup-grain twin of [[indexRefresh]], and the workflow
+    * the incremental [[ptx.sources.DedupIndex]] exists for: shards of new
+    * documents arrive as a stream, and each micro-batch is probed,
+    * filtered, and admitted WITHOUT re-signing the corpus. Per batch,
+    * via foreachBatch:
+    *  1. PROBE the batch against the index ([[ptx.sources.DedupIndex.probe]]
+    *     — signs only the batch; near-dup pairs land in
+    *     `outDir/pairs/batch=<id>`, the audit trail);
+    *  2. FILTER: a doc is REJECTED iff it near-duplicates an already
+    *     admitted (index) doc, or a SMALLER-id doc of its own batch —
+    *     the deterministic one-pass policy (within a batch the smallest
+    *     id of a pairwise-connected group survives its direct pairs; no
+    *     component propagation runs inside the hot admission path, so a
+    *     doc pairing only with REJECTED smaller siblings is still
+    *     dropped — the conservative direction: an admission gate may
+    *     over-drop, never under-drop). Survivors land in
+    *     `outDir/accepted/batch=<id>`;
+    *  3. ADMIT the survivors into the index under the batch's own tag
+    *     ([[ptx.sources.DedupIndex.append]]), so the NEXT batch probes
+    *     against them.
+    * Idempotent on retried batches end-to-end: every sink (pairs,
+    * accepted, index partitions) is a `batch=<id>`-scoped overwrite, and
+    * a retry whose failed attempt already appended index signatures
+    * changes nothing — the batch's own persisted twins are excluded by
+    * id equality and already-admitted siblings dedup through the
+    * distinct candidate set. The rejection join reads the just-written
+    * pairs file back rather than recomputing the probe plan (the pair
+    * frame is candidate-bounded — tiny next to the signature work).
+    * At 100 TB each admission is linear in the SHARD plus one 8-byte-key
+    * shuffle of the persisted band table (bucketed at rest → shuffle-free;
+    * see the DedupIndex scaladoc). */
+  def shardAdmission(docs: DataFrame, indexDir: String, outDir: String,
+                     checkpoint: String, threshold: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("doc_id"), col("text"))
+        ptx.sources.DedupIndex.probe(spark, indexDir, b, threshold)
+          .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$id")
+        ptx.Caching.release(spark) // drop the probe's shard-signature pin
+        val pairs = spark.read.parquet(s"$outDir/pairs/batch=$id")
+        val ids = b.select(col("doc_id"))
+        // both orientations of each pair, restricted to batch docs d;
+        // o < d encodes "smaller sibling" and a non-batch o is an index doc
+        val adj = pairs.select(col("doc1").as("d"), col("doc2").as("o"))
+          .unionAll(pairs.select(col("doc2").as("d"), col("doc1").as("o")))
+          .join(ids.toDF("d"), Seq("d"), "left_semi")
+        val rejected = adj
+          .join(ids.toDF("o").withColumn("in_batch", lit(true)),
+            Seq("o"), "left_outer")
+          .filter(col("in_batch").isNull || col("o") < col("d"))
+          .select(col("d").as("doc_id")).distinct()
+        val accepted = b.join(rejected, Seq("doc_id"), "left_anti")
+        accepted.write.mode("overwrite").parquet(s"$outDir/accepted/batch=$id")
+        ptx.sources.DedupIndex.append(
+          spark.read.parquet(s"$outDir/accepted/batch=$id"), indexDir, s"b$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert
     * on every new running max and on every 3rd+ consecutive error event.
     * Events within a batch are processed in (ts, event_id) order so results

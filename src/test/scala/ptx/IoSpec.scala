@@ -141,7 +141,7 @@ class IoSpec extends AnyFunSuite {
       (s1(a) || s1(b)) && !s2(a) && !s2(b) }
     assert(probe1 == want1, s"shard1 probe diverged (${probe1.size} vs ${want1.size})")
     // admit shard1, then shard2's probe must also see shard1's docs
-    ptx.sources.DedupIndex.append(shard1, dir)
+    ptx.sources.DedupIndex.append(shard1, dir, "s1")
     val probe2 = ptx.sources.DedupIndex.probe(spark, dir, shard2)
       .collect().map(key).toSet
     ptx.Caching.releaseAll()
