@@ -45,6 +45,53 @@ object Curation {
   private def knuthBucketSql(idExpr: String, mod: Long): String =
     s"($idExpr % 2147483648 + 2147483648) % 2147483648 * 2654435761 % 4294967296 % $mod"
 
+  /** Shared spine of `llm_split_contamination` and its Bloom twin — ONE
+    * definition of the split assignment, the gram stream, and the report
+    * assembly, so the exact op and the declared-◌ sketch cannot drift
+    * (the minhashSignatures/bandKeys factoring discipline at this grain).
+    * Documents under the SAME deterministic Knuth 80/10/10 split as
+    * `llm_split`. */
+  private def contaminationSplitDocs(s: org.apache.spark.sql.SparkSession,
+                                     d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .withColumn("bucket", knuthBucket(col("doc_id"), 100))
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+
+  /** The (split, doc_id, gram-hash) occurrence stream both contamination
+    * ops consume. Pinned: it feeds the per-gram presence/sketch build AND
+    * the per-doc hit pass — unpinned, the corpus tokenizes and hashes
+    * twice. Requires `TextGrams.register` on the session. */
+  private def contaminationGrams(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ptx.Caching.pin(docs
+      .select(col("split"), col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("split"), col("doc_id"),
+        explode(expr("gram_hashes(w, 8)")).as("h")))
+
+  /** Report assembly for the contamination family: per non-train split,
+    * doc counts + gram/contamination counts + the e6 half-up fraction —
+    * identical output shape for the exact op and the sketch twin. */
+  private def contaminationReport(docs: org.apache.spark.sql.DataFrame,
+                                  perSplit: org.apache.spark.sql.DataFrame,
+                                  docsHit: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    docs.filter(col("split") =!= "train")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+      .join(perSplit, Seq("split"), "left_outer")
+      .join(docsHit, Seq("split"), "left_outer")
+      .select(col("split"), col("n_docs"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"))
+      .withColumn("contamination_e6", expr(
+        "CASE WHEN n_grams > 0 THEN " +
+          "(2 * cast(n_contaminated as decimal(38,0)) * 1000000 + n_grams)" +
+          " div (2 * n_grams) END"))
+      .orderBy(col("split"))
+
   /** Per-doc bigram repetition transform (the body of `llm_repetition`
     * without the total-order sort): stateless project/filter arithmetic,
     * so it runs UNCHANGED on a streaming documents frame — the curation
@@ -231,18 +278,8 @@ object Curation {
     // twin test pins hash↔string count identity end-to-end).
     "llm_split_contamination" -> ((s, d) => {
       ptx.functions.TextGrams.register(s)
-      val docs = Tables.documents(s, d)
-        .withColumn("bucket", knuthBucket(col("doc_id"), 100))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
-      // pinned: the gram stream feeds the per-gram presence agg AND the
-      // per-doc hit join — unpinned, the corpus tokenizes and hashes twice
-      val grams = ptx.Caching.pin(docs
-        .select(col("split"), col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("split"), col("doc_id"),
-          explode(expr("gram_hashes(w, 8)")).as("h")))
+      val docs = contaminationSplitDocs(s, d)
+      val grams = contaminationGrams(docs)
       // ONE gram-keyed aggregation carries everything gram-grained: which
       // splits each distinct gram appears in. Distinct counts and the
       // contamination intersection then fall out of a grid-sized
@@ -265,20 +302,7 @@ object Curation {
           Seq("h"), "left_semi")
         .select(col("split"), col("doc_id")).distinct()
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs_hit"))
-      val nDocs = docs.filter(col("split") =!= "train")
-        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-      nDocs
-        .join(perSplit, Seq("split"), "left_outer")
-        .join(docsHit, Seq("split"), "left_outer")
-        .select(col("split"), col("n_docs"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"))
-        .withColumn("contamination_e6", expr(
-          "CASE WHEN n_grams > 0 THEN " +
-            "(2 * cast(n_contaminated as decimal(38,0)) * 1000000 + n_grams)" +
-            " div (2 * n_grams) END"))
-        .orderBy(col("split"))
+      contaminationReport(docs, perSplit, docsHit)
     }),
     // ◌ Bloom-bounded split-contamination audit (r11): the 100 TB
     // refinement `llm_split_contamination`'s scaladoc names, shipped as
@@ -304,16 +328,8 @@ object Curation {
     "llm_split_contamination_bloom" -> ((s, d) => {
       ptx.functions.TextGrams.register(s)
       ptx.functions.Blooms.register(s)
-      val docs = Tables.documents(s, d)
-        .withColumn("bucket", knuthBucket(col("doc_id"), 100))
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "val")
-            .otherwise("test"))
-      val grams = ptx.Caching.pin(docs
-        .select(col("split"), col("doc_id"), split(col("text"), " ").as("w"))
-        .select(col("split"), col("doc_id"),
-          explode(expr("gram_hashes(w, 8)")).as("h")))
+      val docs = contaminationSplitDocs(s, d)
+      val grams = contaminationGrams(docs)
       // build job: one pass over train occurrences → 1 MB sketch
       val bloomRow = grams.filter(col("split") === "train")
         .agg(call_function("bloom_filter_agg", col("h"),
@@ -331,20 +347,7 @@ object Curation {
       val docsHit = ev.withColumn("hit", hit).filter(col("hit"))
         .select(col("split"), col("doc_id")).distinct()
         .groupBy(col("split")).agg(count(lit(1)).as("n_docs_hit"))
-      val nDocs = docs.filter(col("split") =!= "train")
-        .groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
-      nDocs
-        .join(perSplit, Seq("split"), "left_outer")
-        .join(docsHit, Seq("split"), "left_outer")
-        .select(col("split"), col("n_docs"),
-          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
-          coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"))
-        .withColumn("contamination_e6", expr(
-          "CASE WHEN n_grams > 0 THEN " +
-            "(2 * cast(n_contaminated as decimal(38,0)) * 1000000 + n_grams)" +
-            " div (2 * n_grams) END"))
-        .orderBy(col("split"))
+      contaminationReport(docs, perSplit, docsHit)
     }),
     // ✓ mixture rebalancing (r4): language-balanced downsampling toward
     // the smallest language's count — the deterministic form of training

@@ -699,15 +699,25 @@ object LlmScale {
       val buildBudget = sys.env.getOrElse("SPARK_GRAFT_VERIFY_TIMEOUT_SEC", "300")
         .toLong.seconds
       val jobGroup = "ptx_pq_codebook_build"
+      // cancelJobGroup only reaches jobs already RUNNING in the group — a
+      // build still queued on the pool at timeout would otherwise start
+      // afterwards and run its whole Lloyd chain as an orphan. The flag
+      // closes that hole: set before the cancel, checked by every build
+      // both before and after it tags its thread.
+      val cancelled = new java.util.concurrent.atomic.AtomicBoolean(false)
       val parts = try {
         Await.result(Future.sequence((0 until m).map { j =>
           Future {
+            if (cancelled.get()) throw new IllegalStateException(
+              s"llm_quantize_pq: subspace $j build skipped after timeout")
             // job group is thread-local: tag each build thread so a timeout
             // can cancel ALL subspace builds with one call, and clear it so
             // the shared pool thread doesn't leak the tag to later tasks
             s.sparkContext.setJobGroup(jobGroup,
               s"llm_quantize_pq subspace $j codebook", interruptOnCancel = true)
             try {
+              if (cancelled.get()) throw new IllegalStateException(
+                s"llm_quantize_pq: subspace $j build skipped after timeout")
               val sv = e.select(col("vec_id"),
                 expr(s"slice(embedding, ${j * sub + 1}, $sub)").as("embedding"))
               val (cent, asg) = ptx.sources.VectorIndex.kmeans(sv, k = 16, iters = 2)
@@ -719,11 +729,12 @@ object LlmScale {
         }), buildBudget)
       } catch {
         case te: java.util.concurrent.TimeoutException =>
+          cancelled.set(true) // stop queued builds from starting as orphans
           s.sparkContext.cancelJobGroup(jobGroup)
           throw new IllegalStateException(
             s"llm_quantize_pq: subspace codebook builds did not finish " +
               s"within $buildBudget (SPARK_GRAFT_VERIFY_TIMEOUT_SEC); " +
-              "cancelled the build job group", te)
+              "cancelled the build job group and flagged queued builds", te)
       }
       val joined = parts.reduce((a, b) => a.join(b, "vec_id"))
       joined.join(e.select(col("vec_id"),

@@ -64,19 +64,34 @@ object SegmentedScan {
       .agg(sum(value).as("__ptx_seg_total"))
     // phase 3: per-key prefix over segment totals. The frame is
     // segment-count-sized; the hot key's partition here holds its
-    // #segments rows, not its events.
+    // #segments rows, not its events. NO coalesce on the prefix: the
+    // window form yields NULL when a row's whole prefix holds only NULL
+    // values, and sum-over-segment-totals composes that exactly (a
+    // segment total is NULL iff all its values are; the prefix of totals
+    // is NULL iff no prior segment has a non-NULL value).
     val wSeg = Window.partitionBy(keyCols: _*).orderBy(col(segCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val segPre = segTot
-      .withColumn(preCol, coalesce(sum(col("__ptx_seg_total")).over(wSeg), lit(0)))
-      .select(keyCols :+ col(segCol) :+ col(preCol): _*)
-    // phase 4: intra-segment scan + prefix. Partitioning by (key, segment)
-    // is what caps the straggler.
+      .withColumn(preCol, sum(col("__ptx_seg_total")).over(wSeg))
+    // phase 4: intra-segment scan + prefix, joined back NULL-SAFELY: the
+    // window form keeps rows with NULL keys/segment (they form their own
+    // partition), so the join must too — a plain equi-join would silently
+    // drop them. Renamed right-side keys avoid self-lineage ambiguity.
+    val segPreR = segPre.select(
+      key.zipWithIndex.map { case (k, i) => col(k).as(s"__ptx_k$i") } ++
+        Seq(col(segCol).as("__ptx_segr"), col(preCol)): _*)
+    val joinCond = (key.zipWithIndex.map { case (k, i) =>
+      col(k) <=> col(s"__ptx_k$i") } :+ (col(segCol) <=> col("__ptx_segr")))
+      .reduce(_ && _)
     val wIntra = Window.partitionBy(keyCols :+ col(segCol): _*)
       .orderBy(order.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    base.join(segPre, key :+ segCol)
-      .withColumn(out, col(preCol) + sum(value).over(wIntra))
+    val intra = sum(value).over(wIntra)
+    base.join(segPreR, joinCond)
+      // NULL iff the row's ENTIRE prefix (prior segments + own segment up
+      // to here) holds no non-NULL value — the window form's semantics
+      .withColumn(out, when(col(preCol).isNull && intra.isNull, lit(null))
+        .otherwise(coalesce(col(preCol), lit(0)) + coalesce(intra, lit(0))))
       // reselect to the input's column order (+ out): the join hoists its
       // keys to the front, and a drop-in must not reshape the frame
       .select(df.columns.map(col) :+ col(out): _*)

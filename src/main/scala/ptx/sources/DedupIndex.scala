@@ -76,9 +76,16 @@ object DedupIndex {
       .select(least(col("a"), col("b")).as("doc1"),
         greatest(col("a"), col("b")).as("doc2"))
       .distinct()
+    // dropDuplicates, not a bare union: a RETRIED admission probes a shard
+    // whose docs may already sit in the index (the failed attempt's
+    // append landed) — without the dedup each such doc's rows appear on
+    // both sides of the verify join and fan every touching pair out ×2.
+    // Signatures are pure functions of the text, so the duplicate rows
+    // are identical and either copy is correct.
     val sets = spark.read.parquet(s"$dir/sets")
       .select(col("doc_id"), col("n_sh"), col("shset"))
       .unionByName(shardSig.select(col("doc_id"), col("n_sh"), col("shset")))
+      .dropDuplicates("doc_id")
     ptx.ops.LlmScale.verifyJaccard(cands, sets, threshold)
       .orderBy(col("doc1"), col("doc2"))
   }

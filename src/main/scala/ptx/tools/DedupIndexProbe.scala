@@ -53,7 +53,7 @@ object DedupIndexProbe {
       timeIt(s"index build over ${100 - pct}% base (paid once)") {
         ptx.sources.DedupIndex.write(base, idx); 0L
       }
-      timeIt(s"probe of a $pct%% shard (paid per admission)") {
+      timeIt(s"probe of a $pct% shard (paid per admission)") {
         ptx.sources.DedupIndex.probe(spark, idx, shard)
           .queryExecution.toRdd.count()
       }

@@ -147,6 +147,16 @@ class IoSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
     val want2 = full.filter { case (a, b, _) => s2(a) || s2(b) }
     assert(probe2 == want2, s"shard2 probe diverged (${probe2.size} vs ${want2.size})")
+    // retried-admission idempotency: after shard2's append has LANDED, a
+    // re-probe of shard2 (the failed-attempt replay) must return the same
+    // pairs with no duplicated rows — the shard's docs now sit on both
+    // the index and shard sides of the verify join
+    ptx.sources.DedupIndex.append(shard2, dir, "s2")
+    val rows2 = ptx.sources.DedupIndex.probe(spark, dir, shard2)
+      .collect().map(key).toSeq
+    ptx.Caching.releaseAll()
+    assert(rows2.distinct.size == rows2.size, "retried probe duplicated pair rows")
+    assert(rows2.toSet == want2, "retried probe diverged from the original")
     // the fixture must actually exercise both pair classes
     assert(want1.nonEmpty && want2.nonEmpty, "fixture produced no shard pairs")
   }

@@ -115,6 +115,44 @@ class SkewSpec extends AnyFunSuite {
     assert(got == expected && expected.size == 4000)
   }
 
+  test("segmented running sum parity under NULL keys, NULL values, and a NULL segment (r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the window form KEEPS null-key rows (they form their own partition),
+    // returns NULL while a row's whole prefix holds only NULL values, and
+    // orders a NULL segment first — the segmented form must match on all
+    // three (the first cut dropped null keys through its equi-join and
+    // coalesced the all-NULL prefix to 0)
+    val rows: Seq[(Long, Option[Long], Option[Long], Option[Long])] = Seq(
+      (0L, Some(1L), Some(0L), None),     // null value heads the prefix
+      (1L, Some(1L), Some(0L), Some(5L)),
+      (2L, Some(1L), Some(1L), None),     // null value mid-stream: run stays 5
+      (3L, Some(1L), Some(2L), Some(7L)),
+      (4L, None, Some(0L), Some(3L)),     // NULL key partition
+      (5L, None, Some(1L), None),
+      (6L, None, Some(1L), Some(4L)),
+      (7L, Some(2L), None, Some(9L)),     // NULL segment: first in order
+      (8L, Some(2L), Some(0L), Some(1L)),
+      (9L, Some(3L), Some(0L), None),     // all-NULL key: run is NULL…
+      (10L, Some(3L), Some(1L), None))    // …all the way down
+    val df = rows.toDF("row_id", "k", "segment_src", "x")
+    val w = Window.partitionBy(col("k")).orderBy(col("row_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def runOf(r: org.apache.spark.sql.Row): (Long, Option[Long]) =
+      r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])
+    val expected = df.withColumn("run", sum(col("x")).over(w))
+      .select("row_id", "run").collect().map(runOf).toMap
+    val got = ops.SegmentedScan.runningSum(df,
+        key = Seq("k"), order = Seq("row_id"),
+        segment = col("segment_src"), value = col("x"), out = "run")
+      .select("row_id", "run").collect().map(runOf).toMap
+    assert(got == expected && expected.size == rows.size)
+    assert(expected(9L).isEmpty && expected(10L).isEmpty,
+      "fixture must exercise the all-NULL-prefix row")
+    assert(got.contains(4L) && got(4L).contains(3L),
+      "fixture must exercise the NULL-key partition")
+  }
+
   test("loader schema assertion rejects unknown tables loudly") {
     val ex = intercept[IllegalArgumentException] {
       Tables.t(spark, TestSpark.SF, "nope")
