@@ -273,6 +273,39 @@ object Extras {
           expr("(global_us - last_us) div 1000000").as("lag_s"))
         .orderBy(col("event_type"))
     }),
+    // ✓ ingest-VOLUME anomaly audit (r11): per-day event counts z-scored
+    // against the corpus's own daily-count distribution — the volume
+    // grain the DQ family lacked (pt_anomaly_zscore scores event VALUES;
+    // a feed that silently dies or double-delivers shows up in ROW
+    // COUNTS first, and the volume gate is the standard first tripwire
+    // before any content audit runs). Population z from exact integer
+    // moments: the per-day counts aggregate once, the 1-row (nd, Σn,
+    // Σn²) global broadcasts back, both engines compute z as the SAME
+    // pinned-parenthesization double expression over identical integers
+    // (the dq_drift_ttest discipline), and the anomaly flag compares the
+    // ROUNDED z (engine-deterministic boundary). The zero-variance /
+    // single-day guard is decided in EXACT decimal (Σn²·nd − (Σn)² > 0),
+    // not on a double that could land on the boundary.
+    // Scale: one corpus scan → |days| rows; everything after is
+    // grid-sized. Moments accumulate in decimal(38,0) per-row-cast
+    // BEFORE the sum (the 100 TB Σn² overflow rule).
+    "dq_volume_anomaly" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      val g = daily.agg(count(lit(1)).as("nd"),
+        sum(col("n_events").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+        sum(col("n_events").cast("decimal(38,0)") * col("n_events"))
+          .cast("decimal(38,0)").as("sxx"))
+      daily.crossJoin(broadcast(g))
+        .select(col("day"), col("n_events"),
+          expr("""CASE WHEN nd >= 2 AND sxx * nd - sx * sx > 0
+            |THEN round((n_events * 1e0 - (sx * 1e0) / nd) / sqrt(
+            |  (sxx * 1e0) / nd - ((sx * 1e0) / nd) * ((sx * 1e0) / nd)), 6)
+            |END""".stripMargin).as("z"))
+        .withColumn("anomalous", when(col("z").isNotNull, abs(col("z")) > 2.0))
+        .orderBy(col("day"))
+    }),
     // ✓ distribution-drift audit (r9): per-source Population Stability
     // Index of the document-length distribution against the corpus-wide
     // distribution — the standard "did shard X drift from the reference?"
@@ -752,6 +785,26 @@ object Extras {
         |  CAST(sum(term_e6) AS BIGINT) AS psi_e6,
         |  CAST(sum(term_e6) AS BIGINT) > 250000 AS drifted
         |FROM terms GROUP BY source, sn_tot ORDER BY source""".stripMargin,
+    // same pinned z parenthesization as the Spark side; the variance
+    // guard runs in exact decimal so the boundary cannot straddle engines
+    "dq_volume_anomaly" ->
+      """WITH dy AS (
+        |  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |g AS (SELECT count(*) AS nd,
+        |        sum(CAST(n_events AS DECIMAL(38,0))) AS sx,
+        |        sum(CAST(n_events AS DECIMAL(38,0)) * n_events) AS sxx
+        |      FROM dy),
+        |v AS (
+        |  SELECT day, n_events,
+        |    CASE WHEN nd >= 2 AND sxx * nd - sx * sx > 0
+        |    THEN round((n_events * 1e0 - (sx * 1e0) / nd) / sqrt(
+        |      (sxx * 1e0) / nd - ((sx * 1e0) / nd) * ((sx * 1e0) / nd)), 6)
+        |    END AS z
+        |  FROM dy CROSS JOIN g)
+        |SELECT day, n_events, z,
+        |  CASE WHEN z IS NOT NULL THEN abs(z) > 2.0 END AS anomalous
+        |FROM v ORDER BY day""".stripMargin,
     "dq_freshness" ->
       """WITH per AS (
         |  SELECT event_type, count(*) AS n,

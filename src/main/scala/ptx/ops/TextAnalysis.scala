@@ -230,6 +230,40 @@ object TextAnalysis {
     // 10x probe corpus does trip it.
     // Scale: gram stream linear in corpus tokens, built scan-local; the
     // two-phase distinct agg is the only shuffle (plus output sort).
+    // ✓ per-doc NOVELTY attribution (r11): for each doc, the fraction of
+    // its distinct word-8-grams whose FIRST owner (min doc_id over every
+    // doc containing the gram) is the doc itself — the "how much new text
+    // does this doc actually contribute" signal data-curation ORDERING
+    // uses (a doc whose grams all appeared earlier adds nothing and is
+    // the first candidate to drop under a token budget; llm_dedup_spans
+    // flags the duplicated spans, this scores the contributing side).
+    // The min-doc_id owner is the SAME keeper rule llm_span_rewrite
+    // applies per gram, lifted to a per-doc score. Docs with < 8 words
+    // carry no gram and are excluded (both engines).
+    // Scale: two gram-keyed shuffles on 8-byte GramHashes keys — the
+    // per-doc distinct and the first-owner agg — then one fan-in join
+    // back to occurrences; everything linear in corpus tokens, a hot
+    // boilerplate gram is one agg group and its join fan-out equals its
+    // occurrence count (already paid in the scan). Same ≈2e-11 64-bit
+    // collision caveat as the other hashed-gram oracles (DuckDB groups
+    // gram STRINGS).
+    "llm_doc_novelty" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
+      // pinned: the per-doc distinct gram frame feeds the owner agg AND
+      // the scoring join — unpinned, the corpus tokenizes/hashes twice
+      val g = ptx.Caching.pin(Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr("gram_hashes(w, 8)")).as("h"))
+        .distinct())
+      val own = g.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
+      g.join(own, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("owner") === col("doc_id"), 1)).as("n_novel"))
+        .withColumn("novelty_e6",
+          expr("(2 * n_novel * 1000000 + n_grams) div (2 * n_grams)"))
+        .orderBy(col("doc_id"))
+    }),
     "llm_ngram_diversity" -> ((s, d) => {
       ptx.functions.TextGrams.register(s)
       Tables.documents(s, d)
@@ -368,6 +402,22 @@ object TextAnalysis {
         |FROM dfw CROSS JOIN t
         |WHERE df * 2 >= n_docs
         |ORDER BY df DESC, word""".stripMargin,
+    // grams grouped by their STRING here (the Spark side's 64-bit
+    // GramHashes keys are a shuffle-width optimization; identical counts
+    // absent a 64-bit collision — the llm_dedup_spans precedent)
+    "llm_doc_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+7], ' ') AS gram
+        |  FROM t, unnest(generate_series(1, len(w) - 7)) AS s(i)
+        |  WHERE len(w) >= 8),
+        |own AS (SELECT gram, min(doc_id) AS owner FROM g GROUP BY gram)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  count(CASE WHEN own.owner = g.doc_id THEN 1 END) AS n_novel,
+        |  (2 * count(CASE WHEN own.owner = g.doc_id THEN 1 END) * 1000000
+        |     + count(*)) // (2 * count(*)) AS novelty_e6
+        |FROM g JOIN own USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "llm_ngram_diversity" ->
       """WITH t AS (SELECT source, string_split(text, ' ') AS w FROM documents),
         |g AS (

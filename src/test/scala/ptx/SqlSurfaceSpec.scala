@@ -55,6 +55,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_stopword_candidates" -> listFns,
       "llm_ccnet_buckets" -> listFns,
       "llm_split_contamination" -> listFns,
+      "llm_doc_novelty" -> listFns,
       "dq_embedding_outliers" -> "ORDER BY inside list() + list_dot_product",
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_drift_ks" -> "HUGEINT type (Spark: DECIMAL(38,0))",
