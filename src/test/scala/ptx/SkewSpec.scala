@@ -76,16 +76,26 @@ class SkewSpec extends AnyFunSuite {
     val windowed = e
       .withColumn("run", sum(col("v")).over(w))
       .withColumn("cnt", count(lit(1)).over(w))
-      .select("event_id", "run", "cnt").collect()
-      .map(r => r.getLong(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+      .withColumn("mn", min(col("v")).over(w))
+      .withColumn("mx", max(col("v")).over(w))
+      .select("event_id", "run", "cnt", "mn", "mx").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDecimal(1), r.getLong(2), r.getDecimal(3), r.getDecimal(4))).toMap
     val segSum = ops.SegmentedScan.runningSum(e,
         key = Seq("user_id"), order = Seq("ts", "event_id"),
         segment = seg, value = col("v"), out = "run")
-    val segmented = ops.SegmentedScan.runningCount(segSum,
+    val segCnt = ops.SegmentedScan.runningCount(segSum,
         key = Seq("user_id"), order = Seq("ts", "event_id"),
         segment = seg, out = "cnt")
-      .select("event_id", "run", "cnt").collect()
-      .map(r => r.getLong(0) -> (r.getDecimal(1), r.getLong(2))).toMap
+    val segMin = ops.SegmentedScan.runningMin(segCnt,
+        key = Seq("user_id"), order = Seq("ts", "event_id"),
+        segment = seg, value = col("v"), out = "mn")
+    val segmented = ops.SegmentedScan.runningMax(segMin,
+        key = Seq("user_id"), order = Seq("ts", "event_id"),
+        segment = seg, value = col("v"), out = "mx")
+      .select("event_id", "run", "cnt", "mn", "mx").collect()
+      .map(r => r.getLong(0) ->
+        (r.getDecimal(1), r.getLong(2), r.getDecimal(3), r.getDecimal(4))).toMap
     assert(segmented.size == windowed.size && windowed.nonEmpty)
     assert(segmented == windowed)
     // output schema: input columns + the out column, no __ptx internals
@@ -147,6 +157,21 @@ class SkewSpec extends AnyFunSuite {
         segment = col("segment_src"), value = col("x"), out = "run")
       .select("row_id", "run").collect().map(runOf).toMap
     assert(got == expected && expected.size == rows.size)
+    // min/max share the body; their NULL semantics ride least/greatest
+    val expMin = df.withColumn("run", min(col("x")).over(w))
+      .select("row_id", "run").collect().map(runOf).toMap
+    val gotMin = ops.SegmentedScan.runningMin(df,
+        key = Seq("k"), order = Seq("row_id"),
+        segment = col("segment_src"), value = col("x"), out = "run")
+      .select("row_id", "run").collect().map(runOf).toMap
+    assert(gotMin == expMin, "runningMin NULL parity diverged")
+    val expMax = df.withColumn("run", max(col("x")).over(w))
+      .select("row_id", "run").collect().map(runOf).toMap
+    val gotMax = ops.SegmentedScan.runningMax(df,
+        key = Seq("k"), order = Seq("row_id"),
+        segment = col("segment_src"), value = col("x"), out = "run")
+      .select("row_id", "run").collect().map(runOf).toMap
+    assert(gotMax == expMax, "runningMax NULL parity diverged")
     assert(expected(9L).isEmpty && expected(10L).isEmpty,
       "fixture must exercise the all-NULL-prefix row")
     assert(got.contains(4L) && got(4L).contains(3L),
