@@ -24,6 +24,39 @@ object Extras {
     * sources×buckets grid — corpus-size-independent — with the reference
     * and the per-source totals broadcast.
     */
+  /** Per-day event counts `(day, n_events)` — the volume grain shared by
+    * the `dq_volume_anomaly` batch audit and the streaming volume gate
+    * ([[ptx.stream.Pipelines.volumeGate]]). */
+  def dailyCounts(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+
+  /** 1-row exact moments `(nd, sx, sxx)` of a daily-count frame —
+    * decimal(38,0) per-row cast BEFORE Σn² (the 100 TB overflow rule).
+    * Broadcast back onto the grain it scores, or persist as the static
+    * reference a streaming gate probes. */
+  def volumeMoments(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    daily.agg(count(lit(1)).as("nd"),
+      sum(col("n_events").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+      sum(col("n_events").cast("decimal(38,0)") * col("n_events"))
+        .cast("decimal(38,0)").as("sxx"))
+
+  /** z + anomaly columns over a `(day, n_events, nd, sx, sxx)` frame: ONE
+    * pinned-parenthesization double expression over exact integers (both
+    * engines and both deployment modes divide identical operands), the
+    * flag on the ROUNDED z, the zero-variance guard in exact decimal. */
+  def volumeVerdict(dailyWithMoments: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    dailyWithMoments
+      .select(col("day"), col("n_events"),
+        expr("""CASE WHEN nd >= 2 AND sxx * nd - sx * sx > 0
+          |THEN round((n_events * 1e0 - (sx * 1e0) / nd) / sqrt(
+          |  (sxx * 1e0) / nd - ((sx * 1e0) / nd) * ((sx * 1e0) / nd)), 6)
+          |END""".stripMargin).as("z"))
+      .withColumn("anomalous", when(col("z").isNotNull, abs(col("z")) > 2.0))
+
   def psiAgainst(c: org.apache.spark.sql.DataFrame,
                  g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = g.agg(sum(col("gn")).as("gt"), count(lit(1)).as("nb"))
@@ -290,20 +323,8 @@ object Extras {
     // grid-sized. Moments accumulate in decimal(38,0) per-row-cast
     // BEFORE the sum (the 100 TB Σn² overflow rule).
     "dq_volume_anomaly" -> ((s, d) => {
-      val daily = Tables.events(s, d)
-        .groupBy(to_date(col("ts")).as("day"))
-        .agg(count(lit(1)).as("n_events"))
-      val g = daily.agg(count(lit(1)).as("nd"),
-        sum(col("n_events").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
-        sum(col("n_events").cast("decimal(38,0)") * col("n_events"))
-          .cast("decimal(38,0)").as("sxx"))
-      daily.crossJoin(broadcast(g))
-        .select(col("day"), col("n_events"),
-          expr("""CASE WHEN nd >= 2 AND sxx * nd - sx * sx > 0
-            |THEN round((n_events * 1e0 - (sx * 1e0) / nd) / sqrt(
-            |  (sxx * 1e0) / nd - ((sx * 1e0) / nd) * ((sx * 1e0) / nd)), 6)
-            |END""".stripMargin).as("z"))
-        .withColumn("anomalous", when(col("z").isNotNull, abs(col("z")) > 2.0))
+      val daily = dailyCounts(Tables.events(s, d))
+      volumeVerdict(daily.crossJoin(broadcast(volumeMoments(daily))))
         .orderBy(col("day"))
     }),
     // ✓ distribution-drift audit (r9): per-source Population Stability

@@ -237,6 +237,34 @@ object Pipelines {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** Streaming ingest-VOLUME gate (r11): the per-micro-batch twin of the
+    * `dq_volume_anomaly` batch audit — each batch's per-day event counts
+    * are z-scored against a STATIC reference moment frame (`(nd, sx,
+    * sxx)` from [[ptx.ops.Extras.volumeMoments]] over the historical
+    * corpus), the count-grain member of the admission-gate family (the
+    * PSI/KS/t gates score a shard's SHAPE; a feed that dies or
+    * double-delivers moves the COUNT first, often with the shape
+    * intact). Shares the batch audit's exact z core
+    * (`Extras.volumeVerdict`), so a one-batch replay with the corpus's
+    * own moments is row-identical to the declared audit. Verdicts land
+    * per `(batch, day)` in `dir/batch=<id>` (overwrite — idempotent on
+    * retried batches); zero streaming state, reference broadcast, one
+    * count agg per batch. A deployment scores CLOSED days (a partial
+    * day's count reads low by construction) — the gate scores whatever
+    * days the batch carries and leaves closing policy to the feed. */
+  def volumeGate(events: DataFrame, ref: DataFrame, dir: String,
+                 checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ptx.ops.Extras.volumeVerdict(
+            ptx.ops.Extras.dailyCounts(batch).crossJoin(broadcast(ref)))
+          .write.mode("overwrite").parquet(s"$dir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Builds the eval-set gram sketch [[decontaminationGate]] probes: one
     * pass over the benchmark/eval corpus inserting every word-8-gram hash
     * into a 2^23-bit Bloom filter (`bloom_filter_agg` — duplicate

@@ -259,6 +259,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && batch.nonEmpty)
   }
 
+  test("streaming volume gate: one-batch stream z equals the batch dq_volume_anomaly audit (r11)") {
+    // reference = the corpus's own daily moments, so the single-batch
+    // streamed verdict must be ROW-IDENTICAL to the declared batch audit
+    val ev = ptx.Tables.events(spark, TestSpark.SF)
+    val ref = ptx.ops.Extras.volumeMoments(ptx.ops.Extras.dailyCounts(ev))
+    val out = java.nio.file.Files.createTempDirectory("ptx-vol").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("ptx-vol-ckpt").toString
+    val q = Pipelines.volumeGate(
+      ptx.Tables.eventsStream(spark, TestSpark.SF), ref, out, ckpt)
+    q.awaitTermination()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getDate(0).toString, r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Boolean]))
+    val streamed = spark.read.parquet(s"$out/batch=0").collect().map(key).toSet
+    val batch = ptx.QueryRegistry.all("dq_volume_anomaly")(spark, TestSpark.SF)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    assert(streamed == batch && batch.nonEmpty)
+    // non-vacuous: at least one day must actually carry a z value
+    assert(batch.exists(_._3.nonEmpty), "no day produced a z — vacuous fixture")
+  }
+
   test("streaming drift gate: one-batch stream PSI equals the batch dq_drift_psi audit (r9)") {
     // reference = the corpus's own global bucket distribution, so the
     // single-batch streamed verdict must be ROW-IDENTICAL to the declared
