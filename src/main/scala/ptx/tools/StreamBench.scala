@@ -159,13 +159,53 @@ object StreamBench {
       runDecon() // warm
       val deconSec = runDecon()
 
+      // ingest-volume gate (r11): events-side count gate — one per-batch
+      // day-count agg + broadcast 1-row moment reference; the cheapest
+      // events-side gate by construction.
+      val volRef = ptx.ops.Extras.volumeMoments(ptx.ops.Extras.dailyCounts(ev))
+      def runVol(): Double = {
+        val cp = tmpDir("ptx-sb-volcp"); val outDir = tmpDir("ptx-sb-volout")
+        val src = spark.readStream.schema(ev.schema).parquet(staged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.volumeGate(src, volRef, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runVol() // warm
+      val volSec = runVol()
+
+      // near-dup shard admission (r11): probe/filter/admit a 10% shard
+      // against the persisted 90% index. The index build runs per
+      // invocation (admission MUTATES the index, so each timed run needs
+      // a fresh one) but OUTSIDE the timed window — amortizing the build
+      // is the index's whole point.
+      val admBase = docs.filter(col("doc_id") % 10 =!= 0).select("doc_id", "text")
+      val admShard = docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      val shardStaged = tmpDir("ptx-sb-shard")
+      admShard.write.mode("overwrite").parquet(shardStaged)
+      val shardRows = spark.read.parquet(shardStaged).count()
+      def runAdm(): Double = {
+        val idx = tmpDir("ptx-sb-admidx")
+        ptx.sources.DedupIndex.write(admBase, idx)
+        val cp = tmpDir("ptx-sb-admcp"); val outDir = tmpDir("ptx-sb-admout")
+        val src = spark.readStream.schema(admShard.schema).parquet(shardStaged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.shardAdmission(src, idx, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runAdm() // warm
+      val admSec = runAdm()
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val body = (results.map { case (n, sec) =>
         s""""$n":{"sec":${fmt(sec)},"rows_per_sec":${fmt(rows / sec)}}"""
       } :+ s""""drift_gate":{"sec":${fmt(gateSec)},"rows_per_sec":${fmt(docRows / gateSec)},"rows":$docRows}"""
         :+ s""""ttl_dedup":{"sec":${fmt(ttlSec)},"rows_per_sec":${fmt(docRows / ttlSec)},"rows":$docRows}"""
-        :+ s""""decon_gate":{"sec":${fmt(deconSec)},"rows_per_sec":${fmt(docRows / deconSec)},"rows":$docRows}""")
+        :+ s""""decon_gate":{"sec":${fmt(deconSec)},"rows_per_sec":${fmt(docRows / deconSec)},"rows":$docRows}"""
+        :+ s""""volume_gate":{"sec":${fmt(volSec)},"rows_per_sec":${fmt(rows / volSec)}}"""
+        :+ s""""shard_admission":{"sec":${fmt(admSec)},"rows_per_sec":${fmt(shardRows / admSec)},"rows":$shardRows}""")
         .mkString(",")
       val json =
         s"""{"metric":"stream_throughput","rows":$rows,"sf":"$sfDir","cpus":$cpus,"pipelines":{$body}}"""
