@@ -12,18 +12,6 @@ import ptx.{QFn, Tables}
   */
 object Extras {
 
-  /** Laplace-smoothed Population Stability Index of per-source bucket
-    * distributions `c(source, b, n)` against a reference distribution
-    * `g(b, gn)` — the shared core of `dq_drift_psi` (reference = the same
-    * corpus's own global distribution) and the streaming drift gate
-    * (reference = a static broadcast frame from a trusted snapshot).
-    * Each bucket term is snapped to the e6 grid BEFORE the summation so
-    * the signed, cancellation-prone PSI sum is an exact BIGINT reduction
-    * (accumulation-order-free); sources missing a reference bucket get
-    * the +1 smoothing cell instead of ln(0). Everything here runs on the
-    * sources×buckets grid — corpus-size-independent — with the reference
-    * and the per-source totals broadcast.
-    */
   /** Per-day event counts `(day, n_events)` — the volume grain shared by
     * the `dq_volume_anomaly` batch audit and the streaming volume gate
     * ([[ptx.stream.Pipelines.volumeGate]]). */
@@ -57,6 +45,18 @@ object Extras {
           |END""".stripMargin).as("z"))
       .withColumn("anomalous", when(col("z").isNotNull, abs(col("z")) > 2.0))
 
+  /** Laplace-smoothed Population Stability Index of per-source bucket
+    * distributions `c(source, b, n)` against a reference distribution
+    * `g(b, gn)` — the shared core of `dq_drift_psi` (reference = the same
+    * corpus's own global distribution) and the streaming drift gate
+    * (reference = a static broadcast frame from a trusted snapshot).
+    * Each bucket term is snapped to the e6 grid BEFORE the summation so
+    * the signed, cancellation-prone PSI sum is an exact BIGINT reduction
+    * (accumulation-order-free); sources missing a reference bucket get
+    * the +1 smoothing cell instead of ln(0). Everything here runs on the
+    * sources×buckets grid — corpus-size-independent — with the reference
+    * and the per-source totals broadcast.
+    */
   def psiAgainst(c: org.apache.spark.sql.DataFrame,
                  g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = g.agg(sum(col("gn")).as("gt"), count(lit(1)).as("nb"))

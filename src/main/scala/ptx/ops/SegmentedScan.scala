@@ -14,8 +14,8 @@ import org.apache.spark.sql.expressions.Window
   * of events on one user, docs/SCALE.md) becomes a straggler that caps the
   * whole stage at one core's throughput, at any cluster size.
   *
-  * For RE-ASSOCIABLE running aggregates (sum, count — anything with an
-  * associative merge) the scan decomposes like llm_pack_sequences' block
+  * For RE-ASSOCIABLE running aggregates (sum, count, min, max — anything
+  * with an associative merge) the scan decomposes like llm_pack_sequences' block
   * scan, generalized to a per-key grain:
   *   1. segment each row by a monotone function of its order key (e.g. the
   *      hour bucket of the timestamp) — so a (key, segment) slice is a

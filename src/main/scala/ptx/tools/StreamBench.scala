@@ -33,6 +33,7 @@ object StreamBench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // transformWithState requires the RocksDB provider
       .config("spark.sql.streaming.stateStore.providerClass",

@@ -62,7 +62,7 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
-  test("segmented running sum/count equals the window form exactly (r11)") {
+  test("segmented running sum/count/min/max equals the window form exactly (r11)") {
     import org.apache.spark.sql.expressions.Window
     // decimal value → addition is associative → bit-exact parity between
     // the segment-wise decomposition and the single ordered scan
