@@ -26,6 +26,35 @@ class OpsSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("source lint: no whole-frame driver materialization in operator sources (r11)") {
+    // `.collect()` inside a declared operator means the op is not
+    // distributed — the brief's scale-killer. The only sanctioned
+    // driver-side fetch in ops/ is a 1-ROW MODEL-PARAMETER `.head()`
+    // on an aggregate (the Bloom-sketch / centroid pattern), pinned
+    // here by exact count so a new one must justify itself in this
+    // lint. (VectorIndex.kmeans' k-row centroid collect lives in
+    // sources/, outside the declared-operator surface.)
+    import scala.jdk.CollectionConverters._
+    val opsDir = java.nio.file.Paths.get("src/main/scala/ptx/ops")
+    assert(java.nio.file.Files.isDirectory(opsDir),
+      s"lint must run from the repo root; cwd=${System.getProperty("user.dir")}")
+    val sources = java.nio.file.Files.walk(opsDir).iterator().asScala
+      .filter(_.toString.endsWith(".scala")).toSeq
+    assert(sources.nonEmpty)
+    val collects = sources.filter(p =>
+      java.nio.file.Files.readString(p).contains(".collect()"))
+      .map(_.getFileName.toString)
+    assert(collects.isEmpty, s"operator sources call .collect(): $collects")
+    val heads = sources.map { p =>
+      p.getFileName.toString ->
+        "\\.head\\(\\)".r.findAllIn(java.nio.file.Files.readString(p)).size
+    }.filter(_._2 > 0).toMap
+    assert(heads == Map("Curation.scala" -> 1),
+      s"unexpected driver-side .head() in ops/: $heads — sanctioned " +
+        "fetches are 1-row model parameters only; update this lint with " +
+        "the justification if adding one")
+  }
+
   test("operator-pinned caches are released, not leaked (ADVICE r1)") {
     // delta-based: other suites share this session (and may cache), so
     // only assert about RDDs that appear during OUR query
