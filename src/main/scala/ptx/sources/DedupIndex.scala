@@ -97,6 +97,28 @@ object DedupIndex {
   def append(docs: DataFrame, dir: String, tag: String): Unit =
     writeTag(docs, dir, tag, SaveMode.Overwrite)
 
+  /** Compact the index at `dir` into a fresh single-partition copy at
+    * `dst` (never in place — the Io.compact contract, same path guard):
+    * after many small-shard admissions the band/set tables hold one tiny
+    * parquet partition per batch, and the probe's index-side scan pays
+    * per-file open and footer cost for each. The copy holds the same
+    * rows under one `batch=base` partition — probes against it are
+    * row-identical (signatures are per-doc rows; asserted in IoSpec) —
+    * with the band table additionally range-laid-out by `key` so a
+    * band-key join prunes on footer min/max. Run between admissions
+    * (like any compaction, not concurrency-safe with an in-flight
+    * append); the layer above swaps directories. */
+  def compact(spark: SparkSession, dir: String, dst: String): Unit = {
+    Io.assertDisjointPaths(spark, dir, dst)
+    spark.read.parquet(s"$dir/bands")
+      .select(col("doc_id"), col("band"), col("key"))
+      .sortWithinPartitions(col("key"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/bands/batch=base")
+    spark.read.parquet(s"$dir/sets")
+      .select(col("doc_id"), col("n_sh"), col("shset"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/sets/batch=base")
+  }
+
   private def writeTag(docs: DataFrame, dir: String, tag: String,
                        mode: SaveMode): Unit = {
     val sig = ptx.ops.LlmScale.minhashSignatures(

@@ -85,25 +85,21 @@ object Io {
     * partition count. Writes to a fresh directory — never in place: a
     * failed in-place compaction loses the input.
     */
-  def compact(spark: SparkSession, src: String, dst: String,
-              targetMB: Int = 128, sortCol: Option[String] = None,
-              partitionCols: Seq[String] = Nil): Long = {
-    require(targetMB > 0, s"targetMB must be positive, got $targetMB")
-    // enforce the never-in-place contract: a dst inside src would pass
-    // Spark's exact-path overwrite check and then write output files INTO
-    // the source, double-counting rows on the next read. Qualify both
-    // paths through the Hadoop filesystem (NOT java.io.File, which would
-    // resolve s3://, hdfs:// etc. against the local cwd and collapse '//',
-    // mis-evaluating the check on exactly the remote object-store paths a
-    // compactor targets — ADVICE r5), then ancestor-check the qualified
-    // URIs at directory-component granularity.
+  /** The never-in-place contract shared by every compactor: neither path
+    * may be an ancestor of the other, else an exact-path overwrite would
+    * write output files INTO the source and double-count rows on the next
+    * read. Both paths are qualified through the Hadoop filesystem (NOT
+    * java.io.File, which would resolve s3://, hdfs:// etc. against the
+    * local cwd and collapse '//' — ADVICE r5), then ancestor-checked at
+    * directory-component granularity; local paths are additionally
+    * canonicalized so a 'current -> v3' symlink cannot smuggle one
+    * inside the other. */
+  private[sources] def assertDisjointPaths(spark: SparkSession,
+                                           src: String, dst: String): Unit = {
     val hconf = spark.sparkContext.hadoopConfiguration
     def qualify(p: String): java.net.URI = {
       val hp = new org.apache.hadoop.fs.Path(p)
       val q = hp.getFileSystem(hconf).makeQualified(hp).toUri
-      // makeQualified normalizes '..' but NOT symlinks; for local paths
-      // (the one scheme where java.io can see the real tree) canonicalize
-      // so a 'current -> v3' style symlink cannot smuggle dst inside src
       if (q.getScheme == "file")
         new java.io.File(q.getPath).getCanonicalFile.toURI
       else q
@@ -117,6 +113,13 @@ object Io {
       }
     require(!isAncestor(srcUri, dstUri) && !isAncestor(dstUri, srcUri),
       s"dst must be outside src (src=$srcUri dst=$dstUri)")
+  }
+
+  def compact(spark: SparkSession, src: String, dst: String,
+              targetMB: Int = 128, sortCol: Option[String] = None,
+              partitionCols: Seq[String] = Nil): Long = {
+    require(targetMB > 0, s"targetMB must be positive, got $targetMB")
+    assertDisjointPaths(spark, src, dst) // never-in-place (helper doc)
     val hPath = new org.apache.hadoop.fs.Path(src)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(hPath).getLength

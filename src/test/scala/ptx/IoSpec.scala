@@ -157,6 +157,24 @@ class IoSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
     assert(rows2.distinct.size == rows2.size, "retried probe duplicated pair rows")
     assert(rows2.toSet == want2, "retried probe diverged from the original")
+    // compaction: the single-partition copy answers probes identically
+    // and actually collapses the per-batch partitions
+    val cdir = tmp("ptx-dedupidx-compact")
+    ptx.sources.DedupIndex.compact(spark, dir, cdir)
+    val probeC = ptx.sources.DedupIndex.probe(spark, cdir, shard2)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    assert(probeC == want2, "compacted-index probe diverged")
+    def batchParts(p: String): Int = new java.io.File(s"$p/bands")
+      .listFiles().count(_.getName.startsWith("batch="))
+    assert(batchParts(dir) == 3 && batchParts(cdir) == 1,
+      s"expected 3 source / 1 compacted partitions, got " +
+        s"${batchParts(dir)} / ${batchParts(cdir)}")
+    // in place is refused loudly (the Io.compact contract)
+    val ex = intercept[IllegalArgumentException] {
+      ptx.sources.DedupIndex.compact(spark, dir, s"$dir/nested")
+    }
+    assert(ex.getMessage.contains("outside"))
     // the fixture must actually exercise both pair classes
     assert(want1.nonEmpty && want2.nonEmpty, "fixture produced no shard pairs")
   }
