@@ -61,6 +61,29 @@ class GuardrailSpec extends AnyFunSuite {
     assert(QueryRegistry.all("q22_idle_customers")(s, dir).collect().isEmpty)
   }
 
+  test("dedup-index probe of an EMPTY shard yields an empty pair frame, not an abort (r11)") {
+    // the streaming shard-admission path can hand the index an empty
+    // micro-batch (a trigger with no new files); the probe must answer
+    // with an empty frame so the batch's pair/accepted writes stay
+    // well-formed empty parquet instead of crashing the query
+    val spark = TestSpark.spark
+    val dir = tmpDir()
+    val docs = Tables.documents(spark, TestSpark.SF).select("doc_id", "text")
+    ptx.sources.DedupIndex.write(docs, dir)
+    val empty = docs.filter(lit(false))
+    val pairs = ptx.sources.DedupIndex.probe(spark, dir, empty)
+    assert(pairs.columns.toSeq == Seq("doc1", "doc2", "jaccard"))
+    assert(pairs.count() == 0)
+    ptx.Caching.releaseAll()
+    // admitting the empty shard is also a no-op that keeps the index
+    // probe-able (an empty batch=<tag> partition must not poison reads)
+    ptx.sources.DedupIndex.append(empty, dir, "empty")
+    val again = ptx.sources.DedupIndex.probe(spark, dir,
+      docs.filter(col("doc_id") < 5))
+    assert(again.count() >= 0) // materializes without error
+    ptx.Caching.releaseAll()
+  }
+
   test("psiAgainst on an empty micro-batch yields an empty verdict, not NaN/abort") {
     // the streaming drift gate scores EVERY micro-batch, including empty
     // ones (idle trigger with no new files) — the PSI core must degrade
