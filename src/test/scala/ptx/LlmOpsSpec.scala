@@ -409,4 +409,49 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     ptx.Caching.releaseAll()
   }
+
+  test("llm_doc_novelty: smallest doc_id of every exact-dup text scores full novelty of its twin's grams; plan prunes the scan (r11)") {
+    import org.apache.spark.sql.functions._
+    val df = q("llm_doc_novelty")
+    val rows = df.collect()
+    // plan: the documents scan must prune to the two consumed columns —
+    // an unpruned scan would drag lang/source/n_chars through the gram
+    // explode at 100 TB
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      s"novelty scan not pruned to (doc_id, text):\n${plan.take(800)}")
+    rows.foreach { r =>
+      val (n, novel, e6) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(novel <= n && n > 0, s"novel $novel > grams $n")
+      assert(e6 == (2 * novel * 1000000L + n) / (2 * n), "e6 identity broke")
+    }
+    // every gram is owned by SOMEONE, so summing novel counts over docs
+    // must equal the number of distinct grams corpus-wide
+    ptx.functions.TextGrams.register(spark)
+    val distinctGrams = Tables.documents(spark, SF01)
+      .select(explode(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+      .select("h").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == distinctGrams,
+      "first-owner attribution must partition the distinct gram set")
+    ptx.Caching.releaseAll()
+  }
+
+  test("dq_volume_anomaly: moments broadcast, z invariants hold (r11)") {
+    import org.apache.spark.sql.functions._
+    val df = q("dq_volume_anomaly")
+    val rows = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the 1-row moment frame must reach the day grid as a broadcast —
+    // a shuffled join here would be a corpus-sized exchange for one row
+    assert(plan.contains("BroadcastExchange"),
+      s"volume moments not broadcast:\n${plan.take(800)}")
+    assert(rows.nonEmpty && rows.exists(!_.isNullAt(2)), "no day scored a z")
+    // population z over the same frame must sum to ~0 and flag iff |z|>2
+    val zs = rows.filter(!_.isNullAt(2)).map(_.getDouble(2))
+    assert(math.abs(zs.sum) < 1e-3, s"z sum ${zs.sum} not centered")
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getBoolean(3) == (math.abs(r.getDouble(2)) > 2.0))
+    }
+    ptx.Caching.releaseAll()
+  }
 }
