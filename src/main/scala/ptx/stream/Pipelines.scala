@@ -123,25 +123,30 @@ object Pipelines {
     * the gate is per-batch; cumulative drift is the batch audit's job —
     * and the reference is a broadcast-sized static frame.
     */
+  /** One batch's PSI drift verdict frame — the [[driftGate]] per-batch
+    * core, shared with the composed [[ingestAdmission]] pipeline.
+    * PSI grid = the UNION of reference and batch buckets: a batch doc
+    * landing in a length bucket the reference never saw must enter the
+    * sum as a +1-Laplace cell with gn=0 (mirroring how source-missing
+    * buckets are smoothed), not silently drop out — otherwise drift INTO
+    * genuinely novel buckets (the strongest drift signal a gate can see)
+    * is understated. Batch-side distinct buckets are
+    * micro-batch-bounded, so the anti-join stays broadcast-sized. */
+  private[stream] def driftVerdict(batch: DataFrame, ref: DataFrame): DataFrame = {
+    val cells = batch
+      .groupBy(col("source"), expr("n_chars div 50").as("b"))
+      .agg(count(lit(1)).as("n"))
+    val novel = cells.select(col("b")).distinct()
+      .join(ref.select(col("b")), Seq("b"), "left_anti")
+      .withColumn("gn", lit(0L))
+    ptx.ops.Extras.psiAgainst(cells, ref.unionByName(novel))
+  }
+
   def driftGate(docs: DataFrame, ref: DataFrame, dir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val cells = batch
-          .groupBy(col("source"), expr("n_chars div 50").as("b"))
-          .agg(count(lit(1)).as("n"))
-        // PSI grid = the UNION of reference and batch buckets: a batch
-        // doc landing in a length bucket the reference never saw must
-        // enter the sum as a +1-Laplace cell with gn=0 (mirroring how
-        // source-missing buckets are smoothed), not silently drop out —
-        // otherwise drift INTO genuinely novel buckets (the strongest
-        // drift signal a gate can see) is understated. Batch-side
-        // distinct buckets are micro-batch-bounded, so the anti-join
-        // stays broadcast-sized.
-        val novel = cells.select(col("b")).distinct()
-          .join(ref.select(col("b")), Seq("b"), "left_anti")
-          .withColumn("gn", lit(0L))
-        ptx.ops.Extras.psiAgainst(cells, ref.unionByName(novel))
+        driftVerdict(batch, ref)
           .write.mode("overwrite").parquet(s"$dir/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
@@ -298,24 +303,32 @@ object Pipelines {
     * task binary, so at 100 TB the gate is a pure scan-side map — no
     * join, no shuffle, no per-batch re-aggregation of the eval side.
     */
+  /** One batch's per-doc decontamination verdict `(doc_id, n_grams,
+    * n_hit, contaminated)` — the [[decontaminationGate]] per-batch core,
+    * shared with the composed [[ingestAdmission]] pipeline. */
+  private[stream] def deconVerdict(batch: DataFrame,
+                                   evalSketch: Array[Byte]): DataFrame = {
+    ptx.functions.TextGrams.register(batch.sparkSession)
+    ptx.functions.Blooms.register(batch.sparkSession)
+    val grams = batch.select(col("doc_id"),
+      explode_outer(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+    val hit =
+      if (evalSketch.isEmpty) lit(false)
+      else col("h").isNotNull &&
+        call_function("might_contain", lit(evalSketch), col("h"))
+    grams
+      .groupBy(col("doc_id"))
+      .agg(count(col("h")).as("n_grams"),
+        count(when(hit, 1)).as("n_hit"))
+      .withColumn("contaminated", col("n_hit") > 0)
+  }
+
   def decontaminationGate(docs: DataFrame, evalSketch: Array[Byte],
                           dir: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ptx.functions.TextGrams.register(batch.sparkSession)
-        ptx.functions.Blooms.register(batch.sparkSession)
-        val grams = batch.select(col("doc_id"),
-          explode_outer(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
-        val hit =
-          if (evalSketch.isEmpty) lit(false)
-          else col("h").isNotNull &&
-            call_function("might_contain", lit(evalSketch), col("h"))
-        grams
-          .groupBy(col("doc_id"))
-          .agg(count(col("h")).as("n_grams"),
-            count(when(hit, 1)).as("n_hit"))
-          .withColumn("contaminated", col("n_hit") > 0)
+        deconVerdict(batch, evalSketch)
           .write.mode("overwrite").parquet(s"$dir/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
@@ -998,32 +1011,90 @@ object Pipelines {
     * At 100 TB each admission is linear in the SHARD plus one 8-byte-key
     * shuffle of the persisted band table (bucketed at rest → shuffle-free;
     * see the DedupIndex scaladoc). */
+  /** One batch's near-dup probe → policy-filter → admit pass — the
+    * [[shardAdmission]] per-batch core, shared with the composed
+    * [[ingestAdmission]] pipeline. Writes `outDir/pairs/batch=<id>` and
+    * `outDir/accepted/batch=<id>` and appends the accepted docs to the
+    * index under tag `b<id>` (all batch-scoped overwrites). */
+  private[stream] def admitShardBatch(batch: DataFrame, id: Long,
+                                      indexDir: String, outDir: String,
+                                      threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col("doc_id"), col("text"))
+    ptx.sources.DedupIndex.probe(spark, indexDir, b, threshold)
+      .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$id")
+    ptx.Caching.release(spark) // drop the probe's shard-signature pin
+    val pairs = spark.read.parquet(s"$outDir/pairs/batch=$id")
+    val ids = b.select(col("doc_id"))
+    // both orientations of each pair, restricted to batch docs d;
+    // o < d encodes "smaller sibling" and a non-batch o is an index doc
+    val adj = pairs.select(col("doc1").as("d"), col("doc2").as("o"))
+      .unionAll(pairs.select(col("doc2").as("d"), col("doc1").as("o")))
+      .join(ids.toDF("d"), Seq("d"), "left_semi")
+    val rejected = adj
+      .join(ids.toDF("o").withColumn("in_batch", lit(true)),
+        Seq("o"), "left_outer")
+      .filter(col("in_batch").isNull || col("o") < col("d"))
+      .select(col("d").as("doc_id")).distinct()
+    val accepted = b.join(rejected, Seq("doc_id"), "left_anti")
+    accepted.write.mode("overwrite").parquet(s"$outDir/accepted/batch=$id")
+    ptx.sources.DedupIndex.append(
+      spark.read.parquet(s"$outDir/accepted/batch=$id"), indexDir, s"b$id")
+  }
+
   def shardAdmission(docs: DataFrame, indexDir: String, outDir: String,
                      checkpoint: String, threshold: Double = 0.4)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        admitShardBatch(batch, id, indexDir, outDir, threshold)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
+  /** Composed streaming INGEST ADMISSION (r11): the full document-shard
+    * admission stack in ONE foreachBatch — the streaming twin of the
+    * composed batch `llm_curation_pipeline` discipline (each stage IS
+    * the standalone gate's per-batch core, so the composition cannot
+    * drift from the individually-verified parts). Per batch, in the
+    * order a production ingest runs them (cheapest shard-grain check
+    * first, the index-mutating stage last):
+    *   1. DRIFT ([[driftVerdict]], shard grain): sources whose length
+    *      distribution drifted from the static reference are rejected
+    *      WHOLESALE — admit nothing from a crawl that moved;
+    *   2. DECONTAMINATION ([[deconVerdict]], doc grain): any doc whose
+    *      word-8-grams hit the broadcast eval sketch is rejected (the
+    *      one-sided-error direction: over-drop, never leak eval text);
+    *   3. NEAR-DUP ADMISSION ([[admitShardBatch]], doc grain): the
+    *      survivors probe the persisted index, the smallest-id policy
+    *      filters, and the admitted docs enter the index for the next
+    *      batch.
+    * Verdict audit trails land per gate under `dir/drift|decon|pairs/
+    * batch=<id>`; the final survivors under `dir/accepted/batch=<id>`.
+    * Every write (and the index append) is a batch-scoped overwrite —
+    * idempotent replay end to end. Zero streaming state: the reference,
+    * sketch, and index are all static-or-persisted inputs. */
+  def ingestAdmission(docs: DataFrame, psiRef: DataFrame,
+                      evalSketch: Array[Byte], indexDir: String,
+                      dir: String, checkpoint: String,
+                      threshold: Double = 0.4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val spark = batch.sparkSession
-        val b = batch.select(col("doc_id"), col("text"))
-        ptx.sources.DedupIndex.probe(spark, indexDir, b, threshold)
-          .write.mode("overwrite").parquet(s"$outDir/pairs/batch=$id")
-        ptx.Caching.release(spark) // drop the probe's shard-signature pin
-        val pairs = spark.read.parquet(s"$outDir/pairs/batch=$id")
-        val ids = b.select(col("doc_id"))
-        // both orientations of each pair, restricted to batch docs d;
-        // o < d encodes "smaller sibling" and a non-batch o is an index doc
-        val adj = pairs.select(col("doc1").as("d"), col("doc2").as("o"))
-          .unionAll(pairs.select(col("doc2").as("d"), col("doc1").as("o")))
-          .join(ids.toDF("d"), Seq("d"), "left_semi")
-        val rejected = adj
-          .join(ids.toDF("o").withColumn("in_batch", lit(true)),
-            Seq("o"), "left_outer")
-          .filter(col("in_batch").isNull || col("o") < col("d"))
-          .select(col("d").as("doc_id")).distinct()
-        val accepted = b.join(rejected, Seq("doc_id"), "left_anti")
-        accepted.write.mode("overwrite").parquet(s"$outDir/accepted/batch=$id")
-        ptx.sources.DedupIndex.append(
-          spark.read.parquet(s"$outDir/accepted/batch=$id"), indexDir, s"b$id")
+        driftVerdict(batch, psiRef)
+          .write.mode("overwrite").parquet(s"$dir/drift/batch=$id")
+        val driftedSources = spark.read.parquet(s"$dir/drift/batch=$id")
+          .filter(col("drifted")).select(col("source"))
+        deconVerdict(batch, evalSketch)
+          .write.mode("overwrite").parquet(s"$dir/decon/batch=$id")
+        val contaminated = spark.read.parquet(s"$dir/decon/batch=$id")
+          .filter(col("contaminated")).select(col("doc_id"))
+        val clean = batch
+          .join(driftedSources, Seq("source"), "left_anti")
+          .join(contaminated, Seq("doc_id"), "left_anti")
+        admitShardBatch(clean, id, indexDir, dir, threshold)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

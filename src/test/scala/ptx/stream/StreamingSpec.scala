@@ -707,6 +707,63 @@ class StreamingSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("composed ingest admission: every stage equals its standalone gate core; survivors admit (r11)") {
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    val idx = java.nio.file.Files.createTempDirectory("ingest_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("ingest_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("ingest_cp").toString
+    // base (80%) seeds the index; the 20% shard streams through the
+    // composed stack — the split the shardAdmission test proved carries
+    // near-dup pairs. Eval suite ⊂ shard, so decon hits are guaranteed
+    // (an eval doc's own grams are in the sketch).
+    val base = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val shard = docs.filter(col("doc_id") % 5 === 0)
+    ptx.sources.DedupIndex.write(base, idx)
+    val psiRef = docs.groupBy(expr("n_chars div 50").as("b"))
+      .agg(count(lit(1)).as("gn"))
+    val sketch = Pipelines.evalGramSketch(docs.filter(col("doc_id") % 10 === 5))
+    Pipelines.ingestAdmission(
+      ptx.Tables.documentsStream(spark, TestSpark.SF)
+        .filter(col("doc_id") % 5 === 0),
+      psiRef, sketch, idx, out, cp).awaitTermination()
+    // replay each stage with the SAME cores the pipeline composes (the
+    // cores' own parity vs their batch twins is pinned by the standalone
+    // gate tests above) on a fresh index copy
+    val driftedSrc = Pipelines.driftVerdict(shard, psiRef)
+      .filter(col("drifted")).select("source").collect()
+      .map(_.getString(0)).toSet
+    val contaminatedIds = Pipelines.deconVerdict(shard, sketch)
+      .filter(col("contaminated")).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val clean = shard
+      .filter(!col("source").isin(driftedSrc.toSeq: _*))
+      .filter(!col("doc_id").isin(contaminatedIds.toSeq: _*))
+      .select("doc_id", "text")
+    val cleanIds = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+    val idx2 = java.nio.file.Files.createTempDirectory("ingest_idx2").toString
+    ptx.sources.DedupIndex.write(base, idx2)
+    val pairs = ptx.sources.DedupIndex.probe(spark, idx2, clean)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1)))
+    ptx.Caching.releaseAll()
+    val rejected = pairs.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .filter { case (d, o) => cleanIds(d) && (!cleanIds(o) || o < d) }
+      .map(_._1).toSet
+    val expected = cleanIds -- rejected
+    val accepted = spark.read.parquet(s"$out/accepted/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == expected, s"composed accepted diverged " +
+      s"(${accepted.size} vs ${expected.size})")
+    // audit trails: every gate wrote its batch verdict
+    assert(spark.read.parquet(s"$out/drift/batch=0").count() > 0)
+    assert(spark.read.parquet(s"$out/decon/batch=0").count() == shard.count())
+    // non-vacuous: the decon and dedup stages must each really fire,
+    // and the stack must still admit someone
+    assert(contaminatedIds.nonEmpty, "no contamination hits — vacuous")
+    assert(rejected.nonEmpty, "no dedup rejections — vacuous")
+    assert(accepted.nonEmpty, "stack admitted nothing — vacuous")
+    ptx.Caching.releaseAll()
+  }
+
   test("left-outer stream-stream join emits unmatched purchases with null click after the watermark closes") {
     val ms = MemoryStream[Event](implicitly[org.apache.spark.sql.Encoder[Event]], spark)
     val name = "attr_outer_sink"
