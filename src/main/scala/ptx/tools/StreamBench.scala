@@ -198,6 +198,26 @@ object StreamBench {
       runAdm() // warm
       val admSec = runAdm()
 
+      // composed ingest admission (r11): the full drift → decon →
+      // near-dup stack over the same shard — its cost vs the bare
+      // admission above is what the two scan-side gates add.
+      val psiRef = docs.groupBy(expr("n_chars div 50").as("b"))
+        .agg(count(lit(1)).as("gn"))
+      def runIngest(): Double = {
+        val idx = tmpDir("ptx-sb-ingidx")
+        ptx.sources.DedupIndex.write(admBase, idx)
+        val cp = tmpDir("ptx-sb-ingcp"); val outDir = tmpDir("ptx-sb-ingout")
+        val src = spark.readStream.schema(docs.schema).parquet(docStaged)
+          .filter(col("doc_id") % 10 === 0)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.ingestAdmission(
+          src, psiRef, evalSketch, idx, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runIngest() // warm
+      val ingSec = runIngest()
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val body = (results.map { case (n, sec) =>
@@ -206,7 +226,8 @@ object StreamBench {
         :+ s""""ttl_dedup":{"sec":${fmt(ttlSec)},"rows_per_sec":${fmt(docRows / ttlSec)},"rows":$docRows}"""
         :+ s""""decon_gate":{"sec":${fmt(deconSec)},"rows_per_sec":${fmt(docRows / deconSec)},"rows":$docRows}"""
         :+ s""""volume_gate":{"sec":${fmt(volSec)},"rows_per_sec":${fmt(rows / volSec)}}"""
-        :+ s""""shard_admission":{"sec":${fmt(admSec)},"rows_per_sec":${fmt(shardRows / admSec)},"rows":$shardRows}""")
+        :+ s""""shard_admission":{"sec":${fmt(admSec)},"rows_per_sec":${fmt(shardRows / admSec)},"rows":$shardRows}"""
+        :+ s""""ingest_admission":{"sec":${fmt(ingSec)},"rows_per_sec":${fmt(shardRows / ingSec)},"rows":$shardRows}""")
         .mkString(",")
       val json =
         s"""{"metric":"stream_throughput","rows":$rows,"sf":"$sfDir","cpus":$cpus,"pipelines":{$body}}"""
