@@ -30,6 +30,24 @@ object VectorIndex {
       .write.mode(SaveMode.Overwrite).parquet(dir)
 
   /** Load a persisted index (schema: label, centroid array<float>). */
+  /** Compact a serving index maintained by the streaming refresh
+    * pipeline (`cells/batch=<id>` appended per micro-batch) into a fresh
+    * copy at `dst` — never in place, the Io.compact path guard (shared
+    * helper, the [[DedupIndex.compact]] twin). The cell table collapses
+    * to one `batch=base` partition range-laid by `label` (a probe reads
+    * only its nprobe cells, so footer min/max pruning pays directly);
+    * the centroid frame copies over bit-exactly (float32 round-trips
+    * parquet). Run between refreshes; the layer above swaps dirs. */
+  def compactCells(spark: SparkSession, dir: String, dst: String): Unit = {
+    Io.assertDisjointPaths(spark, dir, dst)
+    spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("embedding"), col("label"))
+      .sortWithinPartitions(col("label"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/cells/batch=base")
+    spark.read.parquet(s"$dir/centroids")
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/centroids")
+  }
+
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 

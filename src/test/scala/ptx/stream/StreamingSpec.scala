@@ -637,6 +637,24 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
     assert(top.nonEmpty && top.head._3 == 1.0,
       s"probe should find its twin at sim 1.0, got ${top.toSeq}")
+    // compaction (r11): the refresh pipeline accumulates one cells
+    // partition per batch; the compacted copy must serve identically
+    // with the partitions collapsed and the centroids bit-exact
+    val cdir = java.nio.file.Files.createTempDirectory("ivf_compact").toString
+    ptx.sources.VectorIndex.compactCells(spark, dir, cdir)
+    val topC = ptx.ops.LlmScale.ivfProbe(
+      ptx.sources.VectorIndex.read(spark, s"$cdir/centroids"),
+      spark.read.parquet(s"$cdir/cells"), probe, 1, 3)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(topC.toSeq == top.toSeq, "compacted index probe diverged")
+    val centC = ptx.sources.VectorIndex.read(spark, s"$cdir/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    assert(centC == refreshed, "compacted centroids not bit-exact")
+    def parts(p: String): Int = new java.io.File(s"$p/cells")
+      .listFiles().count(_.getName.startsWith("batch="))
+    assert(parts(dir) == 3 && parts(cdir) == 1,
+      s"expected 3 source / 1 compacted cell partitions, got " +
+        s"${parts(dir)} / ${parts(cdir)}")
   }
 
   test("shardAdmission: streamed shards probe, filter, and admit against the persisted index (r11)") {
