@@ -178,6 +178,42 @@ class SkewSpec extends AnyFunSuite {
       "fixture must exercise the NULL-key partition")
   }
 
+  test("segmented running agg parity sweep: 500 seeded random rows, random NULLs, all three members (r11)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // seeded generator (no scalacheck offline — house pattern): random
+    // keys incl. NULL, random segment drawn monotone in row_id, ~20%
+    // NULL values; the window form is the executable spec
+    val rnd = new scala.util.Random(42)
+    val rows: Seq[(Long, Option[Long], Long, Option[Long])] =
+      (0 until 500).map { i =>
+        val key = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(7).toLong)
+        // monotone in row_id (precondition); irregular widths via sqrt
+        val seg = math.sqrt(i * 8).toLong / 4
+        val v = if (rnd.nextInt(5) == 0) None else Some(rnd.nextInt(1000).toLong - 500)
+        (i.toLong, key, seg, v)
+      }
+    val df = rows.toDF("row_id", "k", "seg", "x")
+    val w = Window.partitionBy(col("k")).orderBy(col("row_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def runOf(r: org.apache.spark.sql.Row): (Long, Option[Long]) =
+      r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])
+    for ((name, winAgg, segFn) <- Seq[(String,
+        org.apache.spark.sql.Column,
+        (org.apache.spark.sql.DataFrame, Seq[String], Seq[String],
+         org.apache.spark.sql.Column, org.apache.spark.sql.Column,
+         String) => org.apache.spark.sql.DataFrame)](
+        ("sum", sum(col("x")).over(w), ops.SegmentedScan.runningSum),
+        ("min", min(col("x")).over(w), ops.SegmentedScan.runningMin),
+        ("max", max(col("x")).over(w), ops.SegmentedScan.runningMax))) {
+      val expected = df.withColumn("run", winAgg)
+        .select("row_id", "run").collect().map(runOf).toMap
+      val got = segFn(df, Seq("k"), Seq("row_id"), col("seg"), col("x"), "run")
+        .select("row_id", "run").collect().map(runOf).toMap
+      assert(got == expected, s"running $name diverged on the random sweep")
+    }
+  }
+
   test("loader schema assertion rejects unknown tables loudly") {
     val ex = intercept[IllegalArgumentException] {
       Tables.t(spark, TestSpark.SF, "nope")
