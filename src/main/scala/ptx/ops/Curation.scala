@@ -96,19 +96,28 @@ object Curation {
     * without the total-order sort): stateless project/filter arithmetic,
     * so it runs UNCHANGED on a streaming documents frame — the curation
     * twin of the G10 batch-twin property (StreamingSpec asserts it).
+    *
+    * r11: bigrams ride the codegen'd `gram_hashes` kernel as 64-bit keys
+    * instead of the interpreted transform/concat_ws HOF that allocated a
+    * bigram STRING per token (the span family's r10 lesson applied to
+    * the next HOF hotspot — measured ~3× on the sf0.1 bench line), and
+    * the distinct count compares longs. Distinct-by-hash equals
+    * distinct-by-string absent a 64-bit collision (the documented
+    * ≈2e-11 `llm_ngram_diversity` caveat; the DuckDB oracle still
+    * groups strings and still hash-matches).
     */
-  def repetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  def repetition(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    ptx.functions.TextGrams.register(docs.sparkSession)
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= 2)
-      .withColumn("bi", expr(
-        """transform(sequence(1, size(w) - 1),
-          |  i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))""".stripMargin))
+      .withColumn("bi", expr("gram_hashes(w, 2)"))
       .select(col("doc_id"),
         size(col("bi")).cast("long").as("n_bigrams"),
         size(array_distinct(col("bi"))).cast("long").as("n_distinct"),
         (lit(1.0) - size(array_distinct(col("bi"))).cast("double") / size(col("bi")))
           .as("rep_ratio"))
+  }
 
   def queries: Map[String, QFn] = Map(
     // Benchmark decontamination: training docs (source ≠ src0) sharing ≥ 5
