@@ -34,6 +34,11 @@ class PtxExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("gram_hashes"),
       new ExpressionInfo(classOf[ptx.functions.GramHashes].getName, "gram_hashes"),
       (children: Seq[Expression]) => ptx.functions.TextGrams.build(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("byte_entropy_e6"),
+      new ExpressionInfo(classOf[ptx.functions.ByteEntropy].getName,
+        "byte_entropy_e6"),
+      (children: Seq[Expression]) => ptx.functions.ByteEntropyFn.build(children)))
     // the Bloom pair (r11): Spark ships both halves but keeps them
     // optimizer-internal (neither resolves from user SQL); injecting them
     // gives pure-SQL sessions build + probe (ptx.functions.Blooms).

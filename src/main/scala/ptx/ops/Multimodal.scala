@@ -37,6 +37,27 @@ object Multimodal {
             .otherwise("video").as("kind"))
         .orderBy(col("doc_id"))
     }),
+    // ✓ payload-entropy triage (r11): e6-snapped Shannon entropy (nats)
+    // of each payload's byte distribution via the codegen'd
+    // `ByteEntropy` kernel — the before-decode health check that
+    // separates degenerate/truncated payloads (→0) from text (~3) from
+    // compressed/encrypted blobs (→ln 256 ≈ 5.545) without decoding.
+    // Exactness: each ≤256-term −p·ln p is one pinned double expression
+    // from exact (c, n) integers, half-up e6-snapped, then summed
+    // exactly — the PSI term discipline; the oracle mirrors it per term
+    // (hex-pair byte explode, n-bounded). Scale: one fused histogram
+    // pass per row in the scan stage; payload bytes never shuffle (the
+    // oracle's per-byte explode is the formulation this kernel exists
+    // to avoid at media sizes).
+    "mm_payload_entropy" -> ((s, d) => {
+      ptx.functions.ByteEntropyFn.register(s)
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).as("n_bytes"),
+          expr("byte_entropy_e6(payload)").as("entropy_e6"))
+        .orderBy(col("doc_id"))
+    }),
     // ✓ aspect-preserving resize planning over typed media metadata: fit
     // (img_w, img_h) into a 32x32 box without upscaling — the relational
     // half of a resize stage (the pixel kernel would sit behind
@@ -120,6 +141,25 @@ object Multimodal {
         |  min(doc_id) OVER (PARTITION BY fp) AS keep_id,
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
         |FROM b ORDER BY doc_id""".stripMargin,
+    // per-byte explode via hex pairs (DuckDB has no blob-element access);
+    // the term expression and rounding mirror the kernel's pinned
+    // parenthesization exactly
+    "mm_payload_entropy" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS payload FROM documents),
+        |h AS (SELECT doc_id, octet_length(payload) AS n, hex(payload) AS hx
+        |      FROM b),
+        |e AS (SELECT doc_id, n, substr(hx, 2 * i - 1, 2) AS byte
+        |      FROM h, unnest(generate_series(1, n)) AS s(i)
+        |      WHERE n > 0),
+        |c AS (SELECT doc_id, n, byte, count(*) AS c FROM e GROUP BY 1, 2, 3),
+        |t AS (SELECT doc_id, n,
+        |        CAST(round(-(c * 1.0 / n) * ln(c * 1.0 / n) * 1000000, 0)
+        |          AS BIGINT) AS term
+        |      FROM c WHERE c < n)
+        |SELECT h.doc_id, h.n AS n_bytes,
+        |  CAST(coalesce(sum(t.term), 0) AS BIGINT) AS entropy_e6
+        |FROM h LEFT JOIN t ON t.doc_id = h.doc_id
+        |GROUP BY h.doc_id, h.n ORDER BY h.doc_id""".stripMargin,
     "mm_resize" ->
       """SELECT doc_id, img_w, img_h,
         |  CAST(CASE WHEN img_w <= 32 AND img_h <= 32 THEN img_w

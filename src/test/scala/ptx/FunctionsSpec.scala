@@ -225,6 +225,53 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ok == 2)
   }
 
+  test("byte_entropy_e6: reference recompute on 200 seeded payloads, edges, analysis-time typing (r11)") {
+    ptx.functions.ByteEntropyFn.register(spark)
+    // independent reference: per-byte counts → the oracle's exact term
+    // expression, summed as longs — the kernel must agree bit-for-bit
+    def ref(bytes: Array[Byte]): Long = {
+      if (bytes.isEmpty) return 0L
+      val n = bytes.length
+      bytes.groupBy(identity).values.map(_.length)
+        .filter(c => c > 0 && c < n)
+        .map { c =>
+          val p = c.toDouble / n
+          math.round(-p * math.log(p) * 1e6)
+        }.sum
+    }
+    val rnd = new scala.util.Random(7)
+    val payloads = (0 until 200).map { i =>
+      val n = rnd.nextInt(300)
+      // mix of regimes: uniform-random (high), ascii-ish (mid), runs (low)
+      val b = new Array[Byte](n)
+      i % 3 match {
+        case 0 => rnd.nextBytes(b)
+        case 1 => (0 until n).foreach(j => b(j) = (97 + rnd.nextInt(26)).toByte)
+        case 2 => (0 until n).foreach(j => b(j) = (j / 50).toByte)
+      }
+      (i.toLong, b)
+    }
+    val got = payloads.toDF("id", "p")
+      .select(col("id"), expr("byte_entropy_e6(p)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    payloads.foreach { case (id, b) =>
+      assert(got(id) == ref(b), s"payload $id: ${got(id)} != ${ref(b)}")
+    }
+    // edges: empty and single-valued payloads are exactly 0; a
+    // uniform-256 payload hits exactly ln(256) e6-snapped per term
+    assert(ref(Array.emptyByteArray) == 0L && got.nonEmpty)
+    val uniform = Array.tabulate[Byte](256)(_.toByte)
+    val gotU = Seq((1L, uniform)).toDF("id", "p")
+      .select(expr("byte_entropy_e6(p)")).collect()(0).getLong(0)
+    assert(gotU == 256L * math.round((1.0 / 256) * math.log(256.0) * 1e6),
+      s"uniform payload entropy $gotU")
+    // non-binary input fails at ANALYSIS time with a clear message
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, "abc")).toDF("id", "t").select(expr("byte_entropy_e6(t)"))
+    }
+    assert(ex.getMessage.contains("binary"), ex.getMessage)
+  }
+
   test("kernel registration is guarded: idempotent re-register, loud foreign-binding conflict (r11)") {
     // fresh session state so the shared test session's registry is untouched
     val s2 = spark.newSession()

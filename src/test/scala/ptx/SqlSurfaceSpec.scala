@@ -73,6 +73,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "fn_hash" -> "sha256() (Spark: sha2(x, 256))",
       "mm_binary_meta" -> "1-arg encode() (Spark encode needs charset)",
       "mm_dedup_payload" -> "1-arg encode() (Spark encode needs charset)",
+      "mm_payload_entropy" -> "1-arg encode() + hex-pair byte explode",
       // DuckDB-only syntax
       "agg_collect_sorted" -> "ORDER BY inside array_agg",
       "agg_string_concat" -> "ORDER BY inside string_agg",
