@@ -100,7 +100,8 @@ object Curation {
     * r11: bigrams ride the codegen'd `gram_hashes` kernel as 64-bit keys
     * instead of the interpreted transform/concat_ws HOF that allocated a
     * bigram STRING per token (the span family's r10 lesson applied to
-    * the next HOF hotspot — measured ~3× on the sf0.1 bench line), and
+    * the next HOF hotspot — measured ~4× (1.84 s → 0.46 s) on the
+    * sf0.1 bench line), and
     * the distinct count compares longs. Distinct-by-hash equals
     * distinct-by-string absent a 64-bit collision (the documented
     * ≈2e-11 `llm_ngram_diversity` caveat; the DuckDB oracle still

@@ -104,14 +104,19 @@ object DedupIndex {
     * per-file open and footer cost for each. The copy holds the same
     * rows under one `batch=base` partition — probes against it are
     * row-identical (signatures are per-doc rows; asserted in IoSpec) —
-    * with the band table additionally range-laid-out by `key` so a
-    * band-key join prunes on footer min/max. Run between admissions
+    * with the band table RANGE-partitioned by `key` then sorted within
+    * tasks, so each output file covers a disjoint key interval and a
+    * band-key join prunes on footer min/max (a bare
+    * sortWithinPartitions would sort each multi-file read bundle whose
+    * keys already span the full range — no pruning at exactly the
+    * accumulated-index scale this exists for). Run between admissions
     * (like any compaction, not concurrency-safe with an in-flight
     * append); the layer above swaps directories. */
   def compact(spark: SparkSession, dir: String, dst: String): Unit = {
     Io.assertDisjointPaths(spark, dir, dst)
     spark.read.parquet(s"$dir/bands")
       .select(col("doc_id"), col("band"), col("key"))
+      .repartitionByRange(col("key"))
       .sortWithinPartitions(col("key"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/bands/batch=base")
     spark.read.parquet(s"$dir/sets")

@@ -34,14 +34,19 @@ object VectorIndex {
     * pipeline (`cells/batch=<id>` appended per micro-batch) into a fresh
     * copy at `dst` — never in place, the Io.compact path guard (shared
     * helper, the [[DedupIndex.compact]] twin). The cell table collapses
-    * to one `batch=base` partition range-laid by `label` (a probe reads
-    * only its nprobe cells, so footer min/max pruning pays directly);
-    * the centroid frame copies over bit-exactly (float32 round-trips
-    * parquet). Run between refreshes; the layer above swaps dirs. */
+    * to one `batch=base` partition RANGE-partitioned by `label` then
+    * task-sorted (each output file covers a disjoint label interval —
+    * a probe reads only its nprobe cells, so footer min/max pruning
+    * pays directly; a bare within-partition sort would leave every
+    * file's label range full-width once the table spans multiple read
+    * partitions); the centroid frame copies over bit-exactly (float32
+    * round-trips parquet). Run between refreshes; the layer above
+    * swaps dirs. */
   def compactCells(spark: SparkSession, dir: String, dst: String): Unit = {
     Io.assertDisjointPaths(spark, dir, dst)
     spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("embedding"), col("label"))
+      .repartitionByRange(col("label"))
       .sortWithinPartitions(col("label"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/cells/batch=base")
     spark.read.parquet(s"$dir/centroids")

@@ -200,9 +200,15 @@ object StreamBench {
 
       // composed ingest admission (r11): the full drift → decon →
       // near-dup stack over the same shard — its cost vs the bare
-      // admission above is what the two scan-side gates add.
-      val psiRef = docs.groupBy(expr("n_chars div 50").as("b"))
-        .agg(count(lit(1)).as("gn"))
+      // admission above is what the two scan-side gates add. The eval
+      // sketch here is DISJOINT from the shard (%10==5 vs %10==0 —
+      // the StreamingSpec split): the decon-gate probe above reuses the
+      // %10==0 sketch deliberately (worst-case hit rate), but composing
+      // THAT here would decontaminate away the whole shard and time the
+      // dedup stage on an empty frame, voiding the comparison with the
+      // bare shard_admission number.
+      val ingSketch = ptx.stream.Pipelines.evalGramSketch(
+        docs.filter(col("doc_id") % 10 === 5))
       def runIngest(): Double = {
         val idx = tmpDir("ptx-sb-ingidx")
         ptx.sources.DedupIndex.write(admBase, idx)
@@ -211,7 +217,7 @@ object StreamBench {
           .filter(col("doc_id") % 10 === 0)
         val t0 = System.nanoTime()
         val q = ptx.stream.Pipelines.ingestAdmission(
-          src, psiRef, evalSketch, idx, outDir, cp)
+          src, ref, ingSketch, idx, outDir, cp)
         q.awaitTermination()
         (System.nanoTime() - t0) / 1e9
       }

@@ -257,9 +257,13 @@ class FunctionsSpec extends AnyFunSuite {
     payloads.foreach { case (id, b) =>
       assert(got(id) == ref(b), s"payload $id: ${got(id)} != ${ref(b)}")
     }
-    // edges: empty and single-valued payloads are exactly 0; a
-    // uniform-256 payload hits exactly ln(256) e6-snapped per term
-    assert(ref(Array.emptyByteArray) == 0L && got.nonEmpty)
+    // edges THROUGH THE KERNEL (not just the reference): empty and
+    // single-valued payloads are exactly 0; a uniform-256 payload hits
+    // exactly ln(256) e6-snapped per term
+    val edges = Seq((1L, Array.emptyByteArray), (2L, Array.fill[Byte](40)(7)))
+      .toDF("id", "p").select(col("id"), expr("byte_entropy_e6(p)").as("e"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(edges == Map(1L -> 0L, 2L -> 0L), s"kernel edge cases: $edges")
     val uniform = Array.tabulate[Byte](256)(_.toByte)
     val gotU = Seq((1L, uniform)).toDF("id", "p")
       .select(expr("byte_entropy_e6(p)")).collect()(0).getLong(0)
