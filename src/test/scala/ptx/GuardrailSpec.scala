@@ -94,4 +94,61 @@ class GuardrailSpec extends AnyFunSuite {
     val ref = Seq((0L, 10L), (1L, 20L)).toDF("b", "gn")
     assert(ptx.ops.Extras.psiAgainst(emptyCells, ref).collect().isEmpty)
   }
+
+  // ── gram-hash collision canary (r12, VERDICT r11 #1) ─────────────────
+  // Six oracle-✓ queries group/count 64-bit `gram_hashes` keys while their
+  // DuckDB oracles group gram STRINGS, so their oracle pass is
+  // collision-probabilistic (≈2e-11 at fixture gram counts). These canaries
+  // assert the hash is INJECTIVE on every gram string the live fixture
+  // actually produces, at every width the registry uses — so a driver
+  // fixture regen that explodes gram counts into a real 64-bit collision
+  // fails HERE (a named local test) instead of as an opaque driver-side
+  // oracle hash FAIL. One test per hash-keyed family apex; each runs over
+  // the FULL documents table at the driver's compare scale (sf0.01), a
+  // superset of every query's gram stream (llm_split_contamination only
+  // re-labels splits; llm_decontaminate only partitions by source), so
+  // corpus-wide injectivity implies per-group parity for the whole family.
+  private val CompareSF = "/root/testdata/sf0.01" // the driver's oracle-compare scale
+
+  /** distinct-by-`gram_hashes` must equal distinct-by-gram-STRING.
+    * The string side joins each width-`n` token window with ' ' — injective
+    * on token sequences (split-on-space tokens cannot contain a space), and
+    * exactly the gram identity the DuckDB oracles group by. */
+  private def assertGramHashInjective(width: Int, family: String): Unit = {
+    val s = TestSpark.spark
+    ptx.functions.TextGrams.register(s)
+    val toks = Tables.documents(s, CompareSF)
+      .select(split(col("text"), " ").as("w"))
+    val byHash = toks
+      .select(explode(expr(s"gram_hashes(w, $width)")).as("g"))
+      .agg(countDistinct(col("g"))).head().getLong(0)
+    val byString = toks
+      .select(explode(expr(
+        s"""CASE WHEN size(w) >= $width
+           |  THEN transform(sequence(1, size(w) - ${width - 1}),
+           |                 i -> array_join(slice(w, i, $width), ' '))
+           |  ELSE array() END""".stripMargin)).as("g"))
+      .agg(countDistinct(col("g"))).head().getLong(0)
+    assert(byHash == byString,
+      s"64-bit gram-hash COLLISION at width=$width on the live sf0.01 fixture " +
+        s"(distinct hashes $byHash != distinct strings $byString): the $family " +
+        "oracle pass is no longer trustworthy — the fixture regen crossed the " +
+        "collision bound; widen the gram key before the driver's hash compare fails")
+  }
+
+  test("gram-hash collision canary: width 2 (llm_repetition bigrams)") {
+    assertGramHashInjective(2, "llm_repetition")
+  }
+  test("gram-hash collision canary: width 3 (TextShingles — llm_decontaminate / dedup family)") {
+    assertGramHashInjective(3, "llm_decontaminate + MinHash/LSH shingle")
+  }
+  test("gram-hash collision canary: width 4 (llm_ngram_diversity)") {
+    assertGramHashInjective(4, "llm_ngram_diversity")
+  }
+  test("gram-hash collision canary: width 5 (llm_dedup_spans / llm_span_rewrite)") {
+    assertGramHashInjective(5, "span-dedup")
+  }
+  test("gram-hash collision canary: width 8 (llm_doc_novelty / llm_split_contamination)") {
+    assertGramHashInjective(8, "doc-novelty + split-contamination")
+  }
 }
