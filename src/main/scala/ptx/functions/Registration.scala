@@ -23,19 +23,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
   */
 private[ptx] object Registration {
   def ensure(spark: SparkSession, name: String, arity: Int,
-             builder: Seq[Expression] => Expression): Unit = {
+             builder: Seq[Expression] => Expression,
+             extraProbes: Seq[Seq[Expression]] = Nil): Unit = {
     val reg = spark.sessionState.functionRegistry
     val id = FunctionIdentifier(name)
     reg.lookupFunctionBuilder(id) match {
       case None =>
         reg.createOrReplaceTempFunction(name, builder, "scala_udf")
       case Some(existing) =>
-        // probe the registered builder with null literals: if it constructs
-        // the same Expression class our builder does, it IS ours (builders
-        // are pure constructors here — no evaluation happens)
-        val probeArgs = Seq.fill(arity)(Literal(null): Expression)
-        val ours = scala.util.Try(existing(probeArgs)).toOption.exists {
-          e => builder(probeArgs).getClass == e.getClass
+        // probe the registered builder with null literals (plus any
+        // caller-supplied extra shapes — e.g. gram_hashes' 2-arg form) and
+        // compare the CONSTRUCTED expressions structurally: class equality
+        // alone would accept a foreign wrapper that builds the same class
+        // with different bindings (a different default width, a dropped
+        // argument — ADVICE r11). semanticEquals compares the canonicalized
+        // trees, so every constructor binding must match ours. Builders
+        // are pure constructors here — no evaluation happens.
+        val probes = Seq.fill(arity)(Literal(null): Expression) +: extraProbes
+        val ours = probes.forall { probeArgs =>
+          scala.util.Try(existing(probeArgs)).toOption.exists {
+            e => builder(probeArgs).semanticEquals(e)
+          }
         }
         if (!ours) throw new IllegalStateException(
           s"function '$name' is already bound to a different implementation " +

@@ -34,7 +34,18 @@ object Extras {
   /** z + anomaly columns over a `(day, n_events, nd, sx, sxx)` frame: ONE
     * pinned-parenthesization double expression over exact integers (both
     * engines and both deployment modes divide identical operands), the
-    * flag on the ROUNDED z, the zero-variance guard in exact decimal. */
+    * flag on the ROUNDED z, the zero-variance guard in exact decimal.
+    *
+    * Bound (ADVICE r11): the guard's products `sxx * nd` and `sx * sx`
+    * stay in decimal(38,0) — Spark caps the result precision at 38, so
+    * once sx or sxx approaches ~1e19 the products overflow to NULL, the
+    * CASE guard goes false, and every day scores z = NULL (an all-NULL
+    * verdict frame, not a crash). sx is TOTAL corpus events and sxx ≈
+    * nd·(events/day)², so the bound is ~3e9 events/day for ~1000 days —
+    * beyond the 100 TB design point's event grain, but a deployment past
+    * it must rescale the guard (divide the counts by nd in decimal before
+    * squaring) rather than trust the silent NULLs; an all-NULL z column
+    * on populated input is the overflow signature to check for. */
   def volumeVerdict(dailyWithMoments: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
     dailyWithMoments

@@ -157,7 +157,8 @@ object Multimodal {
         |          AS BIGINT) AS term
         |      FROM c WHERE c < n)
         |SELECT h.doc_id, h.n AS n_bytes,
-        |  CAST(coalesce(sum(t.term), 0) AS BIGINT) AS entropy_e6
+        |  CAST(CASE WHEN h.n IS NULL THEN NULL
+        |       ELSE coalesce(sum(t.term), 0) END AS BIGINT) AS entropy_e6
         |FROM h LEFT JOIN t ON t.doc_id = h.doc_id
         |GROUP BY h.doc_id, h.n ORDER BY h.doc_id""".stripMargin,
     "mm_resize" ->

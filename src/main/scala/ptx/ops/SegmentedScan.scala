@@ -45,14 +45,23 @@ import org.apache.spark.sql.expressions.Window
   *
   * Preconditions: `segment` must be monotone non-decreasing in the order
   * key within every key (a function of the leading order column qualifies),
-  * and rows with equal order keys must share a segment.
+  * rows with equal order keys must share a segment, and for a
+  * DETERMINISTIC result the order keys must be unique within a key: the
+  * equivalence below is against the ROWS-framed window
+  * (`rowsBetween(unboundedPreceding, currentRow)` — the win_running_sum
+  * formulation), and like that window, tied order keys make the per-row
+  * prefix depend on the tie-internal order. (The default no-frame window
+  * is RANGE-framed — all peers of a tied key included — which is a
+  * DIFFERENT result under ties; this operator does not implement it.)
   */
 object SegmentedScan {
 
   /** Running sum of `value` per `key` in `order`, computed segment-wise.
     * Output: the input columns plus `out` — identical rows to
-    * `sum(value).over(Window.partitionBy(key*).orderBy(order*))` (for
-    * associative value types; see the ulp note above). */
+    * `sum(value).over(Window.partitionBy(key*).orderBy(order*)
+    * .rowsBetween(Window.unboundedPreceding, Window.currentRow))` (for
+    * associative value types; see the ulp and unique-order-key notes
+    * above). */
   def runningSum(df: DataFrame, key: Seq[String], order: Seq[String],
                  segment: Column, value: Column, out: String): DataFrame =
     runningAgg(df, key, order, segment, value, out, sum,

@@ -46,7 +46,11 @@ object QueryTime {
       while (l.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
       val ex = if (l.snapshot.isEmpty) -1 else l.snapshot.map(_.numExchanges).max
       spark.listenerManager.unregister(l)
-      println(f"[qt] $name cold=${times(0)}%.2f warm=${times.drop(1).map(t => f"$t%.2f").mkString(",")} exchanges=$ex (cpus=$cpus)")
+      // 'warm=-' when reps == 1, so the line stays unambiguous for
+      // downstream parsing (ADVICE r11: an empty value read as a blank)
+      val warm = if (reps <= 1) "-"
+        else times.drop(1).map(t => f"$t%.2f").mkString(",")
+      println(f"[qt] $name cold=${times(0)}%.2f warm=$warm exchanges=$ex (cpus=$cpus)")
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         lastDf.explain("formatted")
     }
