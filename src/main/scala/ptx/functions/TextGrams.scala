@@ -125,5 +125,10 @@ object TextGrams {
     * loudly if the session bound the name to something else — see
     * [[Registration.ensure]]. */
   def register(spark: SparkSession): Unit =
-    Registration.ensure(spark, "gram_hashes", 1, build)
+    Registration.ensure(spark, "gram_hashes", 1, build,
+      // also probe the 2-arg (explicit width) form: a foreign builder
+      // that drops or rebinds the width argument must be rejected too
+      extraProbes = Seq(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal(null),
+        org.apache.spark.sql.catalyst.expressions.Literal(3))))
 }

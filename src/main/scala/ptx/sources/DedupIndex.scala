@@ -32,8 +32,11 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale: the probe's band join shuffles the persisted band table by its
   * 8-byte key once per admission — at deployment scale that table lives
-  * bucketed by `key` (bucketed table / liquid layout), making admissions
-  * shuffle-free on the index side. Candidate fan-out is banding-bounded
+  * bucketed by its (band, key) join key ([[compactBucketed]]), making
+  * admissions shuffle-free on the index side: only the (small) shard is
+  * exchanged, the index scan's bucket layout already satisfies the join's
+  * clustering (asserted on the physical plan in IoSpec). Candidate
+  * fan-out is banding-bounded
   * exactly as in the inline query; the verify fetches only candidate
   * doc_ids' sets. Caller contract: doc_ids are unique corpus-wide (a
   * re-crawled payload arrives under a new id — that is what the index is
@@ -53,41 +56,94 @@ object DedupIndex {
   def write(docs: DataFrame, dir: String): Unit =
     writeTag(docs, dir, "base", SaveMode.Overwrite)
 
+  /** The shared signing recipe: per-doc MinHash signature frame
+    * (doc_id, m0..m15, n_sh, shset) for `docs` (doc_id, text). Exposed so
+    * a caller orchestrating probe-then-admit ([[ptx.stream.Pipelines]]'s
+    * admission batch) can sign ONCE and feed the same (cached) frame to
+    * both [[probeSigned]] and [[appendSigned]] — signatures are pure
+    * functions of the text, so this is bit-identical to signing twice. */
+  private[ptx] def signatures(docs: DataFrame): DataFrame =
+    ptx.ops.LlmScale.minhashSignatures(
+      ptx.functions.TextShingles.shingles(docs)
+        .select(col("doc_id"), col("shingle").as("h")))
+
   /** Near-dup pairs `(doc1, doc2, jaccard ≥ threshold)` touching the new
     * shard: shard↔index and shard↔shard, never index↔index (those were
     * reported when their shards were admitted). Signs only the shard. */
   def probe(spark: SparkSession, dir: String, newDocs: DataFrame,
-            threshold: Double = 0.4): DataFrame = {
+            threshold: Double = 0.4,
+            bandsTable: Option[String] = None): DataFrame =
+    probeSigned(spark, dir, ptx.Caching.pin(signatures(newDocs)),
+      threshold, bandsTable)
+      .orderBy(col("doc1"), col("doc2"))
+
+  /** [[probe]] on an already-signed (and caller-cached) shard — the
+    * sign-once path for admission pipelines that also [[appendSigned]]
+    * the same frame. Output is UNORDERED (the audit-file write path has
+    * no use for the public probe's global sort).
+    *
+    * `microBatch = true` is the streaming-admission shape: the SHARD is a
+    * micro-batch, so everything shard-derived (band keys ≈ 64 B/doc, the
+    * banding-bounded candidate pairs, the candidate-pruned sets) is
+    * broadcastable BY CONSTRUCTION, and hinting it turns the whole probe
+    * into stream-static broadcast joins — the index side never shuffles
+    * OR sorts, batch wall time is dominated by the one signature pass.
+    * The default (false) keeps exchange-based joins for arbitrary-size
+    * shards (a 10% corpus re-probe is not broadcastable). */
+  private[ptx] def probeSigned(spark: SparkSession, dir: String,
+                               shardSig: DataFrame, threshold: Double = 0.4,
+                               bandsTable: Option[String] = None,
+                               microBatch: Boolean = false): DataFrame = {
     ptx.functions.VectorOps.register(spark) // sorted_intersect_count
-    val shardSig = ptx.Caching.pin(ptx.ops.LlmScale.minhashSignatures(
-      ptx.functions.TextShingles.shingles(newDocs)
-        .select(col("doc_id"), col("shingle").as("h"))))
+    def small(df: DataFrame): DataFrame = if (microBatch) broadcast(df) else df
     val shardBands = ptx.ops.LlmScale.bandKeys(shardSig)
     // explicit projections drop the batch=<tag> partition column the
-    // layout adds on read
-    val allBands = spark.read.parquet(s"$dir/bands")
+    // layout adds on read. When the index was compacted bucketed
+    // ([[compactBucketed]]) the band side MUST come through the catalog —
+    // a path read of the same files discards the bucket spec and the
+    // join re-shuffles the whole index.
+    val indexBands = bandsTable.map(spark.table)
+      .getOrElse(spark.read.parquet(s"$dir/bands"))
       .select(col("doc_id"), col("band"), col("key"))
-      .unionByName(shardBands)
-    // one side is always the shard; doc1 < doc2 dedups the shard↔shard
-    // mirror and canonicalizes shard↔index order
-    val cands = shardBands.toDF("a", "band", "key")
-      .join(allBands.toDF("b", "band", "key"), Seq("band", "key"))
+    // shard↔index and shard↔shard as SEPARATE joins, not one join against
+    // (index ∪ shard): a union would erase the bucketed index scan's
+    // output partitioning and force the index-side exchange this layout
+    // exists to remove. Join distributes over union, so the candidate
+    // multiset is identical. One side is always the shard; doc1 < doc2
+    // dedups the shard↔shard mirror and canonicalizes shard↔index order.
+    def candsAgainst(other: DataFrame) = small(shardBands.toDF("a", "band", "key"))
+      .join(other.toDF("b", "band", "key"), Seq("band", "key"))
+    // pinned: the pair frame feeds the verify join AND (broadcast) the
+    // candidate-id pruning of the sets scan below — banding-bounded and
+    // shard-proportional, so the pin is small at any corpus size
+    val cands = ptx.Caching.pin(candsAgainst(indexBands)
+      .unionByName(candsAgainst(shardBands))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("doc1"),
         greatest(col("a"), col("b")).as("doc2"))
-      .distinct()
+      .distinct())
+    // the verify fetches ONLY candidate doc_ids' sets (r12): the broadcast
+    // semi join prunes the corpus-sized sets table AT THE SCAN, so the
+    // verify's exchanges carry O(candidates) heavy shset rows instead of
+    // re-shuffling the whole index's sets per admission — the difference
+    // between an admission that is linear in the shard and one that is
+    // linear in the corpus.
+    val candIds = cands.select(explode(array(col("doc1"), col("doc2")))
+      .as("doc_id")).distinct()
     // dropDuplicates, not a bare union: a RETRIED admission probes a shard
     // whose docs may already sit in the index (the failed attempt's
     // append landed) — without the dedup each such doc's rows appear on
     // both sides of the verify join and fan every touching pair out ×2.
     // Signatures are pure functions of the text, so the duplicate rows
-    // are identical and either copy is correct.
-    val sets = spark.read.parquet(s"$dir/sets")
+    // are identical and either copy is correct. Pinned so the verify's
+    // two set lookups (doc1's set, doc2's set) scan+prune the table once,
+    // not twice.
+    val sets = ptx.Caching.pin(spark.read.parquet(s"$dir/sets")
       .select(col("doc_id"), col("n_sh"), col("shset"))
       .unionByName(shardSig.select(col("doc_id"), col("n_sh"), col("shset")))
-      .dropDuplicates("doc_id")
-    ptx.ops.LlmScale.verifyJaccard(cands, sets, threshold)
-      .orderBy(col("doc1"), col("doc2"))
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+      .dropDuplicates("doc_id"))
+    ptx.ops.LlmScale.verifyJaccard(small(cands), small(sets), threshold)
   }
 
   /** Admit a shard: add its signatures to the persisted index under its
@@ -124,17 +180,75 @@ object DedupIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/sets/batch=base")
   }
 
+  /** Bucketed-at-rest compaction (r12): same snapshot as [[compact]], but
+    * the band table lands as an external BUCKETED parquet table — hashed
+    * into `buckets` files by the probe's exact join key `(band, key)` and
+    * sorted within each bucket — registered in the session catalog as
+    * `table` with its data under `dst/bands`. A probe that reads the band
+    * side through the catalog ([[probe]]'s `bandsTable`) then needs NO
+    * exchange on the index side of the band join: the scan's bucket
+    * layout already satisfies the join's clustering, so each admission
+    * shuffles only the shard (IoSpec asserts this on the physical plan,
+    * and that probe rows stay identical to the plain layout). This is the
+    * artifact behind the scaladoc's 100 TB claim — the index is ~corpus-
+    * sized and re-shuffling it per admission is the dominant probe cost
+    * the plain layout pays.
+    *
+    * Size `buckets` so one bucket ≈ one task's comfortable scan (the
+    * Io.writeBucketed guidance); like [[compact]] this is an
+    * offline-between-admissions operation and `dst` must be a fresh
+    * directory outside `dir`. The `sets/` side is copied plain — the
+    * verify join is candidate-driven and never index-wide. Appending
+    * after a bucketed compaction lands new `batch=` files that the
+    * CATALOG table does not see — admit into the plain layout and
+    * re-compact, or treat the bucketed snapshot as a serving copy. */
+  def compactBucketed(spark: SparkSession, dir: String, dst: String,
+                      table: String, buckets: Int = 32): Unit = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    Io.assertDisjointPaths(spark, dir, dst)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    spark.read.parquet(s"$dir/bands")
+      .select(col("doc_id"), col("band"), col("key"))
+      .write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, "band", "key")
+      .sortBy("band", "key")
+      .option("path", s"$dst/bands")
+      .format("parquet")
+      .saveAsTable(table)
+    spark.read.parquet(s"$dir/sets")
+      .select(col("doc_id"), col("n_sh"), col("shset"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/sets/batch=base")
+  }
+
+  /** [[append]] on an already-signed (and caller-cached) signature frame —
+    * the sign-once path: an admission pipeline that just [[probeSigned]]
+    * the shard admits the accepted subset by FILTERING the same cached
+    * frame instead of re-shingling the accepted text (bit-identical —
+    * signatures are pure functions of the text). The two table writes are
+    * independent and submitted concurrently. `parts > 0` coalesces each
+    * write to that many files — a MICRO-batch admission otherwise lands
+    * #shuffle-partitions KB-files per table per batch (the small-files
+    * debt `compact` exists to pay down, plus one task-commit round per
+    * file at write time); leave 0 for shard-sized appends. */
+  private[ptx] def appendSigned(sig: DataFrame, dir: String,
+                                tag: String, parts: Int = 0): Unit =
+    writeSig(sig, dir, tag, SaveMode.Overwrite, parts)
+
   private def writeTag(docs: DataFrame, dir: String, tag: String,
                        mode: SaveMode): Unit = {
-    val sig = ptx.ops.LlmScale.minhashSignatures(
-      ptx.functions.TextShingles.shingles(docs)
-        .select(col("doc_id"), col("shingle").as("h")))
+    val sig = signatures(docs)
       .persist(StorageLevel.MEMORY_AND_DISK) // two writers below; lifecycle
-    try {                                    // is contained in this call
-      ptx.ops.LlmScale.bandKeys(sig)
-        .write.mode(mode).parquet(s"$dir/bands/batch=$tag")
-      sig.select(col("doc_id"), col("n_sh"), col("shset"))
-        .write.mode(mode).parquet(s"$dir/sets/batch=$tag")
-    } finally sig.unpersist()
+    try writeSig(sig, dir, tag, mode)        // is contained in this call
+    finally sig.unpersist()
+  }
+
+  private def writeSig(sig: DataFrame, dir: String, tag: String,
+                       mode: SaveMode, parts: Int = 0): Unit = {
+    def shaped(df: DataFrame) = if (parts > 0) df.coalesce(parts) else df
+    ptx.Jobs.par(
+      () => shaped(ptx.ops.LlmScale.bandKeys(sig))
+        .write.mode(mode).parquet(s"$dir/bands/batch=$tag"),
+      () => shaped(sig.select(col("doc_id"), col("n_sh"), col("shset")))
+        .write.mode(mode).parquet(s"$dir/sets/batch=$tag"))
   }
 }

@@ -1,0 +1,66 @@
+package ptx.tools
+
+import java.nio.file.Files
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe (r12): phase-level wall times of one shard-admission batch
+  * ([[ptx.stream.Pipelines.admitShardBatch]]'s exact sequence, run in
+  * batch mode so each phase can be timed without streaming-machinery
+  * noise). Prints one line per phase; use it to see WHERE an admission
+  * batch spends its time before optimizing it.
+  *
+  *   sbt "runMain ptx.tools.AdmissionProfile <sfDir>"
+  */
+object AdmissionProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
+
+    val docs = ptx.Tables.documents(spark, sfDir).select("doc_id", "text")
+    val base = docs.filter(col("doc_id") % 10 =!= 0)
+    val shard = docs.filter(col("doc_id") % 10 === 0)
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[adm] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+    // one untimed full pass absorbs codegen/classload
+    val warmIdx = Files.createTempDirectory("adm-warm").toString
+    ptx.sources.DedupIndex.write(base, warmIdx)
+    val warmOut = Files.createTempDirectory("adm-warmout").toString
+    ptx.stream.Pipelines.admitShardBatch(shard, 0L, warmIdx, warmOut, 0.4)
+
+    val idx = Files.createTempDirectory("adm-idx").toString
+    t("index build (untimed in streambench)") {
+      ptx.sources.DedupIndex.write(base, idx)
+    }
+    val outDir = Files.createTempDirectory("adm-out").toString
+    // phase view: sign, probe (micro-batch broadcast shape), sinks
+    val sig = ptx.Caching.pin(ptx.sources.DedupIndex.signatures(shard))
+    t("  sig materialize") { sig.count() }
+    val pairsRaw = ptx.sources.DedupIndex.probeSigned(
+      spark, idx, sig, 0.4, microBatch = true)
+    t("  probe execute (count)") { println("    n=" + pairsRaw.count()) }
+    t("  probe re-execute (cands/sets cached)") { pairsRaw.count() }
+    ptx.Caching.release(spark)
+
+    val idx2 = Files.createTempDirectory("adm-idx2").toString
+    ptx.sources.DedupIndex.write(base, idx2)
+    t("TOTAL admitShardBatch") {
+      ptx.stream.Pipelines.admitShardBatch(shard, 0L, idx2, outDir, 0.4)
+    }
+    spark.stop()
+  }
+}

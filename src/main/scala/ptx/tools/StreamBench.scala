@@ -59,9 +59,10 @@ object StreamBench {
       ev.write.mode("overwrite").parquet(staged)
       val rows = spark.read.parquet(staged).count()
 
-      def runOnce(mode: String)(build: DataFrame => DataFrame): Double = {
+      def runOnce(mode: String, from: String = staged)(
+          build: DataFrame => DataFrame): Double = {
         val cp = tmpDir("ptx-sb-cp")
-        val src = spark.readStream.schema(ev.schema).parquet(staged)
+        val src = spark.readStream.schema(ev.schema).parquet(from)
         val t0 = System.nanoTime()
         val q = build(src).writeStream
           .format("noop")
@@ -73,11 +74,26 @@ object StreamBench {
         (System.nanoTime() - t0) / 1e9
       }
 
-      def bench(name: String, mode: String)(
+      def bench(name: String, mode: String, from: String = staged)(
           build: DataFrame => DataFrame): (String, Double) = {
-        runOnce(mode)(build) // warm: codegen + state-store provider load
-        name -> runOnce(mode)(build)
+        runOnce(mode, from)(build) // warm: codegen + state-store provider load
+        name -> runOnce(mode, from)(build)
       }
+
+      // hot-key replay corpus (r12, VERDICT r11 #4): same rows, 80%
+      // remapped onto ONE user — ProbeData's --hot-events construction at
+      // the streaming grain. The per-user transformWithState pipelines
+      // hash-partition by user_id into the state store, so the hot user's
+      // 80% of the corpus serializes through ONE state partition; the
+      // `ewma_hotkey` row makes that bound a measured, diffable number
+      // next to the uniform `ewma` row (SCALE.md's segmented-scan
+      // paragraph reads the pair).
+      val hotStaged = tmpDir("ptx-sb-hotev")
+      spark.read.parquet(staged).selectExpr(
+        "event_id", "ts",
+        "CASE WHEN event_id % 5 < 4 THEN CAST(1 AS BIGINT) ELSE user_id END AS user_id",
+        "event_type", "value")
+        .write.mode("overwrite").parquet(hotStaged)
 
       val results = Seq(
         bench("tumbling", "update")(ptx.stream.Pipelines.tumbling),
@@ -85,7 +101,9 @@ object StreamBench {
         bench("funnel", "append")(df => ptx.stream.Pipelines.funnel(
           df.as[ptx.stream.Event]).toDF()),
         bench("ewma", "append")(df => ptx.stream.Pipelines.ewma(
-          df.as[ptx.stream.Event]).toDF()))
+          df.as[ptx.stream.Event]).toDF()),
+        bench("ewma_hotkey", "append", hotStaged)(
+          df => ptx.stream.Pipelines.ewma(df.as[ptx.stream.Event]).toDF()))
 
       // documents-side ingest gate (r9): the foreachBatch PSI drift gate
       // against a static reference — a different modality from the
@@ -224,6 +242,28 @@ object StreamBench {
       runIngest() // warm
       val ingSec = runIngest()
 
+      // the same admission at 5× the shard (50%/50% split): per-batch
+      // wall is dominated by FIXED plan-barrier cost at 500 docs, so the
+      // honest throughput statement needs a second point showing docs/s
+      // scaling with shard size (the amortization the index design buys)
+      val adm5Base = docs.filter(col("doc_id") % 2 =!= 0).select("doc_id", "text")
+      val adm5Shard = docs.filter(col("doc_id") % 2 === 0).select("doc_id", "text")
+      val shard5Staged = tmpDir("ptx-sb-shard5")
+      adm5Shard.write.mode("overwrite").parquet(shard5Staged)
+      val shard5Rows = spark.read.parquet(shard5Staged).count()
+      def runAdm5(): Double = {
+        val idx = tmpDir("ptx-sb-adm5idx")
+        ptx.sources.DedupIndex.write(adm5Base, idx)
+        val cp = tmpDir("ptx-sb-adm5cp"); val outDir = tmpDir("ptx-sb-adm5out")
+        val src = spark.readStream.schema(adm5Shard.schema).parquet(shard5Staged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.shardAdmission(src, idx, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runAdm5() // warm
+      val adm5Sec = runAdm5()
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val body = (results.map { case (n, sec) =>
@@ -233,6 +273,7 @@ object StreamBench {
         :+ s""""decon_gate":{"sec":${fmt(deconSec)},"rows_per_sec":${fmt(docRows / deconSec)},"rows":$docRows}"""
         :+ s""""volume_gate":{"sec":${fmt(volSec)},"rows_per_sec":${fmt(rows / volSec)}}"""
         :+ s""""shard_admission":{"sec":${fmt(admSec)},"rows_per_sec":${fmt(shardRows / admSec)},"rows":$shardRows}"""
+        :+ s""""shard_admission_5x":{"sec":${fmt(adm5Sec)},"rows_per_sec":${fmt(shard5Rows / adm5Sec)},"rows":$shard5Rows}"""
         :+ s""""ingest_admission":{"sec":${fmt(ingSec)},"rows_per_sec":${fmt(shardRows / ingSec)},"rows":$shardRows}""")
         .mkString(",")
       val json =
