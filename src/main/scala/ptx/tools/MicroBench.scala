@@ -2,23 +2,28 @@ package ptx.tools
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Scratch micro-benchmarks for expression/codegen investigations.
-  * Current subject (r10): the shingle stream's share of the dedup family —
-  * the HOF concat_ws-per-shingle construction vs the GramHashes kernel.
-  * (Previous subject, kept in git history: fn_math's output-sort share.)
+  * Current subject (r12): the RANGE-frame window's key-cardinality bound
+  * vs `SegmentedScan.rangeFrameSum`'s value-banded decomposition — the
+  * win_range_frame shape, whose o_orderstatus partition key has 3 values
+  * at ANY scale, so the window form caps at 3-way parallelism. Also
+  * prints the window-exchange max/avg partition row skew both ways.
+  * (Previous subjects, kept in git history: shingle-stream HOF-vs-kernel
+  * r10, fn_math output-sort share r9.)
   */
 object MicroBench {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    ptx.functions.TextGrams.register(spark)
 
     def time(label: String)(f: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
@@ -26,27 +31,44 @@ object MicroBench {
       println(f"[mb] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
 
-    val docs = ptx.Tables.documents(spark, sfDir)
-    // the PRE-r10 string formulation, inlined here so the comparison
-    // stays runnable after TextShingles itself moved to the kernel
-    val stringShingleExpr =
-      """CASE WHEN size(w) >= 3 THEN
-        |  transform(sequence(1, size(w) - 2),
-        |    i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))
-        |ELSE array() END""".stripMargin
-    def stringStream = docs.repartition(col("doc_id"))
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .select(col("doc_id"), explode(array_distinct(expr(stringShingleExpr))).as("shingle"))
+    // REPS-replicated orders (key-preserving: replication multiplies each
+    // status's history, exactly the axis the window form cannot split)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_MB_REPS", "10").toInt
+    val o = ptx.Tables.orders(spark, sfDir)
+      .crossJoin(spark.range(reps.toLong).select(col("id").as("r")))
+      .select((col("o_orderkey") * reps + col("r")).as("o_orderkey"),
+        col("o_orderstatus"),
+        ((col("o_totalprice") * 100).cast("long") + col("r")).as("cents"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("cents"))
+      .rangeBetween(-10000L, 10000L)
+    def windowForm = o.withColumn("near", sum(col("cents")).over(w))
+    def bandedForm = ptx.ops.SegmentedScan.rangeFrameSum(
+      o, Seq("o_orderstatus"), "cents", 10000.0, "near")
 
-    // warmup
-    ptx.functions.TextShingles.shingles(docs).queryExecution.toRdd.count()
+    // warmup both
+    windowForm.queryExecution.toRdd.count()
+    bandedForm.queryExecution.toRdd.count()
 
-    time("shingle stream, HOF concat_ws strings (pre-r10 formulation)")(
-      stringStream)
-    time("shingle stream, HOF strings + xxhash64 (pre-r10 minhash/prefix input)")(
-      stringStream.select(col("doc_id"), xxhash64(col("shingle")).as("h")))
-    time("shingle stream, GramHashes(w, 3) hashed (current TextShingles)")(
-      ptx.functions.TextShingles.shingles(docs))
+    time(s"RANGE window form (3-value key, ${reps}x orders, local[$cpus])")(
+      windowForm)
+    time(s"rangeFrameSum banded form (same data)")(bandedForm)
+
+    // exchange skew: rows per shuffle partition for key-hash vs
+    // (key, band)-hash at the session's partition count
+    val parts = cpus.toInt
+    def skew(label: String, keyed: org.apache.spark.sql.DataFrame): Unit = {
+      val sizes = keyed.rdd.mapPartitionsWithIndex {
+        (i, it) => Iterator(i -> it.size) }.collect().map(_._2)
+      val mx = sizes.max.toDouble
+      val avg = sizes.sum.toDouble / sizes.count(_ > 0).max(1)
+      println(f"[mb] $label: max/avg occupied = ${mx / avg}%.2f " +
+        s"(max=${sizes.max}, occupied=${sizes.count(_ > 0)}/$parts)")
+    }
+    skew("window exchange (hash o_orderstatus)",
+      o.repartition(parts, col("o_orderstatus")))
+    skew("banded exchange (hash o_orderstatus, band)",
+      o.repartition(parts, col("o_orderstatus"),
+        floor(col("cents") / lit(10000.0)).cast("long")))
     spark.stop()
   }
 }

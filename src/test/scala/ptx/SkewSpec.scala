@@ -214,6 +214,62 @@ class SkewSpec extends AnyFunSuite {
     }
   }
 
+  test("value-banded range-frame sum equals the RANGE window form exactly (r12)") {
+    import org.apache.spark.sql.expressions.Window
+    // the win_range_frame shape on the real fixture, value lifted to
+    // exact integer cents so parity is bit-exact (sum re-association)
+    val o = Tables.orders(spark, TestSpark.SF)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        (col("o_totalprice") * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col("o_orderstatus")).orderBy(col("cents"))
+      .rangeBetween(-10000L, 10000L)
+    val expected = o.withColumn("near", sum(col("cents")).over(w))
+      .select("o_orderkey", "near").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = ops.SegmentedScan.rangeFrameSum(
+      o, key = Seq("o_orderstatus"), value = "cents",
+      width = 10000.0, out = "near")
+    val gotMap = got.select("o_orderkey", "near").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMap.size == expected.size && expected.nonEmpty)
+    assert(gotMap == expected)
+    // output schema: input columns + out, no __ptx internals
+    assert(got.columns.toSeq == o.columns.toSeq :+ "near")
+  }
+
+  test("range-frame sum parity sweep: seeded random rows, NULL keys/values, boundary ties (r12)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // seeded generator (house pattern): random keys incl NULL, ~20% NULL
+    // values, values drawn from a SMALL grid (multiples of the width and
+    // its halves) so exact ±width boundary ties and duplicate values are
+    // guaranteed to occur — the edges the banding math must get right
+    val rnd = new scala.util.Random(7)
+    val rows: Seq[(Long, Option[Long], Option[Long])] =
+      (0 until 600).map { i =>
+        val key = if (rnd.nextInt(10) == 0) None else Some(rnd.nextInt(5).toLong)
+        val v = if (rnd.nextInt(5) == 0) None
+                else Some((rnd.nextInt(41) - 20) * 18L + (rnd.nextInt(3) - 1) * 36L)
+        (i.toLong, key, v)
+      }
+    val df = rows.toDF("row_id", "k", "x")
+    val w = Window.partitionBy(col("k")).orderBy(col("x"))
+      .rangeBetween(-36L, 36L)
+    def m(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("row_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    val expected = m(df.withColumn("near", sum(col("x")).over(w)), "near")
+    val got = m(ops.SegmentedScan.rangeFrameSum(
+      df, key = Seq("k"), value = "x", width = 36.0, out = "near"), "near")
+    assert(got == expected, "range-frame sum diverged on the random sweep")
+    // the fixture must actually exercise the edges: NULL-value rows
+    // (NULL out), duplicate values, and at least one exact ±width tie
+    val vals = rows.flatMap(_._3)
+    assert(rows.exists(_._3.isEmpty))
+    assert(vals.distinct.size < vals.size)
+    assert(vals.combinations(2).exists(p => math.abs(p(0) - p(1)) == 36L))
+  }
+
   test("loader schema assertion rejects unknown tables loudly") {
     val ex = intercept[IllegalArgumentException] {
       Tables.t(spark, TestSpark.SF, "nope")
