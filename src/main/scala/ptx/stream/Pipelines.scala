@@ -306,8 +306,8 @@ object Pipelines {
   /** One batch's per-doc decontamination verdict `(doc_id, n_grams,
     * n_hit, contaminated)` — the [[decontaminationGate]] per-batch core,
     * shared with the composed [[ingestAdmission]] pipeline. */
-  private[stream] def deconVerdict(batch: DataFrame,
-                                   evalSketch: Array[Byte]): DataFrame = {
+  private[ptx] def deconVerdict(batch: DataFrame,
+                                evalSketch: Array[Byte]): DataFrame = {
     ptx.functions.TextGrams.register(batch.sparkSession)
     ptx.functions.Blooms.register(batch.sparkSession)
     val grams = batch.select(col("doc_id"),

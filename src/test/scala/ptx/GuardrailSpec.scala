@@ -95,6 +95,24 @@ class GuardrailSpec extends AnyFunSuite {
     assert(ptx.ops.Extras.psiAgainst(emptyCells, ref).collect().isEmpty)
   }
 
+  test("Jobs.par: awaits every job, then rethrows the first failure (r12)") {
+    // the admission pipelines rely on both halves: no sink job may still
+    // be writing when the batch body returns (awaits ALL), and a failed
+    // sink must fail the batch loudly so the streaming retry replays it
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ex = intercept[RuntimeException] {
+      ptx.Jobs.par(
+        () => { Thread.sleep(50); ran.incrementAndGet(); () },
+        () => throw new RuntimeException("boom"),
+        () => { Thread.sleep(120); ran.incrementAndGet(); () })
+    }
+    assert(ex.getMessage == "boom")
+    assert(ran.get == 2, "surviving jobs must complete before the rethrow")
+    ptx.Jobs.par(() => { ran.incrementAndGet(); () },
+      () => { ran.incrementAndGet(); () })
+    assert(ran.get == 4)
+  }
+
   // ── gram-hash collision canary (r12, VERDICT r11 #1) ─────────────────
   // Six oracle-✓ queries group/count 64-bit `gram_hashes` keys while their
   // DuckDB oracles group gram STRINGS, so their oracle pass is

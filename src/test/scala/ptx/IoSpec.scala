@@ -258,6 +258,46 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted decontamination index: byte-identical round-trip, exact Bloom-union append (r12)") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val evalA = docs.filter(col("doc_id") % 10 === 5)
+    val evalB = docs.filter(col("doc_id") % 10 === 7)
+    val train = docs.filter(col("doc_id") % 10 === 0)
+    val dir = tmp("ptx-deconidx")
+    ptx.sources.DeconIndex.write(evalA, dir)
+    // the persisted sketch IS the in-memory build, byte for byte (Bloom
+    // bits are an order-independent OR of per-item bits)
+    val persisted = ptx.sources.DeconIndex.read(spark, dir)
+    val inMem = ptx.stream.Pipelines.evalGramSketch(evalA)
+    assert(java.util.Arrays.equals(persisted, inMem),
+      "persisted sketch diverged from the in-memory build")
+    // so the gate's verdicts through the persisted sketch are identical
+    def verdicts(sk: Array[Byte]) =
+      ptx.stream.Pipelines.deconVerdict(train, sk)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(verdicts(persisted) == verdicts(inMem))
+    // append == rebuild over the union corpus, byte-identical
+    ptx.sources.DeconIndex.append(evalB, dir)
+    val unionDir = tmp("ptx-deconidx-union")
+    ptx.sources.DeconIndex.write(evalA.unionByName(evalB), unionDir)
+    val appended = ptx.sources.DeconIndex.read(spark, dir)
+    assert(java.util.Arrays.equals(appended,
+      ptx.sources.DeconIndex.read(spark, unionDir)),
+      "Bloom-union append diverged from a rebuild over the union corpus")
+    // bit-idempotent replay: re-appending the same shard leaves the
+    // sketch unchanged (the streaming-retry contract)
+    ptx.sources.DeconIndex.append(evalB, dir)
+    assert(java.util.Arrays.equals(appended,
+      ptx.sources.DeconIndex.read(spark, dir)),
+      "re-appended shard mutated the sketch")
+    // the stored parameters travel with the bits
+    val m = ptx.sources.DeconIndex.meta(spark, dir)
+    assert(m.getLong(1) == 8388608L && m.getInt(3) == 8)
+    assert(m.getLong(4) > 0 && m.getLong(5) > 0)
+    // non-vacuous: the eval suites must actually contaminate some train doc
+    assert(verdicts(appended).exists(_._3 > 0), "no contamination hits — vacuous")
+  }
+
   test("deterministic k-means: reproducible cells that beat the global mean cosine (r5)") {
     val e = Tables.embeddings(spark, TestSpark.SF)
     val (cent1, assign1) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
