@@ -102,7 +102,8 @@ object LlmScale {
     * (`VectorIndex.read`) — identical results either way (tested).
     * Requires `VectorOps.register` on the session (cosine_sim). */
   private[ptx] def ivfProbe(cent: DataFrame, e: DataFrame, probes: DataFrame,
-                            nprobe: Int, k: Int): DataFrame = {
+                            nprobe: Int, k: Int,
+                            pruneScan: Boolean = false): DataFrame = {
     val cellRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("csim").desc, col("label"))
     val cells = probes.crossJoin(broadcast(cent))
@@ -110,9 +111,27 @@ object LlmScale {
       .withColumn("crnk", row_number().over(cellRank))
       .filter(col("crnk") <= nprobe)
       .select(col("probe_id"), col("p"), col("label"))
+    val eSel = e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+      col("label"))
+    // pruneScan (r12, the VectorIndex SERVING path): the probe batch's
+    // wanted cells are a model-parameter-sized set (≤ min(#cells,
+    // #probes × nprobe) ints — the centroid-collect precedent), so
+    // collect them and push an In(label, …) filter INTO the corpus scan:
+    // against the compactCells range-laid-by-label layout the filter
+    // prunes row groups on footer min/max, and the broadcast probe side
+    // turns the candidate join into a scan-local BHJ — the corpus is
+    // neither fully read nor shuffled per probe batch. The inline
+    // llm_ann_ivf query keeps the exchange form (its frame is one-shot;
+    // results are identical either way — the join already restricts to
+    // wanted labels, asserted in IoSpec).
+    val (probeSide, candSide) =
+      if (pruneScan) {
+        val wanted = cells.select(col("label")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        (broadcast(cells), eSel.filter(col("label").isin(wanted: _*)))
+      } else (cells, eSel)
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
-    cells.join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
-        col("label")), Seq("label"))
+    probeSide.join(candSide, Seq("label"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", expr("cosine_sim(p, c)"))
       .withColumn("rnk", row_number().over(w))

@@ -61,7 +61,12 @@ object VectorIndex {
   def probe(spark: SparkSession, dir: String, embeddings: DataFrame,
             probes: DataFrame, nprobe: Int = 3, k: Int = 5): DataFrame = {
     ptx.functions.VectorOps.register(spark)
-    ptx.ops.LlmScale.ivfProbe(read(spark, dir), embeddings, probes, nprobe, k)
+    // pruneScan: the serving path pushes the probe batch's wanted cell
+    // labels into the corpus scan (footer min/max pruning against the
+    // compactCells range-laid layout) and broadcasts the probe side —
+    // see the ivfProbe scaladoc and the IoSpec plan assertion
+    ptx.ops.LlmScale.ivfProbe(read(spark, dir), embeddings, probes, nprobe, k,
+      pruneScan = true)
   }
 
   /** Zero-shuffle nearest-cell assignment: the k centroids fold into a

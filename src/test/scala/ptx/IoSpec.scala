@@ -108,12 +108,21 @@ class IoSpec extends AnyFunSuite {
       .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
     def key(r: org.apache.spark.sql.Row) =
       (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))
-    val persisted = ptx.sources.VectorIndex
+    val probeDf = ptx.sources.VectorIndex
       .probe(spark, dir, e, probes, nprobe = 3, k = 5)
-      .collect().map(key).toSeq
+    val persisted = probeDf.collect().map(key).toSeq
     val inline = QueryRegistry.all("llm_ann_ivf")(spark, TestSpark.SF)
       .collect().map(key).toSeq
     assert(persisted == inline, "persisted-index probe diverged from the inline query")
+    // the serving path pushes the wanted cell labels INTO the corpus
+    // scan (r12): footer min/max pruning against the range-laid cells
+    // layout, instead of reading + shuffling the whole corpus per probe
+    // batch — and the candidate join broadcasts the probe side
+    val planStr = probeDf.queryExecution.executedPlan.toString
+    assert(planStr.contains("In(label"),
+      s"wanted-cell filter not pushed to the corpus scan:\n$planStr")
+    assert(planStr.contains("BroadcastHashJoin"),
+      s"candidate join did not broadcast the probe side:\n$planStr")
   }
 
   test("persisted dedup index: incremental shard probes equal the inline full recompute (r11)") {
