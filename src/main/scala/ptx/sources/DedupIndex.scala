@@ -122,14 +122,27 @@ object DedupIndex {
       .select(least(col("a"), col("b")).as("doc1"),
         greatest(col("a"), col("b")).as("doc2"))
       .distinct())
-    // the verify fetches ONLY candidate doc_ids' sets (r12): the broadcast
-    // semi join prunes the corpus-sized sets table AT THE SCAN, so the
-    // verify's exchanges carry O(candidates) heavy shset rows instead of
-    // re-shuffling the whole index's sets per admission — the difference
-    // between an admission that is linear in the shard and one that is
-    // linear in the corpus.
+    // the verify fetches ONLY candidate doc_ids' sets (r12): the sets
+    // table holds the HEAVY per-doc shingle arrays, so reading it whole
+    // per admission is the probe's dominant index-side I/O. Default
+    // path: a broadcast semi join prunes rows join-side (the verify's
+    // exchanges then carry O(candidates) rows, not the corpus).
+    // microBatch path: the candidate ids are a bounded set by
+    // construction, so they are COLLECTED (the wanted-cells precedent in
+    // VectorIndex.probe) and pushed as an In(doc_id, …) filter INTO the
+    // scan — against a [[compact]]/[[compactBucketed]] layout (sets
+    // range-laid by doc_id) the read prunes on footer min/max, so an
+    // admission touches only the row groups its candidates live in.
     val candIds = cands.select(explode(array(col("doc1"), col("doc2")))
       .as("doc_id")).distinct()
+    val allSets = spark.read.parquet(s"$dir/sets")
+      .select(col("doc_id"), col("n_sh"), col("shset"))
+      .unionByName(shardSig.select(col("doc_id"), col("n_sh"), col("shset")))
+    val candSets =
+      if (microBatch) {
+        val wanted = candIds.collect().map(_.getLong(0)).toSeq
+        allSets.filter(col("doc_id").isin(wanted: _*))
+      } else allSets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     // dropDuplicates, not a bare union: a RETRIED admission probes a shard
     // whose docs may already sit in the index (the failed attempt's
     // append landed) — without the dedup each such doc's rows appear on
@@ -138,11 +151,7 @@ object DedupIndex {
     // are identical and either copy is correct. Pinned so the verify's
     // two set lookups (doc1's set, doc2's set) scan+prune the table once,
     // not twice.
-    val sets = ptx.Caching.pin(spark.read.parquet(s"$dir/sets")
-      .select(col("doc_id"), col("n_sh"), col("shset"))
-      .unionByName(shardSig.select(col("doc_id"), col("n_sh"), col("shset")))
-      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
-      .dropDuplicates("doc_id"))
+    val sets = ptx.Caching.pin(candSets.dropDuplicates("doc_id"))
     ptx.ops.LlmScale.verifyJaccard(small(cands), small(sets), threshold)
   }
 
@@ -175,8 +184,14 @@ object DedupIndex {
       .repartitionByRange(col("key"))
       .sortWithinPartitions(col("key"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/bands/batch=base")
+    // sets range-laid by doc_id (r12): the micro-batch probe pushes an
+    // In(doc_id, …) filter into this scan, and the layout is what turns
+    // that filter into footer min/max row-group pruning — without it
+    // every file spans the full id range and nothing prunes
     spark.read.parquet(s"$dir/sets")
       .select(col("doc_id"), col("n_sh"), col("shset"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/sets/batch=base")
   }
 
@@ -217,6 +232,8 @@ object DedupIndex {
       .saveAsTable(table)
     spark.read.parquet(s"$dir/sets")
       .select(col("doc_id"), col("n_sh"), col("shset"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/sets/batch=base")
   }
 

@@ -254,6 +254,20 @@ class IoSpec extends AnyFunSuite {
       val bRows = probeB.collect().map(key).toSeq
       ptx.Caching.releaseAll()
       assert(bRows == plainRows, "bucketed-index probe diverged from the plain layout")
+      // micro-batch probe shape (r12): candidate ids are collected and
+      // pushed as an In(doc_id, …) filter into the HEAVY sets scan (the
+      // compacted layout is range-laid by doc_id so the filter prunes on
+      // footer min/max), and rows stay identical to the public probe
+      val sig = ptx.Caching.pin(ptx.sources.DedupIndex.signatures(shard))
+      val probeM = ptx.sources.DedupIndex.probeSigned(spark, bDir, sig,
+        bandsTable = Some("dedup_bands_bucketed"), microBatch = true)
+      val planM = probeM.queryExecution.executedPlan.toString
+      assert(planM.contains("In(doc_id"),
+        s"candidate-id filter not pushed to the sets scan:\n$planM")
+      val mRows = probeM.collect().map(key).toSeq.sorted
+      ptx.Caching.releaseAll()
+      assert(mRows == plainRows.sorted,
+        "micro-batch probe diverged from the public probe")
       // teeth: under the same confs the PLAIN layout pays the index-side
       // exchange this assertion forbids
       val probeP = ptx.sources.DedupIndex.probe(spark, plainDir, shard)
