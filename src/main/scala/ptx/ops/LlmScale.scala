@@ -101,37 +101,29 @@ object LlmScale {
     * the live [[ivfCentroids]] frame or a persisted index read back
     * (`VectorIndex.read`) — identical results either way (tested).
     * Requires `VectorOps.register` on the session (cosine_sim). */
-  private[ptx] def ivfProbe(cent: DataFrame, e: DataFrame, probes: DataFrame,
-                            nprobe: Int, k: Int,
-                            pruneScan: Boolean = false): DataFrame = {
+  /** Per-probe nprobe-best cells: (probe_id, p, label), best cells by
+    * centroid cosine. Shared by the inline probe below and
+    * [[ptx.sources.VectorIndex.probe]]'s scan-pruned serving path. */
+  private[ptx] def ivfProbeCells(cent: DataFrame, probes: DataFrame,
+                                 nprobe: Int): DataFrame = {
     val cellRank = Window.partitionBy(col("probe_id"))
       .orderBy(col("csim").desc, col("label"))
-    val cells = probes.crossJoin(broadcast(cent))
+    probes.crossJoin(broadcast(cent))
       .withColumn("csim", expr("cosine_sim(p, centroid)"))
       .withColumn("crnk", row_number().over(cellRank))
       .filter(col("crnk") <= nprobe)
       .select(col("probe_id"), col("p"), col("label"))
-    val eSel = e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
-      col("label"))
-    // pruneScan (r12, the VectorIndex SERVING path): the probe batch's
-    // wanted cells are a model-parameter-sized set (≤ min(#cells,
-    // #probes × nprobe) ints — the centroid-collect precedent), so
-    // collect them and push an In(label, …) filter INTO the corpus scan:
-    // against the compactCells range-laid-by-label layout the filter
-    // prunes row groups on footer min/max, and the broadcast probe side
-    // turns the candidate join into a scan-local BHJ — the corpus is
-    // neither fully read nor shuffled per probe batch. The inline
-    // llm_ann_ivf query keeps the exchange form (its frame is one-shot;
-    // results are identical either way — the join already restricts to
-    // wanted labels, asserted in IoSpec).
-    val (probeSide, candSide) =
-      if (pruneScan) {
-        val wanted = cells.select(col("label")).distinct()
-          .collect().map(_.getInt(0)).toSeq
-        (broadcast(cells), eSel.filter(col("label").isin(wanted: _*)))
-      } else (cells, eSel)
+  }
+
+  /** Candidate join + exact top-k scoring over a (probe_id, p, label)
+    * cell frame and a (cand_id, c, label) candidate frame — callers pick
+    * the join shape by hinting the frames (the serving path broadcasts
+    * the cell side and scan-prunes the candidates; the inline query
+    * keeps the exchange form). */
+  private[ptx] def ivfVerify(cells: DataFrame, cand: DataFrame,
+                             k: Int): DataFrame = {
     val w = Window.partitionBy(col("probe_id")).orderBy(col("sim").desc, col("cand_id"))
-    probeSide.join(candSide, Seq("label"))
+    cells.join(cand, Seq("label"))
       .filter(col("probe_id") =!= col("cand_id"))
       .withColumn("sim", expr("cosine_sim(p, c)"))
       .withColumn("rnk", row_number().over(w))
@@ -139,6 +131,12 @@ object LlmScale {
       .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
       .orderBy(col("probe_id"), col("rnk"))
   }
+
+  private[ptx] def ivfProbe(cent: DataFrame, e: DataFrame, probes: DataFrame,
+                            nprobe: Int, k: Int): DataFrame =
+    ivfVerify(ivfProbeCells(cent, probes, nprobe),
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("label")), k)
 
   /** Connected components over a (doc1, doc2) pair list via min-label
     * propagation → (doc_id, cluster_id = min doc_id in component). Shared

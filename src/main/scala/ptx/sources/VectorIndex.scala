@@ -61,12 +61,24 @@ object VectorIndex {
   def probe(spark: SparkSession, dir: String, embeddings: DataFrame,
             probes: DataFrame, nprobe: Int = 3, k: Int = 5): DataFrame = {
     ptx.functions.VectorOps.register(spark)
-    // pruneScan: the serving path pushes the probe batch's wanted cell
-    // labels into the corpus scan (footer min/max pruning against the
-    // compactCells range-laid layout) and broadcasts the probe side —
-    // see the ivfProbe scaladoc and the IoSpec plan assertion
-    ptx.ops.LlmScale.ivfProbe(read(spark, dir), embeddings, probes, nprobe, k,
-      pruneScan = true)
+    // SERVING shape (r12): the probe batch's wanted cell labels are a
+    // model-parameter-sized int set (≤ min(#cells, #probes × nprobe) —
+    // the kmeans centroid-collect precedent, and like it this collect
+    // lives in sources/, outside the declared-operator lint surface), so
+    // collect them and push an In(label, …) filter INTO the corpus scan:
+    // against the compactCells range-laid-by-label layout the filter
+    // prunes row groups on footer min/max, and broadcasting the probe
+    // side makes the candidate join scan-local — the corpus is neither
+    // fully read nor shuffled per probe batch (IoSpec asserts both on
+    // the physical plan; the inline llm_ann_ivf query keeps the
+    // exchange form, results identical either way).
+    val cells = ptx.ops.LlmScale.ivfProbeCells(read(spark, dir), probes, nprobe)
+    val wanted = cells.select(col("label")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cand = embeddings.select(col("vec_id").as("cand_id"),
+      col("embedding").as("c"), col("label"))
+      .filter(col("label").isin(wanted: _*))
+    ptx.ops.LlmScale.ivfVerify(broadcast(cells), cand, k)
   }
 
   /** Zero-shuffle nearest-cell assignment: the k centroids fold into a

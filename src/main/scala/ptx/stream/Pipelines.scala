@@ -1005,13 +1005,16 @@ object Pipelines {
     * a retry whose failed attempt already appended index signatures
     * changes nothing — the batch's own persisted twins are excluded by
     * id equality and already-admitted siblings dedup through the
-    * distinct candidate set. The rejection join reuses the lazily
-    * checkpointed pair blocks the audit write materialized rather than
-    * recomputing the probe plan or re-reading the file (the pair frame
-    * is candidate-bounded — tiny next to the signature work).
-    * At 100 TB each admission is linear in the SHARD plus one 8-byte-key
-    * shuffle of the persisted band table (bucketed at rest → shuffle-free;
-    * see the DedupIndex scaladoc). */
+    * distinct candidate set. The rejection logic reuses the PINNED pair
+    * frame the sinks materialize rather than recomputing the probe plan
+    * or re-reading the file (the pair frame is candidate-bounded — tiny
+    * next to the signature work).
+    * At 100 TB each admission is linear in the SHARD: the micro-batch
+    * probe broadcasts every shard-derived side (no index shuffle or
+    * sort; shuffle-free even against the plain layout, and the bucketed
+    * `compactBucketed` layout extends that to arbitrary-size shard
+    * probes — see the DedupIndex scaladoc), and the heavy sets scan
+    * prunes to candidate row groups via the pushed id filter. */
   /** One batch's near-dup probe → policy-filter → admit pass — the
     * [[shardAdmission]] per-batch core, shared with the composed
     * [[ingestAdmission]] pipeline. Writes `outDir/pairs/batch=<id>` and

@@ -380,6 +380,58 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination gate picks up an appended eval suite across a restart (DeconIndex, r12)") {
+    // the ops story the persisted sketch exists for: the eval suite GROWS
+    // (a new benchmark lands), the index is append-refreshed offline, and
+    // the restarted gate — re-reading the ~1 MB artifact, not
+    // re-aggregating any corpus — starts rejecting the new suite's
+    // contamination too
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    val evalA = docs.filter(col("doc_id") % 10 === 0)
+    val evalB = docs.filter(col("doc_id") % 10 === 5)
+    val idx = java.nio.file.Files.createTempDirectory("ptx-deconidx-s").toString
+    ptx.sources.DeconIndex.write(evalA, idx)
+    ptx.functions.TextGrams.register(spark)
+    val g = docs.select(col("doc_id"),
+      explode(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+    def exactHits(eval: org.apache.spark.sql.DataFrame): Set[Long] = {
+      val evalG = g.join(eval.select("doc_id").toDF("eid"),
+        col("doc_id") === col("eid"), "left_semi").select("h").distinct()
+      g.join(evalG, Seq("h"), "left_semi")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    }
+    val exactA = exactHits(evalA)
+    val exactB = exactHits(evalB)
+    assert((exactB -- exactA).nonEmpty, "suite B must add new contamination")
+    val rows = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    val out = java.nio.file.Files.createTempDirectory("ptx-decon-s-out").toString
+    val cp = java.nio.file.Files.createTempDirectory("ptx-decon-s-cp").toString
+    def flagged(batch: Int): Set[Long] =
+      spark.read.parquet(s"$out/batch=$batch").filter(col("contaminated"))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    // run 1: gate armed with the persisted A sketch
+    ms.addData(rows)
+    Pipelines.decontaminationGate(ms.toDF().toDF("doc_id", "text"),
+      ptx.sources.DeconIndex.read(spark, idx), out, cp).awaitTermination()
+    val f0 = flagged(0)
+    assert(exactA.subsetOf(f0), "A-contaminated docs missed before append")
+    assert((exactB -- exactA -- f0).nonEmpty,
+      "B-only contamination should not be flagged yet (fp noise too high?)")
+    // offline: suite B lands, the index append-refreshes by Bloom union
+    ptx.sources.DeconIndex.append(evalB, idx)
+    // run 2: restarted gate on the same checkpoint, re-armed from the
+    // refreshed artifact — batch 1 must reject A ∪ B contamination
+    ms.addData(rows)
+    Pipelines.decontaminationGate(ms.toDF().toDF("doc_id", "text"),
+      ptx.sources.DeconIndex.read(spark, idx), out, cp).awaitTermination()
+    val f1 = flagged(1)
+    assert((exactA ++ exactB).subsetOf(f1),
+      s"missed ${(exactA ++ exactB) -- f1} after the suite-B append")
+  }
+
   test("streaming drift-report gate: single-batch panel matches the batch PSI/KS audits + reference-moment t (r10)") {
     // reference = the corpus's own bucket frame (counts + exact decimal
     // moments), so the one-batch PSI and KS columns must be ROW-IDENTICAL
