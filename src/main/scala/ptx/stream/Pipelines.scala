@@ -939,6 +939,41 @@ object Pipelines {
       .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), k).as("top"))
   }
 
+  /** Streaming ANN SERVING against the PERSISTED index (r12) — the
+    * foreachBatch twin of [[annProbe]], in the shape a 100 TB serving
+    * tier wants: each probe micro-batch runs the INDEXED probe
+    * ([[ptx.sources.VectorIndex.probe]] — wanted-cell labels collected
+    * and pushed into the corpus scan as an In filter, probe side
+    * broadcast), so a batch reads only its nprobe cells' row groups from
+    * the compacted cells layout instead of joining the corpus
+    * stream-static every trigger. Both index inputs (centroids, cells)
+    * are re-read per batch, so an [[indexRefresh]] recenter or a
+    * `compactCells` swap between triggers is picked up on the NEXT
+    * batch with no restart. Per-batch top-k lands in
+    * `outDir/batch=<id>` (coalesced single-file, batch-scoped
+    * overwrite — idempotent replay, the [[writeBatch]] discipline).
+    * Trade vs [[annProbe]]: that one holds centroids+cells as fixed
+    * frames in one continuous plan (lowest latency, state-store top-k);
+    * this one re-plans per batch (driver-job latency per trigger) but
+    * scales its reads with the PROBE batch, not the corpus. */
+  def annServe(probes: DataFrame, centroidsDir: String, cellsPath: String,
+               outDir: String, checkpoint: String,
+               nprobe: Int = 3, k: Int = 5)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    probes.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val corpus = spark.read.parquet(cellsPath)
+          .select(col("vec_id"), col("embedding"), col("label"))
+        ptx.sources.VectorIndex.probe(spark, centroidsDir, corpus,
+            batch.select(col("probe_id"), col("p")), nprobe, k)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/batch=$id")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming IVF index MAINTENANCE — the ingest side of the serving
     * stack ([[annProbe]] is the query side): a stream of new embedding
     * vectors is folded into the persisted index at `dir` as it arrives.
@@ -1010,11 +1045,12 @@ object Pipelines {
     * or re-reading the file (the pair frame is candidate-bounded — tiny
     * next to the signature work).
     * At 100 TB each admission is linear in the SHARD: the micro-batch
-    * probe broadcasts every shard-derived side (no index shuffle or
-    * sort; shuffle-free even against the plain layout, and the bucketed
-    * `compactBucketed` layout extends that to arbitrary-size shard
-    * probes — see the DedupIndex scaladoc), and the heavy sets scan
-    * prunes to candidate row groups via the pushed id filter. */
+    * probe broadcasts every shard-derived side, so the INDEX tables are
+    * never shuffled or sorted (only bounded candidate frames exchange;
+    * the bucketed `compactBucketed` layout extends index-side
+    * exchange-freedom to arbitrary-size shard probes — see the
+    * DedupIndex scaladoc), and the heavy sets scan prunes to candidate
+    * row groups via the pushed id filter. */
   /** One batch's near-dup probe → policy-filter → admit pass — the
     * [[shardAdmission]] per-batch core, shared with the composed
     * [[ingestAdmission]] pipeline. Writes `outDir/pairs/batch=<id>` and

@@ -632,6 +632,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("annServe: per-batch indexed probe equals the batch probe across a restart (r12)") {
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val cdir = java.nio.file.Files.createTempDirectory("ann_serve_idx").toString
+    ptx.sources.VectorIndex.write(e, cdir)
+    val cellsPath = java.nio.file.Files.createTempDirectory("ann_serve_cells").toString
+    e.select("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(cellsPath)
+    val corpus = spark.read.parquet(cellsPath)
+    val data = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      .collect().map(r => Probe(r.getLong(0), r.getSeq[Float](1).toArray))
+    def expectFor(ids: Set[Long]) = {
+      val probes = corpus.filter(col("vec_id").isin(ids.toSeq: _*))
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      ptx.sources.VectorIndex.probe(spark, cdir, corpus, probes)
+        .collect().map(r =>
+          (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    }
+    def got(batch: Int, out: String) =
+      spark.read.parquet(s"$out/batch=$batch").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val ms = MemoryStream[Probe](implicitly[org.apache.spark.sql.Encoder[Probe]], spark)
+    val out = java.nio.file.Files.createTempDirectory("ann_serve_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("ann_serve_cp").toString
+    // batch 0: first four probes, AvailableNow drains and stops
+    ms.addData(data.take(4).toSeq)
+    Pipelines.annServe(ms.toDF(), cdir, cellsPath, out, cp).awaitTermination()
+    assert(got(0, out) == expectFor(data.take(4).map(_.probe_id).toSet))
+    // batch 1 through a RESTART on the same checkpoint: the serving
+    // query resumes into the next batch id and re-reads the index inputs
+    ms.addData(data.drop(4).toSeq)
+    Pipelines.annServe(ms.toDF(), cdir, cellsPath, out, cp).awaitTermination()
+    val want1 = expectFor(data.drop(4).map(_.probe_id).toSet)
+    assert(got(1, out) == want1 && want1.nonEmpty)
+    // single-file per batch (the micro-batch sink discipline)
+    assert(new java.io.File(s"$out/batch=1").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
+
   test("indexRefresh: streamed vectors join their nearest cell; recenter equals a batch rebuild (r5)") {
     val e = ptx.Tables.embeddings(spark, TestSpark.SF)
     val dir = java.nio.file.Files.createTempDirectory("ivf_refresh").toString
