@@ -264,6 +264,32 @@ object StreamBench {
       runAdm5() // warm
       val adm5Sec = runAdm5()
 
+      // indexed ANN serving (r12): 500 streamed probes against the
+      // persisted index + full-corpus cells path — the scan-pruned
+      // foreachBatch serving shape (annServe), measured per probe row
+      val emb = ptx.Tables.embeddings(spark, sfDir)
+      val annIdx = tmpDir("ptx-sb-annidx")
+      ptx.sources.VectorIndex.write(emb, annIdx)
+      val annCells = tmpDir("ptx-sb-anncells")
+      emb.select("vec_id", "embedding", "label")
+        .write.mode("overwrite").parquet(annCells)
+      val probeStaged = tmpDir("ptx-sb-annprobes")
+      emb.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+        .write.mode("overwrite").parquet(probeStaged)
+      val probeRows = spark.read.parquet(probeStaged).count()
+      def runServe(): Double = {
+        val cp = tmpDir("ptx-sb-annsrvcp"); val outDir = tmpDir("ptx-sb-annsrvout")
+        val src = spark.readStream
+          .schema(spark.read.parquet(probeStaged).schema).parquet(probeStaged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.annServe(src, annIdx, annCells, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runServe() // warm
+      val serveSec = runServe()
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val body = (results.map { case (n, sec) =>
@@ -274,6 +300,7 @@ object StreamBench {
         :+ s""""volume_gate":{"sec":${fmt(volSec)},"rows_per_sec":${fmt(rows / volSec)}}"""
         :+ s""""shard_admission":{"sec":${fmt(admSec)},"rows_per_sec":${fmt(shardRows / admSec)},"rows":$shardRows}"""
         :+ s""""shard_admission_5x":{"sec":${fmt(adm5Sec)},"rows_per_sec":${fmt(shard5Rows / adm5Sec)},"rows":$shard5Rows}"""
+        :+ s""""ann_serve":{"sec":${fmt(serveSec)},"rows_per_sec":${fmt(probeRows / serveSec)},"rows":$probeRows}"""
         :+ s""""ingest_admission":{"sec":${fmt(ingSec)},"rows_per_sec":${fmt(shardRows / ingSec)},"rows":$shardRows}""")
         .mkString(",")
       val json =
