@@ -268,6 +268,16 @@ class SkewSpec extends AnyFunSuite {
     assert(rows.exists(_._3.isEmpty))
     assert(vals.distinct.size < vals.size)
     assert(vals.combinations(2).exists(p => math.abs(p(0) - p(1)) == 36L))
+    // MULTI-key partitioning: the same sweep keyed by (k, k2) — the
+    // null-safe join conds must compose across key columns
+    val df2 = rows.toDF("row_id", "k", "x")
+      .withColumn("k2", col("row_id") % 2)
+    val w2 = Window.partitionBy(col("k"), col("k2")).orderBy(col("x"))
+      .rangeBetween(-36L, 36L)
+    val expected2 = m(df2.withColumn("near", sum(col("x")).over(w2)), "near")
+    val got2 = m(ops.SegmentedScan.rangeFrameSum(
+      df2, key = Seq("k", "k2"), value = "x", width = 36.0, out = "near"), "near")
+    assert(got2 == expected2, "two-key range-frame sum diverged")
   }
 
   test("loader schema assertion rejects unknown tables loudly") {
