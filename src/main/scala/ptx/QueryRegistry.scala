@@ -30,18 +30,22 @@ object QueryRegistry {
     qs.toMap
   }
 
-  /** The declared 100 TB posture of the quadratic EXACT ANCHORS (VERDICT
-    * r9 #5): each is intentionally pair-space-quadratic — it exists to
-    * verify its sub-quadratic scale twin on graded data, and the twin is
-    * what a 100 TB deployment runs. Machine-readable here so the pairing
-    * surfaces in docs/QUERIES.md (QueryIndex) instead of living only in
-    * per-op comments; everything not listed is scale-path by default.
-    * Guarded by a registry test: every key on either side must exist.
+  /** The declared 100 TB posture of the EXACT ANCHORS (VERDICT r9 #5):
+    * each is intentionally scale-bound — the three quadratic ones exist
+    * to verify their sub-quadratic scale twins on graded data, and
+    * `win_range_frame` (r12) is key-cardinality-bound (its 3-value
+    * partition key caps the window at 3 tasks at ANY corpus size) with
+    * an EXACT banded twin. The twin is what a 100 TB deployment runs.
+    * Machine-readable here so the pairing surfaces in docs/QUERIES.md
+    * (QueryIndex) instead of living only in per-op comments; everything
+    * not listed is scale-path by default. Guarded by a registry test:
+    * every key on either side must exist.
     */
   lazy val anchorScaleTwin: Map[String, String] = Map(
     "llm_dedup_near"  -> "llm_dedup_minhash_lsh", // inverted-index Jaccard → banded MinHash
     "llm_containment" -> "llm_containment_prefix", // full inverted index → rarity-ordered prefix filter
-    "llm_dedup_embed" -> "llm_semdedup" // all-pairs cosine BNLJ → cell-bounded semantic dedup
+    "llm_dedup_embed" -> "llm_semdedup", // all-pairs cosine BNLJ → cell-bounded semantic dedup
+    "win_range_frame" -> "win_range_banded" // 3-task-bound RANGE window → value-banded decomposition (exact, oracle-✓)
   )
 
   lazy val oracleSql: Map[String, String] = {

@@ -83,6 +83,27 @@ object Windows {
             .as("near_sum"))
         .orderBy(col("o_orderkey"))
     }),
+    // ✓ banded RANGE-frame sum (r12): the SAME ±width frame semantics as
+    // win_range_frame, computed by ops.SegmentedScan.rangeFrameSum — the
+    // value-banded decomposition that removes the window form's
+    // key-cardinality bound (o_orderstatus has 3 values at ANY corpus
+    // size, so the window caps at 3-way parallelism forever; the banded
+    // form's straggler is one width-band of one key). Declared so the
+    // scale-safe formulation is ORACLE-verified end-to-end, not just
+    // unit-tested: unlike the quadratic anchors' ◌ twins, this twin is
+    // EXACT, so it carries its own DuckDB oracle. Runs on integer cents
+    // (round-then-cast — identical in both engines; a bare double→bigint
+    // cast truncates in Spark but rounds in DuckDB) so the banded sums
+    // are associative and bit-identical to the window's.
+    "win_range_banded" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      ptx.ops.SegmentedScan.rangeFrameSum(
+          o, key = Seq("o_orderstatus"), value = "cents",
+          width = 10000.0, out = "near_sum")
+        .orderBy(col("o_orderkey"))
+    }),
     "win_ntile_cume" -> ((s, d) => {
       // Scalable ntile/cume_dist (same pattern as win_rank_ties): cumulative
       // counts over the distinct-acctbal distribution give each row's global
@@ -186,6 +207,16 @@ object Windows {
         |        ORDER BY o_totalprice
         |        RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING), 2) AS near_sum
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the banded twin's oracle IS the window form — on integer cents the
+    // decomposition is bit-exact, so both engines' windows pin it
+    "win_range_banded" ->
+      """WITH c AS (SELECT o_orderkey, o_orderstatus,
+        |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        |           FROM orders)
+        |SELECT o_orderkey, o_orderstatus, cents,
+        |  sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY cents
+        |        RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS near_sum
+        |FROM c ORDER BY o_orderkey""".stripMargin,
     "win_ntile_cume" ->
       """SELECT c_custkey,
         |  ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
