@@ -208,14 +208,17 @@ object Windows {
         |        RANGE BETWEEN 100 PRECEDING AND 100 FOLLOWING), 2) AS near_sum
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     // the banded twin's oracle IS the window form — on integer cents the
-    // decomposition is bit-exact, so both engines' windows pin it
+    // decomposition is bit-exact, so both engines' windows pin it.
+    // DuckDB's sum(BIGINT) returns HUGEINT (int128): CAST back to BIGINT so
+    // the typed hash matches Spark's int64 (values are identical either way).
     "win_range_banded" ->
       """WITH c AS (SELECT o_orderkey, o_orderstatus,
         |             CAST(round(o_totalprice * 100) AS BIGINT) AS cents
         |           FROM orders)
         |SELECT o_orderkey, o_orderstatus, cents,
-        |  sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY cents
-        |        RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING) AS near_sum
+        |  CAST(sum(cents) OVER (PARTITION BY o_orderstatus ORDER BY cents
+        |        RANGE BETWEEN 10000 PRECEDING AND 10000 FOLLOWING)
+        |       AS BIGINT) AS near_sum
         |FROM c ORDER BY o_orderkey""".stripMargin,
     "win_ntile_cume" ->
       """SELECT c_custkey,
