@@ -68,8 +68,12 @@ object Extras {
     * sources×buckets grid — corpus-size-independent — with the reference
     * and the per-source totals broadcast.
     */
-  def psiAgainst(c: org.apache.spark.sql.DataFrame,
-                 g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+  /** [[psiAgainst]] without the final source sort — the per-micro-batch
+    * drift GATE reads the verdict as a set (collect → driver filter), and
+    * the orderBy would cost a range exchange + sampling pass per batch
+    * for nothing (r13). Declared queries keep the sorted wrapper. */
+  def psiAgainstUnsorted(c: org.apache.spark.sql.DataFrame,
+                         g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = g.agg(sum(col("gn")).as("gt"), count(lit(1)).as("nb"))
     val st = c.groupBy(col("source")).agg(sum(col("n")).as("sn_tot"))
     val grid = c.select(col("source")).distinct()
@@ -86,8 +90,11 @@ object Extras {
       .agg(sum(col("term_e6")).as("psi_e6"))
       .select(col("source"), col("sn_tot").as("n_docs"), col("psi_e6"),
         (col("psi_e6") > 250000L).as("drifted"))
-      .orderBy(col("source"))
   }
+
+  def psiAgainst(c: org.apache.spark.sql.DataFrame,
+                 g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    psiAgainstUnsorted(c, g).orderBy(col("source"))
 
   def queries: Map[String, QFn] = Map(
     "sub_scalar" -> ((s, d) => {

@@ -132,26 +132,39 @@ object Pipelines {
     * genuinely novel buckets (the strongest drift signal a gate can see)
     * is understated. Batch-side distinct buckets are
     * micro-batch-bounded, so the anti-join stays broadcast-sized. */
-  private[stream] def driftVerdict(batch: DataFrame, ref: DataFrame): DataFrame = {
+  private[ptx] def driftVerdict(batch: DataFrame, ref: DataFrame): DataFrame = {
     val cells = batch
       .groupBy(col("source"), expr("n_chars div 50").as("b"))
       .agg(count(lit(1)).as("n"))
     val novel = cells.select(col("b")).distinct()
       .join(ref.select(col("b")), Seq("b"), "left_anti")
       .withColumn("gn", lit(0L))
-    ptx.ops.Extras.psiAgainst(cells, ref.unionByName(novel))
+    ptx.ops.Extras.psiAgainstUnsorted(cells, ref.unionByName(novel))
+  }
+
+  /** Re-root a BROADCAST-SIZED static reference frame as a local
+    * relation: one collect at stream-construction time, so the per-batch
+    * plans that broadcast it stop re-running its upstream aggregation
+    * (and re-scanning its source) on EVERY micro-batch — the reference
+    * is static by contract, the rows are identical (r13). */
+  private def localized(df: DataFrame): DataFrame = {
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    df.collect().foreach(rows.add)
+    df.sparkSession.createDataFrame(rows, df.schema)
   }
 
   def driftGate(docs: DataFrame, ref: DataFrame, dir: String, checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refLocal = localized(ref)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        driftVerdict(batch, ref)
+        driftVerdict(batch, refLocal)
           .write.mode("overwrite").parquet(s"$dir/batch=$id")
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming composed drift-REPORT gate (r10): the full per-batch drift
     * panel — Laplace-smoothed PSI, Kolmogorov–Smirnov, and Welch-t — of
@@ -169,9 +182,10 @@ object Pipelines {
     * retried batches idempotent. Scale: everything after the one corpus
     * scan is sources×buckets-grid-sized with the reference broadcast.
     */
-  def driftReportGate(docs: DataFrame, ref: DataFrame, dir: String,
+  def driftReportGate(docs: DataFrame, refIn: DataFrame, dir: String,
                       checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = localized(refIn) // static + broadcast-sized: collect once
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val cells = batch
@@ -241,6 +255,7 @@ object Pipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Streaming ingest-VOLUME gate (r11): the per-micro-batch twin of the
     * `dq_volume_anomaly` batch audit — each batch's per-day event counts
@@ -257,9 +272,10 @@ object Pipelines {
     * count agg per batch. A deployment scores CLOSED days (a partial
     * day's count reads low by construction) — the gate scores whatever
     * days the batch carries and leaves closing policy to the feed. */
-  def volumeGate(events: DataFrame, ref: DataFrame, dir: String,
+  def volumeGate(events: DataFrame, refIn: DataFrame, dir: String,
                  checkpoint: String)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val ref = localized(refIn) // static + broadcast-sized: collect once
     events.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         ptx.ops.Extras.volumeVerdict(
@@ -269,6 +285,7 @@ object Pipelines {
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Builds the eval-set gram sketch [[decontaminationGate]] probes: one
     * pass over the benchmark/eval corpus inserting every word-8-gram hash
@@ -307,19 +324,33 @@ object Pipelines {
     * n_hit, contaminated)` — the [[decontaminationGate]] per-batch core,
     * shared with the composed [[ingestAdmission]] pipeline. */
   private[ptx] def deconVerdict(batch: DataFrame,
-                                evalSketch: Array[Byte]): DataFrame = {
+                                evalSketch: Array[Byte],
+                                carry: Seq[String] = Nil): DataFrame = {
     ptx.functions.TextGrams.register(batch.sparkSession)
     ptx.functions.Blooms.register(batch.sparkSession)
-    val grams = batch.select(col("doc_id"),
-      explode_outer(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
-    val hit =
-      if (evalSketch.isEmpty) lit(false)
-      else col("h").isNotNull &&
-        call_function("might_contain", lit(evalSketch), col("h"))
-    grams
-      .groupBy(col("doc_id"))
-      .agg(count(col("h")).as("n_grams"),
-        count(when(hit, 1)).as("n_hit"))
+    // SHUFFLE-FREE (r13): the per-doc gram counts are computed with
+    // higher-order array functions over the gram array instead of
+    // explode + groupBy(doc_id) — the old shape paid a full exchange per
+    // micro-batch to re-associate grams with the doc they were exploded
+    // from. size/filter over the array is the same count (gram_hashes
+    // yields no null elements; an empty text gives an empty array →
+    // n_grams = 0, contaminated = false, exactly the explode_outer
+    // semantics), and the verdict is now the pure scan-side map the
+    // 100 TB posture claims: broadcast-sized sketch literal, no join, no
+    // shuffle, no per-batch re-aggregation.
+    val nHit =
+      if (evalSketch.isEmpty) lit(0L)
+      else size(filter(col("g"),
+        h => call_function("might_contain", lit(evalSketch), h))).cast("long")
+    // `carry` columns ride along unchanged (scan-side projection, still no
+    // shuffle): the composed ingest audit carries `source` on decon rows
+    // so the driver-side gate filter can map drifted SOURCES to doc ids
+    // without another join. Standalone gates pass Nil — schema unchanged.
+    val keep = col("doc_id") +: carry.map(col)
+    batch
+      .select((keep :+ expr("gram_hashes(split(text, ' '), 8)").as("g")): _*)
+      .select((keep :+ size(col("g")).cast("long").as("n_grams")
+        :+ nHit.as("n_hit")): _*)
       .withColumn("contaminated", col("n_hit") > 0)
   }
 
@@ -1073,21 +1104,42 @@ object Pipelines {
     try f finally spark.conf.set("spark.sql.adaptive.enabled", was)
   }
 
+  private def t[A](name: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[admdbg] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    } else f
+
+  /** The deterministic one-pass rejection policy, DRIVER-SIDE (r13): a
+    * doc `d` of the batch universe `ids` is rejected iff some near-dup
+    * partner `o` is an index doc (`!ids(o)`) or a smaller-id sibling of
+    * the same universe (`ids(o) && o < d`). Pairs are the COLLECTED
+    * probe audit rows — banding-bounded and shard-proportional by
+    * construction (the candIds-collect contract in
+    * [[ptx.sources.DedupIndex.probeSigned]] microBatch mode), so the
+    * set logic that previously ran as a 6-job broadcast-join chain per
+    * micro-batch (union of orientations → semi → outer → distinct →
+    * anti) is a few thousand driver-side set operations. Micro-batch
+    * admission paths only; an unbounded-shard admission keeps the
+    * DataFrame policy (none currently exists — shardAdmission IS the
+    * micro-batch path). */
+  private[ptx] def rejectedByPolicy(pairs: Iterable[(Long, Long)],
+                                    ids: Long => Boolean): Set[Long] =
+    pairs.iterator
+      .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+      .collect { case (d, o) if ids(d) && (!ids(o) || o < d) => d }
+      .toSet
+
   private[ptx] def admitShardBatch(batch: DataFrame, id: Long,
                                       indexDir: String, outDir: String,
                                       threshold: Double): Unit = {
     val spark = batch.sparkSession
     // pinned: the batch frame feeds the signature pass, the accepted
-    // anti-join, and both audit writes — unpinned, each re-plans and
+    // filter, and the audit writes — unpinned, each re-plans and
     // re-reads the batch source
     val b = ptx.Caching.pin(batch.select(col("doc_id"), col("text")))
-    def t[A](name: String)(f: => A): A =
-      if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG")) {
-        val t0 = System.nanoTime()
-        val r = f
-        println(f"[admdbg] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
-        r
-      } else f
     try withoutAqe(spark) {
       // sign ONCE per batch (r12, VERDICT r11 #3): the pinned signature
       // frame feeds the probe's band join AND the admission append —
@@ -1095,46 +1147,38 @@ object Pipelines {
       // second corpus pass over the shard per batch. Bit-identical:
       // signatures are pure functions of the text.
       val sig = ptx.Caching.pin(ptx.sources.DedupIndex.signatures(b))
-      // pin the candidate-bounded pair frame: every sink job below reads
-      // it from cache (concurrent first-materialization is lock-safe),
-      // replacing the prior write-then-read-back without recomputing the
-      // probe plan. microBatch = true: the shard-derived sides broadcast,
-      // so the probe is pure stream-static joins — see probeSigned.
+      // pin the candidate-bounded pair frame: the audit sink below reads
+      // it from cache. microBatch = true: the shard-derived sides
+      // broadcast, so the probe is pure stream-static joins — see
+      // probeSigned.
       val pairs = ptx.Caching.pin(ptx.sources.DedupIndex.probeSigned(
         spark, indexDir, sig, threshold, microBatch = true))
-      // materialize the pin NOW, in one job: the three concurrent sinks
-      // below would otherwise each first-materialize it themselves —
-      // lock-safe but each re-running the probe's broadcast builds
-      // (measured as ~8 duplicated broadcast jobs per batch)
-      t("pairs materialize") { pairs.count() }
-      val ids = b.select(col("doc_id"))
-      // both orientations of each pair, restricted to batch docs d;
-      // o < d encodes "smaller sibling" and a non-batch o is an index doc
-      val adj = pairs.select(col("doc1").as("d"), col("doc2").as("o"))
-        .unionAll(pairs.select(col("doc2").as("d"), col("doc1").as("o")))
-        .join(ids.toDF("d"), Seq("d"), "left_semi")
-      val rejected = adj
-        .join(ids.toDF("o").withColumn("in_batch", lit(true)),
-          Seq("o"), "left_outer")
-        .filter(col("in_batch").isNull || col("o") < col("d"))
-        .select(col("d").as("doc_id")).distinct()
-      val accepted = b.join(rejected, Seq("doc_id"), "left_anti")
+      // ONE action materializes the chain AND lands the audit-grain pair
+      // set driver-side for the policy (replacing r12's count + 6-job
+      // join chain); the batch id set rides a second cache-scan job
+      val pairRows = t("pairs collect") { pairs.collect() }
+      val ids = t("ids collect") {
+        b.select(col("doc_id")).collect().map(_.getLong(0)).toSet }
+      val rejected = rejectedByPolicy(
+        pairRows.map(r => (r.getLong(0), r.getLong(1))), ids)
+      val rejSeq = rejected.toSeq
       // all three sinks (pair audit, accepted audit, index admission)
-      // share no ordering dependency — the rejection logic reads the
-      // CACHED pair frame, not the pairs file — so the batch runs ONE
-      // concurrent sink round (the append fans into its two table writes
-      // the same way): wall ≈ probe cost + max(write tails), not the sum
-      // of four sequential jobs
+      // share no ordering dependency and are pure cache scans with a
+      // driver-pushed NOT-IN filter — no joins, no broadcast builds —
+      // so the batch runs ONE concurrent sink round (the append fans
+      // into its two table writes the same way): wall ≈ probe cost +
+      // max(write tails), not the sum of four sequential jobs
       // coalesce(1): one file per batch per table — a micro-batch writing
       // #shuffle-partitions KB-files per sink pays one task-commit round
       // per file NOW and the small-files scan tax on every later read
       t("sink round") { ptx.Jobs.par(
         () => pairs.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$id"),
-        () => accepted.coalesce(1).write.mode("overwrite")
+        () => b.filter(!col("doc_id").isin(rejSeq: _*))
+          .coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/accepted/batch=$id"),
         () => ptx.sources.DedupIndex.appendSigned(
-          sig.join(accepted.select(col("doc_id")), Seq("doc_id"), "left_semi"),
+          sig.filter(!col("doc_id").isin(rejSeq: _*)),
           indexDir, s"b$id", parts = 1)) }
     } finally ptx.Caching.release(spark) // batch + signature + pair pins
   }
@@ -1167,42 +1211,134 @@ object Pipelines {
     *      survivors probe the persisted index, the smallest-id policy
     *      filters, and the admitted docs enter the index for the next
     *      batch.
-    * Verdict audit trails land per gate under `dir/drift|decon|pairs/
-    * batch=<id>`; the final survivors under `dir/accepted/batch=<id>`.
+    * The two gates' verdict frames land as ONE audit file per batch
+    * under `dir/gates/batch=<id>` (r13, VERDICT r12 #4): a `gate`
+    * column tags each row `drift` (source grain: n_docs, psi_e6,
+    * drifted) or `decon` (doc grain: n_grams, n_hit, contaminated),
+    * off-grain columns null — one write job instead of two, and the
+    * audit write runs CONCURRENTLY with the admission chain (both read
+    * the pinned verdict frame, so neither recomputes the gates). The
+    * near-dup pair audit stays under `dir/pairs/batch=<id>`; the final
+    * survivors under `dir/accepted/batch=<id>`.
     * Every write (and the index append) is a batch-scoped overwrite —
     * idempotent replay end to end. Zero streaming state: the reference,
     * sketch, and index are all static-or-persisted inputs. */
+  /** One composed-ingest batch: (gate verdicts + union audit write) ∥
+    * (sign + probe), then gate-filter → policy → sinks — the
+    * [[ingestAdmission]] per-batch core, callable in batch mode
+    * (AdmissionProfile).
+    *
+    * The r13 restructure overlaps the batch's two independent serial
+    * chains instead of running gates-then-admission: near-dup pairs are
+    * verified PER PAIR from per-doc signatures, so
+    * `probe(batch) restricted to gate-clean endpoints == probe(clean)`
+    * EXACTLY (candidate generation and Jaccard verification of a pair
+    * never read any third doc) — the full batch is signed and probed
+    * concurrently with the gate verdicts + audit write, and the gates'
+    * rejected ids are applied as a post-filter on the pinned pair frame.
+    * Wall ≈ max(gates, sign+probe) + policy/sink tail, not their sum.
+    * Deliberate trade: docs the gates reject are signed and probed for
+    * nothing — at most one shard's linear signing wasted on a wholesale
+    * drift rejection, bought against a gate-chain barrier on EVERY
+    * batch. The index append still admits only gate-clean survivors. */
+  private[ptx] def ingestAdmitBatch(batch: DataFrame, id: Long,
+                                    psiRef: DataFrame,
+                                    evalSketch: Array[Byte],
+                                    indexDir: String, dir: String,
+                                    threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val b = ptx.Caching.pin(batch.select(col("doc_id"), col("text")))
+    try {
+      val sig = ptx.Caching.pin(ptx.sources.DedupIndex.signatures(b))
+      // one pinned union frame carries BOTH gate verdicts (r13): decon
+      // rows carry `source` so the collected audit doubles as the
+      // driver's doc→source map — no extra job recovers drifted docs
+      val gates = ptx.Caching.pin(
+        driftVerdict(batch, psiRef).withColumn("gate", lit("drift"))
+          .unionByName(
+            deconVerdict(batch, evalSketch, carry = Seq("source"))
+              .withColumn("gate", lit("decon")),
+            allowMissingColumns = true))
+      // the two heavy chains share no lineage beyond the batch: ONE
+      // concurrent round materializes the gate verdicts AND the probe's
+      // pair frame (both collects are micro-batch-bounded — gate rows ≈
+      // batch rows, pairs are banding-bounded); the audit WRITE joins the
+      // sink round below as a pure cache scan. probeSigned is
+      // CONSTRUCTED inside its thunk: its micro-batch candidate pruning
+      // runs an eager driver-side collect at plan-construction time,
+      // which would otherwise serialize ahead of the gate chain.
+      var gateRows: Array[org.apache.spark.sql.Row] = null
+      var pairRows: Array[org.apache.spark.sql.Row] = null
+      ptx.Jobs.par(
+        () => gateRows = t("gates collect") { gates.collect() },
+        () => pairRows = t("pairs collect") {
+          ptx.Caching.pin(ptx.sources.DedupIndex.probeSigned(
+            spark, indexDir, sig, threshold, microBatch = true)).collect()
+        })
+      // driver-side gate filter: the decon rows enumerate every batch doc
+      val gateIdx = gates.columns.zipWithIndex.toMap
+      val deconRows = gateRows.filter(_.getString(gateIdx("gate")) == "decon")
+      val batchIds = deconRows.map(_.getLong(gateIdx("doc_id"))).toSet
+      val drifted = gateRows
+        .filter(r => r.getString(gateIdx("gate")) == "drift" &&
+          !r.isNullAt(gateIdx("drifted")) && r.getBoolean(gateIdx("drifted")))
+        .map(_.getString(gateIdx("source"))).toSet
+      val gateRej = deconRows.filter { r =>
+        r.getBoolean(gateIdx("contaminated")) ||
+          drifted(r.getString(gateIdx("source")))
+      }.map(_.getLong(gateIdx("doc_id"))).toSet
+      val cleanIds = batchIds -- gateRej
+      // probe(batch) restricted to gate-clean endpoints == probe(clean)
+      // EXACTLY: a pair's candidate generation and Jaccard verification
+      // never read any third doc, so dropping pairs that touch a
+      // gate-rejected doc leaves precisely the pairs a post-gate probe
+      // would have produced. Deliberate trade: gate-rejected docs are
+      // signed and probed for nothing (at most one shard's linear
+      // signing on a wholesale drift rejection), bought against a
+      // gate-chain barrier on EVERY batch.
+      val cleanPairs = pairRows
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (d1, d2, _) =>
+          (!batchIds(d1) || cleanIds(d1)) && (!batchIds(d2) || cleanIds(d2)) }
+      val rejected = rejectedByPolicy(
+        cleanPairs.map(p => (p._1, p._2)), cleanIds)
+      val dropSeq = (gateRej ++ rejected).toSeq
+      import spark.implicits._
+      val cleanPairsDf = cleanPairs.toSeq.toDF("doc1", "doc2", "jaccard")
+      // one concurrent sink round: gate audit + pair audit + accepted +
+      // index admission — cache scans / a local relation, no joins
+      t("sink round") { ptx.Jobs.par(
+        () => gates.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/gates/batch=$id"),
+        () => cleanPairsDf.coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/pairs/batch=$id"),
+        () => b.filter(!col("doc_id").isin(dropSeq: _*))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dir/accepted/batch=$id"),
+        () => ptx.sources.DedupIndex.appendSigned(
+          sig.filter(!col("doc_id").isin(dropSeq: _*)),
+          indexDir, s"b$id", parts = 1)) }
+    } finally ptx.Caching.release(spark)
+  }
+
   def ingestAdmission(docs: DataFrame, psiRef: DataFrame,
                       evalSketch: Array[Byte], indexDir: String,
                       dir: String, checkpoint: String,
                       threshold: Double = 0.4)
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val refLocal = localized(psiRef) // static + broadcast-sized: collect once
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        // the two scan-side gates share no lineage beyond the batch —
-        // their audit writes run concurrently (r12, VERDICT r11 #3), so
-        // the gate prologue costs max(drift, decon), not the sum;
         // withoutAqe: micro-batch re-planning overhead (see helper)
-        withoutAqe(spark) {
-          ptx.Jobs.par(
-            () => driftVerdict(batch, psiRef).coalesce(1)
-              .write.mode("overwrite").parquet(s"$dir/drift/batch=$id"),
-            () => deconVerdict(batch, evalSketch).coalesce(1)
-              .write.mode("overwrite").parquet(s"$dir/decon/batch=$id"))
-          val driftedSources = spark.read.parquet(s"$dir/drift/batch=$id")
-            .filter(col("drifted")).select(col("source"))
-          val contaminated = spark.read.parquet(s"$dir/decon/batch=$id")
-            .filter(col("contaminated")).select(col("doc_id"))
-          val clean = batch
-            .join(driftedSources, Seq("source"), "left_anti")
-            .join(contaminated, Seq("doc_id"), "left_anti")
-          admitShardBatch(clean, id, indexDir, dir, threshold)
+        withoutAqe(batch.sparkSession) {
+          ingestAdmitBatch(batch, id, refLocal, evalSketch, indexDir, dir,
+            threshold)
         }
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
+  }
 
   /** Stateful per-user pipeline via flatMapGroupsWithState: emits an alert
     * on every new running max and on every 3rd+ consecutive error event.

@@ -61,6 +61,52 @@ object AdmissionProfile {
     t("TOTAL admitShardBatch") {
       ptx.stream.Pipelines.admitShardBatch(shard, 0L, idx2, outDir, 0.4)
     }
+
+    // composed ingest (r13): the full drift → decon → near-dup batch core
+    // in batch mode — what one ingestAdmission micro-batch costs without
+    // streaming machinery. The gate prologue is timed separately so the
+    // "gates are cheap next to the probe" claim stays a measured number.
+    val full = ptx.Tables.documents(spark, sfDir)
+    // localized like ingestAdmission does at stream construction: the
+    // reference is static, so the per-batch plans see a LocalRelation
+    val psiRefPlan = full.groupBy(expr("n_chars div 50").as("b"))
+      .agg(count(lit(1)).as("gn"))
+    val psiRefRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    psiRefPlan.collect().foreach(psiRefRows.add)
+    val psiRef = spark.createDataFrame(psiRefRows, psiRefPlan.schema)
+    val sketch = ptx.stream.Pipelines.evalGramSketch(
+      full.filter(col("doc_id") % 10 === 5))
+    val ingShard = full.filter(col("doc_id") % 10 === 0)
+    for (pass <- Seq("cold", "warm")) {
+      t(s"  driftVerdict alone ($pass)") {
+        ptx.stream.Pipelines.driftVerdict(ingShard, psiRef).count()
+      }
+      t(s"  deconVerdict alone ($pass)") {
+        ptx.stream.Pipelines.deconVerdict(ingShard, sketch).count()
+      }
+      t(s"  gate verdicts (union frame, one job, $pass)") {
+        ptx.stream.Pipelines.driftVerdict(ingShard, psiRef)
+          .withColumn("gate", lit("drift"))
+          .unionByName(
+            ptx.stream.Pipelines.deconVerdict(ingShard, sketch)
+              .withColumn("gate", lit("decon")),
+            allowMissingColumns = true)
+          .count()
+      }
+    }
+    // one untimed pass absorbs the gate shapes' codegen, then the timed
+    // run measures the steady-state batch cost (fresh index each time —
+    // admission mutates it)
+    for (round <- Seq("warm (untimed shapes)", "TOTAL ingestAdmitBatch (gates + admit)")) {
+      val idx3 = Files.createTempDirectory("adm-idx3").toString
+      ptx.sources.DedupIndex.write(base, idx3)
+      val outDir3 = Files.createTempDirectory("adm-out3").toString
+      t(round) {
+        ptx.stream.Pipelines.ingestAdmitBatch(
+          full.filter(col("doc_id") % 10 === 0), 0L, psiRef, sketch,
+          idx3, outDir3, 0.4)
+      }
+    }
     spark.stop()
   }
 }

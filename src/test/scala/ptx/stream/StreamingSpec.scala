@@ -862,9 +862,16 @@ class StreamingSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(accepted == expected, s"composed accepted diverged " +
       s"(${accepted.size} vs ${expected.size})")
-    // audit trails: every gate wrote its batch verdict
-    assert(spark.read.parquet(s"$out/drift/batch=0").count() > 0)
-    assert(spark.read.parquet(s"$out/decon/batch=0").count() == shard.count())
+    // audit trails: both gate verdicts land in the ONE tagged batch file
+    // (r13 — single audit write), content-equal to the standalone cores
+    val gates = spark.read.parquet(s"$out/gates/batch=0")
+    assert(gates.filter(col("gate") === "drift").count() > 0)
+    assert(gates.filter(col("gate") === "decon").count() == shard.count())
+    val auditContaminated = gates
+      .filter(col("gate") === "decon" && col("contaminated"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(auditContaminated == contaminatedIds,
+      "decon audit rows diverged from the standalone gate core")
     // non-vacuous: the decon and dedup stages must each really fire,
     // and the stack must still admit someone
     assert(contaminatedIds.nonEmpty, "no contamination hits — vacuous")
