@@ -96,11 +96,6 @@ object LlmScale {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), s -> CAST(s.c AS FLOAT))")
         .as("centroid"))
 
-  /** IVF probe: rank cells by probe↔centroid cosine, exact-score only the
-    * nprobe nearest cells' vectors, return top-k per probe. `cent` may be
-    * the live [[ivfCentroids]] frame or a persisted index read back
-    * (`VectorIndex.read`) — identical results either way (tested).
-    * Requires `VectorOps.register` on the session (cosine_sim). */
   /** Per-probe nprobe-best cells: (probe_id, p, label), best cells by
     * centroid cosine. Shared by the inline probe below and
     * [[ptx.sources.VectorIndex.probe]]'s scan-pruned serving path. */
@@ -132,6 +127,11 @@ object LlmScale {
       .orderBy(col("probe_id"), col("rnk"))
   }
 
+  /** IVF probe: rank cells by probe↔centroid cosine, exact-score only the
+    * nprobe nearest cells' vectors, return top-k per probe. `cent` may be
+    * the live [[ivfCentroids]] frame or a persisted index read back
+    * (`VectorIndex.read`) — identical results either way (tested).
+    * Requires `VectorOps.register` on the session (cosine_sim). */
   private[ptx] def ivfProbe(cent: DataFrame, e: DataFrame, probes: DataFrame,
                             nprobe: Int, k: Int): DataFrame =
     ivfVerify(ivfProbeCells(cent, probes, nprobe),

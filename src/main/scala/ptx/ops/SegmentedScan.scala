@@ -172,7 +172,17 @@ object SegmentedScan {
     * [[runningSum]] — cast to decimal first when exact parity matters,
     * SkewSpec's parity tests do). The inclusive ±width bounds are
     * compared on the same `value - width` / `value + width` expressions
-    * the window form evaluates, so boundary ties agree bit-for-bit.
+    * the window form evaluates, so boundary ties agree bit-for-bit; for
+    * a WHOLE-number width over an integral or decimal value column the
+    * bound literal is cast into the column's own type (r13, ADVICE r12),
+    * so the as-of ordering runs in exact integer/decimal arithmetic for
+    * the full value domain — no double widening through the refs∪probes
+    * union. Remaining caveat: the BAND id is assigned by
+    * `floor(value / width)` in double, so for |value| > 2^53 (or a
+    * fractional width) two values within ±width could land in
+    * non-adjacent bands through double rounding and miss each other's
+    * frames — pre-scale such columns (e.g. cents → whole units) or widen
+    * the band width so width ≫ the value's double ulp.
     * Rows with NULL `value` form their own band and match the window
     * form's NULL-partition behavior (their frame holds only NULL peers →
     * `out` is NULL; they never enter a non-NULL row's frame). NULL keys
@@ -210,7 +220,21 @@ object SegmentedScan {
       lit(null).cast("string").as("__ptx_side")): _*)
     // two probes per DISTINCT (key, value): x = v−width into band−1 and
     // x = v+width into band+1 — the SAME bound expressions the window
-    // form evaluates, so boundary ties agree bit-for-bit
+    // form evaluates, so boundary ties agree bit-for-bit. For a whole
+    // width over an integral/decimal value the bound literal stays in
+    // the column's own type (r13): the probe x then unions with the ref
+    // x without widening to double, keeping the as-of ordering exact
+    // over the full 64-bit/decimal domain.
+    val wLit = {
+      import org.apache.spark.sql.types._
+      val whole = width == math.rint(width) && width.abs < 9.2e18
+      df.schema(value).dataType match {
+        case dt: DecimalType if whole => lit(width.toLong).cast(dt)
+        case ByteType | ShortType | IntegerType | LongType if whole =>
+          lit(width.toLong)
+        case _ => lit(width)
+      }
+    }
     def probe(side: String, qb: Column, x: Column) = g.select(
       keyCols ++ Seq(qb.as("__ptx_qb"), x.as("__ptx_x"),
         lit(1).as("__ptx_tag"), lit(null).cast(sType).as("__ptx_s"),
@@ -218,8 +242,8 @@ object SegmentedScan {
         lit(null).cast(cumType).as("__ptx_tot"),
         col("__ptx_band").as("__ptx_ob"), v.as("__ptx_ov"),
         lit(side).as("__ptx_side")): _*)
-    val probes = probe("L", col("__ptx_band") - 1, v - lit(width))
-      .unionByName(probe("R", col("__ptx_band") + 1, v + lit(width)))
+    val probes = probe("L", col("__ptx_band") - 1, v - wLit)
+      .unionByName(probe("R", col("__ptx_band") + 1, v + wLit))
     // as-of: last reference row (tag 0 sorts before an equal-valued
     // probe, so an exact boundary tie matches inclusively) with
     // ref.value ≤ probe.x, per (key, target band)

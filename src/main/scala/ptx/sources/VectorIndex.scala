@@ -61,20 +61,28 @@ object VectorIndex {
   def probe(spark: SparkSession, dir: String, embeddings: DataFrame,
             probes: DataFrame, nprobe: Int = 3, k: Int = 5): DataFrame = {
     ptx.functions.VectorOps.register(spark)
-    // SERVING shape (r12): the probe batch's wanted cell labels are a
-    // model-parameter-sized int set (≤ min(#cells, #probes × nprobe) —
-    // the kmeans centroid-collect precedent, and like it this collect
-    // lives in sources/, outside the declared-operator lint surface), so
-    // collect them and push an In(label, …) filter INTO the corpus scan:
-    // against the compactCells range-laid-by-label layout the filter
-    // prunes row groups on footer min/max, and broadcasting the probe
-    // side makes the candidate join scan-local — the corpus is neither
-    // fully read nor shuffled per probe batch (IoSpec asserts both on
-    // the physical plan; the inline llm_ann_ivf query keeps the
-    // exchange form, results identical either way).
-    val cells = ptx.ops.LlmScale.ivfProbeCells(read(spark, dir), probes, nprobe)
-    val wanted = cells.select(col("label")).distinct()
-      .collect().map(_.getInt(0)).toSeq
+    // SERVING shape (r12): the probe batch's cell frame is
+    // model-parameter-sized (probes × nprobe rows — the kmeans
+    // centroid-collect precedent, and like it this collect lives in
+    // sources/, outside the declared-operator lint surface), so collect
+    // it ONCE (r13, ADVICE r12: the previous labels-only collect
+    // re-executed the probes×centroids cross join a second time inside
+    // the verify's broadcast build): the wanted labels come out of the
+    // collected rows driver-side, pushed as an In(label, …) filter INTO
+    // the corpus scan — against the compactCells range-laid-by-label
+    // layout the filter prunes row groups on footer min/max — and the
+    // verify broadcasts the same rows back as a LocalRelation, whose
+    // broadcast build re-runs nothing. The corpus is neither fully read
+    // nor shuffled per probe batch (IoSpec asserts both on the physical
+    // plan; the inline llm_ann_ivf query keeps the exchange form,
+    // results identical either way).
+    val cellsPlan = ptx.ops.LlmScale.ivfProbeCells(read(spark, dir), probes, nprobe)
+    val cellRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    cellsPlan.collect().foreach(cellRows.add)
+    val li = cellsPlan.schema.fieldIndex("label")
+    val wanted = cellRows.toArray(Array.empty[org.apache.spark.sql.Row])
+      .map(_.getInt(li)).distinct.toSeq
+    val cells = spark.createDataFrame(cellRows, cellsPlan.schema)
     val cand = embeddings.select(col("vec_id").as("cand_id"),
       col("embedding").as("c"), col("label"))
       .filter(col("label").isin(wanted: _*))

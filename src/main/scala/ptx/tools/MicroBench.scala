@@ -69,6 +69,34 @@ object MicroBench {
     skew("banded exchange (hash o_orderstatus, band)",
       o.repartition(parts, col("o_orderstatus"),
         floor(col("cents") / lit(10000.0)).cast("long")))
+
+    // HOT-BAND distribution (r13, VERDICT r12 #6): 80% of the rows
+    // remapped into ONE width-band of ONE key — the adversarial case for
+    // banding itself (the r10 hot-user probe at the value grain). The
+    // load-bearing property measured here: rangeFrameSum's only
+    // (key, band)-partitioned stage runs on the DISTINCT-VALUE grain, so
+    // the hot band's straggler task is |distinct values in the band| ≤
+    // width rows (10k here), not 80% of the corpus — while the window
+    // form's straggler is the hot KEY's whole history either way.
+    val hotRow = col("o_orderkey") % 5 < 4
+    val hot = o.select(col("o_orderkey"),
+      when(hotRow, lit("O")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(hotRow, pmod(col("cents"), lit(10000L))).otherwise(col("cents")).as("cents"))
+    def windowHot = hot.withColumn("near", sum(col("cents")).over(w))
+    def bandedHot = ptx.ops.SegmentedScan.rangeFrameSum(
+      hot, Seq("o_orderstatus"), "cents", 10000.0, "near")
+    windowHot.queryExecution.toRdd.count()
+    bandedHot.queryExecution.toRdd.count()
+    time("RANGE window form, HOT band corpus (80% one key+band)")(windowHot)
+    time("rangeFrameSum banded form, HOT band corpus")(bandedHot)
+    skew("banded exchange hot (hash o_orderstatus, band; row grain)",
+      hot.repartition(parts, col("o_orderstatus"),
+        floor(col("cents") / lit(10000.0)).cast("long")))
+    skew("banded per-band window hot (DISTINCT-value grain)",
+      hot.groupBy(col("o_orderstatus"),
+          floor(col("cents") / lit(10000.0)).cast("long").as("band"),
+          col("cents")).agg(count(lit(1)))
+        .repartition(parts, col("o_orderstatus"), col("band")))
     spark.stop()
   }
 }
