@@ -28,7 +28,7 @@ done
 # Fast oracle-TYPE audit before the slow full dump (r13, VERDICT r12 #2):
 # the canary Verify already wrote oracle_sql.json, so a HUGEINT-typed
 # oracle output (un-CAST integer sum — the class that cost win_range_banded
-# its r12 hash) fails HERE in seconds, not after the 217-query dump.
+# its r12 hash) fails HERE in seconds, not after the full-map dump.
 echo "[preflight] oracle type audit (--types-only)"
 python3 scripts/parity.py "$SF_DIR" "$OUT_DIR.canary" --types-only
 echo "[preflight] dumping queries at $SF_DIR -> $OUT_DIR"

@@ -139,6 +139,87 @@ object Curation {
         .filter(col("n_shared") >= 5)
         .orderBy(col("doc_id"))
     }),
+    // ✓ per-EVAL-doc leakage report (r13): the reverse direction of
+    // `llm_decontaminate` (that one drops TRAIN docs; this one tells the
+    // eval owner which benchmark items are compromised and how badly) —
+    // for each eval doc (source = src0, the decontaminate convention):
+    // distinct word-8-grams, how many of them appear in ANY training
+    // doc, and how many distinct training docs share at least one.
+    // 8-grams ride the codegen'd 64-bit `gram_hashes` kernel (the
+    // width-8 collision canary in GuardrailSpec pins hash≡string on the
+    // live fixture; the oracle groups strings). Scale: the eval side is
+    // bounded by construction (a benchmark suite is thousands of docs),
+    // so its distinct gram frame BROADCASTS and the corpus side is one
+    // scan + one eval-grain aggregation — never corpus×corpus. Zero-hit
+    // eval docs are reported with zeros (the whole point of the audit).
+    "llm_eval_leakage" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
+      val docs = Tables.documents(s, d)
+      val evalG = docs.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_id"),
+          explode(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+        .distinct()
+      // train grams NOT deduped pre-join: the per-eval countDistinct
+      // dedups anyway, and a corpus-wide (doc, gram) distinct would be
+      // a second full-corpus shuffle for nothing
+      val trainG = docs.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_id"),
+          explode(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
+      val hits = trainG.join(broadcast(evalG), Seq("h"))
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("h")).as("n_leaked_grams"),
+          countDistinct(col("train_id")).as("n_train_docs"))
+      val totals = evalG.groupBy(col("eval_id")).agg(count(lit(1)).as("n_grams"))
+      docs.filter(col("source") === "src0").select(col("doc_id").as("eval_id"))
+        .join(totals, Seq("eval_id"), "left_outer")
+        .join(hits, Seq("eval_id"), "left_outer")
+        .select(col("eval_id"),
+          coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+          coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"),
+          coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"))
+        .orderBy(col("eval_id"))
+    }),
+    // ✓ cross-source overlap matrix (r13): for every source pair sharing
+    // at least one distinct 3-word shingle — shared-shingle count, each
+    // side's shingle-vocabulary size, and the shingle-set Jaccard — the
+    // "which crawl dumps substantially duplicate each other" report that
+    // decides whether two sources should even enter the same dedup pass
+    // (overlapping web snapshots are the canonical case). Shingles ride
+    // the codegen'd 64-bit gram_hashes kernel (width-3 collision canary;
+    // oracle groups strings). Shape: per-shingle SORTED source set
+    // (bounded by source cardinality, 20 here) exploded into ordered
+    // pairs — one gram-keyed shuffle + one pair-keyed agg, NEVER a
+    // gram-keyed self-join whose fan-out a hot boilerplate shingle
+    // squares. At planet scale (millions of domains) the per-shingle set
+    // gets a size cap — a shingle on every domain is boilerplate, not
+    // overlap signal; at the source grain here the set is complete.
+    "llm_source_overlap" -> ((s, d) => {
+      ptx.functions.TextGrams.register(s)
+      val docs = Tables.documents(s, d)
+      // pinned: the distinct (source, shingle) frame feeds both the
+      // per-source vocabulary sizes and the pair explode
+      val g = ptx.Caching.pin(docs
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .select(col("source"), explode(expr("gram_hashes(w, 3)")).as("h"))
+        .distinct())
+      val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      val pairs = g.groupBy(col("h"))
+        .agg(expr("array_sort(collect_set(source))").as("ss"))
+        .select(explode(expr(
+          """flatten(transform(ss, (x, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.s1").as("src1"), col("p.s2").as("src2"))
+        .agg(count(lit(1)).as("n_shared"))
+      pairs
+        .join(broadcast(sizes.select(col("source").as("src1"), col("n").as("n1"))), Seq("src1"))
+        .join(broadcast(sizes.select(col("source").as("src2"), col("n").as("n2"))), Seq("src2"))
+        .select(col("src1"), col("src2"), col("n_shared"), col("n1"), col("n2"),
+          expr("(2 * n_shared * 1000000 + (n1 + n2 - n_shared))" +
+            " div (2 * (n1 + n2 - n_shared))").as("jaccard_e6"))
+        .orderBy(col("src1"), col("src2"))
+    }),
     // Deterministic 20% stratified sample per lang via a Knuth
     // multiplicative hash of doc_id — reproducible, engine-independent
     // (unlike df.sample's RNG), and a pure scan at any scale.
@@ -899,6 +980,45 @@ object Curation {
         |WHERE t.source <> 'src0' AND e.source = 'src0'
         |GROUP BY t.doc_id HAVING count(DISTINCT t.shingle) >= 5
         |ORDER BY t.doc_id""".stripMargin,
+    // string 8-grams (the width-8 gram-hash collision canary licenses the
+    // hash↔string equivalence); coalesce over BIGINT counts stays BIGINT
+    "llm_eval_leakage" ->
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT DISTINCT doc_id, source,
+        |        w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |        w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS gram
+        |      FROM words, unnest(generate_series(1, len(w) - 7)) AS s(i)),
+        |ev AS (SELECT doc_id AS eval_id, gram FROM g WHERE source = 'src0'),
+        |tr AS (SELECT doc_id AS train_id, gram FROM g WHERE source <> 'src0'),
+        |hits AS (SELECT eval_id, count(DISTINCT tr.gram) AS n_leaked_grams,
+        |                count(DISTINCT train_id) AS n_train_docs
+        |         FROM ev JOIN tr ON ev.gram = tr.gram GROUP BY eval_id),
+        |tot AS (SELECT eval_id, count(*) AS n_grams FROM ev GROUP BY eval_id)
+        |SELECT d.doc_id AS eval_id,
+        |  coalesce(t.n_grams, 0) AS n_grams,
+        |  coalesce(h.n_leaked_grams, 0) AS n_leaked_grams,
+        |  coalesce(h.n_train_docs, 0) AS n_train_docs
+        |FROM documents d
+        |LEFT JOIN tot t ON t.eval_id = d.doc_id
+        |LEFT JOIN hits h ON h.eval_id = d.doc_id
+        |WHERE d.source = 'src0' ORDER BY eval_id""".stripMargin,
+    // string shingles (width-3 canary licenses hash↔string); every count
+    // here is count(*)/count(DISTINCT) → BIGINT, `//` stays BIGINT
+    "llm_source_overlap" ->
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT source, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM words, unnest(generate_series(1, len(w) - 2)) AS s(i)
+        |  WHERE len(w) >= 3),
+        |sz AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+        |sh AS (SELECT a.source AS src1, b.source AS src2, count(*) AS n_shared
+        |       FROM g a JOIN g b ON a.shingle = b.shingle AND a.source < b.source
+        |       GROUP BY 1, 2)
+        |SELECT src1, src2, n_shared, s1.n AS n1, s2.n AS n2,
+        |  CAST((2 * n_shared * 1000000 + (s1.n + s2.n - n_shared))
+        |       // (2 * (s1.n + s2.n - n_shared)) AS BIGINT) AS jaccard_e6
+        |FROM sh JOIN sz s1 ON s1.source = src1 JOIN sz s2 ON s2.source = src2
+        |ORDER BY src1, src2""".stripMargin,
     "llm_stratified_sample" ->
       s"""SELECT lang, n_total, n_sampled, CAST(n_sampled AS DOUBLE) / n_total AS rate
         |FROM (SELECT lang, count(*) AS n_total,

@@ -159,6 +159,25 @@ object Extras {
           count(lit(1)).as("n"))
         .orderBy(col("l_returnflag"))
     }),
+    // ✓ per-source exact-duplicate rate (r13): the DQ face of the dedup
+    // family — a crawl source whose duplicate rate jumps is re-serving
+    // cached pages (or the fetcher looped), and that shows up HERE
+    // before it shows up as wasted training tokens. Exact content
+    // identity via md5 (identical in both engines over identical
+    // strings); the shuffle carries 16-byte fingerprints per (source,
+    // fp), never text — the llm_fingerprint posture. e6 rate via
+    // half-up integer division (the pt_burn_rate discipline).
+    "dq_duplicate_rate" -> ((s, d) => {
+      Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_distinct"))
+        .select(col("source"), col("n_docs"), col("n_distinct"),
+          (col("n_docs") - col("n_distinct")).as("n_dups"),
+          expr("(2 * (n_docs - n_distinct) * 1000000 + n_docs)" +
+            " div (2 * n_docs)").as("dup_rate_e6"))
+        .orderBy(col("source"))
+    }),
     // ◌ seeded Bernoulli sample: RNG is engine-specific, so no oracle;
     // self-parity (OpsSmokeSpec) asserts run-to-run determinism and the
     // fraction bound is unit-tested.
@@ -917,6 +936,15 @@ object Extras {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'qty', l_quantity FROM lineitem) u
         |ORDER BY l_orderkey, l_linenumber, metric, val""".stripMargin,
+    // CASTs: count(*) is BIGINT but the *1000000 products and `//`
+    // quotients must land back in BIGINT for the typed driver hash
+    "dq_duplicate_rate" ->
+      """SELECT source, count(*) AS n_docs,
+        |  count(DISTINCT md5(text)) AS n_distinct,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dups,
+        |  CAST((2 * (count(*) - count(DISTINCT md5(text))) * 1000000
+        |        + count(*)) // (2 * count(*)) AS BIGINT) AS dup_rate_e6
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "dq_profile" ->
       """SELECT col_name, n, n_null, n_distinct, min_val, max_val, mean_e6 FROM (
         |  SELECT 'l_quantity' AS col_name, count(*) AS n,

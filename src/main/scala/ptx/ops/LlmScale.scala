@@ -448,6 +448,30 @@ object LlmScale {
         .withColumn("flagged", expr("5 * covered_tokens >= n_tokens"))
         .orderBy(col("doc_id"))
     }),
+    // ✓ prefix-duplicate groups (r13): docs sharing an identical
+    // first-4-word prefix — the truncation/boilerplate-head duplicate
+    // class exact content dedup misses (a re-fetch stored mid-render is
+    // a strict prefix of the full page; header boilerplate stamps one
+    // opening line across a whole domain). Not a near-dup heuristic:
+    // membership is exact string equality on the prefix, so the report
+    // is oracle-exact. Every doc in a ≥2 group reports its group's
+    // canonical (min doc_id) and size — the same keep-lowest convention
+    // as the cluster finisher.
+    // Scale: one scan → one window keyed on md5(prefix) (16-byte
+    // shuffle key, the llm_dedup_exact posture — never text bytes);
+    // group fan-out IS the duplicate group.
+    "llm_dedup_prefix" -> ((s, d) => {
+      val pre = Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(split(col("text"), " "), 1, 4))).as("fp"))
+      val w = Window.partitionBy(col("fp"))
+      pre
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("canonical_id", min(col("doc_id")).over(w))
+        .filter(col("group_size") >= 2)
+        .select(col("doc_id"), col("canonical_id"), col("group_size"))
+        .orderBy(col("doc_id"))
+    }),
     // ✓ blocked edit-distance near-dup (r6): the title/short-text dedup
     // pass (Levenshtein) the shingle family can't express — character-level
     // edits (typos, template slot changes) barely move a 3-word shingle
@@ -641,6 +665,41 @@ object LlmScale {
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
       ivfProbe(cent, cells, probes, nprobe = 3, k = 5)
     }),
+    // ✓ ANN RECALL audit (r13): recall@5 of the IVF probe against the
+    // exact brute-force top-5, per probe — the quality gauge every
+    // approximate index needs next to its speed numbers (an IVF whose
+    // recall silently decays under distribution drift is a worse bug
+    // than a slow one). Both sides are deterministic (float32 centroids,
+    // sim-desc/cand-id tie-break), so the recall is oracle-EXACT, not a
+    // statistical bound. Scale: the exact side is probe-bounded (10
+    // probes × corpus, broadcast probe side — the llm_knn_cosine shape,
+    // a quality-audit SAMPLE at 100 TB, never a corpus×corpus pass);
+    // the IVF side is the indexed probe. e6 fixed-point recall via
+    // half-up integer division (the pt_burn_rate discipline).
+    "llm_ann_recall" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      val ivf = ivfProbe(ivfCentroids(e), e, probes, nprobe = 3, k = 5)
+        .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
+      val wEx = Window.partitionBy(col("probe_id"))
+        .orderBy(col("sim").desc, col("cand_id"))
+      val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("c"))
+        .crossJoin(broadcast(probes))
+        .filter(col("probe_id") =!= col("cand_id"))
+        .withColumn("sim", expr("cosine_sim(p, c)"))
+        .withColumn("rnk", row_number().over(wEx))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("cand_id"))
+      exact.join(ivf, Seq("probe_id", "cand_id"), "left_outer")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("k"),
+          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+        .select(col("probe_id"), col("n_hit"),
+          expr("(2 * n_hit * 1000000 + k) div (2 * k)").as("recall_e6"))
+        .orderBy(col("probe_id"))
+    }),
     // ✓ int8 symmetric embedding quantization (r4): per-vector scale =
     // max|x| / 127, q_i = floor(x_i·127/mx + 0.5) — the 4× memory cut
     // that makes billion-vector ANN candidate scans fit executor RAM at
@@ -795,6 +854,45 @@ object LlmScale {
     })
   )
 
+  /** The IVF probe's DuckDB CTE block (float32 centroids → nprobe=3
+    * cells → exact candidate scoring → `ranked`), shared verbatim by the
+    * `llm_ann_ivf` oracle and the `llm_ann_recall` audit — one SQL
+    * source, mirroring the Spark side's shared [[ivfProbe]]. */
+  private def ivfSqlCtes: String =
+    """cent AS (
+      |  SELECT label, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS c
+      |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
+      |  GROUP BY label, i),
+      |centv AS (
+      |  SELECT label, list_transform(list(c ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
+      |  FROM cent GROUP BY label),
+      |pv AS (SELECT vec_id AS probe_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p
+      |       FROM embeddings WHERE vec_id < 10),
+      |cells AS (
+      |  SELECT probe_id, p, label FROM (
+      |    SELECT probe_id, p, label,
+      |      row_number() OVER (PARTITION BY probe_id ORDER BY csim DESC, label) AS crnk
+      |    FROM (
+      |      SELECT probe_id, p, c.label,
+      |        list_dot_product(p, cv)
+      |          / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(cv, cv))) AS csim
+      |      FROM pv CROSS JOIN centv c) x) y
+      |  WHERE crnk <= 3),
+      |cands AS (
+      |  SELECT cells.probe_id, cells.p, e.vec_id AS cand_id,
+      |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cvv
+      |  FROM cells JOIN embeddings e ON cells.label = e.label
+      |  WHERE e.vec_id <> cells.probe_id),
+      |sims AS (
+      |  SELECT probe_id, cand_id,
+      |         list_dot_product(p, cvv)
+      |           / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(cvv, cvv))) AS sim
+      |  FROM cands),
+      |ranked AS (
+      |  SELECT probe_id, cand_id, sim,
+      |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
+      |  FROM sims)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the prefix filter is exact (see the operator note), so the full
     // inverted-index oracle applies — at the strong threshold
@@ -864,6 +962,19 @@ object LlmScale {
         |  5 * coalesce(cov.covered, 0) >= t.n_tokens AS flagged
         |FROM t2 t LEFT JOIN cov USING (doc_id) LEFT JOIN occ USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+    // exact md5-of-prefix equality on both sides; window count(*) is
+    // BIGINT in DuckDB (no HUGEINT cast needed)
+    "llm_dedup_prefix" ->
+      """WITH pre AS (
+        |  SELECT doc_id,
+        |         md5(array_to_string((string_split(text, ' '))[1:4], ' ')) AS fp
+        |  FROM documents),
+        |g AS (SELECT doc_id,
+        |             count(*) OVER (PARTITION BY fp) AS group_size,
+        |             min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+        |      FROM pre)
+        |SELECT doc_id, canonical_id, group_size FROM g
+        |WHERE group_size >= 2 ORDER BY doc_id""".stripMargin,
     "llm_dedup_lev" ->
       """WITH d AS (
         |  SELECT doc_id, text, n_chars,
@@ -897,41 +1008,35 @@ object LlmScale {
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
     "llm_ann_ivf" ->
-      """WITH cent AS (
-        |  SELECT label, i, CAST(avg(CAST(embedding[i] AS DOUBLE)) AS REAL) AS c
-        |  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) s
-        |  GROUP BY label, i),
-        |centv AS (
-        |  SELECT label, list_transform(list(c ORDER BY i), x -> CAST(x AS DOUBLE)) AS cv
-        |  FROM cent GROUP BY label),
-        |pv AS (SELECT vec_id AS probe_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS p
-        |       FROM embeddings WHERE vec_id < 10),
-        |cells AS (
-        |  SELECT probe_id, p, label FROM (
-        |    SELECT probe_id, p, label,
-        |      row_number() OVER (PARTITION BY probe_id ORDER BY csim DESC, label) AS crnk
-        |    FROM (
-        |      SELECT probe_id, p, c.label,
-        |        list_dot_product(p, cv)
-        |          / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(cv, cv))) AS csim
-        |      FROM pv CROSS JOIN centv c) x) y
-        |  WHERE crnk <= 3),
-        |cands AS (
-        |  SELECT cells.probe_id, cells.p, e.vec_id AS cand_id,
-        |         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS cvv
-        |  FROM cells JOIN embeddings e ON cells.label = e.label
-        |  WHERE e.vec_id <> cells.probe_id),
-        |sims AS (
+      (s"WITH $ivfSqlCtes\n" +
+      """SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim FROM ranked
+        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin),
+    // the recall audit reuses the IVF CTE block verbatim (one SQL source,
+    // like the Spark side sharing ivfProbe) and joins it against the
+    // brute-force exact top-5; CASTs keep the integer outputs BIGINT
+    // (DuckDB sum() over integers is HUGEINT — the [TYPE] audit class)
+    "llm_ann_recall" ->
+      (s"WITH $ivfSqlCtes,\n" +
+      """ivf AS (SELECT probe_id, cand_id FROM ranked WHERE rnk <= 5),
+        |exv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |        FROM embeddings),
+        |expairs AS (
+        |  SELECT p.vec_id AS probe_id, c.vec_id AS cand_id,
+        |         list_dot_product(p.v, c.v)
+        |           / (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim
+        |  FROM exv p JOIN exv c ON p.vec_id < 10 AND p.vec_id <> c.vec_id),
+        |exranked AS (
         |  SELECT probe_id, cand_id,
-        |         list_dot_product(p, cvv)
-        |           / (sqrt(list_dot_product(p, p)) * sqrt(list_dot_product(cvv, cvv))) AS sim
-        |  FROM cands),
-        |ranked AS (
-        |  SELECT probe_id, cand_id, sim,
         |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
-        |  FROM sims)
-        |SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim FROM ranked
-        |WHERE rnk <= 5 ORDER BY probe_id, rnk""".stripMargin,
+        |  FROM expairs),
+        |exact AS (SELECT probe_id, cand_id FROM exranked WHERE rnk <= 5)
+        |SELECT e.probe_id,
+        |  CAST(sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST((2 * sum(CASE WHEN i.cand_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |        + count(*)) // (2 * count(*)) AS BIGINT) AS recall_e6
+        |FROM exact e LEFT JOIN ivf i
+        |  ON e.probe_id = i.probe_id AND e.cand_id = i.cand_id
+        |GROUP BY e.probe_id ORDER BY e.probe_id""".stripMargin),
     "llm_dedup_embed" ->
       """WITH v AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -153,6 +153,38 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
     }),
+    // ✓ hot-shingle df audit (r13): top-20 3-word shingles by document
+    // frequency (ties broken on the shingle string) plus each one's
+    // corpus doc-share — THE df-skew diagnostic that parameterizes the
+    // dedup family (the containment prefix filter's rarity cutoff and
+    // MinHash banding both assume a df shape; a corpus whose hottest
+    // shingle spans half the docs needs the df-robust formulations —
+    // SCALE.md measured the containment anchor blowing up ~10× under
+    // exactly that skew while the prefix twin held). The shingle-grain
+    // sibling of llm_stopword_candidates (word df): stopwords tune
+    // CLEANING, hot shingles tune DEDUP. String shingles here — the
+    // output IS the shingle and the tie-break must be the string in both
+    // engines (a 20-row report, not a shuffle key; the hashed kernel
+    // stays for the wide dedup paths).
+    // Scale: (shingle → distinct-doc) df agg bounded by the shingle
+    // vocabulary, global top-20 = TakeOrdered, broadcast 1-row total.
+    "llm_hot_shingles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dfw = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(w) >= 3 THEN
+            |  array_distinct(transform(sequence(1, size(w) - 2),
+            |    i -> concat_ws(' ', slice(w, i, 3))))
+            |ELSE array() END""".stripMargin)).as("shingle"))
+        .groupBy(col("shingle")).agg(countDistinct(col("doc_id")).as("df"))
+      dfw.crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+        .select(col("shingle"), col("df"),
+          expr("(2 * df * 1000000 + n_docs) div (2 * n_docs)")
+            .as("doc_share_e6"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)
+    }),
     // ✓ length histogram (r9): 50-char bucket distribution of document
     // lengths with each bucket's corpus share — the length profile a
     // curation pass checks before choosing truncation/packing budgets.
@@ -402,6 +434,20 @@ object TextAnalysis {
         |FROM dfw CROSS JOIN t
         |WHERE df * 2 >= n_docs
         |ORDER BY df DESC, word""".stripMargin,
+    // string shingles on BOTH sides (the tie-break is the string);
+    // count(DISTINCT) is BIGINT so no HUGEINT cast needed
+    "llm_hot_shingles" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |  FROM words, unnest(generate_series(1, len(w) - 2)) AS s(i)
+        |  WHERE len(w) >= 3),
+        |dfw AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM g GROUP BY shingle),
+        |t AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT shingle, df,
+        |  CAST((2 * df * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS doc_share_e6
+        |FROM dfw CROSS JOIN t
+        |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
     // grams grouped by their STRING here (the Spark side's 64-bit
     // GramHashes keys are a shuffle-width optimization; identical counts
     // absent a 64-bit collision — the llm_dedup_spans precedent)

@@ -56,6 +56,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_ccnet_buckets" -> listFns,
       "llm_split_contamination" -> listFns,
       "llm_doc_novelty" -> listFns,
+      "llm_eval_leakage" -> listFns,
+      "llm_ann_recall" -> listFns,
+      "llm_source_overlap" -> listFns,
+      "llm_hot_shingles" -> listFns,
+      "llm_dedup_prefix" -> listFns,
       "dq_embedding_outliers" -> "ORDER BY inside list() + list_dot_product",
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_drift_ks" -> "HUGEINT type (Spark: DECIMAL(38,0))",
