@@ -81,6 +81,82 @@ object LlmScale {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** Per-doc containment-verify frame from a (doc_id, h) hashed-shingle
+    * stream: distinct-shingle count + ascending hash set — the
+    * minhashSignatures set columns without the minhash work. ONE
+    * definition shared by the `llm_containment_prefix` query and the
+    * persisted [[ptx.sources.ContainIndex]]. */
+  private[ptx] def containSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"),
+      sort_array(collect_list(col("h"))).as("shset"))
+
+  /** SSJoin prefix entries `(doc_id, h, rk)` with `rk ≤ ⌊n_sh·(1−t)⌋+1`,
+    * ranked df-ascending (ties on h). EXACTNESS NEVER DEPENDS ON `dfreq`:
+    * the prefix theorem is pigeonhole — if containment(src→dst) ≥ t then
+    * ANY ⌊(1−t)·n_src⌋+1 distinct shingles of src must intersect dst — so
+    * any (h → df) ranking frame (full corpus df, a stale persisted df, a
+    * shard-local estimate) yields a complete candidate generator; df
+    * quality only buys SELECTIVITY (rare-first prefixes fan out less).
+    * This is what makes [[ptx.sources.ContainIndex]]'s build-time
+    * prefixes exact forever under corpus growth. Shingles absent from
+    * `dfreq` rank rarest (df 0).
+    *
+    * The +1e-6 rounding guard is LOAD-BEARING (r13): `(1 − 0.8)` is
+    * 0.19999…96 in doubles, so `n·(1−t)` lands a hair BELOW its exact
+    * value whenever that value is an integer (n=5: 0.9999…8 → floor 0,
+    * one prefix shingle short of the pigeonhole bound — a boundary pair
+    * whose dst misses exactly that shingle would be LOST; latent in the
+    * inline query since r9, never triggered on the fixture — its oracle
+    * is the full inverted index, so parity would have caught a miss).
+    * The guard only ever ENLARGES the prefix (a superset stays a
+    * complete candidate generator), so results are unchanged where the
+    * bug never fired. */
+  private[ptx] def containPrefix(sh: DataFrame, dfreq: DataFrame,
+                                 sizes: DataFrame, t: Double): DataFrame = {
+    val rarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
+    sh.join(dfreq, Seq("h"), "left_outer")
+      .na.fill(0L, Seq("df"))
+      .withColumn("rk", row_number().over(rarity))
+      .join(sizes.select(col("doc_id"), col("n_sh")), Seq("doc_id"))
+      .filter(col("rk") <= floor(col("n_sh") * (1 - t) + 1e-6) + 1)
+      .select(col("doc_id"), col("h"), col("rk"))
+  }
+
+  /** Exact directed-containment verify over a candidate pair frame
+    * `(src, dst)` against a set frame `(doc_id, n_sh, shset)`:
+    * c = |src∩dst| / n_src via the codegen'd sorted-merge count, kept at
+    * c ≥ t (unrounded), rounded 6dp for output. Shared by the query and
+    * the index probe. Requires `VectorOps.register` on the session. */
+  private[ptx] def containVerify(cands: DataFrame, sets: DataFrame,
+                                 t: Double): DataFrame = {
+    val c = col("inter").cast("double") / col("n1")
+    cands
+      .join(sets.toDF("src", "n1", "set1"), Seq("src"))
+      .join(sets.toDF("dst", "n2", "set2"), Seq("dst"))
+      .withColumn("inter", expr("sorted_intersect_count(set1, set2)"))
+      .filter(c >= t)
+      .select(col("src"), col("dst"), round(c, 6).as("containment"))
+  }
+
+  /** The whole prefix-filtered containment pass over an arbitrary
+    * (doc_id, text) frame at threshold `t` — the `llm_containment_prefix`
+    * body, exposed unordered so IoSpec can recompute ground truth over
+    * corpus∪shard unions when asserting [[ptx.sources.ContainIndex]]
+    * probe parity. Pins the set frame; caller releases (releaseAll). */
+  private[ptx] def containPairs(docs: DataFrame, t: Double): DataFrame = {
+    ptx.functions.VectorOps.register(docs.sparkSession)
+    val sh = ptx.functions.TextShingles.shingles(docs)
+      .select(col("doc_id"), col("shingle").as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val docAgg = ptx.Caching.pin(containSets(sh))
+    val cands = containPrefix(sh, dfreq, docAgg, t)
+      .select(col("doc_id").as("src"), col("h"))
+      .join(sh.toDF("dst", "h"), Seq("h"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    containVerify(cands, docAgg, t)
+  }
+
   /** IVF coarse centroids: full-dimension float32 mean vector per cell
     * (cell = label; a production build substitutes k-means assignments).
     * The float32 CAST is deliberate — it absorbs avg()'s double-ulp
@@ -299,38 +375,12 @@ object LlmScale {
     // itself — measured, docs/SCALE.md §10× probe); at t=0.8 the filter
     // bites and the formulation survives df skew. Same ≈2e-11 64-bit
     // hash-collision caveat as minhash-lsh.
-    "llm_containment_prefix" -> ((s, d) => {
-      ptx.functions.VectorOps.register(s) // sorted_intersect_count kernel
-      val t = 0.8 // strong containment — quote/extraction detection
-      // shingles arrive as 64-bit keys already (TextShingles r10)
-      val sh = shingles(s, d)
-        .select(col("doc_id"), col("shingle").as("h"))
-      val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      // diamond apex: per-doc size + sorted hash set feed the prefix rank,
-      // and both verify sides. Released via Caching.releaseAll().
-      val docAgg = ptx.Caching.pin(
-        sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"),
-          sort_array(collect_list(col("h"))).as("shset")))
-      val rarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("h"))
-      val pref = sh.join(dfreq, Seq("h"))
-        .withColumn("rk", row_number().over(rarity))
-        .join(docAgg.select(col("doc_id"), col("n_sh")), Seq("doc_id"))
-        .filter(col("rk") <= floor(col("n_sh") * (1 - t)) + 1)
-        .select(col("doc_id"), col("h"))
-      // directed candidates: src's prefix shingle hits ANY shingle of dst
-      val cands = pref.toDF("src", "h")
-        .join(sh.toDF("dst", "h"), Seq("h"))
-        .filter(col("src") =!= col("dst"))
-        .select(col("src"), col("dst")).distinct()
-      val c = col("inter").cast("double") / col("n1")
-      cands
-        .join(docAgg.toDF("src", "n1", "set1"), Seq("src"))
-        .join(docAgg.toDF("dst", "n2", "set2"), Seq("dst"))
-        .withColumn("inter", expr("sorted_intersect_count(set1, set2)"))
-        .filter(c >= t)
-        .select(col("src"), col("dst"), round(c, 6).as("containment"))
-        .orderBy(col("src"), col("dst"))
-    }),
+    // body = the shared [[containPairs]] recipe (r13 — ONE definition
+    // with the persisted ptx.sources.ContainIndex probe, the DedupIndex
+    // discipline: diamond apex pinned inside, released via releaseAll)
+    "llm_containment_prefix" -> ((s, d) =>
+      containPairs(Tables.documents(s, d), t = 0.8)
+        .orderBy(col("src"), col("dst"))),
     // ✓ cross-document duplicated-SPAN detection (r9) — the exact-substring
     // dedup pass of "Deduplicating Training Data Makes Language Models
     // Better" (Lee et al., arXiv:2107.06499), re-expressed relationally:

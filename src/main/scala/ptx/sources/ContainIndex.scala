@@ -1,0 +1,266 @@
+package ptx.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Persisted containment index (r13): the build-once / probe-many split
+  * of the SSJoin prefix-filtered containment pass — the fourth member of
+  * the persisted-artifact family ([[VectorIndex]] ANN, [[DedupIndex]]
+  * near-dup, [[DeconIndex]] decontamination, this for quote/verbatim
+  * containment admission).
+  *
+  * `llm_containment_prefix` shingles and df-ranks the whole corpus
+  * inline — right for a one-shot audit, wrong for incremental arrivals:
+  * re-shingling petabytes to ask "is this shard's text contained in (or
+  * containing) anything we already hold?" is the cost this index removes.
+  * Each admission is linear in the SHARD.
+  *
+  * WHY BUILD-TIME PREFIXES STAY EXACT (the load-bearing property): the
+  * prefix theorem is PIGEONHOLE — if containment(src→dst) ≥ t then ANY
+  * ⌊(1−t)·n_src⌋+1 distinct shingles of src must intersect dst. The
+  * df-rarity ranking only improves candidate SELECTIVITY, never recall,
+  * so prefixes ranked with build-time df remain complete candidate
+  * generators under any later corpus growth — index staleness can slow a
+  * probe, but can never lose a pair. Verification is exact
+  * (codegen'd sorted-merge count over persisted sorted hash sets), so
+  * `probe` returns byte-identical pairs to an inline full recompute over
+  * corpus∪shard restricted to shard-touching pairs (asserted in IoSpec),
+  * even though the two computations generate different candidate sets.
+  * Shared recipe objects ([[ptx.ops.LlmScale.containSets]]/
+  * `containPrefix`/`containVerify`) make divergence from the query path a
+  * compile-time impossibility.
+  *
+  * Layout (every writer lands under `batch=<tag>` in overwrite mode — the
+  * [[DedupIndex]] idempotent-replay contract):
+  *  - `sets/`   (doc_id, n_sh, shset)  — the exact-verify side;
+  *  - `post/`   (h, doc_id)            — full shingle postings, the
+  *    shard-prefix → corpus candidate join side;
+  *  - `prefix/` (doc_id, h, rk)        — each corpus doc's build-time
+  *    prefix entries, the corpus → shard-shingle candidate join side;
+  *  - `df/`     (h, df)                — additive per-batch df parts
+  *    (merged by sum on use; selectivity only, see above);
+  *  - `meta/`   one row (t, n_docs)    — the build threshold travels with
+  *    the index; probes at t' < t would need a larger prefix than stored
+  *    and fail loudly.
+  *
+  * Scale: a probe never shuffles the index. Both candidate joins stream
+  * index scans against the BROADCAST shard side (shard prefixes ≈
+  * ⌊0.2·n_sh⌋+1 keys/doc; shard shingles are shard-sized), the verify
+  * fetches only candidate ids' sets (broadcast semi join, or — micro
+  * batches — a collected In(doc_id,…) filter that prunes the
+  * [[compact]]ed doc_id-range layout on footer min/max), and the shard's
+  * own shingling is the only corpus-independent heavy pass. df merging
+  * touches only the shard's vocabulary (the df scan is semi-joined to the
+  * broadcast shard hash set before aggregating).
+  */
+object ContainIndex {
+
+  /** Corpus pass: shingle `docs` (doc_id, text) once and persist all four
+    * tables plus meta. `t` is the build threshold — probes require
+    * t' ≥ t. */
+  def write(docs: DataFrame, dir: String, t: Double = 0.8): Unit = {
+    require(t > 0 && t < 1, s"threshold must be in (0,1), got $t")
+    val spark = docs.sparkSession
+    val sh = ptx.functions.TextShingles.shingles(docs)
+      .select(col("doc_id"), col("shingle").as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val sets = ptx.ops.LlmScale.containSets(sh)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val nDocs = sets.count() // materializes the pins for the writers
+        ptx.Jobs.par(
+          () => sets.write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/sets/batch=base"),
+          () => sh.select(col("h"), col("doc_id"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/post/batch=base"),
+          () => dfreq.write.mode(SaveMode.Overwrite)
+            .parquet(s"$dir/df/batch=base"),
+          () => ptx.ops.LlmScale.containPrefix(sh, dfreq, sets, t)
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/prefix/batch=base"))
+        import spark.implicits._
+        Seq((t, nDocs)).toDF("t", "n_docs").coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+      } finally { dfreq.unpersist(); sets.unpersist() }
+    } finally sh.unpersist()
+  }
+
+  /** The stored (t, n_docs) row. */
+  def meta(spark: SparkSession, dir: String): org.apache.spark.sql.Row =
+    spark.read.parquet(s"$dir/meta").select("t", "n_docs").head()
+
+  /** Directed containment pairs `(src, dst, containment ≥ t)` touching the
+    * new shard — shard↔index both directions and shard↔shard, never
+    * index↔index (reported when their shards were admitted). Shingles only
+    * the shard. `t` must be ≥ the build threshold (a smaller t needs a
+    * larger prefix than the index stores); a larger t reuses the stored
+    * (bigger-than-needed) prefixes — still complete, only less selective.
+    *
+    * `microBatch = true` is the streaming-admission shape (the
+    * [[DedupIndex.probeSigned]] contract): every shard-derived frame is
+    * broadcastable by construction, and the bounded candidate-id /
+    * prefix-hash sets are collected and pushed as In(…) filters into the
+    * [[compact]]ed range layouts so the heavy scans prune on footer
+    * min/max. */
+  def probe(spark: SparkSession, dir: String, newDocs: DataFrame,
+            t: Double = 0.8, microBatch: Boolean = false): DataFrame =
+    probeSh(spark, dir,
+      ptx.Caching.pin(ptx.functions.TextShingles.shingles(newDocs)
+        .select(col("doc_id"), col("shingle").as("h"))),
+      t, microBatch)
+      .orderBy(col("src"), col("dst"))
+
+  /** [[probe]] on an already-shingled (and caller-cached) shard frame —
+    * the shingle-once path for admission pipelines that also
+    * [[appendSh]] the same frame (the [[DedupIndex.probeSigned]]
+    * contract). Output is UNORDERED. */
+  private[ptx] def probeSh(spark: SparkSession, dir: String,
+                           shardSh: DataFrame, t: Double = 0.8,
+                           microBatch: Boolean = false): DataFrame = {
+    ptx.functions.VectorOps.register(spark) // sorted_intersect_count
+    val buildT = meta(spark, dir).getDouble(0)
+    require(t >= buildT,
+      s"probe threshold $t < build threshold $buildT: the stored prefixes " +
+        s"are sized for t ≥ $buildT (rebuild the index for a weaker gate)")
+    def small(df: DataFrame): DataFrame = if (microBatch) broadcast(df) else df
+    val shardSets = ptx.Caching.pin(ptx.ops.LlmScale.containSets(shardSh))
+    // rank the shard's prefixes by index df + the shard's own df — the
+    // best available merged estimate. The df scan is pruned to the
+    // shard's vocabulary BEFORE aggregating (broadcast semi join), so the
+    // merge shuffles shard-vocab rows, never the index vocabulary.
+    // Selectivity-only either way (see the pigeonhole note above).
+    val shardH = shardSh.select(col("h")).distinct()
+    val idxDf = spark.read.parquet(s"$dir/df")
+      .select(col("h"), col("df"))
+      .join(broadcast(shardH), Seq("h"), "left_semi")
+    val dfreq = idxDf
+      .unionByName(shardSh.groupBy(col("h")).agg(count(lit(1)).as("df")))
+      .groupBy(col("h")).agg(sum(col("df")).as("df"))
+    val shardPrefix = ptx.Caching.pin(
+      ptx.ops.LlmScale.containPrefix(shardSh, dfreq, shardSets, t)
+        .select(col("doc_id").as("src"), col("h")))
+    // direction A — shard doc as src: its prefix hits ANY index posting
+    // (plus the shard's own shingles, so intra-shard pairs are caught).
+    // The posting scan streams against the broadcast prefix; micro-batch
+    // probes additionally push the bounded prefix-hash set into the scan.
+    val post0 = spark.read.parquet(s"$dir/post").select(col("h"), col("doc_id"))
+    val post =
+      if (microBatch) {
+        val hs = shardPrefix.select(col("h")).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        post0.filter(col("h").isin(hs: _*))
+      } else post0
+    val candsA = small(shardPrefix)
+      .join(post.toDF("h", "dst"), Seq("h"))
+      .unionByName(small(shardPrefix).join(shardSh.toDF("dst", "h"), Seq("h")))
+    // direction B — index doc as src: its BUILD-TIME prefix hits any
+    // shard shingle (complete by pigeonhole regardless of df drift)
+    val candsB = spark.read.parquet(s"$dir/prefix")
+      .select(col("doc_id").as("src"), col("h"))
+      .join(small(shardSh.toDF("dst", "h")), Seq("h"))
+    val cands = ptx.Caching.pin(candsA.select(col("src"), col("dst"))
+      .unionByName(candsB.select(col("src"), col("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct())
+    // verify reads only candidate ids' sets (the DedupIndex r12 contract);
+    // dropDuplicates covers the retried-admission case where shard docs
+    // already landed in the index (identical rows — pure text functions)
+    val candIds = cands.select(explode(array(col("src"), col("dst")))
+      .as("doc_id")).distinct()
+    val allSets = spark.read.parquet(s"$dir/sets")
+      .select(col("doc_id"), col("n_sh"), col("shset"))
+      .unionByName(shardSets.select(col("doc_id"), col("n_sh"), col("shset")))
+    val candSets =
+      if (microBatch) {
+        val wanted = candIds.collect().map(_.getLong(0)).toSeq
+        allSets.filter(col("doc_id").isin(wanted: _*))
+      } else allSets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val sets = ptx.Caching.pin(candSets.dropDuplicates("doc_id"))
+    ptx.ops.LlmScale.containVerify(small(cands), small(sets), t)
+  }
+
+  /** Admit a shard under its own `batch=<tag>` partition (overwrite —
+    * re-admitting a tag replaces, never duplicates). The shard's prefix
+    * entries are ranked with index+shard df at admission time — exact
+    * forever by the pigeonhole argument, like every other prefix here.
+    * Call after [[probe]]'s action completes (and its pins released). */
+  def append(newDocs: DataFrame, dir: String, tag: String): Unit = {
+    val sh = ptx.functions.TextShingles.shingles(newDocs)
+      .select(col("doc_id"), col("shingle").as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try appendSh(sh, dir, tag)
+    finally sh.unpersist()
+  }
+
+  /** [[append]] on an already-shingled (and caller-cached) shard frame —
+    * the shingle-once path: an admission pipeline that just [[probeSh]]'d
+    * the shard admits the accepted subset by FILTERING the same cached
+    * frame instead of re-shingling the accepted text (bit-identical —
+    * shingles are pure functions of the text). `parts > 0` coalesces
+    * each table write (the [[DedupIndex.appendSigned]] micro-batch
+    * small-files contract). */
+  private[ptx] def appendSh(sh: DataFrame, dir: String, tag: String,
+                            parts: Int = 0): Unit = {
+    val spark = sh.sparkSession
+    val buildT = meta(spark, dir).getDouble(0)
+    def shaped(df: DataFrame) = if (parts > 0) df.coalesce(parts) else df
+    val locDf = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sets = ptx.ops.LlmScale.containSets(sh)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sets.count() // materialize the pins before the concurrent writers
+      val shardH = sh.select(col("h")).distinct()
+      val mergedDf = spark.read.parquet(s"$dir/df")
+        .select(col("h"), col("df"))
+        .join(broadcast(shardH), Seq("h"), "left_semi")
+        .unionByName(locDf)
+        .groupBy(col("h")).agg(sum(col("df")).as("df"))
+      ptx.Jobs.par(
+        () => shaped(sets).write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/sets/batch=$tag"),
+        () => shaped(sh.select(col("h"), col("doc_id")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/post/batch=$tag"),
+        () => shaped(locDf).write.mode(SaveMode.Overwrite)
+          .parquet(s"$dir/df/batch=$tag"),
+        () => shaped(ptx.ops.LlmScale.containPrefix(sh, mergedDf, sets, buildT))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/prefix/batch=$tag"))
+    } finally { locDf.unpersist(); sets.unpersist() }
+  }
+
+  /** Compact the accumulated per-batch partitions into a fresh
+    * single-snapshot copy at `dst` (never in place — the Io.compact
+    * contract): sets range-laid by doc_id (the verify's In(doc_id,…)
+    * pruning), post and prefix range-laid by h (per-file disjoint key
+    * intervals → footer pruning under the micro-batch In(h,…) path), df
+    * parts SUMMED into one part (reads stop paying the per-part merge).
+    * Probes against the copy are row-identical (asserted in IoSpec). */
+  def compact(spark: SparkSession, dir: String, dst: String): Unit = {
+    Io.assertDisjointPaths(spark, dir, dst)
+    spark.read.parquet(s"$dir/sets")
+      .select(col("doc_id"), col("n_sh"), col("shset"))
+      .repartitionByRange(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/sets/batch=base")
+    spark.read.parquet(s"$dir/post")
+      .select(col("h"), col("doc_id"))
+      .repartitionByRange(col("h"))
+      .sortWithinPartitions(col("h"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/post/batch=base")
+    spark.read.parquet(s"$dir/prefix")
+      .select(col("doc_id"), col("h"), col("rk"))
+      .repartitionByRange(col("h"))
+      .sortWithinPartitions(col("h"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/prefix/batch=base")
+    spark.read.parquet(s"$dir/df")
+      .groupBy(col("h")).agg(sum(col("df")).as("df"))
+      .repartitionByRange(col("h"))
+      .sortWithinPartitions(col("h"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$dst/df/batch=base")
+    spark.read.parquet(s"$dir/meta")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dst/meta")
+  }
+}

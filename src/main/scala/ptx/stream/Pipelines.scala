@@ -1194,6 +1194,62 @@ object Pipelines {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
 
+  /** One batch's CONTAINMENT probe → policy-filter → admit pass — the
+    * [[containAdmission]] per-batch core, the [[admitShardBatch]] shape
+    * at the containment grain (r13): each arriving doc batch is shingled
+    * ONCE (the pinned shingle frame feeds the index probe AND the
+    * admission append), probed against the persisted
+    * [[ptx.sources.ContainIndex]] for directed containment pairs
+    * (quote/verbatim extraction — the duplicate class Jaccard banding
+    * cannot route), filtered by the same deterministic smallest-id
+    * policy (containment pairs are directed; the policy symmetrizes —
+    * a batch doc contained in OR containing an admitted/index doc, or a
+    * smaller-id batch sibling, is rejected), and the survivors admitted
+    * under the batch's own index partitions. All sinks batch-scoped
+    * overwrites — idempotent replay end to end, zero streaming state. */
+  private[ptx] def admitContainBatch(batch: DataFrame, id: Long,
+                                     indexDir: String, outDir: String,
+                                     threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    val b = ptx.Caching.pin(batch.select(col("doc_id"), col("text")))
+    try withoutAqe(spark) {
+      val sh = ptx.Caching.pin(
+        ptx.functions.TextShingles.shingles(b)
+          .select(col("doc_id"), col("shingle").as("h")))
+      val pairs = ptx.Caching.pin(ptx.sources.ContainIndex.probeSh(
+        spark, indexDir, sh, threshold, microBatch = true))
+      val pairRows = t("contain pairs collect") { pairs.collect() }
+      val ids = t("ids collect") {
+        b.select(col("doc_id")).collect().map(_.getLong(0)).toSet }
+      val rejected = rejectedByPolicy(
+        pairRows.map(r => (r.getLong(0), r.getLong(1))), ids)
+      val rejSeq = rejected.toSeq
+      t("contain sink round") { ptx.Jobs.par(
+        () => pairs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/pairs/batch=$id"),
+        () => b.filter(!col("doc_id").isin(rejSeq: _*))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/accepted/batch=$id"),
+        () => ptx.sources.ContainIndex.appendSh(
+          sh.filter(!col("doc_id").isin(rejSeq: _*)),
+          indexDir, s"b$id", parts = 1)) }
+    } finally ptx.Caching.release(spark)
+  }
+
+  /** Streaming containment admission against the persisted
+    * [[ptx.sources.ContainIndex]] — the [[shardAdmission]] twin for the
+    * contained/containing duplicate class (see [[admitContainBatch]]). */
+  def containAdmission(docs: DataFrame, indexDir: String, outDir: String,
+                       checkpoint: String, threshold: Double = 0.8)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        admitContainBatch(batch, id, indexDir, outDir, threshold)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Composed streaming INGEST ADMISSION (r11): the full document-shard
     * admission stack in ONE foreachBatch — the streaming twin of the
     * composed batch `llm_curation_pipeline` discipline (each stage IS

@@ -216,6 +216,23 @@ object StreamBench {
       runAdm() // warm
       val admSec = runAdm()
 
+      // containment admission (r13): the same 10% shard through the
+      // persisted ContainIndex — the directed quote/verbatim duplicate
+      // class Jaccard banding cannot route. Fresh index per timed run
+      // (admission mutates it), build outside the window, like runAdm.
+      def runContain(): Double = {
+        val idx = tmpDir("ptx-sb-cadmidx")
+        ptx.sources.ContainIndex.write(admBase, idx)
+        val cp = tmpDir("ptx-sb-cadmcp"); val outDir = tmpDir("ptx-sb-cadmout")
+        val src = spark.readStream.schema(admShard.schema).parquet(shardStaged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.containAdmission(src, idx, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runContain() // warm
+      val cadmSec = runContain()
+
       // composed ingest admission (r11): the full drift → decon →
       // near-dup stack over the same shard — its cost vs the bare
       // admission above is what the two scan-side gates add. The eval
@@ -354,6 +371,7 @@ object StreamBench {
         :+ s""""volume_gate":{"sec":${fmt(volSec)},"rows_per_sec":${fmt(rows / volSec)}}"""
         :+ s""""shard_admission":{"sec":${fmt(admSec)},"rows_per_sec":${fmt(shardRows / admSec)},"rows":$shardRows}"""
         :+ s""""shard_admission_5x":{"sec":${fmt(adm5Sec)},"rows_per_sec":${fmt(shard5Rows / adm5Sec)},"rows":$shard5Rows}"""
+        :+ s""""contain_admission":{"sec":${fmt(cadmSec)},"rows_per_sec":${fmt(shardRows / cadmSec)},"rows":$shardRows}"""
         :+ s""""ann_serve":{"sec":${fmt(serveSec)},"rows_per_sec":${fmt(probeRows / serveSec)},"rows":$probeRows}"""
         :+ s""""ann_serve_10x":{"sec":${fmt(serve10Sec)},"rows_per_sec":${fmt(probe10Rows / serve10Sec)},"rows":$probe10Rows}"""
         :+ s""""ann_serve_50x":{"sec":${fmt(serve50Sec)},"rows_per_sec":${fmt(probe50Rows / serve50Sec)},"rows":$probe50Rows}"""

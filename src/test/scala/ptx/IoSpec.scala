@@ -321,6 +321,89 @@ class IoSpec extends AnyFunSuite {
     assert(verdicts(appended).exists(_._3 > 0), "no contamination hits — vacuous")
   }
 
+  test("persisted containment index: incremental probes equal the inline full recompute (r13)") {
+    val dir = tmp("ptx-containidx")
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val shard1 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 5)
+    val shard2 = docs.filter(col("doc_id") % 10 === 5)
+    // ground truth: the shared inline recipe over the FULL corpus — the
+    // pairs at threshold t are uniquely determined by the texts, so every
+    // incremental probe must return exactly the full-corpus pairs touching
+    // its shard (restricted to docs indexed-or-arriving so far), even
+    // though the index generates candidates from BUILD-TIME prefixes (the
+    // pigeonhole argument in the ContainIndex scaladoc)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    def full(t: Double) = {
+      val p = ptx.ops.LlmScale.containPairs(docs, t).collect().map(key).toSet
+      ptx.Caching.releaseAll(); p
+    }
+    val full08 = full(0.8)
+    val s1 = shard1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = shard2.select("doc_id").collect().map(_.getLong(0)).toSet
+    ptx.sources.ContainIndex.write(base, dir, t = 0.8)
+    val probe1 = ptx.sources.ContainIndex.probe(spark, dir, shard1)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    val want1 = full08.filter { case (a, b, _) =>
+      (s1(a) || s1(b)) && !s2(a) && !s2(b) }
+    assert(probe1 == want1, s"shard1 probe diverged (${probe1.size} vs ${want1.size})")
+    // admit shard1, then shard2's probe must also see shard1's docs
+    ptx.sources.ContainIndex.append(shard1, dir, "s1")
+    val probe2 = ptx.sources.ContainIndex.probe(spark, dir, shard2)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    val want2 = full08.filter { case (a, b, _) => s2(a) || s2(b) }
+    assert(probe2 == want2, s"shard2 probe diverged (${probe2.size} vs ${want2.size})")
+    // probing at a STRICTER threshold reuses the stored (larger) prefixes
+    val probe2strict = ptx.sources.ContainIndex.probe(spark, dir, shard2, t = 0.9)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    val want2strict = full(0.9).filter { case (a, b, _) => s2(a) || s2(b) }
+    assert(probe2strict == want2strict, "strict-threshold probe diverged")
+    // a WEAKER threshold needs a larger prefix than stored — refused loudly
+    val ex = intercept[IllegalArgumentException] {
+      ptx.sources.ContainIndex.probe(spark, dir, shard2, t = 0.5)
+    }
+    assert(ex.getMessage.contains("build threshold"))
+    // retried-admission idempotency: after shard2's append LANDED, a
+    // replayed probe returns the same pairs with no duplicated rows
+    ptx.sources.ContainIndex.append(shard2, dir, "s2")
+    val rows2 = ptx.sources.ContainIndex.probe(spark, dir, shard2)
+      .collect().map(key).toSeq
+    ptx.Caching.releaseAll()
+    assert(rows2.distinct.size == rows2.size, "retried probe duplicated pair rows")
+    assert(rows2.toSet == want2, "retried probe diverged from the original")
+    // the micro-batch shape (broadcast shard + collected In-filters)
+    // returns identical rows
+    val probeMb = ptx.sources.ContainIndex
+      .probe(spark, dir, shard2, microBatch = true)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    assert(probeMb == want2, "micro-batch probe diverged")
+    // compaction: the merged single-snapshot copy answers identically and
+    // collapses the per-batch partitions (df parts additionally SUM-merge)
+    val cdir = tmp("ptx-containidx-compact")
+    ptx.sources.ContainIndex.compact(spark, dir, cdir)
+    val probeC = ptx.sources.ContainIndex
+      .probe(spark, cdir, shard2, microBatch = true)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    assert(probeC == want2, "compacted-index probe diverged")
+    def batchParts(p: String, table: String): Int = new java.io.File(s"$p/$table")
+      .listFiles().count(_.getName.startsWith("batch="))
+    assert(batchParts(dir, "post") == 3 && batchParts(cdir, "post") == 1,
+      "expected 3 source / 1 compacted post partitions")
+    assert(batchParts(cdir, "df") == 1, "df parts did not merge")
+    val inPlace = intercept[IllegalArgumentException] {
+      ptx.sources.ContainIndex.compact(spark, dir, s"$dir/nested")
+    }
+    assert(inPlace.getMessage.contains("outside"))
+    // the fixture must actually exercise both shard pair classes
+    assert(want1.nonEmpty && want2.nonEmpty, "fixture produced no shard pairs")
+  }
+
   test("deterministic k-means: reproducible cells that beat the global mean cosine (r5)") {
     val e = Tables.embeddings(spark, TestSpark.SF)
     val (cent1, assign1) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)

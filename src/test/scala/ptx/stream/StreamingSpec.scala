@@ -816,6 +816,70 @@ class StreamingSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("containAdmission: streamed shards probe, filter, and admit against the containment index (r13)") {
+    val idx = java.nio.file.Files.createTempDirectory("contain_adm_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("contain_adm_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("contain_adm_cp").toString
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    val base = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val shard1 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 5)
+    val shard2 = docs.filter(col("doc_id") % 10 === 5)
+    ptx.sources.ContainIndex.write(base, idx, t = 0.8)
+    // ground truth: containment(src→dst) is a pure function of the two
+    // texts, so the full-corpus inline pair set restricted to each
+    // batch's visible doc universe IS what each probe must see
+    val full = ptx.ops.LlmScale.containPairs(docs, 0.8)
+      .select("src", "dst").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    ptx.Caching.releaseAll()
+    // the admission policy symmetrizes the directed pairs
+    val adjFull = full.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    def partners(d: Long): Set[Long] = adjFull.getOrElse(d, Set.empty)
+    val s1 = shard1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = shard2.select("doc_id").collect().map(_.getLong(0)).toSet
+    val baseIds = base.select("doc_id").collect().map(_.getLong(0)).toSet
+    def rows(df: DataFrame) = df.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ms = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    ms.addData(rows(shard1))
+    Pipelines.containAdmission(ms.toDF().toDF("doc_id", "text"), idx, out, cp)
+      .awaitTermination()
+    // batch 1 through a RESTARTED query on the same checkpoint: the index
+    // now holds base ∪ accepted(batch 0)
+    ms.addData(rows(shard2))
+    Pipelines.containAdmission(ms.toDF().toDF("doc_id", "text"), idx, out, cp)
+      .awaitTermination()
+    val rej1 = s1.filter(d => partners(d).exists(o =>
+      baseIds(o) || (s1(o) && o < d)))
+    val acc1 = s1 -- rej1
+    val vis1 = baseIds ++ acc1
+    val rej2 = s2.filter(d => partners(d).exists(o =>
+      vis1(o) || (s2(o) && o < d)))
+    val acc2 = s2 -- rej2
+    def acceptedIds(id: Int): Set[Long] =
+      spark.read.parquet(s"$out/accepted/batch=$id")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(acceptedIds(0) == acc1, "batch 0 accepted set diverged")
+    assert(acceptedIds(1) == acc2, "batch 1 accepted set diverged")
+    // each probe's audit pairs = directed ground truth on its universe
+    def pairIds(id: Int): Set[(Long, Long)] =
+      spark.read.parquet(s"$out/pairs/batch=$id")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want0 = full.filter { case (a, b) =>
+      (s1(a) || s1(b)) && !s2(a) && !s2(b) }
+    val want1 = full.filter { case (a, b) =>
+      (s2(a) || s2(b)) && Seq(a, b).forall(x => vis1(x) || s2(x)) }
+    assert(pairIds(0) == want0, "batch 0 pair audit diverged")
+    assert(pairIds(1) == want1, "batch 1 pair audit diverged")
+    assert(rej1.nonEmpty && acc1.nonEmpty && rej2.nonEmpty && acc2.nonEmpty,
+      s"vacuous fixture: rej1=${rej1.size} acc1=${acc1.size} " +
+        s"rej2=${rej2.size} acc2=${acc2.size}")
+    ptx.Caching.releaseAll()
+  }
+
   test("composed ingest admission: every stage equals its standalone gate core; survivors admit (r11)") {
     val docs = ptx.Tables.documents(spark, TestSpark.SF)
     val idx = java.nio.file.Files.createTempDirectory("ingest_idx").toString
