@@ -155,10 +155,13 @@ object Curation {
     "llm_eval_leakage" -> ((s, d) => {
       ptx.functions.TextGrams.register(s)
       val docs = Tables.documents(s, d)
-      val evalG = docs.filter(col("source") === "src0")
+      // pinned: the distinct eval-gram frame feeds the broadcast hits
+      // join AND the per-eval totals — unpinned, the eval side
+      // tokenizes/hashes twice (bounded either way, but free to fix)
+      val evalG = ptx.Caching.pin(docs.filter(col("source") === "src0")
         .select(col("doc_id").as("eval_id"),
           explode(expr("gram_hashes(split(text, ' '), 8)")).as("h"))
-        .distinct()
+        .distinct())
       // train grams NOT deduped pre-join: the per-eval countDistinct
       // dedups anyway, and a corpus-wide (doc, gram) distinct would be
       // a second full-corpus shuffle for nothing
