@@ -21,8 +21,15 @@ def main() -> None:
     base = runs[0]
     merged = {k: v for k, v in base.items() if k != "pipelines"}
     merged["method"] = f"median_of_{len(runs)}"
+    # union of pipeline names across runs (a newer run may carry rows an
+    # older one predates — each name medians over the runs that have it)
+    names = {}
+    for r in runs:
+        for name in r["pipelines"]:
+            names.setdefault(name, None)
     pipes = {}
-    for name, row in base["pipelines"].items():
+    for name in names:
+        row = next(r["pipelines"][name] for r in runs if name in r["pipelines"])
         secs = [r["pipelines"][name]["sec"] for r in runs if name in r["pipelines"]]
         med = statistics.median(secs)
         rows = row.get("rows", base.get("rows"))

@@ -281,6 +281,22 @@ object StreamBench {
       runAdm5() // warm
       val adm5Sec = runAdm5()
 
+      // containment admission at the same 5× shard (r13): the README/
+      // SCALE.md claim that contain_admission's floor amortizes like the
+      // others needs its own measured point, not an analogy
+      def runContain5(): Double = {
+        val idx = tmpDir("ptx-sb-cadm5idx")
+        ptx.sources.ContainIndex.write(adm5Base, idx)
+        val cp = tmpDir("ptx-sb-cadm5cp"); val outDir = tmpDir("ptx-sb-cadm5out")
+        val src = spark.readStream.schema(adm5Shard.schema).parquet(shard5Staged)
+        val t0 = System.nanoTime()
+        val q = ptx.stream.Pipelines.containAdmission(src, idx, outDir, cp)
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runContain5() // warm
+      val cadm5Sec = runContain5()
+
       // composed ingest at the same 5× shard (r13): the amortization
       // point for the FULL gate+dedup stack — per-batch fixed cost
       // (driver jobs, broadcast builds, single-file sinks) dominates at
@@ -372,6 +388,7 @@ object StreamBench {
         :+ s""""shard_admission":{"sec":${fmt(admSec)},"rows_per_sec":${fmt(shardRows / admSec)},"rows":$shardRows}"""
         :+ s""""shard_admission_5x":{"sec":${fmt(adm5Sec)},"rows_per_sec":${fmt(shard5Rows / adm5Sec)},"rows":$shard5Rows}"""
         :+ s""""contain_admission":{"sec":${fmt(cadmSec)},"rows_per_sec":${fmt(shardRows / cadmSec)},"rows":$shardRows}"""
+        :+ s""""contain_admission_5x":{"sec":${fmt(cadm5Sec)},"rows_per_sec":${fmt(shard5Rows / cadm5Sec)},"rows":$shard5Rows}"""
         :+ s""""ann_serve":{"sec":${fmt(serveSec)},"rows_per_sec":${fmt(probeRows / serveSec)},"rows":$probeRows}"""
         :+ s""""ann_serve_10x":{"sec":${fmt(serve10Sec)},"rows_per_sec":${fmt(probe10Rows / serve10Sec)},"rows":$probe10Rows}"""
         :+ s""""ann_serve_50x":{"sec":${fmt(serve50Sec)},"rows_per_sec":${fmt(probe50Rows / serve50Sec)},"rows":$probe50Rows}"""

@@ -281,6 +281,87 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("containment index probe plan: index scans join broadcast-shard-side, never shuffle unjoined (r13)") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val shard = docs.filter(col("doc_id") % 5 === 0)
+    val dir = tmp("ptx-cidx-src")
+    ptx.sources.ContainIndex.write(base, dir, t = 0.8)
+    val cdir = tmp("ptx-cidx-compact")
+    ptx.sources.ContainIndex.compact(spark, dir, cdir)
+    // structural assertions need a concrete (non-adaptive) plan
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val nodes = p.collect { case q => q }
+        nodes ++ nodes.flatMap {
+          case im: InMemoryTableScanExec => flatten(im.relation.cachedPlan)
+          case _ => Nil
+        }
+      }
+      def scanOf(p: SparkPlan, path: String): Seq[FileSourceScanExec] =
+        flatten(p).collect {
+          case f: FileSourceScanExec
+            if f.relation.location.rootPaths.exists(_.toString.contains(path)) => f
+        }
+      // an exchange whose child holds an index scan with NO join in
+      // between means raw index rows shuffled before meeting the shard —
+      // the cost the broadcast-shard probe shape exists to remove.
+      // (Exchanges above a join — candidate distinct, verify — carry
+      // candidate-bounded rows and legitimately remain; the df merge
+      // shuffles only the shard's vocabulary and is checked separately.)
+      def unjoinedExchanges(p: SparkPlan, path: String): Seq[SparkPlan] =
+        flatten(p).collect {
+          case e: ShuffleExchangeExec if scanOf(e.child, path).nonEmpty &&
+            flatten(e.child).collect {
+              case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+            }.isEmpty => e
+        }
+      val sh = ptx.Caching.pin(
+        ptx.functions.TextShingles.shingles(shard.select("doc_id", "text"))
+          .select(col("doc_id"), col("shingle").as("h")))
+      val probeM = ptx.sources.ContainIndex.probeSh(spark, cdir, sh,
+        microBatch = true)
+      val planM = probeM.queryExecution.executedPlan
+      val planStr = planM.toString
+      // the two corpus-sized sides stream against the broadcast shard
+      assert(scanOf(planM, s"$cdir/post").nonEmpty, s"no post scan in:\n$planStr")
+      assert(unjoinedExchanges(planM, s"$cdir/post").isEmpty,
+        s"post side shuffled unjoined:\n$planStr")
+      assert(unjoinedExchanges(planM, s"$cdir/prefix").isEmpty,
+        s"prefix side shuffled unjoined:\n$planStr")
+      // the bounded driver-collected sets are pushed INTO the scans:
+      // prefix-hash In(h,…) prunes the post scan, candidate-id
+      // In(doc_id,…) prunes the heavy sets scan (both range-laid by
+      // their key after compact, so the filters prune on footer min/max)
+      assert(planStr.contains("In(h"),
+        s"prefix-hash filter not pushed to the post scan:\n$planStr")
+      assert(planStr.contains("In(doc_id"),
+        s"candidate-id filter not pushed to the sets scan:\n$planStr")
+      probeM.collect()
+      ptx.Caching.releaseAll()
+      // teeth: the default (exchange-form) probe under no-broadcast confs
+      // DOES shuffle the post side — the shape the micro-batch path forbids
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val sh2 = ptx.Caching.pin(
+        ptx.functions.TextShingles.shingles(shard.select("doc_id", "text"))
+          .select(col("doc_id"), col("shingle").as("h")))
+      val probeD = ptx.sources.ContainIndex.probeSh(spark, cdir, sh2)
+      assert(unjoinedExchanges(probeD.queryExecution.executedPlan,
+        s"$cdir/post").nonEmpty,
+        "control failed: default probe shows no unjoined post-side exchange")
+      ptx.Caching.releaseAll()
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast)
+    }
+  }
+
   test("persisted decontamination index: byte-identical round-trip, exact Bloom-union append (r12)") {
     val docs = Tables.documents(spark, TestSpark.SF)
     val evalA = docs.filter(col("doc_id") % 10 === 5)
