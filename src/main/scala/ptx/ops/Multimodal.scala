@@ -37,6 +37,34 @@ object Multimodal {
             .otherwise("video").as("kind"))
         .orderBy(col("doc_id"))
     }),
+    // ✓ per-source modality mix (r13): docs, payload bytes, and e6 doc
+    // share per (source, kind) — the modality-balance report a
+    // multimodal ingest monitors (a source whose image/audio/video mix
+    // lurches is a pipeline change upstream: a new renderer, a broken
+    // extractor — and the mix decides downstream decode capacity). Kind
+    // is the group's deterministic doc_id%3 metadata (mm_binary_meta's
+    // convention); share via half-up e6 against a per-source window
+    // total. The window sum over counts is the HUGEINT oracle class —
+    // CAST in the SQL (the win_range_banded r12 lesson).
+    // Scale: one scan → (source, kind) agg → |sources×kinds| window.
+    "mm_modality_mix" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables.documents(s, d)
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .select(col("source"),
+          when(col("doc_id") % 3 === 0, "image")
+            .when(col("doc_id") % 3 === 1, "audio")
+            .otherwise("video").as("kind"),
+          octet_length(col("payload")).as("nb"))
+        .groupBy(col("source"), col("kind"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nb")).as("n_bytes"))
+        .withColumn("n_src",
+          sum(col("n_docs")).over(Window.partitionBy(col("source"))))
+        .select(col("source"), col("kind"), col("n_docs"), col("n_bytes"),
+          expr("(2 * n_docs * 1000000 + n_src) div (2 * n_src)")
+            .as("doc_share_e6"))
+        .orderBy(col("source"), col("kind"))
+    }),
     // ✓ payload-entropy triage (r11): e6-snapped Shannon entropy (nats)
     // of each payload's byte distribution via the codegen'd
     // `ByteEntropy` kernel — the before-decode health check that
@@ -141,6 +169,22 @@ object Multimodal {
         |  min(doc_id) OVER (PARTITION BY fp) AS keep_id,
         |  doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_canonical
         |FROM b ORDER BY doc_id""".stripMargin,
+    // CASTs: DuckDB sum(BIGINT) — both the byte sum and the per-source
+    // window total — returns HUGEINT while Spark stays int64
+    "mm_modality_mix" ->
+      """WITH m AS (SELECT source,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio'
+        |       ELSE 'video' END AS kind,
+        |  octet_length(encode(text)) AS nb FROM documents),
+        |g AS (SELECT source, kind, count(*) AS n_docs,
+        |        CAST(sum(nb) AS BIGINT) AS n_bytes FROM m GROUP BY 1, 2),
+        |t AS (SELECT source, kind, n_docs, n_bytes,
+        |        CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |      FROM g)
+        |SELECT source, kind, n_docs, n_bytes,
+        |  CAST((2 * n_docs * 1000000 + n_src) // (2 * n_src) AS BIGINT) AS doc_share_e6
+        |FROM t ORDER BY source, kind""".stripMargin,
     // per-byte explode via hex pairs (DuckDB has no blob-element access);
     // the term expression and rounding mirror the kernel's pinned
     // parenthesization exactly

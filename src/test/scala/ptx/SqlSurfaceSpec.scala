@@ -77,6 +77,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "fn_regex" -> "regexp_matches (Spark: rlike)",
       "fn_hash" -> "sha256() (Spark: sha2(x, 256))",
       "mm_binary_meta" -> "1-arg encode() (Spark encode needs charset)",
+      "mm_modality_mix" -> "1-arg encode() (Spark encode needs charset)",
       "mm_dedup_payload" -> "1-arg encode() (Spark encode needs charset)",
       "mm_payload_entropy" -> "1-arg encode() + hex-pair byte explode",
       // DuckDB-only syntax
