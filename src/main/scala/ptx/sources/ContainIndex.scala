@@ -53,6 +53,13 @@ import org.apache.spark.storage.StorageLevel
   * own shingling is the only corpus-independent heavy pass. df merging
   * touches only the shard's vocabulary (the df scan is semi-joined to the
   * broadcast shard hash set before aggregating).
+  *
+  * Caller contract (the [[DedupIndex]] one): doc_ids are unique
+  * corpus-wide. Replaying an admission under ITS OWN tag is idempotent
+  * (batch-scoped overwrite); re-admitting the same docs under a NEW tag
+  * duplicates their sets/post/prefix rows (probe results survive via
+  * dropDuplicates, but df counts inflate — selectivity-only, never
+  * correctness, by the pigeonhole note above).
   */
 object ContainIndex {
 
