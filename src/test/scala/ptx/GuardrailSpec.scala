@@ -169,4 +169,35 @@ class GuardrailSpec extends AnyFunSuite {
   test("gram-hash collision canary: width 8 (llm_doc_novelty / llm_split_contamination)") {
     assertGramHashInjective(8, "doc-novelty + split-contamination")
   }
+
+  // prefix-size boundary canary (r13): the pigeonhole bound is
+  // ⌊n·(1−t)⌋+1, and (1−0.8) in doubles is 0.1999…96 — so at every n
+  // where n·(1−t) is exactly integral the raw floor lands ONE SHORT
+  // (n=5 → 0.999…8 → 0), which would make the prefix an incomplete
+  // candidate generator (a latent miss-class bug in the inline query
+  // until r13's epsilon guard). This pins the guarded size at exactly
+  // the integral boundaries for every n the fixture's doc sizes span.
+  test("containment prefix sizes hit the exact pigeonhole bound at integral n·(1−t) (r13)") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val t = 0.8
+    // synthetic doc d_n with n distinct single-word "shingles" — sizes
+    // sweep both the integral boundaries (multiples of 5) and their
+    // neighbors
+    val sizes = Seq(3, 4, 5, 6, 9, 10, 11, 14, 15, 16, 20, 25, 40, 100)
+    val sh = sizes.flatMap(n => (1 to n).map(i => (n.toLong, i.toLong)))
+      .toDF("doc_id", "h")
+    val dfreq = sh.groupBy($"h").agg(count(lit(1)).as("df"))
+    val szs = sh.groupBy($"doc_id").agg(count(lit(1)).as("n_sh"))
+    val got = ptx.ops.LlmScale.containPrefix(sh, dfreq, szs, t)
+      .groupBy($"doc_id").agg(count(lit(1)).as("k"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    sizes.foreach { n =>
+      val want = (BigDecimal(n) * (1 - BigDecimal(t))).setScale(
+        0, BigDecimal.RoundingMode.FLOOR).toInt + 1
+      assert(got(n) == want,
+        s"prefix size for n=$n: got ${got(n)}, pigeonhole bound needs $want")
+    }
+  }
 }
