@@ -32,7 +32,10 @@ def canon_type(t):
     """Collapse type spellings the driver's hash treats as equal; keep the
     ones it distinguishes (HUGEINT, DECIMAL) verbatim."""
     t = t.upper()
-    t = re.sub(r"\b(TINYINT|SMALLINT|INTEGER|BIGINT)\b", "INT", t)
+    # U? : DuckDB's unsigned widths (UTINYINT..UBIGINT) hash like their
+    # signed spellings too; HUGEINT/UHUGEINT stay distinct (no \b between
+    # U and TINYINT would otherwise never match — hence the explicit U?).
+    t = re.sub(r"\bU?(TINYINT|SMALLINT|INTEGER|BIGINT)\b", "INT", t)
     t = re.sub(r"\b(REAL|FLOAT|DOUBLE)\b", "FLOAT", t)
     t = re.sub(r"\bTIMESTAMP(_NS|_MS|_S)?( WITH TIME ZONE)?\b", "TIMESTAMP", t)
     return t

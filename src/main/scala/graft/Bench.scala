@@ -12,12 +12,16 @@ import java.nio.file.{Files, Paths}
   *   - LAST line: short parseable JSON — total + the 12 BASELINE.md subset
   *     queries only (~600 B, survives any tail capture).
   *
-  * Method (BASELINE.md §Method + round-2 advice): queries run in sorted-key
-  * order; each query gets one untimed warm run (absorbs codegen/classload
-  * that single-run timing charged to whichever query ran first) and one
-  * timed run; operator-pinned caches are released BETWEEN runs and AFTER
-  * the timing capture, so the timed run does full work and unpersist
-  * bookkeeping is not in the measured time.
+  * Method (BASELINE.md §Method + round-2 advice + r13 verdict #1): queries
+  * run in sorted-key order; each query gets one untimed warm run (absorbs
+  * codegen/classload that single-run timing charged to whichever query ran
+  * first) and THREE timed runs ($SPARK_GRAFT_BENCH_RUNS to override) whose
+  * median is the reported figure and whose min is dumped alongside;
+  * operator-pinned caches are released BETWEEN runs and AFTER each timing
+  * capture, so every timed run does full work and unpersist bookkeeping is
+  * not in the measured time. Single-run per-query numbers at ±30% noise
+  * made 3 of r13's 5 biggest apparent regressions phantom — the median map
+  * is the regression instrument.
   *
   * Runs force FULL materialization (`queryExecution.toRdd.count()`, every
   * output column evaluated) to match BASELINE.md's collect()-based method.
@@ -34,9 +38,24 @@ object Bench {
     "win_topk_per_group", "win_running_sum", "pt_sessionize", "pt_tumbling_1h",
     "llm_dedup_exact", "llm_wordcount", "llm_knn_cosine", "set_except")
 
+  /** Median that is fair for even sizes (ADVICE r13: `good(n/2)` on an
+    * even-sized survivor set picked the upper-middle — a pessimistic bias
+    * silently labeled median_of_3 when one run failed). Odd → middle;
+    * even → mean of the two middles; empty → -1. */
+  private def median(sorted: Seq[Double]): Double =
+    if (sorted.isEmpty) -1.0
+    else if (sorted.size % 2 == 1) sorted(sorted.size / 2)
+    else (sorted(sorted.size / 2 - 1) + sorted(sorted.size / 2)) / 2.0
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // ≥3 timed runs PER QUERY (r14, VERDICT r13 #1): the single-run
+    // 224-query map at ±30% noise made 3 of r13's 5 biggest apparent
+    // regressions phantom (pt_gap_fill dumped 1.83 s, warm re-time
+    // 0.90 s). Medianizing the full map — not just the graded subset —
+    // turns docs/bench_r<N>_queries.json into a usable regression diff.
+    val runsPerQuery = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -68,9 +87,10 @@ object Bench {
     // full materialization — see the Method note above
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
+    // name -> (median, min, survivor count) over `runsPerQuery` timed runs
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () } // warm
-      ptx.Caching.releaseAll() // timed run must redo the cached work too
+      ptx.Caching.releaseAll() // timed runs must redo the cached work too
       // every 10 queries: force a driver GC so ContextCleaner reaps the
       // dead broadcasts/shuffles the last ~20 executions accumulated, and
       // give its async thread a beat to drain — OUTSIDE the timed region,
@@ -81,11 +101,14 @@ object Bench {
         System.gc()
         Thread.sleep(200)
       }
-      val t0 = System.nanoTime()
-      val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-      val dt = (System.nanoTime() - t0) / 1e9
-      ptx.Caching.releaseAll()
-      name -> (if (ok) dt else -1.0)
+      val times = (1 to runsPerQuery).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
+        val dt = (System.nanoTime() - t0) / 1e9
+        ptx.Caching.releaseAll()
+        if (ok) Some(dt) else None
+      }.sorted
+      name -> ((median(times), if (times.isEmpty) -1.0 else times.head, times.size))
     }
     // Locale.ROOT: a comma-decimal default locale would render 30,123 and
     // break every JSON consumer of this output
@@ -93,45 +116,33 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def qjson(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val medians = results.map { case (k, (med, _, _)) => k -> med }
+    val mins = results.map { case (k, (_, mn, _)) => k -> mn }
+    // a query whose survivor count fell below runsPerQuery had a failed
+    // run — name it rather than silently degrading the median's label
+    val degraded = results.collect { case (k, (_, _, n)) if n < runsPerQuery => k }
+    val methodLabel = s"median_of_$runsPerQuery"
+    val total = medians.map(_._2).filter(_ >= 0).sum
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$methodLabel","queries":${qjson(medians)},"sf":"$sfDir"}"""
     println(full)
-    // 3-run MEDIAN for the graded 12-query subset (r13, VERDICT r12 #3):
-    // the single-run method let one contention artifact read as a 38%
-    // regression in r12. The sweep above contributes run 1; two more
-    // timed runs per subset query (same releaseAll + full-materialization
-    // discipline) give a per-query median that a one-off scheduler stall
-    // cannot move. The full 217-query map stays single-run — tripling the
-    // whole sweep would triple bench wall for queries nobody grades.
-    val firstRun = results.toMap
-    val subsetMedian = BaselineSubset.sorted.map { name =>
-      val fn = SparkEntry.queries(name)
-      val more = (1 to 2).map { _ =>
-        ptx.Caching.releaseAll()
-        val t0 = System.nanoTime()
-        val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
-        val dt = (System.nanoTime() - t0) / 1e9
-        ptx.Caching.releaseAll()
-        if (ok) dt else -1.0
-      }
-      val good = (more :+ firstRun.getOrElse(name, -1.0)).filter(_ >= 0).sorted
-      val med =
-        if (good.isEmpty) -1.0
-        else good(good.size / 2)
-      name -> med
-    }
+    // the graded 12-query subset reads its medians straight off the full
+    // sweep (r14: the whole map is median-of-3 now, so the r13 subset-only
+    // re-run pass is gone — same discipline, one code path)
+    val medianMap = medians.toMap
+    val subsetMedian = BaselineSubset.sorted.map(n => n -> medianMap.getOrElse(n, -1.0))
     val subsetTotal = subsetMedian.map(_._2).filter(_ >= 0).sum
     // the full per-query dump (committed per round as
     // docs/bench_r<N>_queries.json so regressions stay diffable) carries
-    // the subset medians alongside the single-run map
+    // per-query median AND min — min separates plan cost from noise
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_queries.json")
+    val degradedJson = degraded.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullWithMedian =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${qjson(results)},"baseline_subset_total":${fmt(subsetTotal)},"subset_method":"median_of_3","subset_median":${qjson(subsetMedian)},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","method":"$methodLabel","runs":$runsPerQuery,"degraded":$degradedJson,"queries":${qjson(medians)},"queries_min":${qjson(mins)},"baseline_subset_total":${fmt(subsetTotal)},"subset_method":"$methodLabel","subset_median":${qjson(subsetMedian)},"sf":"$sfDir"}"""
     try Files.writeString(Paths.get(outFile), fullWithMedian + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline_subset_total":${fmt(subsetTotal)},"subset_method":"median_of_3","queries":${qjson(subsetMedian)},"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","baseline_subset_total":${fmt(subsetTotal)},"subset_method":"$methodLabel","queries":${qjson(subsetMedian)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

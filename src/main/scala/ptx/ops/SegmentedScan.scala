@@ -229,7 +229,15 @@ object SegmentedScan {
       import org.apache.spark.sql.types._
       val whole = width == math.rint(width) && width.abs < 9.2e18
       df.schema(value).dataType match {
-        case dt: DecimalType if whole => lit(width.toLong).cast(dt)
+        // Guard the typed literal on representability: a whole width with
+        // more integral digits than the column's (precision − scale) would
+        // cast to NULL (non-ANSI overflow), nulling every probe bound and
+        // silently zeroing the cross-band contribution. Fall back to the
+        // double literal there — such a width exceeds the column's own
+        // value domain anyway, so the exact-arithmetic motivation is moot.
+        case dt: DecimalType
+            if whole && width < math.pow(10, dt.precision - dt.scale) =>
+          lit(width.toLong).cast(dt)
         case ByteType | ShortType | IntegerType | LongType if whole =>
           lit(width.toLong)
         case _ => lit(width)

@@ -168,6 +168,10 @@ object TextAnalysis {
     // stays for the wide dedup paths).
     // Scale: (shingle → distinct-doc) df agg bounded by the shingle
     // vocabulary, global top-20 = TakeOrdered, broadcast 1-row total.
+    // 100 TB posture (SCALE.md: 4.9× at 10× corpus, the one row with
+    // string bytes on the exchange): run this audit on a SAMPLE — df
+    // RANK (what parameterizes dedup) stabilizes at a few million docs;
+    // the full-corpus pass buys only exact counts nobody tunes on.
     "llm_hot_shingles" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dfw = docs

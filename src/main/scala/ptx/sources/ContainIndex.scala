@@ -44,8 +44,14 @@ import org.apache.spark.storage.StorageLevel
   *    the index; probes at t' < t would need a larger prefix than stored
   *    and fail loudly.
   *
-  * Scale: a probe never shuffles the index. Both candidate joins stream
-  * index scans against the BROADCAST shard side (shard prefixes ≈
+  * Scale: a probe never shuffles the index — under `microBatch=true` or
+  * whenever the shard side fits `autoBroadcastJoinThreshold`. Outside
+  * those (a large shard, default mode) the candidate joins degrade to
+  * shuffle joins and the POST scan repartitions like any join side —
+  * IoSpec's control case demonstrates exactly that, so size shards to the
+  * broadcast threshold or probe in micro batches. Within the contract,
+  * both candidate joins stream index scans against the BROADCAST shard
+  * side (shard prefixes ≈
   * ⌊0.2·n_sh⌋+1 keys/doc; shard shingles are shard-sized), the verify
   * fetches only candidate ids' sets (broadcast semi join, or — micro
   * batches — a collected In(doc_id,…) filter that prunes the
@@ -91,13 +97,22 @@ object ContainIndex {
         import spark.implicits._
         Seq((t, nDocs)).toDF("t", "n_docs").coalesce(1)
           .write.mode(SaveMode.Overwrite).parquet(s"$dir/meta")
+        metaCache.remove(dir) // a rebuild may change t/n_docs
       } finally { dfreq.unpersist(); sets.unpersist() }
     } finally sh.unpersist()
   }
 
-  /** The stored (t, n_docs) row. */
+  /** The stored (t, n_docs) row — memoized per directory (r14): the meta
+    * read is one driver job, and an admission batch paid it twice (probe
+    * + append) per micro-batch. Meta is written once by [[write]] (which
+    * invalidates the entry) and never touched by appends, so the cache
+    * cannot go stale within the library's own contract. */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.Row]()
+
   def meta(spark: SparkSession, dir: String): org.apache.spark.sql.Row =
-    spark.read.parquet(s"$dir/meta").select("t", "n_docs").head()
+    metaCache.computeIfAbsent(dir,
+      _ => spark.read.parquet(s"$dir/meta").select("t", "n_docs").head())
 
   /** Directed containment pairs `(src, dst, containment ≥ t)` touching the
     * new shard — shard↔index both directions and shard↔shard, never
@@ -120,15 +135,42 @@ object ContainIndex {
       t, microBatch)
       .orderBy(col("src"), col("dst"))
 
+  private def dbg[A](name: String)(f: => A): A =
+    if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG")) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[cidx] $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    } else f
+
+  /** Everything a probe pins, exposed so an admission pipeline can admit
+    * the accepted subset from the SAME pinned frames ([[appendArtifacts]])
+    * instead of recomputing sets/df/prefix from the shard text — r14,
+    * VERDICT r13 #3: the append's internal meta-read + materialize-count
+    * + df-merge barriers were ~half the contain batch's sink-round wall.
+    * All frames are [[ptx.Caching]] pins owned by the caller's release
+    * scope; `prefix` is (doc_id, h, rk) ranked at `probeT` with the
+    * merged index+shard df. */
+  private[ptx] case class ProbeArtifacts(pairs: DataFrame, sh: DataFrame,
+                                         sets: DataFrame, prefix: DataFrame,
+                                         probeT: Double, buildT: Double)
+
   /** [[probe]] on an already-shingled (and caller-cached) shard frame —
     * the shingle-once path for admission pipelines that also
     * [[appendSh]] the same frame (the [[DedupIndex.probeSigned]]
     * contract). Output is UNORDERED. */
   private[ptx] def probeSh(spark: SparkSession, dir: String,
                            shardSh: DataFrame, t: Double = 0.8,
-                           microBatch: Boolean = false): DataFrame = {
+                           microBatch: Boolean = false): DataFrame =
+    probeArtifacts(spark, dir, shardSh, t, microBatch).pairs
+
+  /** [[probeSh]], returning the pinned intermediates alongside the pair
+    * frame (see [[ProbeArtifacts]]). */
+  private[ptx] def probeArtifacts(spark: SparkSession, dir: String,
+                                  shardSh: DataFrame, t: Double = 0.8,
+                                  microBatch: Boolean = false): ProbeArtifacts = {
     ptx.functions.VectorOps.register(spark) // sorted_intersect_count
-    val buildT = meta(spark, dir).getDouble(0)
+    val buildT = dbg("meta head") { meta(spark, dir).getDouble(0) }
     require(t >= buildT,
       s"probe threshold $t < build threshold $buildT: the stored prefixes " +
         s"are sized for t ≥ $buildT (rebuild the index for a weaker gate)")
@@ -146,9 +188,12 @@ object ContainIndex {
     val dfreq = idxDf
       .unionByName(shardSh.groupBy(col("h")).agg(count(lit(1)).as("df")))
       .groupBy(col("h")).agg(sum(col("df")).as("df"))
-    val shardPrefix = ptx.Caching.pin(
-      ptx.ops.LlmScale.containPrefix(shardSh, dfreq, shardSets, t)
-        .select(col("doc_id").as("src"), col("h")))
+    // the full (doc_id, h, rk) frame is the pin — [[appendArtifacts]]
+    // re-reads it as the accepted docs' stored prefix; the probe's two
+    // uses project (src, h) off the cache scan
+    val prefixFull = ptx.Caching.pin(
+      ptx.ops.LlmScale.containPrefix(shardSh, dfreq, shardSets, t))
+    val shardPrefix = prefixFull.select(col("doc_id").as("src"), col("h"))
     // direction A — shard doc as src: its prefix hits ANY index posting
     // (plus the shard's own shingles, so intra-shard pairs are caught).
     // The posting scan streams against the broadcast prefix; micro-batch
@@ -156,8 +201,9 @@ object ContainIndex {
     val post0 = spark.read.parquet(s"$dir/post").select(col("h"), col("doc_id"))
     val post =
       if (microBatch) {
-        val hs = shardPrefix.select(col("h")).distinct()
-          .collect().map(_.getLong(0)).toSeq
+        val hs = dbg("hs collect") { shardPrefix.select(col("h")).distinct()
+          .collect().map(_.getLong(0)).toSeq }
+        dbg(s"hs size = ${hs.size}")(())
         post0.filter(col("h").isin(hs: _*))
       } else post0
     val candsA = small(shardPrefix)
@@ -182,12 +228,49 @@ object ContainIndex {
       .unionByName(shardSets.select(col("doc_id"), col("n_sh"), col("shset")))
     val candSets =
       if (microBatch) {
-        val wanted = candIds.collect().map(_.getLong(0)).toSeq
+        val wanted = dbg("candIds collect") {
+          candIds.collect().map(_.getLong(0)).toSeq }
+        dbg(s"candIds size = ${wanted.size}")(())
         allSets.filter(col("doc_id").isin(wanted: _*))
       } else allSets.join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val sets = ptx.Caching.pin(candSets.dropDuplicates("doc_id"))
-    ptx.ops.LlmScale.containVerify(small(cands), small(sets), t)
+    ProbeArtifacts(
+      ptx.ops.LlmScale.containVerify(small(cands), small(sets), t),
+      shardSh, shardSets, prefixFull, t, buildT)
   }
+
+  /** Admit the accepted shard subset from a probe's OWN pinned frames
+    * (r14): every table write is a filtered cache scan (the df table
+    * re-aggregates the accepted shingles — one small shuffle inside its
+    * write job), so the whole append rides the caller's concurrent sink
+    * round with no internal meta-read / materialize-count barrier. The
+    * stored prefix is reused verbatim when the probe ran at the build
+    * threshold (the usual admission shape); its ranking df merges the
+    * index with the FULL shard rather than the accepted subset — a
+    * selectivity-only difference (prefix SIZE is what the pigeonhole
+    * completeness argument fixes; see [[ptx.ops.LlmScale.containPrefix]]).
+    * A probe at t > buildT falls back to [[appendSh]] (its prefixes are
+    * smaller than the index stores — incomplete for later t = buildT
+    * probes). */
+  private[ptx] def appendArtifacts(art: ProbeArtifacts,
+                                   keep: DataFrame => DataFrame,
+                                   dir: String, tag: String,
+                                   parts: Int = 0): Unit =
+    if (art.probeT != art.buildT) appendSh(keep(art.sh), dir, tag, parts)
+    else {
+      def shaped(df: DataFrame) = if (parts > 0) df.coalesce(parts) else df
+      val kSh = keep(art.sh)
+      ptx.Jobs.par(
+        () => shaped(keep(art.sets)
+            .select(col("doc_id"), col("n_sh"), col("shset")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/sets/batch=$tag"),
+        () => shaped(kSh.select(col("h"), col("doc_id")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/post/batch=$tag"),
+        () => shaped(kSh.groupBy(col("h")).agg(count(lit(1)).as("df")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/df/batch=$tag"),
+        () => shaped(keep(art.prefix).select(col("doc_id"), col("h"), col("rk")))
+          .write.mode(SaveMode.Overwrite).parquet(s"$dir/prefix/batch=$tag"))
+    }
 
   /** Admit a shard under its own `batch=<tag>` partition (overwrite —
     * re-admitting a tag replaces, never duplicates). The shard's prefix

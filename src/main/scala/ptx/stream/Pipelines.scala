@@ -1,6 +1,6 @@
 package ptx.stream
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
   GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
@@ -1104,6 +1104,24 @@ object Pipelines {
     try f finally spark.conf.set("spark.sql.adaptive.enabled", was)
   }
 
+  /** [[withoutAqe]] plus a micro-batch-sized exchange width (r14): an
+    * admission batch is a few hundred rows by contract, but its ~6
+    * shuffle stages inherit the SESSION's shuffle.partitions — at the
+    * 32-core default that is 32 near-empty tasks per exchange, and task
+    * launch dominates the batch (measured: the contain batch body fell
+    * ~35% at width 4 on 32 cores, identical results). Width 4 keeps
+    * task-launch overlap without fragmenting a 500-row exchange; every
+    * conf is restored on exit. Scoped to foreachBatch admission bodies
+    * only — batch-mode shard probes keep the session width. */
+  private[ptx] def withMicroBatchPlan[A](
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val wasParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_MB_PARTS", "4"))
+    try withoutAqe(spark)(f)
+    finally spark.conf.set("spark.sql.shuffle.partitions", wasParts)
+  }
+
   private def t[A](name: String)(f: => A): A =
     if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG")) {
       val t0 = System.nanoTime()
@@ -1112,25 +1130,68 @@ object Pipelines {
       r
     } else f
 
-  /** The deterministic one-pass rejection policy, DRIVER-SIDE (r13): a
-    * doc `d` of the batch universe `ids` is rejected iff some near-dup
-    * partner `o` is an index doc (`!ids(o)`) or a smaller-id sibling of
-    * the same universe (`ids(o) && o < d`). Pairs are the COLLECTED
-    * probe audit rows — banding-bounded and shard-proportional by
-    * construction (the candIds-collect contract in
-    * [[ptx.sources.DedupIndex.probeSigned]] microBatch mode), so the
-    * set logic that previously ran as a 6-job broadcast-join chain per
-    * micro-batch (union of orientations → semi → outer → distinct →
-    * anti) is a few thousand driver-side set operations. Micro-batch
-    * admission paths only; an unbounded-shard admission keeps the
-    * DataFrame policy (none currently exists — shardAdmission IS the
-    * micro-batch path). */
+  /** The deterministic one-pass rejection policy as an executable SPEC
+    * (r13; demoted from the production path in r14): a doc `d` of the
+    * batch universe `ids` is rejected iff some near-dup partner `o` is
+    * an index doc (`!ids(o)`) or a smaller-id sibling of the same
+    * universe (`ids(o) && o < d`). The admission pipelines now evaluate
+    * this as ONE doc-grain aggregation ([[rejectedDocGrain]], whose
+    * agreement with this function StreamingSpec pins) so driver memory
+    * never scales with the candidate-pair fan-out. */
   private[ptx] def rejectedByPolicy(pairs: Iterable[(Long, Long)],
                                     ids: Long => Boolean): Set[Long] =
     pairs.iterator
       .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
       .collect { case (d, o) if ids(d) && (!ids(o) || o < d) => d }
       .toSet
+
+  /** [[rejectedByPolicy]] as ONE doc-grain aggregation (r14, VERDICT r13
+    * #5): the policy needs only two facts per universe doc `d` over its
+    * pair partners `o` — "some partner lies OUTSIDE the universe" and
+    * "the smallest IN-universe partner" — so the per-batch collect is
+    * |universe|-bounded even when an adversarial boilerplate-heavy shard
+    * fans the candidate-pair frame toward |shard| × |index-candidates|
+    * (the pair-grain collect this replaces grew with exactly that).
+    * The universe test rides as InSet literals (micro-batch-bounded by
+    * the admission contract), not a broadcast join — each broadcast
+    * build is one ~0.2 s plan barrier in-stream. Agreement with the
+    * pair-grain spec is pinned in StreamingSpec. */
+  private[ptx] def rejectedDocGrain(pairs: DataFrame, left: String,
+                                    right: String,
+                                    universe: Set[Long]): Set[Long] =
+    if (universe.isEmpty) Set.empty
+    else {
+      def inU(c: Column) = c.isInCollection(universe)
+      // ONE scan of the (possibly not-yet-materialized) pair frame —
+      // explode, not a self-union: two scans of an uncached verify DAG
+      // inside one job each recompute it
+      val orient = pairs.select(explode(array(
+          struct(col(left).as("d"), col(right).as("o")),
+          struct(col(right).as("d"), col(left).as("o")))).as("p"))
+        .select(col("p.d").as("d"), col("p.o").as("o"))
+      orient.filter(inU(col("d")))
+        .groupBy(col("d"))
+        .agg(max(!inU(col("o"))).as("ext"),
+          min(when(inU(col("o")), col("o"))).as("min_in"))
+        .filter(col("ext") || col("min_in") < col("d"))
+        .select(col("d"))
+        .collect().map(_.getLong(0)).toSet
+    }
+
+  /** `df` minus rows whose `idCol` is in `ids`: an In(...) literal for
+    * small sets, a broadcast local-relation ANTI join above the
+    * threshold (r14, VERDICT r13 #5 — the sink plans previously carried
+    * a rejSeq-length In each, which an all-duplicate shard makes
+    * shard-sized). */
+  private[ptx] def exceptIds(df: DataFrame, idCol: String,
+                             ids: Set[Long], inThreshold: Int = 64): DataFrame =
+    if (ids.isEmpty) df
+    else if (ids.size <= inThreshold) df.filter(!col(idCol).isin(ids.toSeq: _*))
+    else {
+      val spark = df.sparkSession
+      import spark.implicits._
+      df.join(broadcast(ids.toSeq.toDF(idCol)), Seq(idCol), "left_anti")
+    }
 
   private[ptx] def admitShardBatch(batch: DataFrame, id: Long,
                                       indexDir: String, outDir: String,
@@ -1140,7 +1201,7 @@ object Pipelines {
     // filter, and the audit writes — unpinned, each re-plans and
     // re-reads the batch source
     val b = ptx.Caching.pin(batch.select(col("doc_id"), col("text")))
-    try withoutAqe(spark) {
+    try withMicroBatchPlan(spark) {
       // sign ONCE per batch (r12, VERDICT r11 #3): the pinned signature
       // frame feeds the probe's band join AND the admission append —
       // previously the append re-shingled the accepted docs from text, a
@@ -1151,34 +1212,38 @@ object Pipelines {
       // it from cache. microBatch = true: the shard-derived sides
       // broadcast, so the probe is pure stream-static joins — see
       // probeSigned.
-      val pairs = ptx.Caching.pin(ptx.sources.DedupIndex.probeSigned(
-        spark, indexDir, sig, threshold, microBatch = true))
-      // ONE action materializes the chain AND lands the audit-grain pair
-      // set driver-side for the policy (replacing r12's count + 6-job
-      // join chain); the batch id set rides a second cache-scan job
-      val pairRows = t("pairs collect") { pairs.collect() }
-      val ids = t("ids collect") {
-        b.select(col("doc_id")).collect().map(_.getLong(0)).toSet }
-      val rejected = rejectedByPolicy(
-        pairRows.map(r => (r.getLong(0), r.getLong(1))), ids)
-      val rejSeq = rejected.toSeq
+      // probe construction (its micro-batch candidate pruning runs an
+      // eager driver collect) overlaps the tiny batch-universe job, then
+      // ONE action materializes the probe chain AND lands the policy
+      // verdict at DOC grain (r14, VERDICT r13 #5 — the pair-grain
+      // collect this replaces grew with the candidate fan-out)
+      var pairs: DataFrame = null
+      var ids: Set[Long] = null
+      ptx.Jobs.par(
+        () => pairs = ptx.Caching.pin(ptx.sources.DedupIndex.probeSigned(
+          spark, indexDir, sig, threshold, microBatch = true)),
+        () => ids = t("ids collect") {
+          b.select(col("doc_id")).collect().map(_.getLong(0)).toSet })
+      val rejected = t("policy collect") {
+        rejectedDocGrain(pairs, "doc1", "doc2", ids) }
       // all three sinks (pair audit, accepted audit, index admission)
       // share no ordering dependency and are pure cache scans with a
-      // driver-pushed NOT-IN filter — no joins, no broadcast builds —
-      // so the batch runs ONE concurrent sink round (the append fans
-      // into its two table writes the same way): wall ≈ probe cost +
-      // max(write tails), not the sum of four sequential jobs
+      // bounded NOT-IN filter (broadcast anti join above the exceptIds
+      // threshold) — so the batch runs ONE concurrent sink round (the
+      // append fans into its two table writes the same way): wall ≈
+      // probe cost + max(write tails), not the sum of four sequential
+      // jobs.
       // coalesce(1): one file per batch per table — a micro-batch writing
       // #shuffle-partitions KB-files per sink pays one task-commit round
       // per file NOW and the small-files scan tax on every later read
       t("sink round") { ptx.Jobs.par(
         () => pairs.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$id"),
-        () => b.filter(!col("doc_id").isin(rejSeq: _*))
+        () => exceptIds(b, "doc_id", rejected)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/accepted/batch=$id"),
         () => ptx.sources.DedupIndex.appendSigned(
-          sig.filter(!col("doc_id").isin(rejSeq: _*)),
+          exceptIds(sig, "doc_id", rejected),
           indexDir, s"b$id", parts = 1)) }
     } finally ptx.Caching.release(spark) // batch + signature + pair pins
   }
@@ -1212,26 +1277,34 @@ object Pipelines {
                                      threshold: Double): Unit = {
     val spark = batch.sparkSession
     val b = ptx.Caching.pin(batch.select(col("doc_id"), col("text")))
-    try withoutAqe(spark) {
+    try withMicroBatchPlan(spark) {
       val sh = ptx.Caching.pin(
         ptx.functions.TextShingles.shingles(b)
           .select(col("doc_id"), col("shingle").as("h")))
-      val pairs = ptx.Caching.pin(ptx.sources.ContainIndex.probeSh(
-        spark, indexDir, sh, threshold, microBatch = true))
-      val pairRows = t("contain pairs collect") { pairs.collect() }
-      val ids = t("ids collect") {
-        b.select(col("doc_id")).collect().map(_.getLong(0)).toSet }
-      val rejected = rejectedByPolicy(
-        pairRows.map(r => (r.getLong(0), r.getLong(1))), ids)
-      val rejSeq = rejected.toSeq
+      // probe construction (meta read + two eager candidate collects)
+      // overlaps the tiny batch-universe job
+      var art: ptx.sources.ContainIndex.ProbeArtifacts = null
+      var ids: Set[Long] = null
+      ptx.Jobs.par(
+        () => art = ptx.sources.ContainIndex.probeArtifacts(
+          spark, indexDir, sh, threshold, microBatch = true),
+        () => ids = t("ids collect") {
+          b.select(col("doc_id")).collect().map(_.getLong(0)).toSet })
+      val pairs = ptx.Caching.pin(art.pairs)
+      // doc-grain policy verdict in ONE aggregation (r14, VERDICT r13 #5)
+      val rejected = t("contain policy collect") {
+        rejectedDocGrain(pairs, "src", "dst", ids) }
+      // the index admission writes the probe's own pinned frames
+      // (appendArtifacts) — no meta/count/df-merge barriers inside the
+      // sink round, every writer a filtered cache scan
       t("contain sink round") { ptx.Jobs.par(
         () => pairs.coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/pairs/batch=$id"),
-        () => b.filter(!col("doc_id").isin(rejSeq: _*))
+        () => exceptIds(b, "doc_id", rejected)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/accepted/batch=$id"),
-        () => ptx.sources.ContainIndex.appendSh(
-          sh.filter(!col("doc_id").isin(rejSeq: _*)),
+        () => ptx.sources.ContainIndex.appendArtifacts(
+          art, exceptIds(_, "doc_id", rejected),
           indexDir, s"b$id", parts = 1)) }
     } finally ptx.Caching.release(spark)
   }
@@ -1324,17 +1397,25 @@ object Pipelines {
       // runs an eager driver-side collect at plan-construction time,
       // which would otherwise serialize ahead of the gate chain.
       var gateRows: Array[org.apache.spark.sql.Row] = null
-      var pairRows: Array[org.apache.spark.sql.Row] = null
+      var pairs: DataFrame = null
+      var batchIds: Set[Long] = null
       ptx.Jobs.par(
         () => gateRows = t("gates collect") { gates.collect() },
-        () => pairRows = t("pairs collect") {
-          ptx.Caching.pin(ptx.sources.DedupIndex.probeSigned(
-            spark, indexDir, sig, threshold, microBatch = true)).collect()
+        () => {
+          pairs = ptx.Caching.pin(ptx.sources.DedupIndex.probeSigned(
+            spark, indexDir, sig, threshold, microBatch = true))
+          batchIds = t("ids collect") {
+            b.select(col("doc_id")).collect().map(_.getLong(0)).toSet }
+          // materialize the pair pin inside the concurrent round (r14,
+          // VERDICT r13 #2/#5): the heavy verify DAG runs here, next to
+          // the gates, so the policy job below is a scan of ~|pairs|
+          // CACHED rows — and the policy itself is a doc-grain
+          // aggregation, never a pair-grain collect
+          t("pairs materialize") { pairs.count() }
         })
-      // driver-side gate filter: the decon rows enumerate every batch doc
+      // driver-side gate verdicts (doc grain by construction)
       val gateIdx = gates.columns.zipWithIndex.toMap
       val deconRows = gateRows.filter(_.getString(gateIdx("gate")) == "decon")
-      val batchIds = deconRows.map(_.getLong(gateIdx("doc_id"))).toSet
       val drifted = gateRows
         .filter(r => r.getString(gateIdx("gate")) == "drift" &&
           !r.isNullAt(gateIdx("drifted")) && r.getBoolean(gateIdx("drifted")))
@@ -1348,32 +1429,29 @@ object Pipelines {
       // EXACTLY: a pair's candidate generation and Jaccard verification
       // never read any third doc, so dropping pairs that touch a
       // gate-rejected doc leaves precisely the pairs a post-gate probe
-      // would have produced. Deliberate trade: gate-rejected docs are
-      // signed and probed for nothing (at most one shard's linear
-      // signing on a wholesale drift rejection), bought against a
-      // gate-chain barrier on EVERY batch.
-      val cleanPairs = pairRows
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-        .filter { case (d1, d2, _) =>
-          (!batchIds(d1) || cleanIds(d1)) && (!batchIds(d2) || cleanIds(d2)) }
-      val rejected = rejectedByPolicy(
-        cleanPairs.map(p => (p._1, p._2)), cleanIds)
-      val dropSeq = (gateRej ++ rejected).toSeq
-      import spark.implicits._
-      val cleanPairsDf = cleanPairs.toSeq.toDF("doc1", "doc2", "jaccard")
+      // would have produced. The restriction is a bounded filter over the
+      // PINNED pair frame (r14 — previously a driver-collected local
+      // relation). Deliberate trade: gate-rejected docs are signed and
+      // probed for nothing (at most one shard's linear signing on a
+      // wholesale drift rejection), bought against a gate-chain barrier
+      // on EVERY batch.
+      val cleanPairs =
+        exceptIds(exceptIds(pairs, "doc1", gateRej), "doc2", gateRej)
+      val rejected = t("policy collect") {
+        rejectedDocGrain(cleanPairs, "doc1", "doc2", cleanIds) }
+      val drop = gateRej ++ rejected
       // one concurrent sink round: gate audit + pair audit + accepted +
-      // index admission — cache scans / a local relation, no joins
+      // index admission — all filtered cache scans
       t("sink round") { ptx.Jobs.par(
         () => gates.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/gates/batch=$id"),
-        () => cleanPairsDf.coalesce(1).write.mode("overwrite")
+        () => cleanPairs.coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/pairs/batch=$id"),
-        () => b.filter(!col("doc_id").isin(dropSeq: _*))
+        () => exceptIds(b, "doc_id", drop)
           .coalesce(1).write.mode("overwrite")
           .parquet(s"$dir/accepted/batch=$id"),
         () => ptx.sources.DedupIndex.appendSigned(
-          sig.filter(!col("doc_id").isin(dropSeq: _*)),
-          indexDir, s"b$id", parts = 1)) }
+          exceptIds(sig, "doc_id", drop), indexDir, s"b$id", parts = 1)) }
     } finally ptx.Caching.release(spark)
   }
 
@@ -1385,8 +1463,9 @@ object Pipelines {
     val refLocal = localized(psiRef) // static + broadcast-sized: collect once
     docs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        // withoutAqe: micro-batch re-planning overhead (see helper)
-        withoutAqe(batch.sparkSession) {
+        // micro-batch plan scope: AQE re-planning off + batch-sized
+        // exchange width (see withMicroBatchPlan)
+        withMicroBatchPlan(batch.sparkSession) {
           ingestAdmitBatch(batch, id, refLocal, evalSketch, indexDir, dir,
             threshold)
         }

@@ -62,6 +62,35 @@ object AdmissionProfile {
       ptx.stream.Pipelines.admitShardBatch(shard, 0L, idx2, outDir, 0.4)
     }
 
+    // containment admission (r14): the admitContainBatch core in batch
+    // mode — phase view of the suite's slowest pipeline (65 docs/s in
+    // STREAMBENCH r13) so its job-round budget is a measured breakdown,
+    // not an estimate. Fresh index per timed pass (admission mutates it).
+    val cwarmIdx = Files.createTempDirectory("cadm-warm").toString
+    ptx.sources.ContainIndex.write(base, cwarmIdx)
+    val cwarmOut = Files.createTempDirectory("cadm-warmout").toString
+    ptx.stream.Pipelines.admitContainBatch(shard, 0L, cwarmIdx, cwarmOut, 0.8)
+    val cidx = Files.createTempDirectory("cadm-idx").toString
+    t("contain index build (untimed in streambench)") {
+      ptx.sources.ContainIndex.write(base, cidx)
+    }
+    val sh2 = ptx.Caching.pin(
+      ptx.functions.TextShingles.shingles(shard)
+        .select(col("doc_id"), col("shingle").as("h")))
+    t("  contain shingle materialize") { sh2.count() }
+    val cpairs = t("  contain probe construct (eager collects)") {
+      ptx.sources.ContainIndex.probeSh(spark, cidx, sh2, 0.8, microBatch = true)
+    }
+    t("  contain probe execute (count)") { println("    n=" + cpairs.count()) }
+    t("  contain probe re-execute (cands/sets cached)") { cpairs.count() }
+    ptx.Caching.release(spark)
+    val cidx2 = Files.createTempDirectory("cadm-idx2").toString
+    ptx.sources.ContainIndex.write(base, cidx2)
+    val coutDir = Files.createTempDirectory("cadm-out").toString
+    t("TOTAL admitContainBatch") {
+      ptx.stream.Pipelines.admitContainBatch(shard, 0L, cidx2, coutDir, 0.8)
+    }
+
     // composed ingest (r13): the full drift → decon → near-dup batch core
     // in batch mode — what one ingestAdmission micro-batch costs without
     // streaming machinery. The gate prologue is timed separately so the
@@ -102,9 +131,12 @@ object AdmissionProfile {
       ptx.sources.DedupIndex.write(base, idx3)
       val outDir3 = Files.createTempDirectory("adm-out3").toString
       t(round) {
-        ptx.stream.Pipelines.ingestAdmitBatch(
-          full.filter(col("doc_id") % 10 === 0), 0L, psiRef, sketch,
-          idx3, outDir3, 0.4)
+        // same plan scope the streaming wrapper applies per batch
+        ptx.stream.Pipelines.withMicroBatchPlan(spark) {
+          ptx.stream.Pipelines.ingestAdmitBatch(
+            full.filter(col("doc_id") % 10 === 0), 0L, psiRef, sketch,
+            idx3, outDir3, 0.4)
+        }
       }
     }
     spark.stop()

@@ -880,6 +880,67 @@ class StreamingSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("doc-grain policy aggregation equals the pair-grain spec (r14)") {
+    // deterministic pseudo-random pair sets over a mixed universe: ids
+    // 0..59 are "batch" docs, 100..159 are "index" docs; every pair shape
+    // (batch-batch both orders, batch-index, index-batch, index-index)
+    // occurs. The doc-grain aggregation must reproduce rejectedByPolicy
+    // exactly on all of them.
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val nPairs = 40 + trial * 30
+      val pairSet = Seq.fill(nPairs) {
+        def id() = if (rnd.nextBoolean()) rnd.nextInt(60).toLong
+                   else 100L + rnd.nextInt(60)
+        val (a, b) = (id(), id())
+        (a, if (a == b) b + 1 else b)
+      }.distinct
+      val universe = (0L until 60L).filter(_ => rnd.nextBoolean()).toSet
+      val want = Pipelines.rejectedByPolicy(pairSet, universe)
+      val pairsDf = pairSet.toDF("doc1", "doc2")
+      val got = Pipelines.rejectedDocGrain(pairsDf, "doc1", "doc2", universe)
+      assert(got == want, s"trial $trial: doc-grain ${got.toSeq.sorted} " +
+        s"vs pair-grain ${want.toSeq.sorted}")
+    }
+    // edge cases: empty universe, empty pairs
+    assert(Pipelines.rejectedDocGrain(
+      Seq((1L, 2L)).toDF("doc1", "doc2"), "doc1", "doc2", Set.empty) == Set.empty)
+    assert(Pipelines.rejectedDocGrain(
+      Seq.empty[(Long, Long)].toDF("doc1", "doc2"), "doc1", "doc2",
+      Set(1L, 2L)) == Set.empty)
+  }
+
+  test("adversarial all-duplicate shard: admission stays doc-grain-bounded and admits exactly one (r14)") {
+    // 100 identical texts: the candidate-pair frame is all-pairs (~5000
+    // rows — the shape that grew the old pair-grain driver collect), the
+    // policy verdict is 99 rejections (> the exceptIds In threshold, so
+    // every sink plan takes the broadcast ANTI-join path), and exactly
+    // the smallest id survives. The index holds UNRELATED docs so no
+    // external partner interferes.
+    val idx = java.nio.file.Files.createTempDirectory("adv_dup_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("adv_dup_out").toString
+    val docs = ptx.Tables.documents(spark, TestSpark.SF)
+    val base = docs.filter(col("doc_id") % 5 === 1).select("doc_id", "text")
+    ptx.sources.DedupIndex.write(base, idx)
+    val boiler = "the same boilerplate paragraph repeated verbatim across " +
+      "every mirror of the crawl corpus body text"
+    val shard = spark.range(1000000L, 1000100L)
+      .select(col("id").as("doc_id"), lit(boiler).as("text"))
+    Pipelines.admitShardBatch(shard, 7L, idx, out, 0.4)
+    val accepted = spark.read.parquet(s"$out/accepted/batch=7")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(accepted == Set(1000000L),
+      s"expected only the smallest duplicate to survive, got $accepted")
+    // the pair audit carries the full all-pairs evidence
+    val nPairs = spark.read.parquet(s"$out/pairs/batch=7").count()
+    assert(nPairs == 100L * 99 / 2, s"expected all-pairs audit, got $nPairs")
+    // the index admitted exactly the survivor (under the batch tag)
+    val admitted = spark.read.parquet(s"$idx/sets/batch=b7")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(admitted == Set(1000000L), s"index admitted $admitted")
+    ptx.Caching.releaseAll()
+  }
+
   test("composed ingest admission: every stage equals its standalone gate core; survivors admit (r11)") {
     val docs = ptx.Tables.documents(spark, TestSpark.SF)
     val idx = java.nio.file.Files.createTempDirectory("ingest_idx").toString
