@@ -214,6 +214,37 @@ object LlmScale {
       e.select(col("vec_id").as("cand_id"), col("embedding").as("c"),
         col("label")), k)
 
+  /** Per-probe recall@5 of an IVF probe result against the exact
+    * brute-force top-5 — the shared recipe behind `llm_ann_recall`
+    * (label-cell exemplar) and `llm_ann_recall_kmeans` (the served
+    * learned-cell index, r14), so the two audits cannot diverge. Both
+    * sides deterministic (float32 centroids, sim-desc/cand-id
+    * tie-break): the recall is exact, not a statistical bound. The exact
+    * side is probe-bounded (broadcast probes × one corpus scan — a
+    * quality-audit SAMPLE at 100 TB, never corpus×corpus); e6 fixed
+    * point via half-up integer division. */
+  private[ptx] def recallAudit(e: DataFrame, probes: DataFrame,
+                               ivfResult: DataFrame): DataFrame = {
+    val ivf = ivfResult.select(col("probe_id"), col("cand_id"),
+      lit(1).as("hit"))
+    val wEx = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col("cand_id"))
+    val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("c"))
+      .crossJoin(broadcast(probes))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .withColumn("sim", expr("cosine_sim(p, c)"))
+      .withColumn("rnk", row_number().over(wEx))
+      .filter(col("rnk") <= 5)
+      .select(col("probe_id"), col("cand_id"))
+    exact.join(ivf, Seq("probe_id", "cand_id"), "left_outer")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .select(col("probe_id"), col("n_hit"),
+        expr("(2 * n_hit * 1000000 + k) div (2 * k)").as("recall_e6"))
+      .orderBy(col("probe_id"))
+  }
+
   /** Connected components over a (doc1, doc2) pair list via min-label
     * propagation → (doc_id, cluster_id = min doc_id in component). Shared
     * by the exact finisher (`llm_dedup_cluster`) and the LSH scale path
@@ -731,24 +762,27 @@ object LlmScale {
       val e = Tables.embeddings(s, d)
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
-      val ivf = ivfProbe(ivfCentroids(e), e, probes, nprobe = 3, k = 5)
-        .select(col("probe_id"), col("cand_id"), lit(1).as("hit"))
-      val wEx = Window.partitionBy(col("probe_id"))
-        .orderBy(col("sim").desc, col("cand_id"))
-      val exact = e.select(col("vec_id").as("cand_id"), col("embedding").as("c"))
-        .crossJoin(broadcast(probes))
-        .filter(col("probe_id") =!= col("cand_id"))
-        .withColumn("sim", expr("cosine_sim(p, c)"))
-        .withColumn("rnk", row_number().over(wEx))
-        .filter(col("rnk") <= 5)
-        .select(col("probe_id"), col("cand_id"))
-      exact.join(ivf, Seq("probe_id", "cand_id"), "left_outer")
-        .groupBy(col("probe_id"))
-        .agg(count(lit(1)).as("k"),
-          sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
-        .select(col("probe_id"), col("n_hit"),
-          expr("(2 * n_hit * 1000000 + k) div (2 * k)").as("recall_e6"))
-        .orderBy(col("probe_id"))
+      recallAudit(e, probes,
+        ivfProbe(ivfCentroids(e), e, probes, nprobe = 3, k = 5))
+    }),
+    // ◌ ANN RECALL of the SERVED index (r14, VERDICT r13 #4): the same
+    // oracle-exact recall@5 audit as llm_ann_recall (shared recallAudit
+    // recipe — one code path), but over the kmeans-LEARNED cells a
+    // deployment actually serves (VectorIndex.kmeans, 8 cells × 3 iters —
+    // the llm_ann_ivf_kmeans build) instead of the label-cell exemplar.
+    // The iterative build has no tractable SQL twin → declared ◌;
+    // LlmOpsSpec pins the recall FLOOR, making the served index's quality
+    // a test-enforced number (the r13 sweep measured learned cells at
+    // 61.2% recall@5 vs the exemplar's 39.2% at nprobe=3 — label cells
+    // are an attribute, not a geometric partition).
+    "llm_ann_recall_kmeans" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      val (cent, assign) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+      val cells = e.drop("label").join(assign, "vec_id")
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      recallAudit(e, probes, ivfProbe(cent, cells, probes, nprobe = 3, k = 5))
     }),
     // ✓ int8 symmetric embedding quantization (r4): per-vector scale =
     // max|x| / 127, q_i = floor(x_i·127/mx + 0.5) — the 4× memory cut

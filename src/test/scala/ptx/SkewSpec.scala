@@ -280,6 +280,47 @@ class SkewSpec extends AnyFunSuite {
     assert(got2 == expected2, "two-key range-frame sum diverged")
   }
 
+  test("range-frame sum: non-representable whole width on a narrow decimal column (ADVICE r13)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // DECIMAL(4,1): integral headroom is 3 digits, so a whole width of
+    // 2000 cannot be cast into the column's type — the r13 typed literal
+    // lit(width.toLong).cast(dt) silently became NULL there (non-ANSI
+    // overflow), every probe bound went NULL, and for mixed-sign columns
+    // (bands -1 and 0 both populated) the cross-band contribution
+    // collapsed to 0. The width guard must fall back to the double
+    // literal and keep parity with the window form.
+    val df = Seq(
+      (1L, "a", "-900.5"), (2L, "a", "-10.0"), (3L, "a", "0.5"),
+      (4L, "a", "850.0"), (5L, "a", "999.9"), (6L, "b", "-999.9"),
+      (7L, "b", "999.9"))
+      .toDF("row_id", "k", "s")
+      .select(col("row_id"), col("k"),
+        col("s").cast("decimal(4,1)").as("x"))
+    // the RANGE window form cannot even express this width (ANSI: the
+    // frame bound literal overflows decimal(4,1) with an exception), so
+    // the reference is the width's semantics spelled directly: 2000
+    // exceeds the column's whole representable spread (±999.9), so every
+    // same-key row is in frame — expected = the key's total sum
+    def m(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("row_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+    val expected = m(df.join(
+      df.groupBy("k").agg(sum(col("x")).as("near")), Seq("k")), "near")
+    val got = m(ops.SegmentedScan.rangeFrameSum(
+      df, key = Seq("k"), value = "x", width = 2000.0, out = "near"), "near")
+    assert(got == expected,
+      s"non-representable decimal width diverged: $got vs $expected")
+    // control: a representable whole width on the same column still runs
+    // the exact-decimal path and agrees
+    val wSmall = Window.partitionBy(col("k")).orderBy(col("x"))
+      .rangeBetween(-900L, 900L)
+    val expS = m(df.withColumn("near", sum(col("x")).over(wSmall)), "near")
+    val gotS = m(ops.SegmentedScan.rangeFrameSum(
+      df, key = Seq("k"), value = "x", width = 900.0, out = "near"), "near")
+    assert(gotS == expS, s"representable decimal width diverged: $gotS vs $expS")
+  }
+
   test("loader schema assertion rejects unknown tables loudly") {
     val ex = intercept[IllegalArgumentException] {
       Tables.t(spark, TestSpark.SF, "nope")
