@@ -362,6 +362,69 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("containment append from probe pins equals the from-text append on probe results (r14)") {
+    // appendArtifacts writes the accepted docs' sets/post/df/prefix from
+    // the probe's OWN pinned frames; its prefix ranking df (index +
+    // FULL-shard merge) differs from appendSh's (index + accepted-only),
+    // so the stored prefix ROWS may differ — but any ⌊(1−t)n⌋+1-sized
+    // prefix is a complete candidate generator (pigeonhole), so probes
+    // against the two indexes must return IDENTICAL pairs, and the
+    // per-doc prefix sizes must agree exactly.
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val base = docs.filter(col("doc_id") % 5 =!= 0).select("doc_id", "text")
+    val shard1 = docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 10 =!= 5)
+      .select("doc_id", "text")
+    val shard2 = docs.filter(col("doc_id") % 10 === 5).select("doc_id", "text")
+    val dirA = tmp("ptx-cidx-appendsh")
+    val dirB = tmp("ptx-cidx-appendart")
+    ptx.sources.ContainIndex.write(base, dirA, t = 0.8)
+    ptx.sources.ContainIndex.write(base, dirB, t = 0.8)
+    // path A: the from-text append
+    ptx.sources.ContainIndex.append(shard1, dirA, "s1")
+    // path B: probe then append the SAME (here: all) docs from the pins,
+    // through the admission pipelines' exact call shape
+    val sh1 = ptx.Caching.pin(
+      ptx.functions.TextShingles.shingles(shard1)
+        .select(col("doc_id"), col("shingle").as("h")))
+    val art = ptx.sources.ContainIndex.probeArtifacts(
+      spark, dirB, sh1, t = 0.8, microBatch = true)
+    art.pairs.count() // materialize the probe like an admission batch does
+    ptx.sources.ContainIndex.appendArtifacts(art, identity, dirB, "s1")
+    ptx.Caching.releaseAll()
+    // per-doc prefix sizes agree exactly (the pigeonhole size bound)
+    def prefixSizes(dir: String) = spark.read.parquet(s"$dir/prefix/batch=s1")
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (szA, szB) = (prefixSizes(dirA), prefixSizes(dirB))
+    assert(szA == szB, "per-doc prefix sizes diverged between append paths")
+    // and shard2's probe sees identical pairs through either index
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val pA = ptx.sources.ContainIndex.probe(spark, dirA, shard2)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    val pB = ptx.sources.ContainIndex.probe(spark, dirB, shard2)
+      .collect().map(key).toSet
+    ptx.Caching.releaseAll()
+    assert(pA.nonEmpty && pA == pB,
+      s"probe diverged between append paths (${pA.size} vs ${pB.size})")
+    // a probe at t > buildT cannot reuse its (smaller) prefixes for the
+    // append — appendArtifacts must fall back to the from-text path and
+    // still land buildT-sized prefixes
+    val dirC = tmp("ptx-cidx-appendstrict")
+    ptx.sources.ContainIndex.write(base, dirC, t = 0.8)
+    val sh1c = ptx.Caching.pin(
+      ptx.functions.TextShingles.shingles(shard1)
+        .select(col("doc_id"), col("shingle").as("h")))
+    val artC = ptx.sources.ContainIndex.probeArtifacts(
+      spark, dirC, sh1c, t = 0.9, microBatch = true)
+    artC.pairs.count()
+    ptx.sources.ContainIndex.appendArtifacts(artC, identity, dirC, "s1")
+    ptx.Caching.releaseAll()
+    assert(prefixSizes(dirC) == szA,
+      "strict-probe append did not fall back to buildT-sized prefixes")
+  }
+
   test("persisted decontamination index: byte-identical round-trip, exact Bloom-union append (r12)") {
     val docs = Tables.documents(spark, TestSpark.SF)
     val evalA = docs.filter(col("doc_id") % 10 === 5)
