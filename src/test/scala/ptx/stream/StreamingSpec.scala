@@ -938,6 +938,18 @@ class StreamingSpec extends AnyFunSuite {
     val admitted = spark.read.parquet(s"$idx/sets/batch=b7")
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(admitted == Set(1000000L), s"index admitted $admitted")
+    // plan shape above the exceptIds threshold: the 99-id rejection set
+    // rides a broadcast LEFT ANTI hash join — no N-literal In, and no
+    // exchange introduced into the sink plan
+    val rejected = (1000001L to 1000099L).toSet
+    val plan = Pipelines.exceptIds(shard, "doc_id", rejected)
+      .queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("BroadcastHashJoin") && planStr.contains("LeftAnti"),
+      s"expected broadcast left-anti above threshold:\n$planStr")
+    assert(!plan.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      s"anti-join sink plan shuffled:\n$planStr")
     ptx.Caching.releaseAll()
   }
 
