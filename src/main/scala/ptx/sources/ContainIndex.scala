@@ -85,14 +85,25 @@ object ContainIndex {
         .persist(StorageLevel.MEMORY_AND_DISK)
       try {
         val nDocs = sets.count() // materializes the pins for the writers
+        // the build lands the SERVING layout directly (r14): each table
+        // range-laid and sorted on its probe key — the [[compact]] recipe
+        // at write time — so a fresh index's footer min/max already
+        // prunes the micro-batch In(...) scans; compact() remains for
+        // collapsing accumulated per-batch append partitions. The sort
+        // is one extra corpus-pass shuffle on the one-time build, the
+        // standard sort-on-write trade for zone-map pruning.
         ptx.Jobs.par(
-          () => sets.write.mode(SaveMode.Overwrite)
-            .parquet(s"$dir/sets/batch=base"),
+          () => sets.repartitionByRange(col("doc_id"))
+            .sortWithinPartitions(col("doc_id"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/sets/batch=base"),
           () => sh.select(col("h"), col("doc_id"))
+            .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/post/batch=base"),
-          () => dfreq.write.mode(SaveMode.Overwrite)
-            .parquet(s"$dir/df/batch=base"),
+          () => dfreq.repartitionByRange(col("h"))
+            .sortWithinPartitions(col("h"))
+            .write.mode(SaveMode.Overwrite).parquet(s"$dir/df/batch=base"),
           () => ptx.ops.LlmScale.containPrefix(sh, dfreq, sets, t)
+            .repartitionByRange(col("h")).sortWithinPartitions(col("h"))
             .write.mode(SaveMode.Overwrite).parquet(s"$dir/prefix/batch=base"))
         import spark.implicits._
         Seq((t, nDocs)).toDF("t", "n_docs").coalesce(1)

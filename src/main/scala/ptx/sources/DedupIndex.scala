@@ -261,7 +261,19 @@ object DedupIndex {
                        mode: SaveMode): Unit = {
     val sig = signatures(docs)
       .persist(StorageLevel.MEMORY_AND_DISK) // two writers below; lifecycle
-    try writeSig(sig, dir, tag, mode)        // is contained in this call
+    // the corpus BUILD lands the serving layout directly (r14): bands
+    // range-laid by the probe join key, sets by doc_id — the [[compact]]
+    // recipe at write time, so a fresh index's footers already prune;
+    // per-batch APPENDS (appendSigned) stay coalesced small files and
+    // compact() collapses them later. One extra build-time sort shuffle,
+    // the standard sort-on-write trade for zone-map pruning.
+    try ptx.Jobs.par(
+      () => ptx.ops.LlmScale.bandKeys(sig)
+        .repartitionByRange(col("key")).sortWithinPartitions(col("key"))
+        .write.mode(mode).parquet(s"$dir/bands/batch=$tag"),
+      () => sig.select(col("doc_id"), col("n_sh"), col("shset"))
+        .repartitionByRange(col("doc_id")).sortWithinPartitions(col("doc_id"))
+        .write.mode(mode).parquet(s"$dir/sets/batch=$tag"))
     finally sig.unpersist()
   }
 
