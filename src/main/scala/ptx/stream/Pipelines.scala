@@ -1281,15 +1281,16 @@ object Pipelines {
       val sh = ptx.Caching.pin(
         ptx.functions.TextShingles.shingles(b)
           .select(col("doc_id"), col("shingle").as("h")))
-      // probe construction (meta read + two eager candidate collects)
-      // overlaps the tiny batch-universe job
+      // probe construction (meta read + the prefix/shingle localizing
+      // collects + the candidate-id collect) overlaps the tiny
+      // batch-universe job
       var art: ptx.sources.ContainIndex.ProbeArtifacts = null
       var ids: Set[Long] = null
-      ptx.Jobs.par(
+      t("contain par block") { ptx.Jobs.par(
         () => art = ptx.sources.ContainIndex.probeArtifacts(
           spark, indexDir, sh, threshold, microBatch = true),
         () => ids = t("ids collect") {
-          b.select(col("doc_id")).collect().map(_.getLong(0)).toSet })
+          b.select(col("doc_id")).collect().map(_.getLong(0)).toSet }) }
       val pairs = ptx.Caching.pin(art.pairs)
       // doc-grain policy verdict in ONE aggregation (r14, VERDICT r13 #5)
       val rejected = t("contain policy collect") {
@@ -1306,7 +1307,7 @@ object Pipelines {
         () => ptx.sources.ContainIndex.appendArtifacts(
           art, exceptIds(_, "doc_id", rejected),
           indexDir, s"b$id", parts = 1)) }
-    } finally ptx.Caching.release(spark)
+    } finally t("contain release") { ptx.Caching.release(spark) }
   }
 
   /** Streaming containment admission against the persisted

@@ -87,8 +87,30 @@ object AdmissionProfile {
     val cidx2 = Files.createTempDirectory("cadm-idx2").toString
     ptx.sources.ContainIndex.write(base, cidx2)
     val coutDir = Files.createTempDirectory("cadm-out").toString
+    // per-job wall view of the batch under SPARK_GRAFT_ADM_DEBUG: shows
+    // how the phase wall splits between scheduled jobs (incl. broadcast
+    // builds) and driver-side gaps between them
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      private val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(js.jobId, System.nanoTime())
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val t0 = starts.remove(je.jobId)
+        if (t0 != 0L) jobLog.add(
+          f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+    }
+    if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG"))
+      spark.sparkContext.addSparkListener(listener)
     t("TOTAL admitContainBatch") {
       ptx.stream.Pipelines.admitContainBatch(shard, 0L, cidx2, coutDir, 0.8)
+    }
+    if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG")) {
+      spark.sparkContext.removeSparkListener(listener)
+      jobLog.forEach(println(_))
     }
 
     // composed ingest (r13): the full drift → decon → near-dup batch core
