@@ -87,44 +87,27 @@ object Bench {
     // full materialization — see the Method note above
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
-    // every 10 executions: force a driver GC so ContextCleaner reaps the
-    // dead broadcasts/shuffles the last executions accumulated, and give
-    // its async thread a beat to drain — OUTSIDE the timed region, so
-    // the reclaim cost is never charged to a query
-    def gcBeat(): Unit = {
+    // name -> (median, min, survivor count) over `runsPerQuery` timed runs
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try run(fn(spark, sfDir)) catch { case _: Throwable => () } // warm
+      ptx.Caching.releaseAll() // timed runs must redo the cached work too
+      // every 10 queries: force a driver GC so ContextCleaner reaps the
+      // dead broadcasts/shuffles the last ~20 executions accumulated, and
+      // give its async thread a beat to drain — OUTSIDE the timed region,
+      // so the reclaim cost is never charged to a query
       sinceGc += 1
       if (sinceGc >= 10) {
         sinceGc = 0
         System.gc()
         Thread.sleep(200)
       }
-    }
-    val named = SparkEntry.queries.toSeq.sortBy(_._1)
-    // INTERLEAVED sweeps (r14): one untimed warm sweep, then
-    // `runsPerQuery` full timed sweeps, median per query ACROSS sweeps.
-    // Same execution count as back-to-back repeats, but a transient
-    // machine stall (GC pause, CPU steal, page-cache eviction) now lands
-    // on ONE run of many queries instead of ALL runs of one query — the
-    // back-to-back form dumped join_semi at 9× its warm re-time because
-    // a single stall covered its whole 3-run window.
-    for ((_, fn) <- named) {
-      try run(fn(spark, sfDir)) catch { case _: Throwable => () } // warm
-      ptx.Caching.releaseAll() // timed runs must redo the cached work too
-      gcBeat()
-    }
-    val sweeps = (1 to runsPerQuery).map { _ =>
-      named.map { case (name, fn) =>
+      val times = (1 to runsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()
         val ok = try { run(fn(spark, sfDir)); true } catch { case _: Throwable => false }
         val dt = (System.nanoTime() - t0) / 1e9
         ptx.Caching.releaseAll()
-        gcBeat()
-        name -> (if (ok) Some(dt) else None)
-      }.toMap
-    }
-    // name -> (median, min, survivor count) over `runsPerQuery` timed runs
-    val results = named.map { case (name, _) =>
-      val times = sweeps.flatMap(_(name)).sorted
+        if (ok) Some(dt) else None
+      }.sorted
       name -> ((median(times), if (times.isEmpty) -1.0 else times.head, times.size))
     }
     // Locale.ROOT: a comma-decimal default locale would render 30,123 and
