@@ -56,16 +56,9 @@ import org.apache.spark.storage.StorageLevel
   * fetches only candidate ids' sets (broadcast semi join, or — micro
   * batches — a collected In(doc_id,…) filter that prunes the
   * [[compact]]ed doc_id-range layout on footer min/max), and the shard's
-  * own shingling is the only corpus-independent heavy pass. Prefix
-  * ranking df: batch mode merges index df with the shard's own (the df
-  * scan is semi-joined to the broadcast shard hash set before
-  * aggregating, so the merge touches only the shard's vocabulary);
-  * micro-batch mode ranks by the shard-LOCAL df alone and never reads
-  * the df table on the probe path (r14) — selectivity-only either way
-  * by the pigeonhole note. Micro-batch probes also LOCALIZE the
-  * shard-side join frames (collected prefix/shingle rows as
-  * LocalRelations), so their broadcast builds happen on the driver
-  * without satellite executor jobs.
+  * own shingling is the only corpus-independent heavy pass. df merging
+  * touches only the shard's vocabulary (the df scan is semi-joined to the
+  * broadcast shard hash set before aggregating).
   *
   * Caller contract (the [[DedupIndex]] one): doc_ids are unique
   * corpus-wide. Replaying an admission under ITS OWN tag is idempotent
@@ -194,70 +187,44 @@ object ContainIndex {
         s"are sized for t ≥ $buildT (rebuild the index for a weaker gate)")
     def small(df: DataFrame): DataFrame = if (microBatch) broadcast(df) else df
     val shardSets = ptx.Caching.pin(ptx.ops.LlmScale.containSets(shardSh))
-    // rank the shard's prefixes: batch mode merges index df + the
-    // shard's own df — the best available estimate (the df scan is
-    // pruned to the shard's vocabulary BEFORE aggregating via a
-    // broadcast semi join, so the merge shuffles shard-vocab rows, never
-    // the index vocabulary). Micro-batch mode ranks by the shard-LOCAL
-    // df alone (r14): the index-df scan + semi-broadcast + merge agg are
-    // two extra stages and one broadcast-build job on a latency-bounded
-    // batch, and rarity ranking is SELECTIVITY-ONLY by the pigeonhole
-    // note above — completeness holds under any ranking, and a shard
-    // drawn from the same corpus ranks its own boilerplate the same way
-    // the merged estimate would (measured: candidate count moved <15% on
-    // the 10%-shard fixture while the batch dropped one job round).
-    val shardDf = shardSh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val dfreq =
-      if (microBatch) shardDf
-      else dbg("read df") { spark.read.parquet(s"$dir/df") }
-        .select(col("h"), col("df"))
-        .join(broadcast(shardSh.select(col("h")).distinct()), Seq("h"), "left_semi")
-        .unionByName(shardDf)
-        .groupBy(col("h")).agg(sum(col("df")).as("df"))
+    // rank the shard's prefixes by index df + the shard's own df — the
+    // best available merged estimate. The df scan is pruned to the
+    // shard's vocabulary BEFORE aggregating (broadcast semi join), so the
+    // merge shuffles shard-vocab rows, never the index vocabulary.
+    // Selectivity-only either way (see the pigeonhole note above).
+    val shardH = shardSh.select(col("h")).distinct()
+    val idxDf = spark.read.parquet(s"$dir/df")
+      .select(col("h"), col("df"))
+      .join(broadcast(shardH), Seq("h"), "left_semi")
+    val dfreq = idxDf
+      .unionByName(shardSh.groupBy(col("h")).agg(count(lit(1)).as("df")))
+      .groupBy(col("h")).agg(sum(col("df")).as("df"))
     // the full (doc_id, h, rk) frame is the pin — [[appendArtifacts]]
     // re-reads it as the accepted docs' stored prefix; the probe's two
     // uses project (src, h) off the cache scan
     val prefixFull = ptx.Caching.pin(
       ptx.ops.LlmScale.containPrefix(shardSh, dfreq, shardSets, t))
+    val shardPrefix = prefixFull.select(col("doc_id").as("src"), col("h"))
     // direction A — shard doc as src: its prefix hits ANY index posting
     // (plus the shard's own shingles, so intra-shard pairs are caught).
     // The posting scan streams against the broadcast prefix; micro-batch
     // probes additionally push the bounded prefix-hash set into the scan.
-    val post0 = dbg("read post") { spark.read.parquet(s"$dir/post") }.select(col("h"), col("doc_id"))
-    // micro-batch (r14): LOCALIZE the shard-side join frames. One collect
-    // of the pinned prefix frame yields BOTH the prefix-hash In list and
-    // a driver-local candsA broadcast side; the shard shingle frame rides
-    // a cache-read collect off the same materialization (prefixFull's job
-    // computed it). A broadcast whose child is a LocalRelation builds on
-    // the driver (executeCollect over LocalTableScan schedules no job),
-    // so the candidate round runs as ONE executor job instead of a main
-    // job plus per-broadcast satellite jobs and their barriers. Driver
-    // memory stays batch-bounded by the admission contract (prefix rows ≈
-    // ⌊(1−t)·n_sh⌋+1 per doc; shingle rows ≈ shard tokens).
-    val (shardPrefixSide, shardShSide, post) =
+    val post0 = spark.read.parquet(s"$dir/post").select(col("h"), col("doc_id"))
+    val post =
       if (microBatch) {
-        val preRows = dbg("prefix collect") { prefixFull.collect() }
-        val shRows = dbg("sh collect") { shardSh.collect() }
-        val lPrefix = spark.createDataFrame(
-          java.util.Arrays.asList(preRows: _*), prefixFull.schema)
-          .select(col("doc_id").as("src"), col("h"))
-        val lSh = spark.createDataFrame(
-          java.util.Arrays.asList(shRows: _*), shardSh.schema)
-        val hIdx = prefixFull.schema.fieldIndex("h")
-        val hs = preRows.map(_.getLong(hIdx)).distinct.toSeq
+        val hs = dbg("hs collect") { shardPrefix.select(col("h")).distinct()
+          .collect().map(_.getLong(0)).toSeq }
         dbg(s"hs size = ${hs.size}")(())
-        (lPrefix, lSh, post0.filter(col("h").isin(hs: _*)))
-      } else
-        (prefixFull.select(col("doc_id").as("src"), col("h")), shardSh, post0)
-    val candsA = small(shardPrefixSide)
+        post0.filter(col("h").isin(hs: _*))
+      } else post0
+    val candsA = small(shardPrefix)
       .join(post.toDF("h", "dst"), Seq("h"))
-      .unionByName(
-        small(shardPrefixSide).join(shardShSide.toDF("dst", "h"), Seq("h")))
+      .unionByName(small(shardPrefix).join(shardSh.toDF("dst", "h"), Seq("h")))
     // direction B — index doc as src: its BUILD-TIME prefix hits any
     // shard shingle (complete by pigeonhole regardless of df drift)
-    val candsB = dbg("read prefix") { spark.read.parquet(s"$dir/prefix") }
+    val candsB = spark.read.parquet(s"$dir/prefix")
       .select(col("doc_id").as("src"), col("h"))
-      .join(small(shardShSide.toDF("dst", "h")), Seq("h"))
+      .join(small(shardSh.toDF("dst", "h")), Seq("h"))
     val cands = ptx.Caching.pin(candsA.select(col("src"), col("dst"))
       .unionByName(candsB.select(col("src"), col("dst")))
       .filter(col("src") =!= col("dst"))
@@ -267,7 +234,7 @@ object ContainIndex {
     // already landed in the index (identical rows — pure text functions)
     val candIds = cands.select(explode(array(col("src"), col("dst")))
       .as("doc_id")).distinct()
-    val allSets = dbg("read sets") { spark.read.parquet(s"$dir/sets") }
+    val allSets = spark.read.parquet(s"$dir/sets")
       .select(col("doc_id"), col("n_sh"), col("shset"))
       .unionByName(shardSets.select(col("doc_id"), col("n_sh"), col("shset")))
     val candSets =
@@ -289,11 +256,10 @@ object ContainIndex {
     * write job), so the whole append rides the caller's concurrent sink
     * round with no internal meta-read / materialize-count barrier. The
     * stored prefix is reused verbatim when the probe ran at the build
-    * threshold (the usual admission shape); its ranking df is whatever
-    * the probe used (micro-batch: the FULL shard's local df, not the
-    * accepted subset's, and no index merge) — a selectivity-only
-    * difference (prefix SIZE is what the pigeonhole completeness
-    * argument fixes; see [[ptx.ops.LlmScale.containPrefix]]).
+    * threshold (the usual admission shape); its ranking df merges the
+    * index with the FULL shard rather than the accepted subset — a
+    * selectivity-only difference (prefix SIZE is what the pigeonhole
+    * completeness argument fixes; see [[ptx.ops.LlmScale.containPrefix]]).
     * A probe at t > buildT falls back to [[appendSh]] (its prefixes are
     * smaller than the index stores — incomplete for later t = buildT
     * probes). */

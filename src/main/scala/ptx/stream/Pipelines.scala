@@ -1281,9 +1281,8 @@ object Pipelines {
       val sh = ptx.Caching.pin(
         ptx.functions.TextShingles.shingles(b)
           .select(col("doc_id"), col("shingle").as("h")))
-      // probe construction (meta read + the prefix/shingle localizing
-      // collects + the candidate-id collect) overlaps the tiny
-      // batch-universe job
+      // probe construction (meta read + two eager candidate collects)
+      // overlaps the tiny batch-universe job
       var art: ptx.sources.ContainIndex.ProbeArtifacts = null
       var ids: Set[Long] = null
       t("contain par block") { ptx.Jobs.par(
