@@ -682,6 +682,32 @@ object LlmScale {
     "llm_dedup_cluster_lsh" -> ((s, d) =>
       clusterPairs(queries("llm_dedup_minhash_lsh")(s, d)
         .select(col("doc1"), col("doc2")))),
+    // ✓ dup-cluster size histogram (r14): the dedup audit a dataset card
+    // quotes — how many near-dup clusters of each size the corpus holds
+    // and how many docs they absorb, plus the singleton row (docs with
+    // no j ≥ 0.4 partner) so n_docs sums to the corpus. Composes the
+    // exact cluster anchor (labels pinned — three consumers below);
+    // clusters from `clusterPairs` always have ≥ 2 members, so size 1 is
+    // exclusively the singleton row. At 100 TB run the identical
+    // histogram over `llm_dedup_cluster_lsh` labels (the anchor's
+    // declared scale twin): the histogram itself adds one
+    // cluster-id-grain shuffle and a |distinct sizes|-grain agg, both
+    // dwarfed by the clustering it audits.
+    "llm_dedup_cluster_sizes" -> ((s, d) => {
+      val lab = ptx.Caching.pin(queries("llm_dedup_cluster")(s, d))
+      val hist = lab.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          (col("cluster_size") * col("n_clusters")).as("n_docs"))
+      val singles = Tables.documents(s, d).select(count(lit(1)).as("n"))
+        .crossJoin(lab.select(count(lit(1)).as("c")))
+        .select(lit(1L).as("cluster_size"),
+          (col("n") - col("c")).as("n_clusters"),
+          (col("n") - col("c")).as("n_docs"))
+      hist.unionByName(singles).orderBy(col("cluster_size"))
+    }),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
     // over tables of same-bucket vectors; exact top-5 within candidates.
@@ -977,6 +1003,29 @@ object LlmScale {
       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
       |  FROM sims)""".stripMargin
 
+  /** The exact-cluster DuckDB CTE block (shingle → Jaccard pairs →
+    * undirected edges → recursive reachability), shared verbatim by the
+    * `llm_dedup_cluster` oracle and the `llm_dedup_cluster_sizes` audit —
+    * one SQL source, mirroring the Spark side's shared [[clusterPairs]].
+    * Compose as `WITH RECURSIVE $clusterSqlCtes, ...`; `reach(a, b)`
+    * holds every (node, reachable node) pair of the j ≥ 0.4 graph. */
+  private def clusterSqlCtes: String =
+    """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
+      |       WHERE i <= len(w) - 2),
+      |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2),
+      |pairs AS (SELECT doc1, doc2
+      |          FROM inter JOIN n na ON na.doc_id = doc1 JOIN n nb ON nb.doc_id = doc2
+      |          WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.4),
+      |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
+      |          UNION ALL SELECT doc2, doc1 FROM pairs),
+      |reach(a, b) AS (SELECT a, b FROM edges
+      |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the prefix filter is exact (see the operator note), so the full
     // inverted-index oracle applies — at the strong threshold
@@ -1074,23 +1123,27 @@ object LlmScale {
         |       min(lev) AS min_lev
         |FROM pairs GROUP BY blk ORDER BY blk""".stripMargin,
     "llm_dedup_cluster" ->
-      """WITH RECURSIVE words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
-        |       WHERE i <= len(w) - 2),
-        |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2),
-        |pairs AS (SELECT doc1, doc2
-        |          FROM inter JOIN n na ON na.doc_id = doc1 JOIN n nb ON nb.doc_id = doc2
-        |          WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.4),
-        |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
-        |          UNION ALL SELECT doc2, doc1 FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM edges
-        |                UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
-        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+      (s"WITH RECURSIVE $clusterSqlCtes\n" +
+      """SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin),
+    // the histogram rides the same recursive CTE block; count(*) and
+    // BIGINT*BIGINT stay BIGINT in DuckDB (no sum() → no HUGEINT), and
+    // the singleton row is CAST so the UNION branch types match
+    "llm_dedup_cluster_sizes" ->
+      (s"WITH RECURSIVE $clusterSqlCtes,\n" +
+      """clusters AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |             FROM reach GROUP BY a),
+        |sizes AS (SELECT cluster_id, count(*) AS cluster_size
+        |          FROM clusters GROUP BY cluster_id),
+        |hist AS (SELECT cluster_size, count(*) AS n_clusters,
+        |                cluster_size * count(*) AS n_docs
+        |         FROM sizes GROUP BY cluster_size),
+        |tot AS (SELECT count(*) AS n FROM documents),
+        |clu AS (SELECT count(*) AS c FROM clusters)
+        |SELECT cluster_size, n_clusters, n_docs FROM hist
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), n - c, n - c FROM tot, clu
+        |ORDER BY cluster_size""".stripMargin),
     "llm_ann_ivf" ->
       (s"WITH $ivfSqlCtes\n" +
       """SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim FROM ranked

@@ -35,6 +35,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       // split/transform/filter/aggregate/explode/array_join
       "llm_bm25" -> listFns, "llm_containment" -> listFns,
       "llm_decontaminate" -> listFns, "llm_dedup_cluster" -> listFns,
+      "llm_dedup_cluster_sizes" -> listFns,
       "llm_dedup_embed" -> listFns, "llm_dedup_near" -> listFns,
       "llm_embed_norm" -> listFns, "llm_fingerprint" -> listFns,
       "llm_knn_cosine" -> listFns, "llm_lang_id" -> listFns,
