@@ -475,4 +475,31 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     ptx.Caching.releaseAll()
   }
+
+  test("llm_dedup_cluster_sizes: n_docs sums to the corpus, sizes consistent with the label frame (r14)") {
+    // the histogram's conservation law — every doc is in exactly one row
+    // class (a ≥2 cluster or the singleton row) — must hold on ANY
+    // fixture, not just the oracle-compared one
+    val hist = q("llm_dedup_cluster_sizes").collect()
+    val corpus = Tables.documents(spark, SF01).count()
+    assert(hist.map(_.getLong(2)).sum == corpus,
+      s"n_docs rows don't sum to the $corpus-doc corpus")
+    // per row: n_docs = cluster_size * n_clusters; sizes strictly ordered
+    hist.foreach(r => assert(r.getLong(2) == r.getLong(0) * r.getLong(1)))
+    assert(hist.map(_.getLong(0)).toSeq == hist.map(_.getLong(0)).toSeq.sorted)
+    // the non-singleton rows must reproduce the label frame's own stats
+    val lab = q("llm_dedup_cluster").collect()
+    val bySize = lab.groupBy(_.getLong(1)).values.map(_.size.toLong)
+      .groupBy(identity).map { case (sz, cs) => (sz, cs.size.toLong) }
+    val nonSingle = hist.filter(_.getLong(0) >= 2L)
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(nonSingle == bySize,
+      s"histogram $nonSingle != label-frame recount $bySize")
+    // clusters from clusterPairs always have >= 2 members, so size 1 is
+    // exclusively the singleton row
+    val singles = hist.filter(_.getLong(0) == 1L)
+    assert(singles.length == 1 &&
+      singles.head.getLong(1) == corpus - lab.length)
+    ptx.Caching.releaseAll()
+  }
 }
