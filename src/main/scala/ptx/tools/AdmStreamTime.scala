@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * pipeline; the committed numbers still come from the full
   * StreamBench × streambench_median.py protocol.
   *
+  * CAVEAT (measured at introduction): runs DRIFT UP within one JVM
+  * (shard_admission read 2.97 → 3.90 s across 5 in-JVM repeats while
+  * separate-JVM StreamBench runs of the same code read ~2.5-2.8 s), so
+  * this tool's median skews pessimistic vs the committed protocol —
+  * compare its FIRST timed run to the STREAMBENCH bars, and treat the
+  * spread as the machine's, not the change's.
+  *
   *   sbt "runMain ptx.tools.AdmStreamTime [sfDir]"
   */
 object AdmStreamTime {
