@@ -708,6 +708,65 @@ object LlmScale {
           (col("n") - col("c")).as("n_docs"))
       hist.unionByName(singles).orderBy(col("cluster_size"))
     }),
+    // ✓ dedup threshold tuning curve (r14): the knob-selection audit for
+    // the whole Jaccard-dedup family — ONE pass over the exact
+    // candidate-pair frame evaluates every threshold in
+    // {0.40 … 0.90} and reports, per threshold: duplicate pairs,
+    // docs touched by any pair, docs the smallest-id admission policy
+    // would drop (pairs are oriented doc1 < doc2, so dropped = distinct
+    // doc2 — the same per-pair policy the streaming admission runs), and
+    // the surviving corpus size. This is the curve a curation owner
+    // reads to pick the threshold BEFORE committing a 100 TB dedup run.
+    // Exactness: the threshold test is cross-multiplied integer
+    // arithmetic (100·inter ≥ t·union — no double division), so the
+    // curve is bit-reproducible and boundary ties land identically in
+    // both engines.
+    // Scale: composed over the exact anchor's inverted-index join (the
+    // declared quadratic-in-df grade); at 100 TB run the identical
+    // curve over the banded MinHash candidate frame
+    // (llm_dedup_minhash_lsh) — banding at the LOWEST threshold of
+    // interest (B/R here give ≈0.35) yields one candidate set that
+    // serves every higher threshold, and the curve itself adds only a
+    // 6-way threshold explode of candidate PAIRS (not the corpus) plus
+    // two bounded aggs.
+    "llm_dedup_threshold_curve" -> ((s, d) => {
+      val sh = ptx.Caching.pin(shingles(s, d))
+      val n = ptx.functions.TextShingles.docSizes(sh)
+      val base = ptx.functions.TextShingles.intersections(sh, _ < _)
+        .join(n.as("na"), col("doc1") === col("na.doc_id"))
+        .join(n.as("nb"), col("doc2") === col("nb.doc_id"))
+        .select(col("doc1"), col("doc2"), col("inter"),
+          (col("na.n_sh") + col("nb.n_sh") - col("inter")).as("un"))
+      // pin: the per-threshold pair frame feeds the pair-grain agg and
+      // the doc-grain explode branch
+      val curve = ptx.Caching.pin(base
+        .select(col("doc1"), col("doc2"), col("inter"), col("un"),
+          explode(expr("array(40, 50, 60, 70, 80, 90)")).as("threshold_e2"))
+        .filter(col("inter") * 100 >= col("threshold_e2") * col("un"))
+        .select(col("threshold_e2"), col("doc1"), col("doc2")))
+      val spine = s.range(1)
+        .select(explode(expr("array(40, 50, 60, 70, 80, 90)"))
+          .as("threshold_e2"))
+      val pairsAgg = curve.groupBy(col("threshold_e2")).agg(
+        count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc2")).as("n_dropped"))
+      val linked = curve
+        .select(col("threshold_e2"),
+          explode(array(col("doc1"), col("doc2"))).as("doc"))
+        .groupBy(col("threshold_e2"))
+        .agg(countDistinct(col("doc")).as("n_docs_linked"))
+      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+      spine.join(pairsAgg, Seq("threshold_e2"), "left")
+        .join(linked, Seq("threshold_e2"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("threshold_e2"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_surviving"))
+        .orderBy(col("threshold_e2"))
+    }),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
     // over tables of same-bucket vectors; exact top-5 within candidates.
@@ -1009,7 +1068,12 @@ object LlmScale {
     * one SQL source, mirroring the Spark side's shared [[clusterPairs]].
     * Compose as `WITH RECURSIVE $clusterSqlCtes, ...`; `reach(a, b)`
     * holds every (node, reachable node) pair of the j ≥ 0.4 graph. */
-  private def clusterSqlCtes: String =
+  /** words → distinct shingles → per-doc sizes → pairwise intersection
+    * counts: the shared prefix of [[clusterSqlCtes]] and the
+    * `llm_dedup_threshold_curve` oracle (one SQL source for the
+    * inverted-index frame, mirroring the Spark side's shared
+    * TextShingles helpers). */
+  private def shingleSqlCtes: String =
     """words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |       FROM words CROSS JOIN (SELECT unnest(generate_series(1, 1000)) AS i) s
@@ -1017,8 +1081,11 @@ object LlmScale {
       |n AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
       |inter AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS inter
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |          GROUP BY 1, 2),
-      |pairs AS (SELECT doc1, doc2
+      |          GROUP BY 1, 2)""".stripMargin
+
+  private def clusterSqlCtes: String =
+    shingleSqlCtes + ",\n" +
+    """pairs AS (SELECT doc1, doc2
       |          FROM inter JOIN n na ON na.doc_id = doc1 JOIN n nb ON nb.doc_id = doc2
       |          WHERE CAST(inter AS DOUBLE) / (na.n_sh + nb.n_sh - inter) >= 0.4),
       |edges AS (SELECT doc1 AS a, doc2 AS b FROM pairs
@@ -1144,6 +1211,33 @@ object LlmScale {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), n - c, n - c FROM tot, clu
         |ORDER BY cluster_size""".stripMargin),
+    // the curve rides the shared shingle/intersection CTE prefix; the
+    // threshold test is the same cross-multiplied integer compare as the
+    // Spark side (no double division → no boundary-tie divergence)
+    "llm_dedup_threshold_curve" ->
+      (s"WITH $shingleSqlCtes,\n" +
+      """base AS (SELECT doc1, doc2, inter, na.n_sh + nb.n_sh - inter AS un
+        |         FROM inter JOIN n na ON na.doc_id = doc1
+        |                    JOIN n nb ON nb.doc_id = doc2),
+        |th AS (SELECT unnest([40, 50, 60, 70, 80, 90]) AS threshold_e2),
+        |curve AS (SELECT threshold_e2, doc1, doc2 FROM base, th
+        |          WHERE 100 * inter >= threshold_e2 * un),
+        |pa AS (SELECT threshold_e2, count(*) AS n_pairs,
+        |              count(DISTINCT doc2) AS n_dropped
+        |       FROM curve GROUP BY threshold_e2),
+        |ln AS (SELECT threshold_e2, count(DISTINCT doc) AS n_docs_linked
+        |       FROM (SELECT threshold_e2, doc1 AS doc FROM curve
+        |             UNION ALL SELECT threshold_e2, doc2 FROM curve) u
+        |       GROUP BY threshold_e2),
+        |nt AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT th.threshold_e2,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_docs_linked, 0) AS n_docs_linked,
+        |  COALESCE(n_dropped, 0) AS n_dropped,
+        |  n_total - COALESCE(n_dropped, 0) AS n_surviving
+        |FROM th LEFT JOIN pa USING (threshold_e2)
+        |        LEFT JOIN ln USING (threshold_e2) CROSS JOIN nt
+        |ORDER BY th.threshold_e2""".stripMargin),
     "llm_ann_ivf" ->
       (s"WITH $ivfSqlCtes\n" +
       """SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim FROM ranked

@@ -48,6 +48,41 @@ object TextAnalysis {
   /** High-frequency "stopwords" of this corpus (top-5 by count). */
   private val stop = Seq("join", "hash", "row", "batch", "scan")
 
+  /** Doc-grain winnowing frame for `llm_winnowing` (Schleimer et al.,
+    * SIGMOD 2003): input (doc_id, source, text, …) → (source, w, g, fps)
+    * where `g` is the word-3-gram polynomial-hash sequence
+    * (llm_fingerprint's word feature 17·len + first-char codepoint,
+    * base 31 mod 1e9+7 — exact in BIGINT: every partial stays
+    * < (1e9+7)·31 + 2^15 < 2^35) and `fps` the distinct window-4 minima.
+    * Factored so the guarantee — any shared ≥ w+k−1 = 6-word run between
+    * two docs shares a fingerprint — is testable on synthetic docs
+    * (LlmOpsSpec) while the declared query runs it over the corpus. */
+  private[ptx] def winnowedFingerprints(
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val fdef = (off: String) =>
+      s"CAST(17 * length(element_at(w, i$off)) + " +
+        s"ascii(substring(element_at(w, i$off), 1, 1)) AS BIGINT)"
+    docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      // word-3-gram polynomial hashes (seed 7: 7*31 = 217)
+      .withColumn("g", expr(
+        s"""CASE WHEN size(w) >= 3 THEN
+           |  transform(sequence(1, size(w) - 2), i ->
+           |    ((((217 + ${fdef("")}) % 1000000007) * 31
+           |       + ${fdef(" + 1")}) % 1000000007 * 31
+           |       + ${fdef(" + 2")}) % 1000000007)
+           |ELSE array() END""".stripMargin))
+      // robust winnowing selection: window w = 4 over the gram-hash
+      // sequence, min per window (slice clamps the final windows; a
+      // doc with 1-3 grams selects the min of what it has), then the
+      // per-doc distinct fingerprint set
+      .withColumn("fps", expr(
+        """CASE WHEN size(g) = 0 THEN array()
+          |ELSE array_distinct(transform(
+          |  sequence(1, greatest(size(g) - 3, 1)),
+          |  j -> array_min(slice(g, j, 4)))) END""".stripMargin))
+  }
+
   def queries: Map[String, QFn] = Map(
     "llm_lang_id" -> ((s, d) => {
       Tables.documents(s, d)
@@ -188,6 +223,52 @@ object TextAnalysis {
             .as("doc_share_e6"))
         .orderBy(col("df").desc, col("shingle"))
         .limit(20)
+    }),
+    // ✓ winnowing fingerprints (r14): the Schleimer–Wilkerson–Aiken
+    // (SIGMOD 2003) local fingerprint selection, per source — hash every
+    // word 3-gram (the llm_fingerprint polynomial, word feature
+    // 17·len + first-char codepoint, base 31 mod 1e9+7), slide a
+    // 4-hash window, keep each window's MINIMUM. The winnowing
+    // guarantee: any shared run of ≥ w+k−1 = 6 words between two docs
+    // shares a selected fingerprint, at an expected density of
+    // 2/(w+1) = 0.4 of the gram count — the audit row's density_e6
+    // column CHECKS that bound on real data (a density far above it
+    // means adversarially increasing hashes; far below, long repeated
+    // runs). This is the storage-sizing number for a fingerprint-index
+    // dedup tier: n_fps is what gets persisted, n_grams is what full
+    // shingling would persist.
+    // Scale: the gram-hash + window-min + distinct chain is ONE
+    // per-row HOF pass (no explode until the final fp-vocabulary agg),
+    // so the corpus scan is shuffle-free; the only exchanges are the
+    // source-grain stats agg and the (source, fp)-keyed distinct —
+    // both carry 64-bit hashes, never shingle strings (contrast
+    // llm_hot_shingles, whose output must be the string). At 100 TB
+    // the fp-distinct agg is bounded by the winnowed vocabulary
+    // (~0.4 × gram vocabulary), hash-partitioned — no hot key can
+    // exceed a source's own fingerprint count.
+    "llm_winnowing" -> ((s, d) => {
+      val doc = winnowedFingerprints(Tables.documents(s, d))
+      // pin: the doc-grain frame feeds the stats agg AND the
+      // fp-vocabulary branch; per-branch column pruning defeats
+      // exchange reuse without the cache
+      val dd = ptx.Caching.pin(doc.select(col("source"),
+        size(col("g")).as("ng"), size(col("fps")).as("nf"), col("fps")))
+      val agg = dd.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ng")).cast("long").as("n_grams"),
+        sum(col("nf")).cast("long").as("n_fps"))
+      val dfp = dd.select(col("source"), explode(col("fps")).as("fp"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("fp")).as("n_distinct_fps"))
+      agg.join(dfp, Seq("source"), "left")
+        .select(col("source"), col("n_docs"), col("n_grams"), col("n_fps"),
+          coalesce(col("n_distinct_fps"), lit(0L)).as("n_distinct_fps"),
+          // half-up e6 selected-per-gram density (decimal-lifted: the
+          // ·1e6 product outgrows BIGINT at corpus scale — q8 rule)
+          expr("CASE WHEN n_grams > 0 THEN" +
+            " (2 * cast(n_fps as decimal(38,0)) * 1000000 + n_grams)" +
+            " div (2 * n_grams) ELSE 0L END").as("density_e6"))
+        .orderBy(col("source"))
     }),
     // ✓ length histogram (r9): 50-char bucket distribution of document
     // lengths with each bucket's corpus share — the length profile a
@@ -452,6 +533,40 @@ object TextAnalysis {
         |  CAST((2 * df * 1000000 + n_docs) // (2 * n_docs) AS BIGINT) AS doc_share_e6
         |FROM dfw CROSS JOIN t
         |ORDER BY df DESC, shingle LIMIT 20""".stripMargin,
+    // winnowing: same polynomial gram hash / window-min / distinct chain
+    // as the Spark HOFs, in DuckDB list functions (list_slice is
+    // bounds-inclusive where Spark's slice takes a length — j..j+3 ≡
+    // slice(g, j, 4); both clamp at the tail)
+    "llm_winnowing" ->
+      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |               FROM documents),
+        |feat AS (SELECT doc_id, source,
+        |  CASE WHEN len(w) >= 3 THEN
+        |    list_transform(generate_series(1, len(w) - 2), i ->
+        |      ((((217 + (17 * len(w[i]) + ascii(w[i][1]))) % 1000000007) * 31
+        |         + (17 * len(w[i + 1]) + ascii(w[i + 1][1]))) % 1000000007 * 31
+        |         + (17 * len(w[i + 2]) + ascii(w[i + 2][1]))) % 1000000007)
+        |  ELSE [] END AS g FROM words),
+        |sel AS (SELECT doc_id, source, len(g) AS ng,
+        |  CASE WHEN len(g) = 0 THEN []
+        |       ELSE list_distinct(list_transform(
+        |         generate_series(1, greatest(len(g) - 3, 1)),
+        |         j -> list_min(list_slice(g, j, j + 3)))) END AS fps
+        |  FROM feat),
+        |agg AS (SELECT source, count(*) AS n_docs,
+        |          CAST(sum(ng) AS BIGINT) AS n_grams,
+        |          CAST(sum(len(fps)) AS BIGINT) AS n_fps
+        |        FROM sel GROUP BY source),
+        |dfp AS (SELECT source, count(DISTINCT fp) AS n_distinct_fps
+        |        FROM (SELECT source, unnest(fps) AS fp FROM sel) u
+        |        GROUP BY source)
+        |SELECT a.source, n_docs, n_grams, n_fps,
+        |  COALESCE(n_distinct_fps, 0) AS n_distinct_fps,
+        |  CASE WHEN n_grams > 0 THEN
+        |    CAST((2 * n_fps * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
+        |  ELSE 0 END AS density_e6
+        |FROM agg a LEFT JOIN dfp USING (source)
+        |ORDER BY a.source""".stripMargin,
     // grams grouped by their STRING here (the Spark side's 64-bit
     // GramHashes keys are a shuffle-width optimization; identical counts
     // absent a 64-bit collision — the llm_dedup_spans precedent)

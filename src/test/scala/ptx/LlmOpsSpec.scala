@@ -502,4 +502,55 @@ class LlmOpsSpec extends AnyFunSuite {
       singles.head.getLong(1) == corpus - lab.length)
     ptx.Caching.releaseAll()
   }
+
+  test("llm_dedup_threshold_curve: anchored at 0.4 to llm_dedup_near, monotone in the threshold (r14)") {
+    val curve = q("llm_dedup_threshold_curve").collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    assert(curve.map(_._1).toSeq == Seq(40, 50, 60, 70, 80, 90))
+    // the 0.40 row IS the near-dup anchor's pair set re-counted
+    val near = q("llm_dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val (p40, l40, d40, s40) = curve.toMap.apply(40)
+    assert(p40 == near.length, s"n_pairs(40) $p40 != near anchor ${near.length}")
+    assert(d40 == near.map(_._2).distinct.length)
+    assert(l40 == near.flatMap(p => Seq(p._1, p._2)).distinct.length)
+    assert(s40 == Tables.documents(spark, SF01).count() - d40)
+    // raising the threshold can only shrink pairs/linked/dropped and
+    // grow the surviving corpus
+    curve.map(_._2).sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._1 >= hi._1 && lo._2 >= hi._2 && lo._3 >= hi._3 &&
+        lo._4 <= hi._4, s"curve not monotone: $lo -> $hi")
+    }
+    ptx.Caching.releaseAll()
+  }
+
+  test("winnowing guarantee: a shared 6-word run shares a fingerprint; short docs select nothing (r14)") {
+    import spark.implicits._
+    // two docs share EXACTLY a 6-word run (= w+k-1 at w=4, k=3: four
+    // consecutive gram hashes — one full window) inside distinct noise;
+    // the third doc is too short to form a gram
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, "s", s"one two three $run four five six"),
+      (2L, "s", s"seven eight nine $run ten eleven twelve"),
+      (3L, "s", "tiny doc")).toDF("doc_id", "source", "text")
+    val rows = ops.TextAnalysis.winnowedFingerprints(docs)
+      .select("doc_id", "fps").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(rows(1L).intersect(rows(2L)).nonEmpty,
+      "shared 6-word run selected no common fingerprint")
+    assert(rows(3L).isEmpty, "a 2-word doc cannot carry a gram")
+    // density audit on the corpus: every source sits near the 2/(w+1)
+    // theoretical selection rate, and the count invariants hold
+    val audit = q("llm_winnowing").collect()
+    assert(audit.nonEmpty)
+    audit.foreach { r =>
+      val (grams, fps, distinct) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(fps <= grams && distinct <= fps)
+      val density = r.getLong(5)
+      assert(density > 300000L && density < 500000L,
+        s"source ${r.getString(0)} density_e6 $density far from 2/(w+1) = 400000")
+    }
+    ptx.Caching.releaseAll()
+  }
 }
