@@ -190,8 +190,49 @@ object SegmentedScan {
     * throughout).
     */
   def rangeFrameSum(df: DataFrame, key: Seq[String], value: String,
-                    width: Double, out: String): DataFrame = {
+                    width: Double, out: String): DataFrame =
+    rangeFrameSumImpl(df, key, value, value, width, out)
+
+  /** [[rangeFrameSum]] with the documented continuous-value hot-band
+    * remedy applied IN the operator (r14; closes the SCALE.md residual):
+    * the frame is evaluated on `value` snapped to an exact `grid`
+    * (half-up: `floor(v/grid + 0.5)·grid`), while the SUMMAND stays the
+    * original column. Output: `out` = Σ value over rows whose QUANTIZED
+    * values differ by ≤ width — i.e. the window form run on the
+    * quantized column, summing raw values.
+    *
+    * Why it exists: the banded decomposition's straggler bound is
+    * |distinct values in a band|. For integral/decimal columns that is
+    * ≤ width by construction; a CONTINUOUS column (distinct ≈ rows)
+    * re-concentrates a hot band. Snapping to a grid restores the bound:
+    * ≤ width/grid + 1 distinct values per band, rows-independent, at a
+    * frame-boundary displacement of at most grid/2 per row.
+    *
+    * Exactness contract (SkewSpec): for data already ON the grid the
+    * snap is the identity and the result equals [[rangeFrameSum]] and
+    * the window form bit-for-bit; off-grid data trades boundary
+    * membership within grid/2 for the restored straggler bound. Callers
+    * pick `grid` as the coarsest resolution the analysis tolerates
+    * (cents, ms, 1e-6 of the value range). */
+  def rangeFrameSumQuantized(df: DataFrame, key: Seq[String], value: String,
+                             width: Double, out: String,
+                             grid: Double): DataFrame = {
+    require(grid > 0 && grid <= width,
+      s"grid must be in (0, width], got grid=$grid width=$width")
+    val vq = "__ptx_vq"
+    val snapped = df.withColumn(vq,
+      floor(col(value) / lit(grid) + lit(0.5)) * lit(grid))
+    rangeFrameSumImpl(snapped, key, vq, value, width, out).drop(vq)
+  }
+
+  /** Core of [[rangeFrameSum]]/[[rangeFrameSumQuantized]]: frames are
+    * keyed on `frameValue`; sums aggregate `sumValue`. The two coincide
+    * for the plain operator. */
+  private def rangeFrameSumImpl(df: DataFrame, key: Seq[String],
+                                frameValue: String, sumValue: String,
+                                width: Double, out: String): DataFrame = {
     require(width > 0, s"width must be positive, got $width")
+    val value = frameValue
     val v = col(value)
     val band = floor(v / lit(width)).cast("long")
     val base = df.withColumn("__ptx_band", band)
@@ -203,7 +244,7 @@ object SegmentedScan {
     // distinct frame and joins back at the end (no row ids — duplicates
     // of a (key, value) pair share one computed frame).
     val g = base.groupBy(keyCols ++ Seq(col("__ptx_band"), v): _*)
-      .agg(sum(v).as("__ptx_s"))
+      .agg(sum(col(sumValue)).as("__ptx_s"))
     val sType = g.schema("__ptx_s").dataType
     val wCum = Window.partitionBy(keyCols :+ col("__ptx_band"): _*)
       .orderBy(v).rowsBetween(Window.unboundedPreceding, Window.currentRow)

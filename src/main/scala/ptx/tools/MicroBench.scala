@@ -97,6 +97,45 @@ object MicroBench {
           floor(col("cents") / lit(10000.0)).cast("long").as("band"),
           col("cents")).agg(count(lit(1)))
         .repartition(parts, col("o_orderstatus"), col("band")))
+
+    // CONTINUOUS hot band (r14): the same 80%-one-band remap but with
+    // ~unique values INSIDE the band (distinct ≈ rows — the SCALE.md
+    // residual where the distinct-value mitigation degenerates).
+    // rangeFrameSumQuantized restores the straggler bound at grid
+    // resolution; measured against the raw banded form and the window
+    // form on the identical corpus, plus the distinct-value-grain skew
+    // of both formulations.
+    // a fractional per-row component makes every hot value distinct —
+    // integer remaps stay ≤ width distinct by construction, which is
+    // precisely the bound the residual loses
+    val hotC = o.select(col("o_orderkey"),
+      when(hotRow, lit("O")).otherwise(col("o_orderstatus")).as("o_orderstatus"),
+      when(hotRow, pmod(col("cents") * 7919L + col("o_orderkey"), lit(10000L))
+          .cast("double") + col("o_orderkey").cast("double") / lit(1e9))
+        .otherwise(col("cents").cast("double")).as("cents"))
+    def windowHotC = hotC.withColumn("near", sum(col("cents")).over(w))
+    def bandedHotC = ptx.ops.SegmentedScan.rangeFrameSum(
+      hotC, Seq("o_orderstatus"), "cents", 10000.0, "near")
+    def quantHotC = ptx.ops.SegmentedScan.rangeFrameSumQuantized(
+      hotC, Seq("o_orderstatus"), "cents", 10000.0, "near", grid = 100.0)
+    windowHotC.queryExecution.toRdd.count()
+    bandedHotC.queryExecution.toRdd.count()
+    quantHotC.queryExecution.toRdd.count()
+    time("RANGE window form, CONTINUOUS hot band")(windowHotC)
+    time("rangeFrameSum raw banded, CONTINUOUS hot band (the residual)")(bandedHotC)
+    time("rangeFrameSumQuantized grid=100, CONTINUOUS hot band")(quantHotC)
+    skew("continuous hot band DISTINCT-value grain (raw)",
+      hotC.groupBy(col("o_orderstatus"),
+          floor(col("cents") / lit(10000.0)).cast("long").as("band"),
+          col("cents")).agg(count(lit(1)))
+        .repartition(parts, col("o_orderstatus"), col("band")))
+    skew("continuous hot band DISTINCT-value grain (grid=100)",
+      hotC.select(col("o_orderstatus"),
+          (floor(col("cents") / lit(100.0) + lit(0.5)) * lit(100.0)).as("q"))
+        .groupBy(col("o_orderstatus"),
+          floor(col("q") / lit(10000.0)).cast("long").as("band"), col("q"))
+        .agg(count(lit(1)))
+        .repartition(parts, col("o_orderstatus"), col("band")))
     spark.stop()
   }
 }

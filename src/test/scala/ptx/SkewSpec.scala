@@ -321,6 +321,60 @@ class SkewSpec extends AnyFunSuite {
     assert(gotS == expS, s"representable decimal width diverged: $gotS vs $expS")
   }
 
+  test("quantized range-frame sum: grid identity + window-on-quantized semantics (r14)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def m(d: org.apache.spark.sql.DataFrame, c: String) =
+      d.select(col("row_id"), col(c)).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // "continuous" long values (0.01-resolution cents-style domain) —
+    // the residual's shape: distinct ≈ rows inside each width band
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 500).map { i =>
+      (i.toLong, if (i % 7 == 0) "b" else "a", rnd.nextInt(36000).toLong)
+    }
+    val df = rows.toDF("row_id", "k", "x")
+    val width = 3600.0; val grid = 400.0
+    // 1) identity: data already ON the grid → the snap is a no-op and
+    // the quantized form equals both the plain form and the window form
+    val dfGrid = df.withColumn("x", (col("x") / 400).cast("long") * 400)
+    val wG = Window.partitionBy(col("k")).orderBy(col("x"))
+      .rangeBetween(-3600L, 3600L)
+    val expG = m(dfGrid.withColumn("near", sum(col("x")).over(wG)), "near")
+    assert(m(ops.SegmentedScan.rangeFrameSumQuantized(
+      dfGrid, Seq("k"), "x", width, "near", grid), "near") == expG)
+    assert(m(ops.SegmentedScan.rangeFrameSum(
+      dfGrid, Seq("k"), "x", width, "near"), "near") == expG)
+    // 2) off-grid semantics: the quantized form IS the window form run
+    // on the snapped column (half-up to the grid), summing RAW values
+    val snapped = df.withColumn("xq",
+      (floor(col("x") / grid + lit(0.5)) * grid).cast("long"))
+    val wQ = Window.partitionBy(col("k")).orderBy(col("xq"))
+      .rangeBetween(-3600L, 3600L)
+    val expQ = m(snapped.withColumn("near", sum(col("x")).over(wQ)), "near")
+    val got = ops.SegmentedScan.rangeFrameSumQuantized(
+      df, Seq("k"), "x", width, "near", grid)
+    assert(m(got, "near") == expQ,
+      "quantized frame diverged from the window-on-snapped oracle")
+    // no __ptx internals leak
+    assert(got.columns.toSeq == df.columns.toSeq :+ "near")
+    // and the restored straggler bound is real: a HOT band (every row of
+    // one key inside ONE width band — the residual's exact shape) keeps
+    // ~row-count distinct values raw but ≤ width/grid + 1 snapped
+    val hot = (0 until 400).map(i => (i.toLong, "a", rnd.nextInt(3600).toLong))
+      .toDF("row_id", "k", "x")
+      .withColumn("xq", (floor(col("x") / grid + lit(0.5)) * grid).cast("long"))
+    val rawDistinct = hot
+      .select((col("x") / lit(width)).cast("long").as("b"), col("x"))
+      .distinct().groupBy("b").count().agg(max("count")).head.getLong(0)
+    val qDistinct = hot
+      .select((col("xq") / lit(width)).cast("long").as("b"), col("xq"))
+      .distinct().groupBy("b").count().agg(max("count")).head.getLong(0)
+    assert(qDistinct <= (width / grid).toLong + 1)
+    assert(rawDistinct > 10 * qDistinct,
+      s"fixture not continuous enough to exercise the bound ($rawDistinct vs $qDistinct)")
+  }
+
   test("loader schema assertion rejects unknown tables loudly") {
     val ex = intercept[IllegalArgumentException] {
       Tables.t(spark, TestSpark.SF, "nope")
