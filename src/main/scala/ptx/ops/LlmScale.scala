@@ -767,6 +767,96 @@ object LlmScale {
             .as("n_surviving"))
         .orderBy(col("threshold_e2"))
     }),
+    // ✓ winnowed-fingerprint dedup candidates (r14): the MOSS-style
+    // candidate generation the llm_winnowing audit sizes — doc pairs
+    // sharing ≥ 2 winnowed fingerprints, with the shared count and the
+    // overlap coefficient vs the smaller doc's fingerprint set. The
+    // winnowing guarantee (any shared ≥ 6-word run shares a fingerprint)
+    // makes this the cheap candidate path for CONTIGUOUS-overlap
+    // duplicate classes (quotes, boilerplate, verbatim spans) on a
+    // postings index ~0.4× the full shingle index; LlmOpsSpec pins that
+    // every exact near-dup pair (j ≥ 0.4) of the fixture is recalled
+    // with n_shared ≥ 2.
+    // Scale: the inverted-index self-join is quadratic in per-FP df —
+    // same class as the near anchor but on winnowed postings (fixture
+    // df max 23 vs the shingle index's); a df-skewed corpus still
+    // routes through MinHash banding (the declared skew-robust twin).
+    "llm_dedup_winnow" -> ((s, d) => {
+      val w = ptx.Caching.pin(
+        TextAnalysis.winnowedFingerprints(Tables.documents(s, d))
+          .select(col("doc_id"), col("fps")))
+      val fp = w.select(col("doc_id"), explode(col("fps")).as("fp"))
+      val nf = w.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
+      fp.toDF("doc1", "fp").join(fp.toDF("doc2", "fp"), Seq("fp"))
+        .filter(col("doc1") < col("doc2"))
+        .groupBy(col("doc1"), col("doc2"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(nf.toDF("d1", "nf1"), col("doc1") === col("d1"))
+        .join(nf.toDF("d2", "nf2"), col("doc2") === col("d2"))
+        .select(col("doc1"), col("doc2"), col("n_shared"),
+          // half-up e6 overlap coefficient; n_shared ≥ 2 ⇒ nonzero
+          // denominator, and 2·n_shared·1e6 is bounded by per-doc
+          // fingerprint counts (doc-length-sized), never corpus-sized
+          expr("(2 * n_shared * 1000000 + least(nf1, nf2))" +
+            " div (2 * least(nf1, nf2))").as("ov_e6"))
+        .orderBy(col("doc1"), col("doc2"))
+    }),
+    // ✓ SEMANTIC threshold tuning curve (r14): llm_dedup_threshold_curve
+    // at the embedding grade — cosine thresholds 0.45 … 0.95 evaluated in
+    // ONE pass over the exact all-pairs frame (the llm_dedup_embed
+    // anchor's BNLJ, broadcast side), reporting per threshold: dup
+    // pairs, CROSS-LABEL pairs (the quality signal — semantic dup pairs
+    // crossing label cells flag either a too-loose threshold or
+    // mislabeled data), vectors linked/dropped under the smallest-id
+    // policy, and the surviving count. The semdedup-knob curve read
+    // before an embedding-dedup run commits its threshold.
+    // Scale: anchored to the deliberate quadratic BNLJ (its scale twin
+    // is llm_semdedup's cell-bounded Σ|cell|²) — at 100 TB run this
+    // curve over the cell-bounded candidate pairs at the LOOSEST
+    // threshold of interest; every tighter threshold reuses the same
+    // candidate frame.
+    "llm_embed_threshold_curve" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("vec1"), col("embedding").as("p"),
+        col("label").as("label1"))
+      val b = e.select(col("vec_id").as("vec2"), col("embedding").as("c"),
+        col("label").as("label2"))
+      val curve = ptx.Caching.pin(a.crossJoin(broadcast(b))
+        .filter(col("vec1") < col("vec2"))
+        .withColumn("sim", expr("cosine_sim(p, c)"))
+        .select(col("vec1"), col("vec2"), col("sim"),
+          (col("label1") =!= col("label2")).as("cross_label"),
+          explode(expr("array(45, 55, 65, 75, 85, 95)")).as("threshold_e2"))
+        .filter(col("sim") >= col("threshold_e2") / lit(100.0))
+        .select(col("threshold_e2"), col("vec1"), col("vec2"),
+          col("cross_label")))
+      val spine = s.range(1)
+        .select(explode(expr("array(45, 55, 65, 75, 85, 95)"))
+          .as("threshold_e2"))
+      val pa = curve.groupBy(col("threshold_e2")).agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("cross_label"), 1L).otherwise(0L)).as("n_cross_label"),
+        countDistinct(col("vec2")).as("n_dropped"))
+      val linked = curve
+        .select(col("threshold_e2"),
+          explode(array(col("vec1"), col("vec2"))).as("v"))
+        .groupBy(col("threshold_e2"))
+        .agg(countDistinct(col("v")).as("n_vecs_linked"))
+      val total = e.agg(count(lit(1)).as("n_total"))
+      spine.join(pa, Seq("threshold_e2"), "left")
+        .join(linked, Seq("threshold_e2"), "left")
+        .crossJoin(broadcast(total))
+        .select(col("threshold_e2"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_cross_label"), lit(0L)).as("n_cross_label"),
+          coalesce(col("n_vecs_linked"), lit(0L)).as("n_vecs_linked"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+          (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
+            .as("n_surviving"))
+        .orderBy(col("threshold_e2"))
+    }),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
     // over tables of same-bucket vectors; exact top-5 within candidates.
@@ -1238,6 +1328,69 @@ object LlmScale {
         |FROM th LEFT JOIN pa USING (threshold_e2)
         |        LEFT JOIN ln USING (threshold_e2) CROSS JOIN nt
         |ORDER BY th.threshold_e2""".stripMargin),
+    // winnowed candidates: the same gram-hash/window-min/distinct list
+    // chain as the llm_winnowing oracle, then a plain fp-keyed self-join
+    "llm_dedup_winnow" ->
+      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |feat AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN
+        |    list_transform(generate_series(1, len(w) - 2), i ->
+        |      ((((217 + (17 * len(w[i]) + ascii(w[i][1]))) % 1000000007) * 31
+        |         + (17 * len(w[i + 1]) + ascii(w[i + 1][1]))) % 1000000007 * 31
+        |         + (17 * len(w[i + 2]) + ascii(w[i + 2][1]))) % 1000000007)
+        |  ELSE [] END AS g FROM words),
+        |sel AS (SELECT doc_id,
+        |  CASE WHEN len(g) = 0 THEN []
+        |       ELSE list_distinct(list_transform(
+        |         generate_series(1, greatest(len(g) - 3, 1)),
+        |         j -> list_min(list_slice(g, j, j + 3)))) END AS fps
+        |  FROM feat),
+        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+        |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM sel),
+        |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+        |         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc1, doc2, n_shared,
+        |  CAST((2 * n_shared * 1000000 + least(n1.nf, n2.nf))
+        |       // (2 * least(n1.nf, n2.nf)) AS BIGINT) AS ov_e6
+        |FROM cand JOIN nf n1 ON n1.doc_id = doc1 JOIN nf n2 ON n2.doc_id = doc2
+        |WHERE n_shared >= 2
+        |ORDER BY doc1, doc2""".stripMargin,
+    // same curve mechanics at the embedding grade; the threshold compare
+    // is the identical `sim >= threshold_e2 / 100.0` double expression in
+    // both engines (the llm_dedup_embed boundary-compare precedent)
+    "llm_embed_threshold_curve" ->
+      """WITH v AS (SELECT vec_id, label,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |base AS (
+        |  SELECT a.vec_id AS vec1, b.vec_id AS vec2,
+        |         a.label <> b.label AS cross_label,
+        |         list_dot_product(a.v, b.v)
+        |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
+        |th AS (SELECT unnest([45, 55, 65, 75, 85, 95]) AS threshold_e2),
+        |curve AS (SELECT threshold_e2, vec1, vec2, cross_label
+        |          FROM base, th WHERE sim >= threshold_e2 / 100.0),
+        |pa AS (SELECT threshold_e2, count(*) AS n_pairs,
+        |         CAST(sum(CASE WHEN cross_label THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_cross_label,
+        |         count(DISTINCT vec2) AS n_dropped
+        |       FROM curve GROUP BY threshold_e2),
+        |ln AS (SELECT threshold_e2, count(DISTINCT v) AS n_vecs_linked
+        |       FROM (SELECT threshold_e2, vec1 AS v FROM curve
+        |             UNION ALL SELECT threshold_e2, vec2 FROM curve) u
+        |       GROUP BY threshold_e2),
+        |nt AS (SELECT count(*) AS n_total FROM embeddings)
+        |SELECT th.threshold_e2,
+        |  COALESCE(n_pairs, 0) AS n_pairs,
+        |  COALESCE(n_cross_label, 0) AS n_cross_label,
+        |  COALESCE(n_vecs_linked, 0) AS n_vecs_linked,
+        |  COALESCE(n_dropped, 0) AS n_dropped,
+        |  n_total - COALESCE(n_dropped, 0) AS n_surviving
+        |FROM th LEFT JOIN pa USING (threshold_e2)
+        |        LEFT JOIN ln USING (threshold_e2) CROSS JOIN nt
+        |ORDER BY th.threshold_e2""".stripMargin,
     "llm_ann_ivf" ->
       (s"WITH $ivfSqlCtes\n" +
       """SELECT probe_id, rnk, cand_id, round(sim, 6) AS sim FROM ranked

@@ -524,6 +524,46 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_dedup_winnow recalls every exact near-dup pair with >= 2 shared fingerprints (r14)") {
+    val rows = q("llm_dedup_winnow").collect()
+    val cand = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val near = q("llm_dedup_near").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(near.nonEmpty && near.subsetOf(cand),
+      s"winnow candidates missed near pairs: ${near -- cand}")
+    // report-shape sanity: the n_shared >= 2 cut held and the overlap
+    // coefficient is a valid half-up e6 fraction
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 2L)
+      assert(r.getLong(3) > 0L && r.getLong(3) <= 1000000L)
+    }
+    ptx.Caching.releaseAll()
+  }
+
+  test("llm_embed_threshold_curve: anchored at 0.45 to llm_dedup_embed, monotone, cross-label sane (r14)") {
+    val curve = q("llm_embed_threshold_curve").collect()
+      .map(r => (r.getInt(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    assert(curve.map(_._1).toSeq == Seq(45, 55, 65, 75, 85, 95))
+    // the 0.45 row IS the embed anchor's pair set re-counted
+    val anchor = q("llm_dedup_embed").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3)))
+    val (p45, x45, l45, d45, s45) = curve.toMap.apply(45)
+    assert(p45 == anchor.length)
+    assert(x45 == anchor.count(!_._3))
+    assert(l45 == anchor.flatMap(p => Seq(p._1, p._2)).distinct.length)
+    assert(d45 == anchor.map(_._2).distinct.length)
+    assert(s45 == Tables.embeddings(spark, SF01).count() - d45)
+    // monotone: tightening drops pairs/cross-label/linked/dropped, grows
+    // survivors; cross-label never exceeds pairs
+    curve.map(_._2).sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._1 >= hi._1 && lo._2 >= hi._2 && lo._3 >= hi._3 &&
+        lo._4 >= hi._4 && lo._5 <= hi._5, s"curve not monotone: $lo -> $hi")
+    }
+    curve.foreach { case (_, (p, x, _, _, _)) => assert(x <= p) }
+    ptx.Caching.releaseAll()
+  }
+
   test("winnowing guarantee: a shared 6-word run shares a fingerprint; short docs select nothing (r14)") {
     import spark.implicits._
     // two docs share EXACTLY a 6-word run (= w+k-1 at w=4, k=3: four

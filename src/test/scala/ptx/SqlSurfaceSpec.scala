@@ -65,6 +65,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_winnowing" -> listFns,
       "llm_dedup_threshold_curve" ->
         (listFns + " + [..] list literal + // integer division"),
+      "llm_embed_threshold_curve" -> (listFns + " + [..] list literal"),
+      "llm_dedup_winnow" -> listFns,
       "dq_embedding_outliers" -> "ORDER BY inside list() + list_dot_product",
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_drift_ks" -> "HUGEINT type (Spark: DECIMAL(38,0))",
