@@ -81,6 +81,47 @@ object LlmScale {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
+  /** The dedup threshold-curve tail shared by `llm_dedup_threshold_curve`
+    * (exact pair frame) and `llm_dedup_threshold_curve_lsh` (banded
+    * candidate frame): `base` is (doc1, doc2, inter, un) with doc1 < doc2;
+    * each pair fans to the thresholds it clears (cross-multiplied integer
+    * compare — no double division, so boundary ties are engine-exact),
+    * then two bounded aggs report pairs / linked docs / policy-dropped
+    * docs / survivors per threshold over a left-joined spine (a
+    * threshold that drops nothing still gets its zero row). */
+  private def thresholdCurve(s: SparkSession, base: DataFrame,
+                             docs: DataFrame): DataFrame = {
+    // pin: the per-threshold pair frame feeds the pair-grain agg and
+    // the doc-grain explode branch
+    val curve = ptx.Caching.pin(base
+      .select(col("doc1"), col("doc2"), col("inter"), col("un"),
+        explode(expr("array(40, 50, 60, 70, 80, 90)")).as("threshold_e2"))
+      .filter(col("inter") * 100 >= col("threshold_e2") * col("un"))
+      .select(col("threshold_e2"), col("doc1"), col("doc2")))
+    val spine = s.range(1)
+      .select(explode(expr("array(40, 50, 60, 70, 80, 90)"))
+        .as("threshold_e2"))
+    val pairsAgg = curve.groupBy(col("threshold_e2")).agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("doc2")).as("n_dropped"))
+    val linked = curve
+      .select(col("threshold_e2"),
+        explode(array(col("doc1"), col("doc2"))).as("doc"))
+      .groupBy(col("threshold_e2"))
+      .agg(countDistinct(col("doc")).as("n_docs_linked"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    spine.join(pairsAgg, Seq("threshold_e2"), "left")
+      .join(linked, Seq("threshold_e2"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("threshold_e2"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
+        (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
+          .as("n_surviving"))
+      .orderBy(col("threshold_e2"))
+  }
+
   /** Per-doc containment-verify frame from a (doc_id, h) hashed-shingle
     * stream: distinct-shingle count + ascending hash set — the
     * minhashSignatures set columns without the minhash work. ONE
@@ -737,35 +778,34 @@ object LlmScale {
         .join(n.as("nb"), col("doc2") === col("nb.doc_id"))
         .select(col("doc1"), col("doc2"), col("inter"),
           (col("na.n_sh") + col("nb.n_sh") - col("inter")).as("un"))
-      // pin: the per-threshold pair frame feeds the pair-grain agg and
-      // the doc-grain explode branch
-      val curve = ptx.Caching.pin(base
-        .select(col("doc1"), col("doc2"), col("inter"), col("un"),
-          explode(expr("array(40, 50, 60, 70, 80, 90)")).as("threshold_e2"))
-        .filter(col("inter") * 100 >= col("threshold_e2") * col("un"))
-        .select(col("threshold_e2"), col("doc1"), col("doc2")))
-      val spine = s.range(1)
-        .select(explode(expr("array(40, 50, 60, 70, 80, 90)"))
-          .as("threshold_e2"))
-      val pairsAgg = curve.groupBy(col("threshold_e2")).agg(
-        count(lit(1)).as("n_pairs"),
-        countDistinct(col("doc2")).as("n_dropped"))
-      val linked = curve
-        .select(col("threshold_e2"),
-          explode(array(col("doc1"), col("doc2"))).as("doc"))
-        .groupBy(col("threshold_e2"))
-        .agg(countDistinct(col("doc")).as("n_docs_linked"))
-      val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
-      spine.join(pairsAgg, Seq("threshold_e2"), "left")
-        .join(linked, Seq("threshold_e2"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("threshold_e2"),
-          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
-            .as("n_surviving"))
-        .orderBy(col("threshold_e2"))
+      thresholdCurve(s, base, Tables.documents(s, d))
+    }),
+    // ◌ the SAME curve over the banded MinHash candidate frame — the
+    // composition the exact curve's scale note prescribes for 100 TB
+    // (band at the lowest threshold of interest; every higher threshold
+    // reuses the one candidate set). Shares `thresholdCurve` with the
+    // exact form, so the two reports cannot drift; no oracle (band
+    // hashes are engine-specific upstream). LlmOpsSpec pins: every
+    // count ≤ the exact curve's (candidates ⊆ the shared-shingle pair
+    // space) and EQUALITY at thresholds ≥ 0.8 (the banding-recall band
+    // the minhash subset test already guarantees on this fixture).
+    "llm_dedup_threshold_curve_lsh" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val sh = shingles(s, d).select(col("doc_id"), col("shingle").as("h"))
+      val docAgg = ptx.Caching.pin(minhashSignatures(sh))
+      val bands = bandKeys(docAgg)
+      val cands = bands.toDF("doc1", "band", "key")
+        .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
+        .filter(col("doc1") < col("doc2"))
+        .select(col("doc1"), col("doc2")).distinct()
+      val sets = docAgg.select(col("doc_id"), col("n_sh"), col("shset"))
+      val base = cands
+        .join(sets.toDF("doc1", "n1", "set1"), Seq("doc1"))
+        .join(sets.toDF("doc2", "n2", "set2"), Seq("doc2"))
+        .withColumn("inter", expr("sorted_intersect_count(set1, set2)"))
+        .select(col("doc1"), col("doc2"), col("inter"),
+          (col("n1") + col("n2") - col("inter")).as("un"))
+      thresholdCurve(s, base, Tables.documents(s, d))
     }),
     // ✓ winnowed-fingerprint dedup candidates (r14): the MOSS-style
     // candidate generation the llm_winnowing audit sizes — doc pairs

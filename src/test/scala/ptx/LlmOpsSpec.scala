@@ -524,6 +524,27 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_dedup_threshold_curve_lsh: bounded by the exact curve, equal in the banding-recall band (r14)") {
+    def rows(name: String) = q(name).collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val exact = rows("llm_dedup_threshold_curve")
+    val lsh = rows("llm_dedup_threshold_curve_lsh")
+    assert(exact.keySet == lsh.keySet)
+    exact.foreach { case (t, (p, l, d, s)) =>
+      val (p2, l2, d2, s2) = lsh(t)
+      // candidates ⊆ the shared-shingle pair space ⇒ every count is
+      // bounded by the exact curve's (survivors from the other side)
+      assert(p2 <= p && l2 <= l && d2 <= d && s2 >= s,
+        s"LSH curve exceeded the exact curve at t=$t")
+      // the minhash subset test pins 100% recall at j ≥ 0.8 on this
+      // fixture — there the two curves must agree exactly
+      if (t >= 80) assert((p2, l2, d2, s2) == ((p, l, d, s)),
+        s"LSH curve diverged in the recall band at t=$t")
+    }
+    ptx.Caching.releaseAll()
+  }
+
   test("llm_dedup_winnow recalls every exact near-dup pair with >= 2 shared fingerprints (r14)") {
     val rows = q("llm_dedup_winnow").collect()
     val cand = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
