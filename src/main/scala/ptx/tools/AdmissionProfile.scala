@@ -147,11 +147,18 @@ object AdmissionProfile {
     }
     // one untimed pass absorbs the gate shapes' codegen, then the timed
     // run measures the steady-state batch cost (fresh index each time —
-    // admission mutates it)
+    // admission mutates it). The timed run re-attaches the job listener
+    // under SPARK_GRAFT_ADM_DEBUG so the composed batch's JOB-ROUND
+    // TRACE is a committed measurement (VERDICT r13 #2's alternative
+    // "demonstrate with a job-count trace" — how many scheduled rounds
+    // one ingest batch pays, and each round's wall).
     for (round <- Seq("warm (untimed shapes)", "TOTAL ingestAdmitBatch (gates + admit)")) {
       val idx3 = Files.createTempDirectory("adm-idx3").toString
       ptx.sources.DedupIndex.write(base, idx3)
       val outDir3 = Files.createTempDirectory("adm-out3").toString
+      val trace = round.startsWith("TOTAL") &&
+        sys.env.contains("SPARK_GRAFT_ADM_DEBUG")
+      if (trace) { jobLog.clear(); spark.sparkContext.addSparkListener(listener) }
       t(round) {
         // same plan scope the streaming wrapper applies per batch
         ptx.stream.Pipelines.withMicroBatchPlan(spark) {
@@ -159,6 +166,10 @@ object AdmissionProfile {
             full.filter(col("doc_id") % 10 === 0), 0L, psiRef, sketch,
             idx3, outDir3, 0.4)
         }
+      }
+      if (trace) {
+        spark.sparkContext.removeSparkListener(listener)
+        jobLog.forEach(println(_))
       }
     }
     spark.stop()
