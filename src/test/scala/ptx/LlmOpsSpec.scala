@@ -545,6 +545,50 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_winnowing plan: exchanges carry the source key and 64-bit fingerprints, never text (r14)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    import org.apache.spark.sql.types.StringType
+    // structural assertion needs a concrete plan (the IoSpec discipline)
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = q("llm_winnowing")
+      def flatten(p: SparkPlan): Seq[SparkPlan] = {
+        val nodes = p.collect { case n => n }
+        nodes ++ nodes.flatMap {
+          case im: InMemoryTableScanExec => flatten(im.relation.cachedPlan)
+          case _ => Nil
+        }
+      }
+      val exchanges = flatten(df.queryExecution.executedPlan)
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, "expected the two aggregation exchanges")
+      // the scaladoc's 100 TB claim, pinned: the corpus-sized exchanges
+      // key on (source, 64-bit fp) / partial sums — document TEXT never
+      // crosses a shuffle (contrast llm_hot_shingles, whose OUTPUT is
+      // the string and which documents the sample posture instead)
+      def hasString(dt: org.apache.spark.sql.types.DataType): Boolean =
+        dt match {
+          case _: StringType => true
+          case a: org.apache.spark.sql.types.ArrayType =>
+            hasString(a.elementType)
+          case m: org.apache.spark.sql.types.MapType =>
+            hasString(m.keyType) || hasString(m.valueType)
+          case s: org.apache.spark.sql.types.StructType =>
+            s.fields.exists(f => hasString(f.dataType))
+          case _ => false
+        }
+      exchanges.foreach { e =>
+        val strings = e.output.filter(a => hasString(a.dataType))
+        assert(strings.map(_.name).forall(_ == "source"),
+          s"non-source string bytes on a winnowing exchange: ${strings.map(_.name)}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    ptx.Caching.releaseAll()
+  }
+
   test("llm_dedup_winnow recalls every exact near-dup pair with >= 2 shared fingerprints (r14)") {
     val rows = q("llm_dedup_winnow").collect()
     val cand = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
