@@ -81,45 +81,88 @@ object LlmScale {
       .select(col("doc1"), col("doc2"), col("jaccard"))
   }
 
-  /** The dedup threshold-curve tail shared by `llm_dedup_threshold_curve`
-    * (exact pair frame) and `llm_dedup_threshold_curve_lsh` (banded
-    * candidate frame): `base` is (doc1, doc2, inter, un) with doc1 < doc2;
-    * each pair fans to the thresholds it clears (cross-multiplied integer
-    * compare — no double division, so boundary ties are engine-exact),
-    * then two bounded aggs report pairs / linked docs / policy-dropped
-    * docs / survivors per threshold over a left-joined spine (a
-    * threshold that drops nothing still gets its zero row). */
-  private def thresholdCurve(s: SparkSession, base: DataFrame,
-                             docs: DataFrame): DataFrame = {
+  /** The Jaccard threshold grid shared by the exact curve, its LSH twin,
+    * and their SQL oracles' `[40, …]` literal; the embedding curve uses
+    * [[embedThresholds]]. One definition per grid — a spine/explode
+    * mismatch silently drops or zero-fills rows. */
+  private val jaccardThresholds = Seq(40, 50, 60, 70, 80, 90)
+  private val embedThresholds = Seq(45, 55, 65, 75, 85, 95)
+
+  /** The threshold-curve report tail shared by ALL three curve queries:
+    * `curve` is the already-exploded-and-filtered
+    * (threshold_e2, left, right, extra…) pair frame; the tail pins it,
+    * runs the pair-grain agg (pairs + `extraAggs` + policy-dropped =
+    * distinct right ids, pairs being oriented left < right), the
+    * id-grain linked-count agg, and assembles the report over a
+    * left-joined threshold spine (a threshold that drops nothing still
+    * gets its zero row), with survivors = total − dropped. */
+  private def thresholdCurveTail(s: SparkSession, curveRaw: DataFrame,
+                                 total: DataFrame, thresholds: Seq[Int],
+                                 left: String, right: String,
+                                 linkedName: String,
+                                 extraAggs: Seq[(Column, String)] = Nil)
+      : DataFrame = {
     // pin: the per-threshold pair frame feeds the pair-grain agg and
-    // the doc-grain explode branch
-    val curve = ptx.Caching.pin(base
-      .select(col("doc1"), col("doc2"), col("inter"), col("un"),
-        explode(expr("array(40, 50, 60, 70, 80, 90)")).as("threshold_e2"))
-      .filter(col("inter") * 100 >= col("threshold_e2") * col("un"))
-      .select(col("threshold_e2"), col("doc1"), col("doc2")))
+    // the id-grain explode branch
+    val curve = ptx.Caching.pin(curveRaw)
     val spine = s.range(1)
-      .select(explode(expr("array(40, 50, 60, 70, 80, 90)"))
-        .as("threshold_e2"))
-    val pairsAgg = curve.groupBy(col("threshold_e2")).agg(
-      count(lit(1)).as("n_pairs"),
-      countDistinct(col("doc2")).as("n_dropped"))
+      .select(explode(lit(thresholds.toArray)).as("threshold_e2"))
+    val aggCols = (extraAggs.map { case (c, n) => c.as(n) } :+
+      countDistinct(col(right)).as("n_dropped"))
+    val pairsAgg = curve.groupBy(col("threshold_e2"))
+      .agg(count(lit(1)).as("n_pairs"), aggCols: _*)
     val linked = curve
       .select(col("threshold_e2"),
-        explode(array(col("doc1"), col("doc2"))).as("doc"))
+        explode(array(col(left), col(right))).as("m"))
       .groupBy(col("threshold_e2"))
-      .agg(countDistinct(col("doc")).as("n_docs_linked"))
-    val total = docs.agg(count(lit(1)).as("n_total"))
-    spine.join(pairsAgg, Seq("threshold_e2"), "left")
-      .join(linked, Seq("threshold_e2"), "left")
-      .crossJoin(broadcast(total))
-      .select(col("threshold_e2"),
-        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-        coalesce(col("n_docs_linked"), lit(0L)).as("n_docs_linked"),
+      .agg(countDistinct(col("m")).as(linkedName))
+    val outCols = Seq(col("threshold_e2"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs")) ++
+      extraAggs.map { case (_, n) => coalesce(col(n), lit(0L)).as(n) } ++
+      Seq(coalesce(col(linkedName), lit(0L)).as(linkedName),
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
         (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
           .as("n_surviving"))
+    spine.join(pairsAgg, Seq("threshold_e2"), "left")
+      .join(linked, Seq("threshold_e2"), "left")
+      .crossJoin(broadcast(total))
+      .select(outCols: _*)
       .orderBy(col("threshold_e2"))
+  }
+
+  /** Jaccard-grade curve over a (doc1, doc2, inter, un) pair frame —
+    * the exact curve and its LSH twin differ ONLY in how that frame is
+    * produced. The threshold test is cross-multiplied integer
+    * arithmetic (100·inter ≥ t·union — no double division), so
+    * boundary ties are engine-exact. */
+  private def thresholdCurve(s: SparkSession, base: DataFrame,
+                             docs: DataFrame): DataFrame =
+    thresholdCurveTail(s,
+      base.select(col("doc1"), col("doc2"), col("inter"), col("un"),
+          explode(lit(jaccardThresholds.toArray)).as("threshold_e2"))
+        .filter(col("inter") * 100 >= col("threshold_e2") * col("un"))
+        .select(col("threshold_e2"), col("doc1"), col("doc2")),
+      docs.agg(count(lit(1)).as("n_total")), jaccardThresholds,
+      "doc1", "doc2", "n_docs_linked")
+
+  /** The banded MinHash candidate machinery shared by
+    * `llm_dedup_minhash_lsh` and `llm_dedup_threshold_curve_lsh`:
+    * signatures → band keys → distinct candidate pairs, plus the
+    * per-doc verify sets — ONE definition so the curve twin can never
+    * drift from the anchor's candidate generation. Pins the signature
+    * apex (three consumers prune different columns); released by the
+    * caller's harness via Caching. */
+  private def bandedCandidateSets(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    ptx.functions.VectorOps.register(s) // sorted_intersect_count kernel
+    val sh = shingles(s, d).select(col("doc_id"), col("shingle").as("h"))
+    val docAgg = ptx.Caching.pin(minhashSignatures(sh))
+    val bands = bandKeys(docAgg)
+    val cands = bands.toDF("doc1", "band", "key")
+      .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
+      .filter(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2")).distinct()
+    (cands, docAgg.select(col("doc_id"), col("n_sh"), col("shset")))
   }
 
   /** Per-doc containment-verify frame from a (doc_id, h) hashed-shingle
@@ -633,7 +676,6 @@ object LlmScale {
     // shingle scan and no inverted-index join at all (a naive formulation
     // scanned the corpus 12× per query; this plan scans it once).
     "llm_dedup_minhash_lsh" -> ((s, d) => {
-      ptx.functions.VectorOps.register(s) // sorted_intersect_count kernel
       // shingles arrive as 64-bit GramHashes keys (r10); the 16 per-seed
       // min-hashes rehash the value (xxhash64(i, h) — no long-multiply,
       // which would overflow-throw under ANSI), and the verify set stores
@@ -642,21 +684,10 @@ object LlmScale {
       // Exactness: |∩| over 64-bit hashes equals |∩| over shingles unless
       // two distinct shingles collide (P ≈ n²/2⁶⁵ ≈ 2e-11 at the 27k-
       // shingle vocab; the ◌ op's property tests run against exact pairs).
-      val sh = shingles(s, d)
-        .select(col("doc_id"), col("shingle").as("h"))
-      // pin the diamond apex: three consumers (bands, both verify sides)
-      // prune different columns, which defeats exchange reuse — without the
-      // cache the corpus is re-scanned per consumer. One row per doc, small.
-      // Released by the harness via Caching.releaseAll() post-action.
-      // (signature/band/verify recipes shared with sources.DedupIndex —
-      // r11 factoring, identical plan)
-      val docAgg = ptx.Caching.pin(minhashSignatures(sh))
-      val bands = bandKeys(docAgg)
-      val cands = bands.toDF("doc1", "band", "key")
-        .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
-        .filter(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2")).distinct()
-      val sets = docAgg.select(col("doc_id"), col("n_sh"), col("shset"))
+      // Candidate machinery shared with the curve twin via
+      // bandedCandidateSets (signature/band/verify recipes shared with
+      // sources.DedupIndex — r11 factoring, identical plan).
+      val (cands, sets) = bandedCandidateSets(s, d)
       verifyJaccard(cands, sets, 0.4)
         .orderBy(col("doc1"), col("doc2"))
     }),
@@ -790,15 +821,7 @@ object LlmScale {
     // space) and EQUALITY at thresholds ≥ 0.8 (the banding-recall band
     // the minhash subset test already guarantees on this fixture).
     "llm_dedup_threshold_curve_lsh" -> ((s, d) => {
-      ptx.functions.VectorOps.register(s)
-      val sh = shingles(s, d).select(col("doc_id"), col("shingle").as("h"))
-      val docAgg = ptx.Caching.pin(minhashSignatures(sh))
-      val bands = bandKeys(docAgg)
-      val cands = bands.toDF("doc1", "band", "key")
-        .join(bands.toDF("doc2", "band", "key"), Seq("band", "key"))
-        .filter(col("doc1") < col("doc2"))
-        .select(col("doc1"), col("doc2")).distinct()
-      val sets = docAgg.select(col("doc_id"), col("n_sh"), col("shset"))
+      val (cands, sets) = bandedCandidateSets(s, d)
       val base = cands
         .join(sets.toDF("doc1", "n1", "set1"), Seq("doc1"))
         .join(sets.toDF("doc2", "n2", "set2"), Seq("doc2"))
@@ -863,39 +886,24 @@ object LlmScale {
         col("label").as("label1"))
       val b = e.select(col("vec_id").as("vec2"), col("embedding").as("c"),
         col("label").as("label2"))
-      val curve = ptx.Caching.pin(a.crossJoin(broadcast(b))
+      // the per-pair threshold test is the one piece the Jaccard tail
+      // cannot share: cosine is a double, so the compare is the same
+      // `sim >= t/100.0` expression in both engines (the
+      // llm_dedup_embed boundary precedent), not the cross-multiplied
+      // integer form
+      val curve = a.crossJoin(broadcast(b))
         .filter(col("vec1") < col("vec2"))
         .withColumn("sim", expr("cosine_sim(p, c)"))
         .select(col("vec1"), col("vec2"), col("sim"),
           (col("label1") =!= col("label2")).as("cross_label"),
-          explode(expr("array(45, 55, 65, 75, 85, 95)")).as("threshold_e2"))
+          explode(lit(embedThresholds.toArray)).as("threshold_e2"))
         .filter(col("sim") >= col("threshold_e2") / lit(100.0))
         .select(col("threshold_e2"), col("vec1"), col("vec2"),
-          col("cross_label")))
-      val spine = s.range(1)
-        .select(explode(expr("array(45, 55, 65, 75, 85, 95)"))
-          .as("threshold_e2"))
-      val pa = curve.groupBy(col("threshold_e2")).agg(
-        count(lit(1)).as("n_pairs"),
-        sum(when(col("cross_label"), 1L).otherwise(0L)).as("n_cross_label"),
-        countDistinct(col("vec2")).as("n_dropped"))
-      val linked = curve
-        .select(col("threshold_e2"),
-          explode(array(col("vec1"), col("vec2"))).as("v"))
-        .groupBy(col("threshold_e2"))
-        .agg(countDistinct(col("v")).as("n_vecs_linked"))
-      val total = e.agg(count(lit(1)).as("n_total"))
-      spine.join(pa, Seq("threshold_e2"), "left")
-        .join(linked, Seq("threshold_e2"), "left")
-        .crossJoin(broadcast(total))
-        .select(col("threshold_e2"),
-          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
-          coalesce(col("n_cross_label"), lit(0L)).as("n_cross_label"),
-          coalesce(col("n_vecs_linked"), lit(0L)).as("n_vecs_linked"),
-          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"),
-          (col("n_total") - coalesce(col("n_dropped"), lit(0L)))
-            .as("n_surviving"))
-        .orderBy(col("threshold_e2"))
+          col("cross_label"))
+      thresholdCurveTail(s, curve, e.agg(count(lit(1)).as("n_total")),
+        embedThresholds, "vec1", "vec2", "n_vecs_linked",
+        extraAggs = Seq(
+          (sum(when(col("cross_label"), 1L).otherwise(0L)), "n_cross_label")))
     }),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
@@ -1346,10 +1354,11 @@ object LlmScale {
     // Spark side (no double division → no boundary-tie divergence)
     "llm_dedup_threshold_curve" ->
       (s"WITH $shingleSqlCtes,\n" +
-      """base AS (SELECT doc1, doc2, inter, na.n_sh + nb.n_sh - inter AS un
+      s"""base AS (SELECT doc1, doc2, inter, na.n_sh + nb.n_sh - inter AS un
         |         FROM inter JOIN n na ON na.doc_id = doc1
         |                    JOIN n nb ON nb.doc_id = doc2),
-        |th AS (SELECT unnest([40, 50, 60, 70, 80, 90]) AS threshold_e2),
+        |th AS (SELECT unnest([${jaccardThresholds.mkString(", ")}])
+        |        AS threshold_e2),
         |curve AS (SELECT threshold_e2, doc1, doc2 FROM base, th
         |          WHERE 100 * inter >= threshold_e2 * un),
         |pa AS (SELECT threshold_e2, count(*) AS n_pairs,
@@ -1368,24 +1377,13 @@ object LlmScale {
         |FROM th LEFT JOIN pa USING (threshold_e2)
         |        LEFT JOIN ln USING (threshold_e2) CROSS JOIN nt
         |ORDER BY th.threshold_e2""".stripMargin),
-    // winnowed candidates: the same gram-hash/window-min/distinct list
-    // chain as the llm_winnowing oracle, then a plain fp-keyed self-join
+    // winnowed candidates ride the SHARED winnowing CTE chain
+    // (TextAnalysis.winnowSqlCtes — one SQL source for the gram hash,
+    // like the Spark side's shared winnowedFingerprints), then a plain
+    // fp-keyed self-join
     "llm_dedup_winnow" ->
-      """WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |feat AS (SELECT doc_id,
-        |  CASE WHEN len(w) >= 3 THEN
-        |    list_transform(generate_series(1, len(w) - 2), i ->
-        |      ((((217 + (17 * len(w[i]) + ascii(w[i][1]))) % 1000000007) * 31
-        |         + (17 * len(w[i + 1]) + ascii(w[i + 1][1]))) % 1000000007 * 31
-        |         + (17 * len(w[i + 2]) + ascii(w[i + 2][1]))) % 1000000007)
-        |  ELSE [] END AS g FROM words),
-        |sel AS (SELECT doc_id,
-        |  CASE WHEN len(g) = 0 THEN []
-        |       ELSE list_distinct(list_transform(
-        |         generate_series(1, greatest(len(g) - 3, 1)),
-        |         j -> list_min(list_slice(g, j, j + 3)))) END AS fps
-        |  FROM feat),
-        |fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+      (s"WITH ${TextAnalysis.winnowSqlCtes},\n" +
+      """fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
         |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM sel),
         |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
         |         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
@@ -1395,12 +1393,12 @@ object LlmScale {
         |       // (2 * least(n1.nf, n2.nf)) AS BIGINT) AS ov_e6
         |FROM cand JOIN nf n1 ON n1.doc_id = doc1 JOIN nf n2 ON n2.doc_id = doc2
         |WHERE n_shared >= 2
-        |ORDER BY doc1, doc2""".stripMargin,
+        |ORDER BY doc1, doc2""".stripMargin),
     // same curve mechanics at the embedding grade; the threshold compare
     // is the identical `sim >= threshold_e2 / 100.0` double expression in
     // both engines (the llm_dedup_embed boundary-compare precedent)
     "llm_embed_threshold_curve" ->
-      """WITH v AS (SELECT vec_id, label,
+      s"""WITH v AS (SELECT vec_id, label,
         |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
         |           FROM embeddings),
         |base AS (
@@ -1409,7 +1407,8 @@ object LlmScale {
         |         list_dot_product(a.v, b.v)
         |           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS sim
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id),
-        |th AS (SELECT unnest([45, 55, 65, 75, 85, 95]) AS threshold_e2),
+        |th AS (SELECT unnest([${embedThresholds.mkString(", ")}])
+        |        AS threshold_e2),
         |curve AS (SELECT threshold_e2, vec1, vec2, cross_label
         |          FROM base, th WHERE sim >= threshold_e2 / 100.0),
         |pa AS (SELECT threshold_e2, count(*) AS n_pairs,

@@ -506,6 +506,30 @@ object TextAnalysis {
         col("first_fail").isNull.as("pass") +: col("first_fail") +:
         keep.map(col): _*)
 
+  /** The winnowing DuckDB CTE chain (words → gram-hash sequence →
+    * window-min fingerprint sets, at doc grain with source and gram
+    * count carried) — ONE SQL source shared by the `llm_winnowing`
+    * oracle here and the `llm_dedup_winnow` oracle in LlmScale, exactly
+    * as the Spark side shares [[winnowedFingerprints]]: an edit to the
+    * polynomial hash cannot diverge the two. Compose as
+    * `WITH $winnowSqlCtes, …`; `sel(doc_id, source, ng, fps)`. */
+  private[ptx] def winnowSqlCtes: String =
+    """words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+      |           FROM documents),
+      |feat AS (SELECT doc_id, source,
+      |  CASE WHEN len(w) >= 3 THEN
+      |    list_transform(generate_series(1, len(w) - 2), i ->
+      |      ((((217 + (17 * len(w[i]) + ascii(w[i][1]))) % 1000000007) * 31
+      |         + (17 * len(w[i + 1]) + ascii(w[i + 1][1]))) % 1000000007 * 31
+      |         + (17 * len(w[i + 2]) + ascii(w[i + 2][1]))) % 1000000007)
+      |  ELSE [] END AS g FROM words),
+      |sel AS (SELECT doc_id, source, len(g) AS ng,
+      |  CASE WHEN len(g) = 0 THEN []
+      |       ELSE list_distinct(list_transform(
+      |         generate_series(1, greatest(len(g) - 3, 1)),
+      |         j -> list_min(list_slice(g, j, j + 3)))) END AS fps
+      |  FROM feat)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "llm_stopword_candidates" ->
       """WITH dfw AS (
@@ -538,22 +562,8 @@ object TextAnalysis {
     // bounds-inclusive where Spark's slice takes a length — j..j+3 ≡
     // slice(g, j, 4); both clamp at the tail)
     "llm_winnowing" ->
-      """WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
-        |               FROM documents),
-        |feat AS (SELECT doc_id, source,
-        |  CASE WHEN len(w) >= 3 THEN
-        |    list_transform(generate_series(1, len(w) - 2), i ->
-        |      ((((217 + (17 * len(w[i]) + ascii(w[i][1]))) % 1000000007) * 31
-        |         + (17 * len(w[i + 1]) + ascii(w[i + 1][1]))) % 1000000007 * 31
-        |         + (17 * len(w[i + 2]) + ascii(w[i + 2][1]))) % 1000000007)
-        |  ELSE [] END AS g FROM words),
-        |sel AS (SELECT doc_id, source, len(g) AS ng,
-        |  CASE WHEN len(g) = 0 THEN []
-        |       ELSE list_distinct(list_transform(
-        |         generate_series(1, greatest(len(g) - 3, 1)),
-        |         j -> list_min(list_slice(g, j, j + 3)))) END AS fps
-        |  FROM feat),
-        |agg AS (SELECT source, count(*) AS n_docs,
+      (s"WITH $winnowSqlCtes,\n" +
+      """agg AS (SELECT source, count(*) AS n_docs,
         |          CAST(sum(ng) AS BIGINT) AS n_grams,
         |          CAST(sum(len(fps)) AS BIGINT) AS n_fps
         |        FROM sel GROUP BY source),
@@ -566,7 +576,7 @@ object TextAnalysis {
         |    CAST((2 * n_fps * 1000000 + n_grams) // (2 * n_grams) AS BIGINT)
         |  ELSE 0 END AS density_e6
         |FROM agg a LEFT JOIN dfp USING (source)
-        |ORDER BY a.source""".stripMargin,
+        |ORDER BY a.source""".stripMargin),
     // grams grouped by their STRING here (the Spark side's 64-bit
     // GramHashes keys are a shuffle-width optimization; identical counts
     // absent a 64-bit collision — the llm_dedup_spans precedent)

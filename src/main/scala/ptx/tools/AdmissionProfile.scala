@@ -109,6 +109,11 @@ object AdmissionProfile {
       ptx.stream.Pipelines.admitContainBatch(shard, 0L, cidx2, coutDir, 0.8)
     }
     if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG")) {
+      // the listener bus delivers JobEnd asynchronously: the action's
+      // JobWaiter can return while the last events are still queued, and
+      // an immediate remove+drain would truncate the committed trace —
+      // give the bus a beat to flush before detaching
+      Thread.sleep(1000)
       spark.sparkContext.removeSparkListener(listener)
       jobLog.forEach(println(_))
     }
@@ -168,6 +173,7 @@ object AdmissionProfile {
         }
       }
       if (trace) {
+        Thread.sleep(1000) // async JobEnd flush — see the contain trace note
         spark.sparkContext.removeSparkListener(listener)
         jobLog.forEach(println(_))
       }

@@ -62,11 +62,10 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_source_overlap" -> listFns,
       "llm_hot_shingles" -> listFns,
       "llm_dedup_prefix" -> listFns,
-      "llm_winnowing" -> listFns,
-      "llm_dedup_threshold_curve" ->
-        (listFns + " + [..] list literal + // integer division"),
+      "llm_winnowing" -> (listFns + " + // integer division"),
+      "llm_dedup_threshold_curve" -> (listFns + " + [..] list literal"),
       "llm_embed_threshold_curve" -> (listFns + " + [..] list literal"),
-      "llm_dedup_winnow" -> listFns,
+      "llm_dedup_winnow" -> (listFns + " + // integer division"),
       "dq_embedding_outliers" -> "ORDER BY inside list() + list_dot_product",
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_drift_ks" -> "HUGEINT type (Spark: DECIMAL(38,0))",
