@@ -1,0 +1,90 @@
+package ptx.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative BPE merge learning (Sennrich et al. 2016) — the algorithm
+  * behind the declared `llm_bpe_learn` query. Lives here rather than in
+  * ops/ for the same reason `VectorIndex.kmeans` lives in sources/: the
+  * per-round 1-row argmax collect is the sanctioned model-parameter
+  * collect, and the declared-operator surface stays collect-free (the
+  * OpsSmokeSpec lint).
+  *
+  * Mechanics: symbols start as characters of each word TYPE (counts
+  * weighted by corpus frequency — one corpus pass, every later round is
+  * vocab-sized); each round merges the highest-count adjacent symbol
+  * pair (ties by (left, right) text — deterministic, no RNG),
+  * left-to-right non-overlapping, and the loop carries the type table
+  * through lazy checkpoints freed one round behind (the clusterPairs
+  * discipline: plan depth and executor storage stay O(1) in rounds).
+  */
+object BpeLearn {
+
+  /** Learn `k` merges over `docs`' text column; returns the merge table
+    * (rank, left, right, merged, score) ordered by rank. Stops early if
+    * the vocabulary runs out of adjacent pairs. */
+  def learn(docs: DataFrame, k: Int): DataFrame = {
+    val s = docs.sparkSession
+    val types0 = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), expr("split(word, '')").as("syms"))
+    var t = ptx.Caching.checkpointLazy(types0)
+    var prev: DataFrame = null
+    val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      // this aggregation is the action that materializes the round's
+      // lazy checkpoint; only then is the previous round's freed
+      val top = t.filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          """transform(sequence(1, size(syms) - 1),
+            |  i -> named_struct('a', element_at(syms, i),
+            |                    'b', element_at(syms, i + 1)))"""
+            .stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("cnt")).as("score"))
+        .orderBy(col("score").desc, col("a"), col("b"))
+        .limit(1).collect()
+      if (prev != null) { ptx.Caching.free(prev); prev = null }
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, score) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r, a, b, score))
+        // left-to-right non-overlapping replacement of (a, b) → ab via
+        // a typed fold (Column lambdas — merge tokens come from corpus
+        // text, so no string-splicing into expr): carry (out, pend); a
+        // match flushes the merged symbol and clears pend, so the
+        // merged token cannot re-merge within the same round
+        val aL = lit(a); val bL = lit(b)
+        val init = struct(
+          expr("cast(array() as array<string>)").as("out"),
+          lit(null).cast("string").as("pend"))
+        val mergedSyms = aggregate(col("syms"), init,
+          (acc, x) => {
+            val out = acc.getField("out"); val pend = acc.getField("pend")
+            when(pend.isNull, struct(out.as("out"), x.as("pend")))
+              .when(pend === aL && x === bL,
+                struct(concat(out, array(concat(pend, x))).as("out"),
+                  lit(null).cast("string").as("pend")))
+              .otherwise(
+                struct(concat(out, array(pend)).as("out"), x.as("pend")))
+          },
+          acc => when(acc.getField("pend").isNull, acc.getField("out"))
+            .otherwise(concat(acc.getField("out"),
+              array(acc.getField("pend")))))
+        val next = ptx.Caching.checkpointLazy(
+          t.withColumn("syms", mergedSyms))
+        prev = t; t = next
+        r += 1
+      }
+    }
+    import s.implicits._
+    merges.toSeq.toDF("rank", "left", "right", "score")
+      .select(col("rank"), col("left"), col("right"),
+        concat(col("left"), col("right")).as("merged"), col("score"))
+      .orderBy(col("rank"))
+  }
+}

@@ -188,6 +188,31 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair"))
         .limit(20)
     }),
+    // ◌ BPE merge LEARNER (r14): the iterative loop whose single round
+    // `llm_bpe_pair_counts` audits — K = 8 merge rounds of byte-pair
+    // encoding over the word-TYPE table (Sennrich et al. 2016: symbols
+    // start as characters; each round merges the highest-count adjacent
+    // symbol pair, counts weighted by word frequency, left-to-right
+    // non-overlapping replacement). Output: the learned merge table
+    // (rank, left, right, merged, score) — THE artifact a tokenizer
+    // trainer ships. Deterministic: ties cut by (left, right) text, no
+    // RNG — a rerun reproduces the table bit-for-bit (the kmeans/
+    // sampler discipline).
+    // Scale: ONE corpus pass builds (word-type, count); every round
+    // after that runs on the |vocab| frame (types, not corpus — the
+    // real structure of BPE training) with a 1-row driver collect per
+    // round (the sanctioned model-parameter collect) and
+    // checkpointLazy + free so round r−1's blocks die when round r
+    // materializes (the clusterPairs loop discipline — plan depth and
+    // executor storage stay O(1) in rounds).
+    // ◌: iterative driver loop — no SQL twin; LlmOpsSpec pins the
+    // round-1 agreement with llm_bpe_pair_counts' top pair,
+    // non-increasing merge scores, and rerun determinism. The loop body
+    // lives in ptx.functions.BpeLearn (its per-round 1-row argmax
+    // collect is the sanctioned model-parameter collect, kept off the
+    // collect-free ops/ surface — the VectorIndex.kmeans placement).
+    "llm_bpe_learn" -> ((s, d) =>
+      ptx.functions.BpeLearn.learn(Tables.documents(s, d), k = 8)),
     // ✓ hot-shingle df audit (r13): top-20 3-word shingles by document
     // frequency (ties broken on the shingle string) plus each one's
     // corpus doc-share — THE df-skew diagnostic that parameterizes the

@@ -545,6 +545,28 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_bpe_learn: round 1 is the audited top pair, scores non-increasing, rerun-deterministic (r14)") {
+    def run() = q("llm_bpe_learn").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val m = run()
+    assert(m.length == 8 && m.map(_._1).toSeq == (1 to 8))
+    // the learner's first merge IS llm_bpe_pair_counts' top-1 row (same
+    // weighting, same tie order) — the audit and the trainer agree
+    val audit = q("llm_bpe_pair_counts").collect().head
+    assert(m.head._4 == audit.getString(0) && m.head._5 == audit.getLong(1),
+      s"round-1 merge ${m.head} != audited top pair $audit")
+    // merging only removes old pair mass and creates pairs bounded by
+    // the merged count, so scores never increase round over round
+    m.map(_._5).sliding(2).foreach { case Array(hi, lo) =>
+      assert(hi >= lo, s"merge scores increased: $hi -> $lo") }
+    // merged symbol is the concatenation and rounds build on each other
+    m.foreach { case (_, a, b, ab, _) => assert(ab == a + b) }
+    ptx.Caching.releaseAll()
+    assert(run().toSeq == m.toSeq, "rerun diverged — the learner must be RNG-free")
+    ptx.Caching.releaseAll()
+  }
+
   test("llm_winnowing plan: exchanges carry the source key and 64-bit fingerprints, never text (r14)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec

@@ -105,6 +105,7 @@ class OpsSmokeSpec extends AnyFunSuite {
       "agg_hll_sketch", "agg_hll_union",
       "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_cluster_lsh",
       "llm_dedup_threshold_curve_lsh", // r14: banded-candidate curve twin
+      "llm_bpe_learn", // r14: iterative merge learner (driver loop)
       "llm_ann_lsh", "llm_ann_ivf_kmeans", "llm_quantize_pq",
       "llm_ann_recall_kmeans", // r14: served-index recall (iterative build)
       "mm_decode_features", "scan_sample",
