@@ -1200,12 +1200,6 @@ object LlmScale {
       |         row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, cand_id) AS rnk
       |  FROM sims)""".stripMargin
 
-  /** The exact-cluster DuckDB CTE block (shingle → Jaccard pairs →
-    * undirected edges → recursive reachability), shared verbatim by the
-    * `llm_dedup_cluster` oracle and the `llm_dedup_cluster_sizes` audit —
-    * one SQL source, mirroring the Spark side's shared [[clusterPairs]].
-    * Compose as `WITH RECURSIVE $clusterSqlCtes, ...`; `reach(a, b)`
-    * holds every (node, reachable node) pair of the j ≥ 0.4 graph. */
   /** words → distinct shingles → per-doc sizes → pairwise intersection
     * counts: the shared prefix of [[clusterSqlCtes]] and the
     * `llm_dedup_threshold_curve` oracle (one SQL source for the
@@ -1221,6 +1215,13 @@ object LlmScale {
       |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |          GROUP BY 1, 2)""".stripMargin
 
+  /** The exact-cluster DuckDB CTE block ([[shingleSqlCtes]] → Jaccard
+    * pairs → undirected edges → recursive reachability), shared verbatim
+    * by the `llm_dedup_cluster` oracle and the `llm_dedup_cluster_sizes`
+    * audit — one SQL source, mirroring the Spark side's shared
+    * [[clusterPairs]]. Compose as `WITH RECURSIVE $clusterSqlCtes, ...`;
+    * `reach(a, b)` holds every (node, reachable node) pair of the
+    * j ≥ 0.4 graph. */
   private def clusterSqlCtes: String =
     shingleSqlCtes + ",\n" +
     """pairs AS (SELECT doc1, doc2

@@ -208,12 +208,18 @@ object SegmentedScan {
     * ≤ width/grid + 1 distinct values per band, rows-independent, at a
     * frame-boundary displacement of at most grid/2 per row.
     *
-    * Exactness contract (SkewSpec): for data already ON the grid the
-    * snap is the identity and the result equals [[rangeFrameSum]] and
-    * the window form bit-for-bit; off-grid data trades boundary
-    * membership within grid/2 for the restored straggler bound. Callers
-    * pick `grid` as the coarsest resolution the analysis tolerates
-    * (cents, ms, 1e-6 of the value range). */
+    * Exactness contract (SkewSpec): for data already ON a grid whose
+    * points are exactly representable in double — an INTEGER grid
+    * (1, 100, 400…) or a power-of-two fraction — the snap is the
+    * identity and the result equals [[rangeFrameSum]] and the window
+    * form bit-for-bit; off-grid data trades boundary membership within
+    * grid/2 for the restored straggler bound. A FRACTIONAL decimal grid
+    * (0.01 "cents") is NOT exactly representable (floor(v/grid+0.5)·grid
+    * perturbs by an ulp even for on-grid v), so the identity does not
+    * hold there: pre-scale such columns to integer units first (cents
+    * as integers, ms as longs — what every declared query already does)
+    * and pass an integer grid. Callers pick `grid` as the coarsest
+    * resolution the analysis tolerates. */
   def rangeFrameSumQuantized(df: DataFrame, key: Seq[String], value: String,
                              width: Double, out: String,
                              grid: Double): DataFrame = {

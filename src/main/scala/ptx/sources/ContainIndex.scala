@@ -363,5 +363,11 @@ object ContainIndex {
       .write.mode(SaveMode.Overwrite).parquet(s"$dst/df/batch=base")
     spark.read.parquet(s"$dir/meta")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$dst/meta")
+    // compact rewrites dst's meta exactly like write() rewrites dir's —
+    // a previously-probed dst must not keep serving the old (t, n_docs)
+    // row from the per-JVM cache (a stale LOWER buildT would let a
+    // t >= buildT probe pass the gate against prefixes sized for a
+    // HIGHER threshold: silently incomplete candidates)
+    metaCache.remove(dst)
   }
 }

@@ -1112,14 +1112,36 @@ object Pipelines {
     * ~35% at width 4 on 32 cores, identical results). Width 4 keeps
     * task-launch overlap without fragmenting a 500-row exchange; every
     * conf is restored on exit. Scoped to foreachBatch admission bodies
-    * only — batch-mode shard probes keep the session width. */
+    * only — batch-mode shard probes keep the session width.
+    *
+    * CONCURRENCY CONTRACT: the conf is SESSION-GLOBAL while a batch
+    * body runs — plans built concurrently on the same session (another
+    * admission stream's batch, an analytic query) see the micro-batch
+    * width for that window. Run concurrent heavy work on its own
+    * session. What IS guarded here (r14): overlapping scopes on one
+    * session cannot leak the temporary width permanently — a per-session
+    * depth counter records the session's true width at depth 0→1 and
+    * restores it only at 1→0, so an interleaved inner scope can never
+    * capture-and-restore the temporary "4" as the original. */
+  private val mbDepth = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.sql.SparkSession, (Int, String)]()
   private[ptx] def withMicroBatchPlan[A](
       spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
-    val wasParts = spark.conf.get("spark.sql.shuffle.partitions", "200")
-    spark.conf.set("spark.sql.shuffle.partitions",
-      sys.env.getOrElse("SPARK_GRAFT_MB_PARTS", "4"))
+    mbDepth.synchronized {
+      val (depth, orig) = mbDepth.getOrDefault(spark,
+        (0, spark.conf.get("spark.sql.shuffle.partitions", "200")))
+      mbDepth.put(spark, (depth + 1, orig))
+      spark.conf.set("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_MB_PARTS", "4"))
+    }
     try withoutAqe(spark)(f)
-    finally spark.conf.set("spark.sql.shuffle.partitions", wasParts)
+    finally mbDepth.synchronized {
+      val (depth, orig) = mbDepth.get(spark)
+      if (depth <= 1) {
+        mbDepth.remove(spark)
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+      } else mbDepth.put(spark, (depth - 1, orig))
+    }
   }
 
   private def t[A](name: String)(f: => A): A =

@@ -66,7 +66,11 @@ object AdmStreamTime {
       def series(name: String)(once: () => Double): Unit = {
         once() // warm
         val secs = Seq.fill(runs)(once()).sorted
-        val med = secs(secs.size / 2)
+        // fair median on even sizes (the graft.Bench ADVICE-r13 fix:
+        // upper-middle alone skews pessimistic when runs is even)
+        val med =
+          if (secs.size % 2 == 1) secs(secs.size / 2)
+          else (secs(secs.size / 2 - 1) + secs(secs.size / 2)) / 2.0
         val list = secs.map(s => f"$s%.3f").mkString(", ")
         println(f"[ast] $name%-18s median ${med}%.3f s = ${shardRows / med}%.1f docs/s  (runs: $list)")
       }

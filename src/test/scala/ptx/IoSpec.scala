@@ -425,6 +425,30 @@ class IoSpec extends AnyFunSuite {
       "strict-probe append did not fall back to buildT-sized prefixes")
   }
 
+  test("ContainIndex.compact invalidates the destination's cached meta (r14)") {
+    val docs = Tables.documents(spark, TestSpark.SF)
+    val base = docs.filter(col("doc_id") % 5 =!= 0)
+    val shard = docs.filter(col("doc_id") % 5 === 0).limit(5)
+    val lo = tmp("ptx-cidx-meta-lo"); val hi = tmp("ptx-cidx-meta-hi")
+    val serving = tmp("ptx-cidx-meta-serving")
+    ptx.sources.ContainIndex.write(base, lo, t = 0.5)
+    ptx.sources.ContainIndex.compact(spark, lo, serving)
+    // populate the per-JVM meta cache for `serving` with buildT = 0.5
+    ptx.sources.ContainIndex.probe(spark, serving, shard, t = 0.6).count()
+    ptx.Caching.releaseAll()
+    // re-point the serving dir at a TIGHTER index: the stale cached 0.5
+    // row must not let a 0.6 probe through prefixes sized for t ≥ 0.9
+    // (silently incomplete candidates) — the threshold gate must read
+    // the compacted meta
+    ptx.sources.ContainIndex.write(base, hi, t = 0.9)
+    ptx.sources.ContainIndex.compact(spark, hi, serving)
+    val ex = intercept[IllegalArgumentException] {
+      ptx.sources.ContainIndex.probe(spark, serving, shard, t = 0.6).count()
+    }
+    assert(ex.getMessage.contains("build threshold"))
+    ptx.Caching.releaseAll()
+  }
+
   test("persisted decontamination index: byte-identical round-trip, exact Bloom-union append (r12)") {
     val docs = Tables.documents(spark, TestSpark.SF)
     val evalA = docs.filter(col("doc_id") % 10 === 5)
