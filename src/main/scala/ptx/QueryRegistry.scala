@@ -46,7 +46,14 @@ object QueryRegistry {
     "llm_dedup_winnow" -> "llm_dedup_minhash_lsh", // winnowed-postings self-join (df-quadratic under skew) → banded MinHash
     "llm_containment" -> "llm_containment_prefix", // full inverted index → rarity-ordered prefix filter
     "llm_dedup_embed" -> "llm_semdedup", // all-pairs cosine BNLJ → cell-bounded semantic dedup
-    "win_range_frame" -> "win_range_banded" // 3-task-bound RANGE window → value-banded decomposition (exact, oracle-✓)
+    "win_range_frame" -> "win_range_banded", // 3-task-bound RANGE window → value-banded decomposition (exact, oracle-✓)
+    // the three r14 curve/histogram reports inherit their candidate
+    // frame's scale class wholesale (SCALE.md measures 33×/41×/
+    // anchor-inherited at 10×), so each routes to the same report over
+    // the bounded candidates (r15, VERDICT r14 "what's wrong" #1):
+    "llm_dedup_threshold_curve" -> "llm_dedup_threshold_curve_lsh", // exact pair frame → banded MinHash candidates (shared curve tail)
+    "llm_embed_threshold_curve" -> "llm_embed_threshold_curve_sem", // all-pairs cosine BNLJ → cell-bounded candidates (shared curve tail)
+    "llm_dedup_cluster_sizes" -> "llm_dedup_cluster_lsh" // histogram over exact-pair cluster labels → identical histogram over the banded labels
   )
 
   lazy val oracleSql: Map[String, String] = {

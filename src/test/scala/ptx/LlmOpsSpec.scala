@@ -651,6 +651,40 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_embed_threshold_curve_sem: bounded by the exact curve, equal where pairs are within-cell, anchored to semdedup (r15)") {
+    val exact = q("llm_embed_threshold_curve").collect()
+      .map(r => r.getInt(0) ->
+        // (pairs, cross_label, linked, dropped, surviving)
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    val sem = q("llm_embed_threshold_curve_sem").collect()
+      .map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(exact.keySet == sem.keySet)
+    exact.foreach { case (t, (p, x, l, d, s)) =>
+      val (p2, l2, d2, s2) = sem(t)
+      // cell-bounded candidates ⊆ the all-pairs space ⇒ every count is
+      // bounded by the exact curve's (survivors from the other side)
+      assert(p2 <= p && l2 <= l && d2 <= d && s2 >= s,
+        s"sem curve exceeded the exact curve at t=$t")
+      // the candidate restriction removes EXACTLY the cross-label pairs,
+      // so the pair counts differ by the anchor's own n_cross_label —
+      // and where the exact curve reports none, the two curves must
+      // agree on every column (cell-locality covers the whole pair set)
+      assert(p2 == p - x, s"sem pairs != exact minus cross-label at t=$t")
+      if (x == 0L) assert((p2, l2, d2, s2) == ((p, l, d, s)),
+        s"sem curve diverged where all exact pairs are within-cell (t=$t)")
+    }
+    // the loosest threshold (45 = llm_semdedup's 0.45 gate) re-counts
+    // the semantic-dedup anchor: dropped ids ARE semdedup's
+    // non-canonical set (same candidate frame — shared
+    // cellCandidatePairs — same keep-lowest-id policy)
+    val nonCanonical = q("llm_semdedup").collect().count(!_.getBoolean(2))
+    assert(sem(45)._3 == nonCanonical.toLong,
+      s"sem curve n_dropped(45) ${sem(45)._3} != semdedup non-canonical $nonCanonical")
+    ptx.Caching.releaseAll()
+  }
+
   test("winnowing guarantee: a shared 6-word run shares a fingerprint; short docs select nothing (r14)") {
     import spark.implicits._
     // two docs share EXACTLY a 6-word run (= w+k-1 at w=4, k=3: four

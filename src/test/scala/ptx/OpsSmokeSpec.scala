@@ -98,6 +98,30 @@ class OpsSmokeSpec extends AnyFunSuite {
     }
   }
 
+  test("every SCALE.md anchor-bound query has an anchorScaleTwin entry (r15)") {
+    // the pinned list of queries docs/SCALE.md classes as anchor-bound
+    // (quadratic or anchor-frame-inherited at the 10× probe). Adding an
+    // anchor-class query without registering its scale twin — the r14
+    // drift where QUERIES.md advertised 33-41×-at-10× curves as
+    // scale-path — now fails HERE instead of surfacing in a doc review.
+    // A twin may itself be exact and oracled (win_range_banded,
+    // llm_embed_threshold_curve_sem); what the map asserts is only
+    // which plan a 100 TB deployment runs.
+    val anchorBound = Set(
+      "llm_dedup_near",            // 78× at 10× (SCALE.md probe table)
+      "llm_containment",           // 113×
+      "llm_dedup_winnow",          // 95×
+      "llm_dedup_embed",           // all-pairs BNLJ (77.7 s at 10×)
+      "llm_dedup_threshold_curve", // 33×
+      "llm_embed_threshold_curve", // 41×
+      "llm_dedup_cluster_sizes",   // inherits the exact-pair anchor
+      "win_range_frame")           // key-cardinality-bound, not quadratic
+    assert(QueryRegistry.anchorScaleTwin.keySet == anchorBound,
+      "anchorScaleTwin drifted from the SCALE.md anchor-bound class: " +
+        s"map-only ${QueryRegistry.anchorScaleTwin.keySet -- anchorBound}, " +
+        s"unmapped ${anchorBound -- QueryRegistry.anchorScaleTwin.keySet}")
+  }
+
   test("every oracle key has a query; ◌ keys are the declared sketch ops") {
     assert((QueryRegistry.oracleSql.keySet -- QueryRegistry.all.keySet).isEmpty)
     val noOracle = QueryRegistry.all.keySet -- QueryRegistry.oracleSql.keySet
