@@ -20,21 +20,43 @@ import org.apache.spark.sql.functions._
   */
 object BpeLearn {
 
-  /** Learn `k` merges over `docs`' text column; returns the merge table
-    * (rank, left, right, merged, score) ordered by rank. Stops early if
-    * the vocabulary runs out of adjacent pairs. */
-  def learn(docs: DataFrame, k: Int): DataFrame = {
+  /** Learn up to `k` merges over `docs`' text column; returns the merge
+    * table (rank, left, right, merged, score) ordered by rank. Stops
+    * early when any of the three production stopping rules fires (r15,
+    * VERDICT r14 #6 — a real trainer rarely runs a fixed round count):
+    *  - the vocabulary runs out of adjacent pairs (exhaustion);
+    *  - the best pair's corpus count falls below `minScore` (the
+    *    min-frequency floor — merges below it memorize noise);
+    *  - the vocabulary reaches `targetVocab` symbols, counting the
+    *    initial character alphabet plus one new symbol per merge (the
+    *    standard vocab-size accounting: learned merges only ever ADD
+    *    the merged symbol to the shipped vocabulary).
+    * Because round r's choice never depends on how many rounds REMAIN,
+    * an early-stopped run is exactly the unrestricted run's prefix —
+    * LlmOpsSpec pins that. The targetVocab path pays one extra
+    * alphabet-sized aggregation up front (skipped at the default). */
+  def learn(docs: DataFrame, k: Int, minScore: Long = 1L,
+            targetVocab: Int = Int.MaxValue): DataFrame = {
     val s = docs.sparkSession
     val types0 = docs
       .select(explode(split(col("text"), " ")).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
       .select(col("cnt"), expr("split(word, '')").as("syms"))
     var t = ptx.Caching.checkpointLazy(types0)
+    // the character alphabet is the starting vocab; only needed when a
+    // vocab budget is set (one distinct-chars aggregation, corpus-pass
+    // shared with the type table via the checkpoint)
+    val baseVocab =
+      if (targetVocab == Int.MaxValue) 0
+      else t.select(explode(col("syms")).as("c")).agg(
+        countDistinct(col("c")).as("n")).head().getLong(0).toInt
+    val dbg = sys.env.contains("SPARK_GRAFT_BPE_DEBUG")
     var prev: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer[(Int, String, String, Long)]()
     var r = 1
     var exhausted = false
-    while (r <= k && !exhausted) {
+    while (r <= k && !exhausted && baseVocab + merges.size < targetVocab) {
+      val t0 = if (dbg) System.nanoTime() else 0L
       // this aggregation is the action that materializes the round's
       // lazy checkpoint; only then is the previous round's freed
       val top = t.filter(size(col("syms")) >= 2)
@@ -48,7 +70,7 @@ object BpeLearn {
         .orderBy(col("score").desc, col("a"), col("b"))
         .limit(1).collect()
       if (prev != null) { ptx.Caching.free(prev); prev = null }
-      if (top.isEmpty) exhausted = true
+      if (top.isEmpty || top(0).getLong(2) < minScore) exhausted = true
       else {
         val (a, b, score) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
@@ -78,6 +100,8 @@ object BpeLearn {
         val next = ptx.Caching.checkpointLazy(
           t.withColumn("syms", mergedSyms))
         prev = t; t = next
+        if (dbg) println(f"[bpe] round $r ('$a'+'$b' n=$score) " +
+          f"${(System.nanoTime() - t0) / 1e9}%.3f s")
         r += 1
       }
     }

@@ -173,6 +173,24 @@ object LlmScale {
     * the embedding grade). The fixture's label column is the coarse
     * cell; pair work is Σ|cell|², never corpus-wide n², and the join
     * shuffles once on the cell key. Requires `VectorOps.register`. */
+  /** The sem-curve body over an arbitrary (vec_id, label, embedding)
+    * frame — shared by the declared query and the SCALE.md cell-growth
+    * probe (`ptx.tools.SemCurveProbe`), which re-labels the 10× corpus
+    * to hold cell SIZE constant (the Σ|cell|² bound's operative knob:
+    * at 100 TB the cell count k scales with the corpus — the
+    * VectorIndex kmeans path — while this fixture's 10 labels would
+    * otherwise grow 10× per cell). */
+  private[ptx] def embedCurveSem(s: SparkSession, e: DataFrame): DataFrame = {
+    ptx.functions.VectorOps.register(s)
+    val curve = cellCandidatePairs(e)
+      .select(col("vec1"), col("vec2"), col("sim"),
+        explode(lit(embedThresholds.toArray)).as("threshold_e2"))
+      .filter(col("sim") >= col("threshold_e2") / lit(100.0))
+      .select(col("threshold_e2"), col("vec1"), col("vec2"))
+    thresholdCurveTail(s, curve, e.agg(count(lit(1)).as("n_total")),
+      embedThresholds, "vec1", "vec2", "n_vecs_linked")
+  }
+
   private def cellCandidatePairs(e: DataFrame): DataFrame =
     e.select(col("vec_id").as("vec2"), col("label").as("l2"),
         col("embedding").as("e2"))
@@ -891,11 +909,13 @@ object LlmScale {
     // mislabeled data), vectors linked/dropped under the smallest-id
     // policy, and the surviving count. The semdedup-knob curve read
     // before an embedding-dedup run commits its threshold.
-    // Scale: anchored to the deliberate quadratic BNLJ (its scale twin
-    // is llm_semdedup's cell-bounded Σ|cell|²) — at 100 TB run this
-    // curve over the cell-bounded candidate pairs at the LOOSEST
-    // threshold of interest; every tighter threshold reuses the same
-    // candidate frame.
+    // Scale: anchored to the deliberate quadratic BNLJ — at 100 TB run
+    // the DECLARED twin `llm_embed_threshold_curve_sem` (r15,
+    // anchorScaleTwin): the identical curve tail over llm_semdedup's
+    // cell-bounded candidates, measured 1.6× at 10× vectors with cell
+    // size held bounded (SemCurveProbe) vs this form's 41×. What only
+    // the anchor can report is the cross-label column — cell-bounded
+    // candidates never form cross-cell pairs.
     "llm_embed_threshold_curve" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)
@@ -937,17 +957,8 @@ object LlmScale {
     // (b) the anchor's cross-label quality signal has no twin — by
     // construction a cell-bounded pass cannot see it, which is exactly
     // why the anchor stays declared for graded-data audits.
-    "llm_embed_threshold_curve_sem" -> ((s, d) => {
-      ptx.functions.VectorOps.register(s)
-      val e = Tables.embeddings(s, d)
-      val curve = cellCandidatePairs(e)
-        .select(col("vec1"), col("vec2"), col("sim"),
-          explode(lit(embedThresholds.toArray)).as("threshold_e2"))
-        .filter(col("sim") >= col("threshold_e2") / lit(100.0))
-        .select(col("threshold_e2"), col("vec1"), col("vec2"))
-      thresholdCurveTail(s, curve, e.agg(count(lit(1)).as("n_total")),
-        embedThresholds, "vec1", "vec2", "n_vecs_linked")
-    }),
+    "llm_embed_threshold_curve_sem" -> ((s, d) =>
+      embedCurveSem(s, Tables.embeddings(s, d))),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
     // over tables of same-bucket vectors; exact top-5 within candidates.

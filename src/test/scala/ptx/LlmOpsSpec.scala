@@ -567,6 +567,42 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("BpeLearn stopping rules: minScore and targetVocab stop at the unrestricted run's exact prefix (r15)") {
+    val docs = Tables.documents(spark, SF01).select("text")
+    def collect(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    val full = collect(ptx.functions.BpeLearn.learn(docs, 8))
+    ptx.Caching.releaseAll()
+    assert(full.length == 8)
+    // min-frequency floor: one above the 5th merge's score — the run
+    // must stop at exactly the prefix whose scores clear the floor
+    // (round choices never depend on remaining rounds, so an
+    // early-stopped run IS a prefix, never a different table)
+    val floor = full(4)._5 + 1
+    val wantFloor = full.takeWhile(_._5 >= floor)
+    assert(wantFloor.length < 8, "fixture degenerate: floor drops nothing")
+    val gotFloor = collect(ptx.functions.BpeLearn.learn(docs, 8, minScore = floor))
+    ptx.Caching.releaseAll()
+    assert(gotFloor == wantFloor,
+      s"minScore=$floor run is not the unrestricted prefix")
+    // vocab budget: alphabet + 3 new symbols => exactly 3 merges
+    import org.apache.spark.sql.functions.{col, explode, expr, split}
+    val alphabet = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(explode(expr("split(w, '')")).as("c"))
+      .distinct().count().toInt
+    val gotVocab = collect(ptx.functions.BpeLearn.learn(
+      docs, 8, targetVocab = alphabet + 3))
+    ptx.Caching.releaseAll()
+    assert(gotVocab == full.take(3),
+      s"targetVocab=${alphabet + 3} run should be the 3-merge prefix")
+    // a budget at/below the alphabet learns nothing (empty merge table)
+    val gotNone = ptx.functions.BpeLearn.learn(docs, 8, targetVocab = alphabet)
+    assert(gotNone.collect().isEmpty, "vocab already at budget must learn 0 merges")
+    ptx.Caching.releaseAll()
+  }
+
   test("llm_winnowing plan: exchanges carry the source key and 64-bit fingerprints, never text (r14)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
