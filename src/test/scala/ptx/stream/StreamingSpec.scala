@@ -748,6 +748,57 @@ class StreamingSpec extends AnyFunSuite {
         s"${parts(dir)} / ${parts(cdir)}")
   }
 
+  test("indexRefresh keeps the served recall floor: N admitted batches + recenters + compaction (r15)") {
+    // VERDICT r14 #4: llm_ann_recall_kmeans audits a FRESH build; this
+    // pins the number that decays under distribution drift — recall of
+    // the PERSISTED index after streaming admission. Seed the index with
+    // the kmeans build over HALF the corpus, stream the other half in 4
+    // batches (refreshEvery=2 → recenters fire after batches 1 and 3, so
+    // the final centroids cover every admitted vector), compact, then
+    // run the shared recallAudit over the served artifacts with probes
+    // drawn from the STREAMED mass (the set admission could degrade).
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_adm").toString
+    val cp = java.nio.file.Files.createTempDirectory("ivf_adm_cp").toString
+    val seed = e.filter(col("vec_id") % 2 === 0)
+    val (cent0, asg0) = ptx.sources.VectorIndex.kmeans(seed, k = 8, iters = 3)
+    cent0.write.parquet(s"$dir/centroids")
+    seed.select("vec_id", "embedding").join(asg0, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/cells/batch=-1")
+    val newVecs = e.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => NewVec(r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(newVecs.length >= 40, "fixture too small for a 4-batch stream")
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    val q = Pipelines.indexRefresh(ms.toDF(), dir, cp, refreshEvery = 2)
+    try newVecs.grouped((newVecs.length + 3) / 4).foreach { chunk =>
+      ms.addData(chunk.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val cdir = java.nio.file.Files.createTempDirectory("ivf_adm_c").toString
+    ptx.sources.VectorIndex.compactCells(spark, dir, cdir)
+    ptx.functions.VectorOps.register(spark)
+    val cells = spark.read.parquet(s"$cdir/cells")
+      .select("vec_id", "embedding", "label")
+    val probes = spark.createDataFrame(
+      newVecs.sortBy(_.vec_id).take(10).toSeq.map(v => (v.vec_id, v.embedding.toSeq)))
+      .toDF("probe_id", "p")
+    def audit(cent: DataFrame) = ptx.ops.LlmScale.recallAudit(
+      cells.select("vec_id", "embedding"), probes,
+      ptx.ops.LlmScale.ivfProbe(cent, cells, probes, nprobe = 3, k = 5))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val served = audit(ptx.sources.VectorIndex.read(spark, s"$cdir/centroids"))
+    val meanRecall = served.values.sum.toDouble / served.size / 1e6
+    info(f"served recall@5 after 4 admitted batches = $meanRecall%.3f")
+    assert(meanRecall >= 0.5,
+      f"admission degraded the served index below the 0.5 floor: $meanRecall%.3f")
+    // the bit-exact centroid recipe makes the served index EQUAL a fresh
+    // recenter over the same cells — per-probe, not just on average
+    val rebuilt = audit(ptx.ops.LlmScale.ivfCentroids(cells))
+    assert(served == rebuilt,
+      "served recall diverged from a fresh rebuild over the same cells")
+    ptx.Caching.releaseAll()
+  }
+
   test("shardAdmission: streamed shards probe, filter, and admit against the persisted index (r11)") {
     val idx = java.nio.file.Files.createTempDirectory("dedup_adm_idx").toString
     val out = java.nio.file.Files.createTempDirectory("dedup_adm_out").toString
