@@ -103,17 +103,32 @@ object AdmissionProfile {
           f"[job] ${je.jobId}%4d ${(System.nanoTime() - t0) / 1e9}%.3f s")
       }
     }
+    // the listener bus delivers JobEnd asynchronously: the action's
+    // JobWaiter can return while the last events are still queued, and an
+    // immediate remove+drain would truncate the committed trace. Drain
+    // DETERMINISTICALLY (ADVICE r14): poll until the log has been stable
+    // for 500 ms, bounded at 10 s — a fixed 1 s sleep silently truncated
+    // on a loaded machine.
+    def drainJobLog(): Unit = {
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      var stableSince = System.nanoTime()
+      while (System.nanoTime() < deadline &&
+        (jobLog.size != last ||
+          System.nanoTime() - stableSince < 500L * 1000 * 1000)) {
+        if (jobLog.size != last) { last = jobLog.size; stableSince = System.nanoTime() }
+        Thread.sleep(50)
+      }
+      if (System.nanoTime() >= deadline)
+        println("[job] WARNING: drain hit the 10 s bound; trace may be truncated")
+    }
     if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG"))
       spark.sparkContext.addSparkListener(listener)
     t("TOTAL admitContainBatch") {
       ptx.stream.Pipelines.admitContainBatch(shard, 0L, cidx2, coutDir, 0.8)
     }
     if (sys.env.contains("SPARK_GRAFT_ADM_DEBUG")) {
-      // the listener bus delivers JobEnd asynchronously: the action's
-      // JobWaiter can return while the last events are still queued, and
-      // an immediate remove+drain would truncate the committed trace —
-      // give the bus a beat to flush before detaching
-      Thread.sleep(1000)
+      drainJobLog()
       spark.sparkContext.removeSparkListener(listener)
       jobLog.forEach(println(_))
     }
@@ -173,7 +188,7 @@ object AdmissionProfile {
         }
       }
       if (trace) {
-        Thread.sleep(1000) // async JobEnd flush — see the contain trace note
+        drainJobLog() // async JobEnd flush — see the contain trace note
         spark.sparkContext.removeSparkListener(listener)
         jobLog.forEach(println(_))
       }
