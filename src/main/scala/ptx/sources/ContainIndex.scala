@@ -207,16 +207,20 @@ object ContainIndex {
     val shardPrefix = prefixFull.select(col("doc_id").as("src"), col("h"))
     // direction A — shard doc as src: its prefix hits ANY index posting
     // (plus the shard's own shingles, so intra-shard pairs are caught).
-    // The posting scan streams against the broadcast prefix; micro-batch
-    // probes additionally push the bounded prefix-hash set into the scan.
-    val post0 = spark.read.parquet(s"$dir/post").select(col("h"), col("doc_id"))
-    val post =
-      if (microBatch) {
-        val hs = dbg("hs collect") { shardPrefix.select(col("h")).distinct()
-          .collect().map(_.getLong(0)).toSeq }
-        dbg(s"hs size = ${hs.size}")(())
-        post0.filter(col("h").isin(hs: _*))
-      } else post0
+    // The posting scan streams against the broadcast prefix. NO In(h)
+    // push here (removed r15, VERDICT r14 #3): the post table is keyed
+    // by uniform 64-bit shingle hashes, so a prefix-hash In above the
+    // parquet inFilterThreshold (10) collapses to a min..max RANGE that
+    // spans the whole domain — it never pruned a row group at ANY
+    // corpus size, while its driver collect cost one full sequential
+    // job round per batch (the shard chain had to materialize BEFORE
+    // the candidate plan could even be built). The broadcast hash join
+    // cuts non-matching postings at the same scan-side cost the InSet
+    // did; the candidate round now materializes the pinned shard chain
+    // itself, one round instead of two. (Contrast the SETS scan below:
+    // doc_id-ranged layout + clustered candidate ids CAN footer-prune,
+    // so its In(doc_id) push stays.)
+    val post = spark.read.parquet(s"$dir/post").select(col("h"), col("doc_id"))
     val candsA = small(shardPrefix)
       .join(post.toDF("h", "dst"), Seq("h"))
       .unionByName(small(shardPrefix).join(shardSh.toDF("dst", "h"), Seq("h")))

@@ -1127,19 +1127,29 @@ object Pipelines {
     org.apache.spark.sql.SparkSession, (Int, String)]()
   private[ptx] def withMicroBatchPlan[A](
       spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    // constraint propagation is quadratic in plan expressions and buys
+    // nothing on admission bodies (their join keys are explicit, their
+    // filters hand-placed); on the join/union-heavy contain batch the
+    // optimizer pass was a measurable slice of the per-batch DRIVER gap
+    // between sub-jobs (r15 — see SCALE.md's contain phase table)
+    val cpKey = "spark.sql.constraintPropagation.enabled"
     mbDepth.synchronized {
       val (depth, orig) = mbDepth.getOrDefault(spark,
-        (0, spark.conf.get("spark.sql.shuffle.partitions", "200")))
+        (0, spark.conf.get("spark.sql.shuffle.partitions", "200") + "," +
+          spark.conf.get(cpKey, "true")))
       mbDepth.put(spark, (depth + 1, orig))
       spark.conf.set("spark.sql.shuffle.partitions",
         sys.env.getOrElse("SPARK_GRAFT_MB_PARTS", "4"))
+      spark.conf.set(cpKey, "false")
     }
     try withoutAqe(spark)(f)
     finally mbDepth.synchronized {
       val (depth, orig) = mbDepth.get(spark)
       if (depth <= 1) {
         mbDepth.remove(spark)
-        spark.conf.set("spark.sql.shuffle.partitions", orig)
+        val Array(parts, cp) = orig.split(",", 2)
+        spark.conf.set("spark.sql.shuffle.partitions", parts)
+        spark.conf.set(cpKey, cp)
       } else mbDepth.put(spark, (depth - 1, orig))
     }
   }

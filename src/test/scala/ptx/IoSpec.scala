@@ -335,14 +335,18 @@ class IoSpec extends AnyFunSuite {
         s"post side shuffled unjoined:\n$planStr")
       assert(unjoinedExchanges(planM, s"$cdir/prefix").isEmpty,
         s"prefix side shuffled unjoined:\n$planStr")
-      // the bounded driver-collected sets are pushed INTO the scans:
-      // prefix-hash In(h,…) prunes the post scan, candidate-id
-      // In(doc_id,…) prunes the heavy sets scan (both range-laid by
-      // their key after compact, so the filters prune on footer min/max)
-      assert(planStr.contains("In(h"),
-        s"prefix-hash filter not pushed to the post scan:\n$planStr")
+      // the bounded driver-collected candidate ids are pushed INTO the
+      // heavy sets scan (doc_id-range layout after compact → footer
+      // min/max pruning). The post scan deliberately carries NO In(h)
+      // push (r15): uniform 64-bit hash keys make an In above the
+      // parquet inFilterThreshold collapse to a full-domain range — it
+      // never pruned, and its driver collect cost a sequential job
+      // round per admission batch (the r15 contract change this test
+      // would otherwise mask)
       assert(planStr.contains("In(doc_id"),
         s"candidate-id filter not pushed to the sets scan:\n$planStr")
+      assert(!planStr.contains("In(h"),
+        s"post scan regained the pruneless prefix-hash In round:\n$planStr")
       probeM.collect()
       ptx.Caching.releaseAll()
       // teeth: the default (exchange-form) probe under no-broadcast confs
