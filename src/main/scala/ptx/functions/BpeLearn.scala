@@ -1,6 +1,6 @@
 package ptx.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative BPE merge learning (Sennrich et al. 2016) — the algorithm
@@ -19,6 +19,34 @@ import org.apache.spark.sql.functions._
   * discipline: plan depth and executor storage stay O(1) in rounds).
   */
 object BpeLearn {
+
+  /** Left-to-right non-overlapping replacement of (a, b) → ab over a
+    * symbol array, as a typed fold (Column lambdas — merge tokens come
+    * from corpus text, so no string-splicing into expr): carry
+    * (out, pend); a match flushes the merged symbol and clears pend, so
+    * the merged token cannot re-merge within the same application. ONE
+    * definition shared by the trainer's round and the [[encode]]r, so
+    * the segmentation a deployment applies is bit-identical to the one
+    * the trainer's rounds left behind. */
+  private def mergeFold(syms: Column, a: String, b: String): Column = {
+    val aL = lit(a); val bL = lit(b)
+    val init = struct(
+      expr("cast(array() as array<string>)").as("out"),
+      lit(null).cast("string").as("pend"))
+    aggregate(syms, init,
+      (acc, x) => {
+        val out = acc.getField("out"); val pend = acc.getField("pend")
+        when(pend.isNull, struct(out.as("out"), x.as("pend")))
+          .when(pend === aL && x === bL,
+            struct(concat(out, array(concat(pend, x))).as("out"),
+              lit(null).cast("string").as("pend")))
+          .otherwise(
+            struct(concat(out, array(pend)).as("out"), x.as("pend")))
+      },
+      acc => when(acc.getField("pend").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"),
+          array(acc.getField("pend")))))
+  }
 
   /** Learn up to `k` merges over `docs`' text column; returns the merge
     * table (rank, left, right, merged, score) ordered by rank. Stops
@@ -75,30 +103,8 @@ object BpeLearn {
         val (a, b, score) =
           (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((r, a, b, score))
-        // left-to-right non-overlapping replacement of (a, b) → ab via
-        // a typed fold (Column lambdas — merge tokens come from corpus
-        // text, so no string-splicing into expr): carry (out, pend); a
-        // match flushes the merged symbol and clears pend, so the
-        // merged token cannot re-merge within the same round
-        val aL = lit(a); val bL = lit(b)
-        val init = struct(
-          expr("cast(array() as array<string>)").as("out"),
-          lit(null).cast("string").as("pend"))
-        val mergedSyms = aggregate(col("syms"), init,
-          (acc, x) => {
-            val out = acc.getField("out"); val pend = acc.getField("pend")
-            when(pend.isNull, struct(out.as("out"), x.as("pend")))
-              .when(pend === aL && x === bL,
-                struct(concat(out, array(concat(pend, x))).as("out"),
-                  lit(null).cast("string").as("pend")))
-              .otherwise(
-                struct(concat(out, array(pend)).as("out"), x.as("pend")))
-          },
-          acc => when(acc.getField("pend").isNull, acc.getField("out"))
-            .otherwise(concat(acc.getField("out"),
-              array(acc.getField("pend")))))
         val next = ptx.Caching.checkpointLazy(
-          t.withColumn("syms", mergedSyms))
+          t.withColumn("syms", mergeFold(col("syms"), a, b)))
         prev = t; t = next
         if (dbg) println(f"[bpe] round $r ('$a'+'$b' n=$score) " +
           f"${(System.nanoTime() - t0) / 1e9}%.3f s")
@@ -110,5 +116,47 @@ object BpeLearn {
       .select(col("rank"), col("left"), col("right"),
         concat(col("left"), col("right")).as("merged"), col("score"))
       .orderBy(col("rank"))
+  }
+
+  /** The ENCODER side of the tokenizer (r15): apply a learned merge
+    * table to the corpus' word TYPES and report each type's frequency,
+    * final token count, and space-joined segmentation — the pass a
+    * training-data pipeline runs corpus-wide to count REAL tokens
+    * (budgeting, packing, fertility) instead of whitespace words.
+    *
+    * Applying merges ONCE EACH in rank order with the shared
+    * [[mergeFold]] reproduces exactly the segmentation the trainer's K
+    * rounds left behind, and equals the reference priority-loop encoder
+    * (Sennrich apply_bpe): a merge can only create adjacencies involving
+    * its OWN new symbol, which only later-rank merges reference, so no
+    * earlier-rank pair ever becomes applicable again.
+    *
+    * Scale: one corpus pass builds the (word type, count) table; each
+    * merge application is vocab-sized. The K merges chain as ONE
+    * projection (K nested folds — right for audit-scale K; a
+    * production-K encoder batches the chain through periodic
+    * checkpoints exactly like the trainer's rounds). */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val types0 = docs
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"), expr("split(word, '')").as("syms"))
+    val encoded = merges.foldLeft(types0) { case (t, (a, b)) =>
+      t.withColumn("syms", mergeFold(col("syms"), a, b))
+    }
+    encoded.select(col("word"), col("cnt"),
+        size(col("syms")).cast("long").as("n_tokens"),
+        array_join(col("syms"), " ").as("encoded"))
+      .orderBy(col("cnt").desc, col("word"))
+  }
+
+  /** [[learn]] k merges, then [[encode]] the corpus types with them —
+    * the `llm_bpe_encode` query body. The 8-row merge-table collect is
+    * the sanctioned model-parameter collect, kept here (off the
+    * collect-free ops/ surface) like the learner's own argmax. */
+  def learnEncode(docs: DataFrame, k: Int): DataFrame = {
+    val merges = learn(docs, k).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    encode(docs, merges)
   }
 }

@@ -1091,6 +1091,34 @@ object LlmScale {
           col("dup_id").isNull.as("is_canonical"))
         .orderBy(col("vec_id"))
     }),
+    // ◌ SemDeDup over LEARNED cells (r15): llm_semdedup with the coarse
+    // cells a production index actually serves (VectorIndex.kmeans,
+    // 8 cells × 3 iters — the llm_ann_ivf_kmeans build) instead of the
+    // fixture's label attribute. Label cells are an attribute, not a
+    // geometric partition (the r13 recall sweep measured learned cells
+    // at 61% recall@5 vs labels' 39%), and the same argument carries to
+    // semantic dedup: geometric cells co-locate near-duplicates more
+    // often, so keep-lowest-id sees more of the true pair space at the
+    // same Σ|cell|² budget. Shares cellCandidatePairs with the label
+    // exemplar and the curve twin (one candidate definition). ◌:
+    // iterative build → no SQL twin; LlmOpsSpec pins rerun determinism
+    // and agreement with a driver-side brute-force within-cell
+    // recompute of the keep-lowest-id rule.
+    "llm_semdedup_kmeans" -> ((s, d) => {
+      ptx.functions.VectorOps.register(s)
+      val e = Tables.embeddings(s, d)
+      val (_, assign) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+      val cells = e.select(col("vec_id"), col("embedding"))
+        .join(assign, "vec_id")
+      val dup = cellCandidatePairs(
+          cells.select(col("vec_id"), col("label"), col("embedding")))
+        .filter(col("sim") >= 0.45)
+        .select(col("vec2").as("dup_id")).distinct()
+      cells.join(dup, col("vec_id") === col("dup_id"), "left_outer")
+        .select(col("vec_id"), col("label").as("cell"),
+          col("dup_id").isNull.as("is_canonical"))
+        .orderBy(col("vec_id"))
+    }),
     // ◌ product quantization (r9): the billion-vector ANN compression
     // one step past int8 — the 64-dim vector splits into m=4 subspaces
     // of 16 dims, each learned a k=16 codeword book (deterministic

@@ -213,6 +213,23 @@ object TextAnalysis {
     // collect-free ops/ surface — the VectorIndex.kmeans placement).
     "llm_bpe_learn" -> ((s, d) =>
       ptx.functions.BpeLearn.learn(Tables.documents(s, d), k = 8)),
+    // ◌ BPE ENCODER (r15): apply the learned K=8 merge table to the
+    // word-TYPE table — the corpus-wide pass a pipeline runs to count
+    // REAL tokens (budget/packing/fertility under the actual tokenizer,
+    // not whitespace words). Output per word type: frequency, final
+    // token count, space-joined segmentation. The shared mergeFold makes
+    // the segmentation bit-identical to the trainer's final state, and
+    // once-per-rank-in-order equals the reference priority-loop encoder
+    // (a merge only creates adjacencies of its OWN new symbol — see the
+    // BpeLearn.encode scaladoc). ◌: rides the iterative learner → no
+    // SQL twin; LlmOpsSpec pins the round trip (tokens concatenate back
+    // to the word), the conservation law corpus_tokens = corpus_chars −
+    // Σ merge scores (each weighted replacement removes exactly one
+    // token), and rerun determinism.
+    // Scale: one corpus pass for types; the K merge applications are
+    // vocab-sized (the BpeVocabProbe axis), chained as one projection.
+    "llm_bpe_encode" -> ((s, d) =>
+      ptx.functions.BpeLearn.learnEncode(Tables.documents(s, d), k = 8)),
     // ✓ hot-shingle df audit (r13): top-20 3-word shingles by document
     // frequency (ties broken on the shingle string) plus each one's
     // corpus doc-share — THE df-skew diagnostic that parameterizes the

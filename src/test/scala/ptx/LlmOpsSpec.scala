@@ -567,6 +567,62 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_bpe_encode: round trip, token conservation law vs the merge scores, deterministic (r15)") {
+    val enc = q("llm_bpe_encode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val merges = q("llm_bpe_learn").collect().map(_.getLong(4))
+    assert(enc.nonEmpty && merges.length == 8)
+    enc.foreach { case (word, cnt, nTok, encoded) =>
+      val toks = encoded.split(" ")
+      // the segmentation concatenates back to the word, token count is
+      // honest, and no token is empty
+      assert(toks.mkString("") == word, s"round trip broke for '$word'")
+      assert(toks.length.toLong == nTok && cnt > 0 && toks.forall(_.nonEmpty))
+    }
+    // conservation: each weighted replacement removes exactly one token,
+    // so corpus tokens after K merges = corpus chars − Σ merge scores
+    val corpusTokens = enc.map { case (_, cnt, nTok, _) => cnt * nTok }.sum
+    val corpusChars = enc.map { case (w, cnt, _, _) => cnt * w.length }.sum
+    assert(corpusTokens == corpusChars - merges.sum,
+      s"token conservation broke: $corpusTokens != $corpusChars - ${merges.sum}")
+    ptx.Caching.releaseAll()
+    assert(q("llm_bpe_encode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq == enc.toSeq, "encoder rerun diverged")
+    ptx.Caching.releaseAll()
+  }
+
+  test("llm_semdedup_kmeans: matches a brute-force within-cell keep-lowest-id recompute, deterministic (r15)") {
+    def run() = q("llm_semdedup_kmeans").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    val out = run()
+    ptx.Caching.releaseAll()
+    val vecs = Tables.embeddings(spark, SF01).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    assert(out.length == vecs.size)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    // brute force the keep-lowest-id rule inside the cells the query
+    // itself assigned (the cell ASSIGNMENT is the iterative part — the
+    // dedup decision on top of it must match an independent recompute)
+    val byCell = out.groupBy(_._2)
+    byCell.foreach { case (_, members) =>
+      val ids = members.map(_._1).sorted
+      val expectDup = ids.filter(v =>
+        ids.exists(o => o < v && cos(vecs(o), vecs(v)) >= 0.45)).toSet
+      members.foreach { case (v, _, canonical) =>
+        assert(canonical == !expectDup(v),
+          s"vec $v canonical=$canonical disagrees with brute force")
+      }
+    }
+    assert(out.exists(!_._3), "fixture degenerate: no semantic dup found")
+    assert(run().toSeq == out.toSeq, "kmeans semdedup rerun diverged")
+    ptx.Caching.releaseAll()
+  }
+
   test("BpeLearn stopping rules: minScore and targetVocab stop at the unrestricted run's exact prefix (r15)") {
     val docs = Tables.documents(spark, SF01).select("text")
     def collect(df: org.apache.spark.sql.DataFrame) = df.collect()

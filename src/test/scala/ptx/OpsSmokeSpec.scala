@@ -130,8 +130,10 @@ class OpsSmokeSpec extends AnyFunSuite {
       "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_cluster_lsh",
       "llm_dedup_threshold_curve_lsh", // r14: banded-candidate curve twin
       "llm_bpe_learn", // r14: iterative merge learner (driver loop)
+      "llm_bpe_encode", // r15: encoder over the learned merge table
       "llm_ann_lsh", "llm_ann_ivf_kmeans", "llm_quantize_pq",
       "llm_ann_recall_kmeans", // r14: served-index recall (iterative build)
+      "llm_semdedup_kmeans", // r15: semantic dedup over learned cells
       "mm_decode_features", "scan_sample",
       "llm_split_contamination_bloom")) // r11: FP-inflated Bloom twin
   }
