@@ -134,10 +134,12 @@ object ContainIndex {
     *
     * `microBatch = true` is the streaming-admission shape (the
     * [[DedupIndex.probeSigned]] contract): every shard-derived frame is
-    * broadcastable by construction, and the bounded candidate-id /
-    * prefix-hash sets are collected and pushed as In(…) filters into the
-    * [[compact]]ed range layouts so the heavy scans prune on footer
-    * min/max. */
+    * broadcastable by construction, and the bounded candidate-id set is
+    * collected and pushed as an In(doc_id,…) filter into the
+    * [[compact]]ed doc_id-range sets layout so the heavy verify scan
+    * prunes on footer min/max. (The post scan carries no such push —
+    * r15: its uniform hash keys make an In collapse to a full-domain
+    * range, see probeArtifacts.) */
   def probe(spark: SparkSession, dir: String, newDocs: DataFrame,
             t: Double = 0.8, microBatch: Boolean = false): DataFrame =
     probeSh(spark, dir,
@@ -339,8 +341,10 @@ object ContainIndex {
   /** Compact the accumulated per-batch partitions into a fresh
     * single-snapshot copy at `dst` (never in place — the Io.compact
     * contract): sets range-laid by doc_id (the verify's In(doc_id,…)
-    * pruning), post and prefix range-laid by h (per-file disjoint key
-    * intervals → footer pruning under the micro-batch In(h,…) path), df
+    * pruning), post and prefix range-laid by h (collapses the per-batch
+    * small-file accumulation; h-range footer pruning cannot fire on
+    * uniform hash keys — see probeArtifacts — so the h sort buys layout
+    * hygiene, not scan cuts), df
     * parts SUMMED into one part (reads stop paying the per-part merge).
     * Probes against the copy are row-identical (asserted in IoSpec). */
   def compact(spark: SparkSession, dir: String, dst: String): Unit = {
