@@ -53,7 +53,7 @@ object QueryRegistry {
     // the bounded candidates (r15, VERDICT r14 "what's wrong" #1):
     "llm_dedup_threshold_curve" -> "llm_dedup_threshold_curve_lsh", // exact pair frame → banded MinHash candidates (shared curve tail)
     "llm_embed_threshold_curve" -> "llm_embed_threshold_curve_sem", // all-pairs cosine BNLJ → cell-bounded candidates (shared curve tail)
-    "llm_dedup_cluster_sizes" -> "llm_dedup_cluster_lsh" // histogram over exact-pair cluster labels → identical histogram over the banded labels
+    "llm_dedup_cluster_sizes" -> "llm_dedup_cluster_sizes_lsh" // histogram over exact-pair cluster labels → the identical (shared-tail) histogram over the banded labels, declared runnable in r15
   )
 
   lazy val oracleSql: Map[String, String] = {

@@ -173,6 +173,67 @@ object LlmScale {
     * the embedding grade). The fixture's label column is the coarse
     * cell; pair work is Σ|cell|², never corpus-wide n², and the join
     * shuffles once on the cell key. Requires `VectorOps.register`. */
+  /** The multi-table random-hyperplane LSH top-5 (unordered) — the
+    * `llm_ann_lsh` body, shared with `llm_ann_recall_lsh`'s audit
+    * (r15) so the monitored index is exactly the served one. L=4
+    * tables × 6 sign bits, seed-7 planes; candidates = union over
+    * tables of same-bucket vectors; exact top-5 within candidates
+    * (cosine_sim shares the sign of the dot product, so the codegen
+    * kernel doubles as the hashing primitive). */
+  private def lshTopK(s: SparkSession, d: String): DataFrame = {
+    ptx.functions.VectorOps.register(s)
+    val e = Tables.embeddings(s, d)
+    val rnd = new scala.util.Random(7)
+    val L = 4; val bits = 6
+    val planes = Seq.tabulate(L, bits)((_, _) => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def bucketExpr(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
+      val planeLit = s"array(${p.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
+      expr(s"IF(cosine_sim(embedding, $planeLit) > 0, ${1 << i}, 0)")
+    }.reduce(_ + _)
+    def withBuckets(df: DataFrame) = df
+      .select(col("*"), posexplode(array((0 until L).map(bucketExpr): _*))
+        .as(Seq("tbl", "bucket")))
+    val probes = withBuckets(e.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
+        col("tbl"), col("bucket"))
+    val cands = withBuckets(e)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
+        col("tbl"), col("bucket"))
+    probes.join(cands, Seq("tbl", "bucket"))
+      .filter(col("probe_id") =!= col("cand_id"))
+      .select(col("probe_id"), col("p"), col("cand_id"), col("c")).distinct()
+      .withColumn("sim", expr("cosine_sim(p, c)"))
+      .groupBy(col("probe_id"))
+      .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), 5).as("top"))
+      .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("probe_id"), (col("pos") + 1).as("rnk"),
+        col("e._2").as("cand_id"), round(col("e._1"), 6).as("sim"))
+  }
+
+  /** The dup-cluster size-histogram tail over a (doc_id, cluster_id)
+    * label frame — shared by `llm_dedup_cluster_sizes` (exact anchor)
+    * and `llm_dedup_cluster_sizes_lsh` (banded twin) so the dataset-card
+    * report cannot drift between grades. Adds one cluster-id-grain
+    * shuffle + a |distinct sizes|-grain agg over the labels it audits;
+    * the singleton row (docs with no partner) closes the conservation
+    * law Σ n_docs = corpus size. */
+  private def clusterSizeHistogram(s: SparkSession, d: String,
+                                   labels: DataFrame): DataFrame = {
+    val lab = ptx.Caching.pin(labels)
+    val hist = lab.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val singles = Tables.documents(s, d).select(count(lit(1)).as("n"))
+      .crossJoin(lab.select(count(lit(1)).as("c")))
+      .select(lit(1L).as("cluster_size"),
+        (col("n") - col("c")).as("n_clusters"),
+        (col("n") - col("c")).as("n_docs"))
+    hist.unionByName(singles).orderBy(col("cluster_size"))
+  }
+
   /** The sem-curve body over an arbitrary (vec_id, label, embedding)
     * frame — shared by the declared query and the SCALE.md cell-growth
     * probe (`ptx.tools.SemCurveProbe`), which re-labels the 10× corpus
@@ -800,21 +861,21 @@ object LlmScale {
     // declared scale twin): the histogram itself adds one
     // cluster-id-grain shuffle and a |distinct sizes|-grain agg, both
     // dwarfed by the clustering it audits.
-    "llm_dedup_cluster_sizes" -> ((s, d) => {
-      val lab = ptx.Caching.pin(queries("llm_dedup_cluster")(s, d))
-      val hist = lab.groupBy(col("cluster_id"))
-        .agg(count(lit(1)).as("cluster_size"))
-        .groupBy(col("cluster_size"))
-        .agg(count(lit(1)).as("n_clusters"))
-        .select(col("cluster_size"), col("n_clusters"),
-          (col("cluster_size") * col("n_clusters")).as("n_docs"))
-      val singles = Tables.documents(s, d).select(count(lit(1)).as("n"))
-        .crossJoin(lab.select(count(lit(1)).as("c")))
-        .select(lit(1L).as("cluster_size"),
-          (col("n") - col("c")).as("n_clusters"),
-          (col("n") - col("c")).as("n_docs"))
-      hist.unionByName(singles).orderBy(col("cluster_size"))
-    }),
+    "llm_dedup_cluster_sizes" -> ((s, d) =>
+      clusterSizeHistogram(s, d, queries("llm_dedup_cluster")(s, d))),
+    // ◌ the SAME histogram over the banded-candidate cluster labels —
+    // the anchor's declared scale twin as a RUNNABLE query (r15: the
+    // r14 anchorScaleTwin entry said "compose the histogram over
+    // llm_dedup_cluster_lsh"; now the composition is declared, not
+    // prescribed). One shared clusterSizeHistogram tail, so the two
+    // reports cannot drift. No oracle (band hashes are engine-specific
+    // upstream); LlmOpsSpec pins the conservation law, that banding can
+    // only DROP pairs (singleton row ≥ the exact histogram's, absorbed
+    // docs ≤), and bit-equality with the exact histogram whenever the
+    // banded pair set equals the exact one (true on this fixture —
+    // SCALE.md's 100%-recall measurement, now test-enforced).
+    "llm_dedup_cluster_sizes_lsh" -> ((s, d) =>
+      clusterSizeHistogram(s, d, queries("llm_dedup_cluster_lsh")(s, d))),
     // ✓ dedup threshold tuning curve (r14): the knob-selection audit for
     // the whole Jaccard-dedup family — ONE pass over the exact
     // candidate-pair frame evaluates every threshold in
@@ -965,36 +1026,23 @@ object LlmScale {
     // cosine_sim shares the sign of the dot product, so the codegen kernel
     // doubles as the hashing primitive. Seeded planes are engine-specific →
     // no oracle; LlmOpsSpec checks per-pair sims against brute force.
-    "llm_ann_lsh" -> ((s, d) => {
-      ptx.functions.VectorOps.register(s)
-      import org.apache.spark.sql.DataFrame
+    "llm_ann_lsh" -> ((s, d) =>
+      lshTopK(s, d).orderBy(col("probe_id"), col("rnk"))),
+    // ◌ ANN RECALL of the LSH path (r15): the same oracle-exact
+    // recall@5 recipe as llm_ann_recall / llm_ann_recall_kmeans
+    // (shared recallAudit — one code path for all three index
+    // flavors), over the multi-table random-hyperplane LSH candidates.
+    // Closes the last unmonitored index: every declared ANN serving
+    // path (label-cell IVF, learned-kmeans IVF, hyperplane LSH) now
+    // carries a test-floored recall gauge next to its speed numbers.
+    // Seeded planes are engine-specific → ◌; LlmOpsSpec pins the
+    // floor (the seed-7 L=4×6-bit geometry is deterministic, so the
+    // number is fixed per fixture, floored with regen slack).
+    "llm_ann_recall_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      val rnd = new scala.util.Random(7)
-      val L = 4; val bits = 6
-      val planes = Seq.tabulate(L, bits)((_, _) => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
-      def bucketExpr(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
-        val planeLit = s"array(${p.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
-        expr(s"IF(cosine_sim(embedding, $planeLit) > 0, ${1 << i}, 0)")
-      }.reduce(_ + _)
-      def withBuckets(df: DataFrame) = df
-        .select(col("*"), posexplode(array((0 until L).map(bucketExpr): _*))
-          .as(Seq("tbl", "bucket")))
-      val probes = withBuckets(e.filter(col("vec_id") < 10))
-        .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
-          col("tbl"), col("bucket"))
-      val cands = withBuckets(e)
-        .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
-          col("tbl"), col("bucket"))
-      probes.join(cands, Seq("tbl", "bucket"))
-        .filter(col("probe_id") =!= col("cand_id"))
-        .select(col("probe_id"), col("p"), col("cand_id"), col("c")).distinct()
-        .withColumn("sim", expr("cosine_sim(p, c)"))
-        .groupBy(col("probe_id"))
-        .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), 5).as("top"))
-        .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "e")))
-        .select(col("probe_id"), (col("pos") + 1).as("rnk"),
-          col("e._2").as("cand_id"), round(col("e._1"), 6).as("sim"))
-        .orderBy(col("probe_id"), col("rnk"))
+      val probes = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+      recallAudit(e, probes, lshTopK(s, d))
     }),
     // ✓ IVF-style ANN: coarse cells = per-label centroids; score only the
     // nprobe=3 nearest cells per probe, then exact top-5 within candidates.

@@ -133,7 +133,9 @@ class OpsSmokeSpec extends AnyFunSuite {
       "llm_bpe_encode", // r15: encoder over the learned merge table
       "llm_ann_lsh", "llm_ann_ivf_kmeans", "llm_quantize_pq",
       "llm_ann_recall_kmeans", // r14: served-index recall (iterative build)
+      "llm_ann_recall_lsh", // r15: LSH-path recall (seeded planes)
       "llm_semdedup_kmeans", // r15: semantic dedup over learned cells
+      "llm_dedup_cluster_sizes_lsh", // r15: histogram over banded labels
       "mm_decode_features", "scan_sample",
       "llm_split_contamination_bloom")) // r11: FP-inflated Bloom twin
   }
