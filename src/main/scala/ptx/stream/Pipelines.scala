@@ -1045,6 +1045,114 @@ object Pipelines {
       .start()
   }
 
+  /** One batch's SEMANTIC admission pass — the [[admitShardBatch]] shape
+    * at the EMBEDDING grain (r15): SemDeDup at ingest, the admission
+    * pipeline the batch-side `llm_semdedup`/`llm_semdedup_kmeans`
+    * queries imply but nothing streamed. Each arriving vector batch is
+    *  1. ASSIGNED to its nearest persisted cell
+    *     ([[ptx.sources.VectorIndex.assign]] — broadcast centroid
+    *     array, zero shuffle of the batch);
+    *  2. PROBED against the already-admitted vectors of ITS OWN CELLS:
+    *     the batch's distinct cell labels (≤ min(|batch|, k) values)
+    *     are collected and pushed as an In(label,…) filter into the
+    *     cells scan — the CLUSTERED-key case where an In push is
+    *     load-bearing (compactCells range-lays cells by label, so the
+    *     read prunes row groups on footer min/max; contrast the
+    *     uniform-hash post-scan In(h) removed the same round) — plus
+    *     same-cell batch mates; the codegen'd cosine kernel scores
+    *     candidates at `threshold`, pairs stored CANONICALLY
+    *     (least, greatest) so a retried batch's audit is byte-stable;
+    *  3. FILTERED by the standard deterministic smallest-id policy
+    *     (shared [[rejectedDocGrain]] — ONE doc-grain aggregation,
+    *     driver memory |batch|-bounded): a batch vector with an
+    *     admitted same-cell partner at cosine ≥ threshold, or a
+    *     smaller-id same-cell batch sibling, is rejected (the
+    *     conservative over-drop direction every admission gate here
+    *     documents);
+    *  4. ADMITTED under the batch's own `cells/batch=<id>` partition
+    *     (the [[indexRefresh]] idempotent-replay contract; a retry's
+    *     own previous rows carry the batch's ids and are excluded by
+    *     id inequality), with a RECENTER over all cells every
+    *     `refreshEvery` batches (bit-exact ivfCentroids recipe — the
+    *     cadence is the cost/recall knob).
+    * Semantics: within-cell keep-lowest-id at `threshold` restricted
+    * to the visible universe — exactly the cell-bounded batch contract
+    * applied incrementally; a cross-cell near-duplicate is out of
+    * scope BY the cell bound, same as the batch queries. Scale: every
+    * per-batch term is batch-sized (assignment scan, broadcast batch
+    * side, ≤k-cell index read, Σ|batch∩cell|·|cell| candidate pairs);
+    * the recenter is the only corpus pass, on its knob. */
+  private[ptx] def admitSemanticBatch(batch: DataFrame, id: Long,
+                                      indexDir: String, outDir: String,
+                                      threshold: Double,
+                                      refreshEvery: Int): Unit = {
+    val spark = batch.sparkSession
+    ptx.functions.VectorOps.register(spark)
+    val b = ptx.Caching.pin(batch.select(col("vec_id"), col("embedding")))
+    try withMicroBatchPlan(spark) {
+      val cent = ptx.sources.VectorIndex.read(spark, s"$indexDir/centroids")
+      val assigned = ptx.Caching.pin(ptx.sources.VectorIndex.assign(b, cent))
+      var ids: Set[Long] = null
+      var labels: Seq[Int] = null
+      ptx.Jobs.par(
+        () => ids = t("sem ids collect") {
+          b.select(col("vec_id")).collect().map(_.getLong(0)).toSet },
+        () => labels = t("sem labels collect") {
+          assigned.select(col("label")).distinct()
+            .collect().map(_.getInt(0)).toSeq })
+      val bc = assigned.select(col("vec_id").as("v1"),
+        col("embedding").as("e1"), col("label"))
+      val cells = spark.read.parquet(s"$indexDir/cells")
+        .select(col("vec_id"), col("embedding"), col("label"))
+        .filter(col("label").isin(labels: _*))
+      val idxPairs = broadcast(bc)
+        .join(cells.toDF("v2", "e2", "label"), Seq("label"))
+        .filter(col("v1") =!= col("v2"))
+      val batchPairs = broadcast(bc)
+        .join(assigned.select(col("vec_id").as("v2"),
+          col("embedding").as("e2"), col("label")), Seq("label"))
+        .filter(col("v1") < col("v2"))
+      val pairs = ptx.Caching.pin(
+        idxPairs.unionByName(batchPairs)
+          .withColumn("sim", expr("cosine_sim(e1, e2)"))
+          .filter(col("sim") >= threshold)
+          .select(least(col("v1"), col("v2")).as("v1"),
+            greatest(col("v1"), col("v2")).as("v2"),
+            round(col("sim"), 6).as("sim"))
+          .dropDuplicates("v1", "v2"))
+      val rejected = t("sem policy collect") {
+        rejectedDocGrain(pairs, "v1", "v2", ids) }
+      t("sem sink round") { ptx.Jobs.par(
+        () => pairs.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/pairs/batch=$id"),
+        () => exceptIds(b, "vec_id", rejected).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/accepted/batch=$id"),
+        () => exceptIds(assigned, "vec_id", rejected).coalesce(1)
+          .write.mode("overwrite").parquet(s"$indexDir/cells/batch=$id")) }
+      if ((id + 1) % refreshEvery == 0)
+        ptx.sources.VectorIndex.write(
+          spark.read.parquet(s"$indexDir/cells"), s"$indexDir/centroids")
+    } finally ptx.Caching.release(spark)
+  }
+
+  /** Streaming SEMANTIC ADMISSION against the persisted
+    * [[ptx.sources.VectorIndex]] — the [[shardAdmission]] twin at the
+    * embedding grain (see [[admitSemanticBatch]]). The index must be
+    * seeded (centroids + a base cells partition — the [[indexRefresh]]
+    * contract). */
+  def semanticAdmission(vecs: DataFrame, indexDir: String, outDir: String,
+                        checkpoint: String, threshold: Double = 0.45,
+                        refreshEvery: Int = 4)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        admitSemanticBatch(batch, id, indexDir, outDir, threshold,
+          refreshEvery)
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** Streaming SHARD ADMISSION against the persisted near-dup index
     * (r11) — the dedup-grain twin of [[indexRefresh]], and the workflow
     * the incremental [[ptx.sources.DedupIndex]] exists for: shards of new

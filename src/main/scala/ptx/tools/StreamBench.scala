@@ -377,6 +377,41 @@ object StreamBench {
       runServeOn(probe50Staged) // warm
       val serve50Sec = runServeOn(probe50Staged)
 
+      // semantic admission (r15): the embedding-grain admission — a 10%
+      // vector shard assigned, within-cell cosine-probed against the
+      // persisted seed index, policy-filtered, and admitted — plus the
+      // 5× amortization point (the standing two-grain bar discipline).
+      // Index build is outside the timed window, like every admission.
+      val semBase = emb.filter(col("vec_id") % 10 =!= 0)
+      val semShard = emb.filter(col("vec_id") % 10 === 0)
+        .select("vec_id", "embedding")
+      val semStaged = tmpDir("ptx-sb-semshard")
+      semShard.write.mode("overwrite").parquet(semStaged)
+      val semRows = spark.read.parquet(semStaged).count()
+      def runSem(staged: String, base: org.apache.spark.sql.DataFrame): Double = {
+        val idx = tmpDir("ptx-sb-semidx")
+        ptx.sources.VectorIndex.write(base, s"$idx/centroids")
+        ptx.sources.VectorIndex.assign(base.select("vec_id", "embedding"),
+            ptx.sources.VectorIndex.read(spark, s"$idx/centroids"))
+          .write.parquet(s"$idx/cells/batch=-1")
+        val cp = tmpDir("ptx-sb-semcp"); val outDir = tmpDir("ptx-sb-semout")
+        val src = spark.readStream
+          .schema(spark.read.parquet(staged).schema).parquet(staged)
+        val t0 = System.nanoTime()
+        ptx.stream.Pipelines.semanticAdmission(src, idx, outDir, cp)
+          .awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      runSem(semStaged, semBase) // warm
+      val semSec = runSem(semStaged, semBase)
+      val sem5Base = emb.filter(col("vec_id") % 2 =!= 0)
+      val sem5Staged = tmpDir("ptx-sb-semshard5")
+      emb.filter(col("vec_id") % 2 === 0).select("vec_id", "embedding")
+        .write.mode("overwrite").parquet(sem5Staged)
+      val sem5Rows = spark.read.parquet(sem5Staged).count()
+      runSem(sem5Staged, sem5Base) // warm
+      val sem5Sec = runSem(sem5Staged, sem5Base)
+
       def fmt(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
       val body = (results.map { case (n, sec) =>
@@ -393,7 +428,9 @@ object StreamBench {
         :+ s""""ann_serve_10x":{"sec":${fmt(serve10Sec)},"rows_per_sec":${fmt(probe10Rows / serve10Sec)},"rows":$probe10Rows}"""
         :+ s""""ann_serve_50x":{"sec":${fmt(serve50Sec)},"rows_per_sec":${fmt(probe50Rows / serve50Sec)},"rows":$probe50Rows}"""
         :+ s""""ingest_admission":{"sec":${fmt(ingSec)},"rows_per_sec":${fmt(shardRows / ingSec)},"rows":$shardRows}"""
-        :+ s""""ingest_admission_5x":{"sec":${fmt(ing5Sec)},"rows_per_sec":${fmt(shard5Rows / ing5Sec)},"rows":$shard5Rows}""")
+        :+ s""""ingest_admission_5x":{"sec":${fmt(ing5Sec)},"rows_per_sec":${fmt(shard5Rows / ing5Sec)},"rows":$shard5Rows}"""
+        :+ s""""semantic_admission":{"sec":${fmt(semSec)},"rows_per_sec":${fmt(semRows / semSec)},"rows":$semRows}"""
+        :+ s""""semantic_admission_5x":{"sec":${fmt(sem5Sec)},"rows_per_sec":${fmt(sem5Rows / sem5Sec)},"rows":$sem5Rows}""")
         .mkString(",")
       val json =
         s"""{"metric":"stream_throughput","rows":$rows,"sf":"$sfDir","cpus":$cpus,"pipelines":{$body}}"""

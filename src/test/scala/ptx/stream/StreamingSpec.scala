@@ -799,6 +799,135 @@ class StreamingSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("semanticAdmission: streamed vectors admit by within-cell keep-lowest-id vs a driver-side simulation (r15)") {
+    // SemDeDup at ingest (the embedding-grain shardAdmission twin):
+    // ground truth is a sequential driver-side simulation of the
+    // documented rule — a batch vector is rejected iff some same-cell
+    // partner at cosine >= t is already admitted (seed or an earlier
+    // batch's ACCEPT) or is a smaller-id batch mate (any, accepted or
+    // not — the conservative one-pass direction). No recenter fires
+    // (refreshEvery large), so every assignment is against the seed
+    // centroids and the simulation can share them.
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("sem_adm_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("sem_adm_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sem_adm_cp").toString
+    val seed = e.filter(col("vec_id") % 2 === 0)
+    ptx.sources.VectorIndex.write(seed, s"$dir/centroids")
+    val cent0 = ptx.sources.VectorIndex.read(spark, s"$dir/centroids")
+    ptx.sources.VectorIndex.assign(seed.select("vec_id", "embedding"), cent0)
+      .write.parquet(s"$dir/cells/batch=-1")
+    val newVecs = e.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => NewVec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val batches = newVecs.grouped((newVecs.length + 1) / 2).toSeq
+    assert(batches.length == 2 && batches.forall(_.nonEmpty))
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    // AvailableNow terminates per wave — restart on the same checkpoint
+    // so batch ids continue (the shardAdmission restart discipline)
+    batches.foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      Pipelines.semanticAdmission(ms.toDF(), dir, out, cp,
+        threshold = 0.45, refreshEvery = 1000).awaitTermination()
+    }
+    // driver-side simulation on the same assignments (seed centroids)
+    val cellOf = ptx.sources.VectorIndex.assign(
+        e.select("vec_id", "embedding"), cent0)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val vecOf = e.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var admitted = seed.collect().map(_.getLong(0)).toSet
+    val wantAccepted = batches.map { chunk =>
+      val batchIds = chunk.map(_.vec_id).toSet
+      val acc = chunk.map(_.vec_id).filter { v =>
+        val partner = (admitted ++ batchIds.filter(_ < v)).exists(o =>
+          o != v && cellOf(o) == cellOf(v) && cos(vecOf(o), vecOf(v)) >= 0.45)
+        !partner
+      }.toSet
+      admitted ++= acc
+      acc
+    }
+    wantAccepted.zipWithIndex.foreach { case (want, i) =>
+      val got = spark.read.parquet(s"$out/accepted/batch=$i")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"batch $i accepted $got != simulated $want")
+      assert(new java.io.File(s"$out/accepted/batch=$i").listFiles()
+        .count(_.getName.endsWith(".parquet")) == 1)
+    }
+    assert(wantAccepted.exists(_.size < batches.head.length),
+      "fixture degenerate: no semantic rejection exercised")
+    // the index now holds exactly seed + accepted (each once, in its
+    // assigned cell)
+    val cellRows = spark.read.parquet(s"$dir/cells")
+      .collect().map(r => r.getLong(0) -> r.getInt(2))
+    assert(cellRows.map(_._1).sorted.toSeq == admitted.toSeq.sorted)
+    cellRows.foreach { case (v, c) => assert(c == cellOf(v)) }
+    // idempotent replay: re-running the LAST batch under its own id
+    // leaves accepted set and index rows byte-stable (canonical pair
+    // orientation + id-inequality self-exclusion)
+    import spark.implicits._
+    val lastId = batches.length - 1L
+    val pairsBefore = spark.read.parquet(s"$out/pairs/batch=$lastId")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    Pipelines.admitSemanticBatch(
+      batches.last.map(v => (v.vec_id, v.embedding.toSeq)).toSeq
+        .toDF("vec_id", "embedding"),
+      lastId, dir, out, 0.45, 1000)
+    val gotReplay = spark.read.parquet(s"$out/accepted/batch=$lastId")
+      .collect().map(_.getLong(0)).toSet
+    assert(gotReplay == wantAccepted.last, "replayed batch diverged")
+    val pairsAfter = spark.read.parquet(s"$out/pairs/batch=$lastId")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(pairsAfter == pairsBefore, "replayed pair audit diverged")
+    assert(spark.read.parquet(s"$dir/cells").count() == admitted.size,
+      "replay duplicated index rows")
+  }
+
+  test("semanticAdmission recenter: centroids equal a batch rebuild over all cells (r15)") {
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("sem_rc_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("sem_rc_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sem_rc_cp").toString
+    val seed = e.filter(col("vec_id") % 2 === 0)
+    ptx.sources.VectorIndex.write(seed, s"$dir/centroids")
+    val cent0 = ptx.sources.VectorIndex.read(spark, s"$dir/centroids")
+    ptx.sources.VectorIndex.assign(seed.select("vec_id", "embedding"), cent0)
+      .write.parquet(s"$dir/cells/batch=-1")
+    // key-shifted copies of SEEDED vectors: each has an exact admitted
+    // twin (cosine 1) in its own cell, so every copy must be rejected
+    val newVecs = e.filter(col("vec_id") % 2 === 0).limit(20).collect()
+      .map(r => NewVec(r.getLong(0) + 500000, r.getSeq[Float](1).toArray))
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    // refreshEvery=2: the recenter fires after batch 1 and covers
+    // every admitted vector; restart per wave (AvailableNow)
+    newVecs.grouped(10).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      Pipelines.semanticAdmission(ms.toDF(), dir, out, cp,
+        threshold = 0.45, refreshEvery = 2).awaitTermination()
+    }
+    val refreshed = ptx.sources.VectorIndex.read(spark, s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    val rebuilt = ptx.ops.LlmScale.ivfCentroids(
+        spark.read.parquet(s"$dir/cells"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    assert(refreshed == rebuilt, "recentered centroids diverge from batch rebuild")
+    // key-shifted copies of admitted vectors are semantic dups of their
+    // originals (cosine 1, and an exact copy always assigns to its
+    // twin's cell — identical cosine ranking) — ALL must be rejected,
+    // and the index keeps only the seed mass
+    val acc = spark.read.parquet(s"$out/accepted")
+      .collect().map(_.getLong(0)).toSet
+    assert(acc.isEmpty,
+      s"exact copies of admitted vectors must be rejected, got $acc")
+    assert(spark.read.parquet(s"$dir/cells").count() == seed.count(),
+      "rejected copies must not land in the index")
+  }
+
   test("shardAdmission: streamed shards probe, filter, and admit against the persisted index (r11)") {
     val idx = java.nio.file.Files.createTempDirectory("dedup_adm_idx").toString
     val out = java.nio.file.Files.createTempDirectory("dedup_adm_out").toString
