@@ -1129,10 +1129,15 @@ object Pipelines {
           .write.mode("overwrite").parquet(s"$outDir/accepted/batch=$id"),
         () => exceptIds(assigned, "vec_id", rejected).coalesce(1)
           .write.mode("overwrite").parquet(s"$indexDir/cells/batch=$id")) }
-      if ((id + 1) % refreshEvery == 0)
-        ptx.sources.VectorIndex.write(
-          spark.read.parquet(s"$indexDir/cells"), s"$indexDir/centroids")
     } finally ptx.Caching.release(spark)
+    // the recenter is the ONE corpus pass here — it runs OUTSIDE the
+    // micro-batch plan scope (session exchange width, AQE back on):
+    // squeezing a corpus-sized posexplode aggregation through 4-wide
+    // exchanges is exactly the shape the scope exists to avoid in the
+    // other direction
+    if ((id + 1) % refreshEvery == 0)
+      ptx.sources.VectorIndex.write(
+        spark.read.parquet(s"$indexDir/cells"), s"$indexDir/centroids")
   }
 
   /** Streaming SEMANTIC ADMISSION against the persisted
