@@ -888,6 +888,45 @@ class StreamingSpec extends AnyFunSuite {
       "replay duplicated index rows")
   }
 
+  test("semanticAdmission all-duplicate batch: smallest id survives, then blocks the next wave (r15)") {
+    // the embedding-grain twin of the shardAdmission adversarial case:
+    // a batch of N identical vectors fans the candidate-pair frame to
+    // ~C(N,2) + N·|cell| rows, but the policy stays ONE doc-grain
+    // aggregation. Seeded with corpus centroids and an EMPTY cells
+    // base, wave 1 has no index partners — exactly the smallest batch
+    // id must survive its C(60,2) identical siblings; wave 2 streams
+    // more copies, which the admitted survivor must now reject
+    // wholesale.
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("sem_dup_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("sem_dup_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sem_dup_cp").toString
+    ptx.sources.VectorIndex.write(e, s"$dir/centroids")
+    e.filter(lit(false))
+      .select(col("vec_id"), col("embedding"),
+        col("vec_id").cast("int").as("label"))
+      .write.parquet(s"$dir/cells/batch=-1")
+    val proto = e.orderBy(col("vec_id")).head.getSeq[Float](1).toArray
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    ms.addData((1000L until 1060L).map(i => NewVec(i, proto)))
+    Pipelines.semanticAdmission(ms.toDF(), dir, out, cp,
+      threshold = 0.45, refreshEvery = 1000).awaitTermination()
+    val got0 = spark.read.parquet(s"$out/accepted/batch=0")
+      .collect().map(_.getLong(0)).toSet
+    assert(got0 == Set(1000L),
+      s"exactly the smallest duplicate must survive, got $got0")
+    // the pair audit holds the full canonical intra-batch fan once
+    assert(spark.read.parquet(s"$out/pairs/batch=0").count() == 60L * 59 / 2)
+    ms.addData((2000L until 2010L).map(i => NewVec(i, proto)))
+    Pipelines.semanticAdmission(ms.toDF(), dir, out, cp,
+      threshold = 0.45, refreshEvery = 1000).awaitTermination()
+    assert(spark.read.parquet(s"$out/accepted/batch=1").count() == 0L,
+      "the admitted survivor must reject the whole second wave")
+    assert(spark.read.parquet(s"$dir/cells").collect()
+      .map(_.getLong(0)).toSeq == Seq(1000L),
+      "index must hold exactly the one survivor")
+  }
+
   test("semanticAdmission recenter: centroids equal a batch rebuild over all cells (r15)") {
     val e = ptx.Tables.embeddings(spark, TestSpark.SF)
     val dir = java.nio.file.Files.createTempDirectory("sem_rc_idx").toString
