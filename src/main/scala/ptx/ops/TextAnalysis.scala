@@ -223,9 +223,11 @@ object TextAnalysis {
     // (a merge only creates adjacencies of its OWN new symbol — see the
     // BpeLearn.encode scaladoc). ◌: rides the iterative learner → no
     // SQL twin; LlmOpsSpec pins the round trip (tokens concatenate back
-    // to the word), the conservation law corpus_tokens = corpus_chars −
-    // Σ merge scores (each weighted replacement removes exactly one
-    // token), and rerun determinism.
+    // to the word), the conservation bound corpus_tokens ≥ corpus_chars −
+    // Σ merge scores — equality whenever no learned merge is
+    // self-adjacent (left == right), since scores count OVERLAPPING
+    // pairs while replacement is non-overlapping ('aaa' under a+a:
+    // score 2, removes 1 token) — and rerun determinism.
     // Scale: one corpus pass for types; the K merge applications are
     // vocab-sized (the BpeVocabProbe axis), chained as one projection.
     "llm_bpe_encode" -> ((s, d) =>

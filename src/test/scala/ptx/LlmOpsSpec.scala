@@ -617,7 +617,8 @@ class LlmOpsSpec extends AnyFunSuite {
   test("llm_bpe_encode: round trip, token conservation law vs the merge scores, deterministic (r15)") {
     val enc = q("llm_bpe_encode").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
-    val merges = q("llm_bpe_learn").collect().map(_.getLong(4))
+    val merges = q("llm_bpe_learn").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4)))
     assert(enc.nonEmpty && merges.length == 8)
     enc.foreach { case (word, cnt, nTok, encoded) =>
       val toks = encoded.split(" ")
@@ -626,12 +627,23 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(toks.mkString("") == word, s"round trip broke for '$word'")
       assert(toks.length.toLong == nTok && cnt > 0 && toks.forall(_.nonEmpty))
     }
-    // conservation: each weighted replacement removes exactly one token,
-    // so corpus tokens after K merges = corpus chars − Σ merge scores
+    // conservation BOUND (ADVICE r15): the trainer's score counts
+    // OVERLAPPING adjacent pairs (reference-faithful) while mergeFold
+    // replaces left-to-right NON-overlapping, so a self-adjacent merge
+    // (left == right) over a run of ≥3 identical symbols scores more
+    // pairs than it removes tokens ('aaa': score 2, removes 1). Hence
+    // in general corpus_tokens ≥ corpus_chars − Σ merge scores, with
+    // EQUALITY guaranteed whenever no learned merge has left == right
+    // (then every scored pair is removable exactly once).
+    val scoreSum = merges.map(_._3).sum
     val corpusTokens = enc.map { case (_, cnt, nTok, _) => cnt * nTok }.sum
     val corpusChars = enc.map { case (w, cnt, _, _) => cnt * w.length }.sum
-    assert(corpusTokens == corpusChars - merges.sum,
-      s"token conservation broke: $corpusTokens != $corpusChars - ${merges.sum}")
+    assert(corpusTokens >= corpusChars - scoreSum,
+      s"token conservation bound broke: $corpusTokens < $corpusChars - $scoreSum")
+    if (merges.forall { case (l, r, _) => l != r })
+      assert(corpusTokens == corpusChars - scoreSum,
+        s"token conservation broke (no self-adjacent merge learned): " +
+          s"$corpusTokens != $corpusChars - $scoreSum")
     ptx.Caching.releaseAll()
     assert(q("llm_bpe_encode").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
