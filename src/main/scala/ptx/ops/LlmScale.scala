@@ -1056,16 +1056,20 @@ object LlmScale {
       ivfProbe(ivfCentroids(e), e, probes, nprobe = 3, k = 5)
     }),
     // ◌ IVF over LEARNED cells (r5): same probe, but the cells come from
-    // the deterministic mini-Lloyd k-means (VectorIndex.kmeans, 8 cells ×
-    // 3 iterations) instead of the label grouping — the production index
-    // build. Deterministic end to end (no RNG: lowest-vec_id seeds,
+    // the deterministic mini-Lloyd k-means (VectorIndex.kmeansAdaptive —
+    // k = ⌈n/256⌉ floored at 8, 3 iterations; k=8 at every fixture SF)
+    // instead of the label grouping — the production index build.
+    // Deterministic end to end (no RNG: lowest-vec_id seeds,
     // lower-cell tie-break), but a 3-round iterative build has no
     // tractable SQL twin → no oracle; LlmOpsSpec checks sims against
     // brute force and recall vs the exact top-k.
     "llm_ann_ivf_kmeans" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)
-      val (cent, assign) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+      // corpus-adaptive k (r16): ⌈n/256⌉ floored at 8 — identical to the
+      // historical k=8 at every fixture SF (500/2000 vectors), but the
+      // build now re-shards with the corpus instead of letting cells grow
+      val (cent, assign) = ptx.sources.VectorIndex.kmeansAdaptive(e, iters = 3)
       val cells = e.drop("label").join(assign, "vec_id")
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
@@ -1093,7 +1097,7 @@ object LlmScale {
     // ◌ ANN RECALL of the SERVED index (r14, VERDICT r13 #4): the same
     // oracle-exact recall@5 audit as llm_ann_recall (shared recallAudit
     // recipe — one code path), but over the kmeans-LEARNED cells a
-    // deployment actually serves (VectorIndex.kmeans, 8 cells × 3 iters —
+    // deployment actually serves (VectorIndex.kmeansAdaptive, 3 iters —
     // the llm_ann_ivf_kmeans build) instead of the label-cell exemplar.
     // The iterative build has no tractable SQL twin → declared ◌;
     // LlmOpsSpec pins the recall FLOOR, making the served index's quality
@@ -1103,7 +1107,8 @@ object LlmScale {
     "llm_ann_recall_kmeans" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)
-      val (cent, assign) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+      // the audited build is the served build: corpus-adaptive k (r16)
+      val (cent, assign) = ptx.sources.VectorIndex.kmeansAdaptive(e, iters = 3)
       val cells = e.drop("label").join(assign, "vec_id")
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
@@ -1140,8 +1145,8 @@ object LlmScale {
         .orderBy(col("vec_id"))
     }),
     // ◌ SemDeDup over LEARNED cells (r15): llm_semdedup with the coarse
-    // cells a production index actually serves (VectorIndex.kmeans,
-    // 8 cells × 3 iters — the llm_ann_ivf_kmeans build) instead of the
+    // cells a production index actually serves (VectorIndex.kmeansAdaptive
+    // — corpus-adaptive k, the llm_ann_ivf_kmeans build) instead of the
     // fixture's label attribute. Label cells are an attribute, not a
     // geometric partition (the r13 recall sweep measured learned cells
     // at 61% recall@5 vs labels' 39%), and the same argument carries to
@@ -1155,7 +1160,12 @@ object LlmScale {
     "llm_semdedup_kmeans" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)
-      val (_, assign) = ptx.sources.VectorIndex.kmeans(e, k = 8, iters = 3)
+      // corpus-adaptive k (r16, VERDICT r15 #1): ⌈n/256⌉ floored at 8 —
+      // the declared query now RUNS the "k re-shards with the corpus"
+      // posture its own SemCurveProbe prescribed (fixed k=8 measured
+      // 5.9× at 10×; adaptive k holds cell size ~256 so Σ|cell|² stays
+      // corpus-linear). Fixture outputs unchanged (k=8 at 500/2000).
+      val (_, assign) = ptx.sources.VectorIndex.kmeansAdaptive(e, iters = 3)
       val cells = e.select(col("vec_id"), col("embedding"))
         .join(assign, "vec_id")
       val dup = cellCandidatePairs(

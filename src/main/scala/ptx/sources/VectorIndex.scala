@@ -100,12 +100,35 @@ object VectorIndex {
     ptx.functions.VectorOps.register(vecs.sparkSession)
     val centArr = cent.agg(
       expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))
-    vecs.crossJoin(broadcast(centArr))
+    nearestCell(vecs.crossJoin(broadcast(centArr)))
+  }
+
+  /** The argmax body shared by [[assign]] (broadcast-frame centroids)
+    * and [[assignLit]] (driver-literal centroids): highest cosine wins,
+    * lower cell id on ties — max over (sim, -label) structs, so the
+    * result is independent of the cents array's order. */
+  private def nearestCell(withCents: DataFrame): DataFrame =
+    withCents
       .withColumn("best", expr(
         """array_max(transform(cents,
           |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
           |              -c.label AS nl)))""".stripMargin))
       .select(col("vec_id"), col("embedding"), (-col("best.nl")).cast("int").as("label"))
+
+  /** [[assign]] with the centroids as a DRIVER-SIDE LITERAL (r16): the
+    * centroid table is model-parameter-sized (k × dim float32), so the
+    * kmeans loop carries it between rounds as collected rows — each
+    * Lloyd round is then ONE Spark job (the update aggregation) instead
+    * of the localCheckpoint + collect_list-broadcast chain per round,
+    * which was the dominant per-round cost at fixture scale (the build
+    * is latency-bound, not compute-bound, below ~10⁵ vectors). Same
+    * argmax body, same tie-break, bit-identical assignments. */
+  private[ptx] def assignLit(vecs: DataFrame,
+                             cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    ptx.functions.VectorOps.register(vecs.sparkSession)
+    val centsCol = array(cents.sortBy(_._1).map { case (l, c) =>
+      struct(lit(l).as("label"), typedLit(c).as("centroid")) }: _*)
+    nearestCell(vecs.withColumn("cents", centsCol))
   }
 
   /** Deterministic mini-Lloyd k-means — the production IVF cell builder
@@ -130,23 +153,107 @@ object VectorIndex {
     * k-means without the renorm; the probe side only ranks by cosine, so
     * centroid scale is irrelevant).
     */
+  /** The corpus-adaptive cell-count rule (r16, VERDICT r15 #1): k =
+    * ⌈n / targetCell⌉, floored at `minK`. This is THE lever that keeps
+    * the learned-cell family's Σ|cell|² terms corpus-LINEAR: holding k
+    * fixed while the corpus grows 10× grows every cell 10× and the
+    * in-cell pair space 100× (SemCurveProbe measured the declared
+    * semdedup at 5.9× wall on the 10× corpus under fixed k=8, 12× for
+    * the curve); scaling k with n holds cell SIZE at ~targetCell so
+    * pair work per vector stays bounded. The floor keeps tiny corpora
+    * at a sane multi-cell geometry (and pins the sf0.01/sf0.1 fixtures
+    * at the historical k=8, so every declared output is unchanged —
+    * 500 and 2000 vectors both sit under minK·targetCell). */
+  def adaptiveK(n: Long, targetCell: Int = 256, minK: Int = 8): Int = {
+    require(targetCell >= 1 && minK >= 1, s"bad adaptiveK knobs ($targetCell, $minK)")
+    math.max(minK.toLong, (n + targetCell - 1) / targetCell).toInt
+  }
+
+  /** [[kmeans]] with [[adaptiveK]] picking k from the corpus size — the
+    * build every learned-cell consumer (`llm_semdedup_kmeans`,
+    * `llm_ann_ivf_kmeans`, `llm_ann_recall_kmeans`, the streaming
+    * reshard) should run so the index survives corpus growth. One extra
+    * count() over the input (cheap next to a Lloyd iteration; also the
+    * number adaptiveK needs anyway).
+    *
+    * Above `k × trainPerCell` vectors the Lloyd rounds train on a
+    * deterministic Knuth-hash SAMPLE of ~that size and only the FINAL
+    * assignment touches the full corpus — the standard coarse-quantizer
+    * build (FAISS trains IVF centroids on a corpus sample for exactly
+    * this reason): round cost is then bounded by the train cap
+    * regardless of corpus size, and the corpus pays one linear
+    * assignment pass. Below the cap the historical exact path runs
+    * (every fixture SF: 500/2000 ≤ 8×64 only at sf0.01 — sf0.1's 2000
+    * samples at 512, changing the three ◌ learned-cell queries' cells
+    * there; the ◌ pins recompute within the query's own cells so the
+    * contract is unchanged). Deterministic end to end: the sample is a
+    * pure function of vec_id (the llm_split Knuth formula), seeds stay
+    * the k lowest-vec_id sampled vectors. */
+  def kmeansAdaptive(embeddings: DataFrame, iters: Int,
+                     targetCell: Int = 256, minK: Int = 8,
+                     trainPerCell: Int = 64)
+      : (DataFrame, DataFrame) = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val k = adaptiveK(n, targetCell, minK)
+    val cap = k.toLong * trainPerCell
+    if (n <= cap) kmeans(e, k, iters)
+    else {
+      // deterministic Knuth bucket (the llm_split formula): keep ids
+      // whose bucket falls under cap/n of the 2^32 hash range
+      val keep = (cap * 4294967296L.toDouble / n).toLong
+      val train = e.filter(
+        pmod(col("vec_id"), lit(2147483648L)) * 2654435761L % 4294967296L < keep)
+      val (cents, _) = kmeansCents(train, k, iters)
+      val spark = e.sparkSession
+      import spark.implicits._
+      // ONE full-corpus pass: assign every vector to the trained cells
+      // (literal centroids — no agg/broadcast round for a table the
+      // driver already holds)
+      (cents.toDF("label", "centroid"),
+        assignLit(e, cents).select(col("vec_id"), col("label")))
+    }
+  }
+
   def kmeans(embeddings: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val (cents, asg) = kmeansCents(embeddings, k, iters)
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    (cents.toDF("label", "centroid"), asg)
+  }
+
+  /** [[kmeans]] body returning the centroids as the driver-side rows the
+    * loop already carries — for callers that feed them straight back
+    * into [[assignLit]] (the sample-trained full-corpus assignment). */
+  private def kmeansCents(embeddings: DataFrame, k: Int, iters: Int)
+      : (Seq[(Int, Seq[Float])], DataFrame) = {
     require(iters >= 1, s"kmeans needs at least one iteration, got $iters")
     val spark = embeddings.sparkSession
     ptx.functions.VectorOps.register(spark)
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-    // seed frame is k rows — the global window runs AFTER the limit
-    var cent: DataFrame = e.orderBy(col("vec_id")).limit(k)
-      .select((row_number().over(w) - 1).as("label"), col("embedding").as("centroid"))
+    // r16 restructure: the centroid table lives on the DRIVER between
+    // rounds (k × dim float32 — the sanctioned model-parameter collect,
+    // like the BpeLearn argmax and the probe-cell collect above). Each
+    // round is then ONE job — the update aggregation's collect — with
+    // the assignment folded into it as a literal-centroid projection
+    // (assignLit); the previous per-round localCheckpoint + collect_list
+    // broadcast chain paid 2-3 extra jobs per round for the same values.
+    // Plan lineage stays O(1) per round for free (each round's plan
+    // starts from the literal centroids, not the previous round's plan).
+    var cents: Seq[(Int, Seq[Float])] =
+      e.orderBy(col("vec_id")).limit(k).collect()
+        .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](1) }.toSeq
     var asg: DataFrame = null
     (1 to iters).foreach { _ =>
-      asg = assign(e, cent).select(col("vec_id"), col("label"))
+      asg = assignLit(e, cents).select(col("vec_id"), col("label"))
       // the ONE centroid recipe (float32 cast is load-bearing for the
       // bit-exact persist/probe contract) — shared, not re-implemented
-      cent = ptx.ops.LlmScale.ivfCentroids(e.join(asg, "vec_id"))
-        .localCheckpoint()
+      cents = ptx.ops.LlmScale.ivfCentroids(e.join(asg, "vec_id"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).toSeq
     }
-    (cent, asg)
+    // same contract as always: cent is one update AHEAD of asg (asg is
+    // the assignment that PRODUCED cent) — consumers pair the cells
+    // with the centroids those cells generated
+    (cents, asg)
   }
 }

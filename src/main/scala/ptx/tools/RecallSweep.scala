@@ -42,7 +42,8 @@ object RecallSweep {
       .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
     val (cent, e) =
       if (useKmeans) {
-        val (c, assign) = ptx.sources.VectorIndex.kmeans(e0, k = 8, iters = 3)
+        // the same corpus-adaptive build the declared queries run (r16)
+        val (c, assign) = ptx.sources.VectorIndex.kmeansAdaptive(e0, iters = 3)
         (ptx.Caching.pin(c),
           ptx.Caching.pin(e0.drop("label").join(assign, "vec_id")))
       } else (ptx.Caching.pin(ptx.ops.LlmScale.ivfCentroids(e0)), e0)
