@@ -56,6 +56,59 @@ object VectorIndex {
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(dir)
 
+  /** Corpus-adaptive RESHARD of a serving index (r16, VERDICT r15 #6):
+    * when the admitted corpus has outgrown the cell-size budget —
+    * [[adaptiveK]](n, targetCell) exceeds the persisted cell count —
+    * rebuild the index at the new k ([[kmeansAdaptive]], the sample-
+    * trained build) and rewrite BOTH halves; otherwise do nothing and
+    * return false (the caller falls back to a plain recenter). This is
+    * the runnable form of the "re-shard k as the corpus grows" contract
+    * the SCALE.md fixed-k caveat prescribes, wired into the streaming
+    * recenter cadence via [[ptx.stream.Pipelines.indexRefresh]] /
+    * `semanticAdmission`'s `targetCell` knob.
+    *
+    * Replay identity is PRESERVED: the re-assigned cells are rewritten
+    * `partitionBy("batch")` into the same `batch=<id>` layout, so a
+    * micro-batch retried after a reshard still overwrites exactly its
+    * own partition (the idempotent-replay contract) instead of
+    * duplicating rows a folded layout would have absorbed. The rewrite
+    * lands in `cells.next`/`centroids.next` first and swaps in via
+    * renames — the one non-atomic maintenance window (two renames per
+    * half); within a streaming query the recenter runs inside
+    * foreachBatch so no concurrent reader exists, and an external
+    * `annServe` re-reads per trigger, so a torn read costs one retried
+    * probe batch, not correctness. */
+  def reshard(spark: SparkSession, dir: String, targetCell: Int = 256,
+              minK: Int = 8, iters: Int = 3): Boolean = {
+    val cellsAll = spark.read.parquet(s"$dir/cells")
+      .select(col("vec_id"), col("embedding"), col("batch"))
+    val kNow = spark.read.parquet(s"$dir/centroids").count()
+    val n = cellsAll.count()
+    if (adaptiveK(n, targetCell, minK) <= kNow) return false
+    val (cent, asg) =
+      kmeansAdaptive(cellsAll, iters, targetCell, minK)
+    cellsAll.join(asg, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("label"), col("batch"))
+      .sortWithinPartitions(col("label")) // footer-prunable within each file
+      .write.partitionBy("batch")
+      .mode(SaveMode.Overwrite).parquet(s"$dir/cells.next")
+    cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.next")
+    val fs = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(dir)) // normalize for the local FS
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("cells", "centroids").foreach { name =>
+      val cur = new org.apache.hadoop.fs.Path(s"$fs/$name")
+      val next = new org.apache.hadoop.fs.Path(s"$fs/$name.next")
+      val old = new org.apache.hadoop.fs.Path(s"$fs/$name.old")
+      hfs.delete(old, true)
+      require(hfs.rename(cur, old) && hfs.rename(next, cur),
+        s"reshard swap failed for $cur")
+      hfs.delete(old, true)
+    }
+    true
+  }
+
   /** Probe a persisted index: top-k neighbors per probe from the nprobe
     * nearest cells. `probes` must have columns (probe_id, p). */
   def probe(spark: SparkSession, dir: String, embeddings: DataFrame,

@@ -1029,7 +1029,7 @@ object Pipelines {
     * pass; its cadence (refreshEvery) is the cost/recall knob.
     */
   def indexRefresh(newVecs: DataFrame, dir: String, checkpoint: String,
-                   refreshEvery: Int = 4)
+                   refreshEvery: Int = 4, targetCell: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val spark = newVecs.sparkSession
     newVecs.writeStream
@@ -1037,12 +1037,27 @@ object Pipelines {
         val cent = ptx.sources.VectorIndex.read(spark, s"$dir/centroids")
         ptx.sources.VectorIndex.assign(batch.select("vec_id", "embedding"), cent)
           .write.mode("overwrite").parquet(s"$dir/cells/batch=$id")
-        if ((id + 1) % refreshEvery == 0)
-          ptx.sources.VectorIndex.write(
-            spark.read.parquet(s"$dir/cells"), s"$dir/centroids")
+        if ((id + 1) % refreshEvery == 0) recenterOrReshard(spark, dir, targetCell)
       }
       .option("checkpointLocation", checkpoint)
       .start()
+  }
+
+  /** The recenter cadence's body, shared by [[indexRefresh]] and
+    * [[semanticAdmission]] (r16): when a `targetCell` budget is set and
+    * the admitted corpus has outgrown it, RESHARD — rebuild the index at
+    * the corpus-adaptive k ([[ptx.sources.VectorIndex.reshard]], the
+    * runnable "k re-shards with the corpus" contract); otherwise the
+    * plain recenter (per-cell centroid recompute over all cells, the
+    * bit-exact ivfCentroids recipe). Either way the next micro-batch
+    * assigns against the fresh centroids. */
+  private def recenterOrReshard(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, targetCell: Int): Unit = {
+    val resharded = targetCell != Int.MaxValue &&
+      ptx.sources.VectorIndex.reshard(spark, dir, targetCell)
+    if (!resharded)
+      ptx.sources.VectorIndex.write(
+        spark.read.parquet(s"$dir/cells"), s"$dir/centroids")
   }
 
   /** One batch's SEMANTIC admission pass — the [[admitShardBatch]] shape
@@ -1085,7 +1100,8 @@ object Pipelines {
   private[ptx] def admitSemanticBatch(batch: DataFrame, id: Long,
                                       indexDir: String, outDir: String,
                                       threshold: Double,
-                                      refreshEvery: Int): Unit = {
+                                      refreshEvery: Int,
+                                      targetCell: Int = Int.MaxValue): Unit = {
     val spark = batch.sparkSession
     ptx.functions.VectorOps.register(spark)
     val b = ptx.Caching.pin(batch.select(col("vec_id"), col("embedding")))
@@ -1136,8 +1152,7 @@ object Pipelines {
     // exchanges is exactly the shape the scope exists to avoid in the
     // other direction
     if ((id + 1) % refreshEvery == 0)
-      ptx.sources.VectorIndex.write(
-        spark.read.parquet(s"$indexDir/cells"), s"$indexDir/centroids")
+      recenterOrReshard(spark, indexDir, targetCell)
   }
 
   /** Streaming SEMANTIC ADMISSION against the persisted
@@ -1147,12 +1162,12 @@ object Pipelines {
     * contract). */
   def semanticAdmission(vecs: DataFrame, indexDir: String, outDir: String,
                         checkpoint: String, threshold: Double = 0.45,
-                        refreshEvery: Int = 4)
+                        refreshEvery: Int = 4, targetCell: Int = Int.MaxValue)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vecs.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         admitSemanticBatch(batch, id, indexDir, outDir, threshold,
-          refreshEvery)
+          refreshEvery, targetCell)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -967,6 +967,147 @@ class StreamingSpec extends AnyFunSuite {
       "rejected copies must not land in the index")
   }
 
+  test("semanticAdmission keeps the served recall floor: N admitted batches + recenters (r16)") {
+    // VERDICT r15 #2: indexRefresh got its served-recall pin in r15, but
+    // semanticAdmission mutates the same served index (cell appends +
+    // periodic recenter) and additionally REJECTS near-duplicates — the
+    // quantity that can silently decay is the recall of the persisted
+    // index over the corpus it ADMITTED. Seed with the kmeans build over
+    // half the fixture, stream the other half in 4 batches
+    // (refreshEvery=2 → recenters fire after batches 1 and 3, so the
+    // final centroids cover every admitted vector), then run the shared
+    // recallAudit over the served artifacts with probes drawn from the
+    // streamed ACCEPTED mass.
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("sem_rec_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("sem_rec_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sem_rec_cp").toString
+    val seed = e.filter(col("vec_id") % 2 === 0)
+    val (cent0, asg0) = ptx.sources.VectorIndex.kmeans(seed, k = 8, iters = 3)
+    cent0.write.parquet(s"$dir/centroids")
+    seed.select("vec_id", "embedding").join(asg0, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/cells/batch=-1")
+    val newVecs = e.filter(col("vec_id") % 2 === 1).collect()
+      .map(r => NewVec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    // AvailableNow terminates per wave — restart on the same checkpoint
+    // so batch ids continue (the shardAdmission restart discipline)
+    newVecs.grouped((newVecs.length + 3) / 4).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      Pipelines.semanticAdmission(ms.toDF(), dir, out, cp,
+        threshold = 0.45, refreshEvery = 2).awaitTermination()
+    }
+    val accepted = spark.read.parquet(s"$out/accepted")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(accepted.nonEmpty && accepted.size < newVecs.length,
+      "fixture degenerate: semantic admission rejected nothing (or everything)")
+    ptx.functions.VectorOps.register(spark)
+    val cells = spark.read.parquet(s"$dir/cells")
+      .select("vec_id", "embedding", "label")
+    // conservation: the served index holds exactly seed + accepted
+    val seedIds = seed.collect().map(_.getLong(0)).toSet
+    assert(cells.select("vec_id").collect().map(_.getLong(0)).toSet
+      == seedIds ++ accepted, "index contents diverged from seed + accepted")
+    val probes = spark.createDataFrame(
+      newVecs.filter(v => accepted(v.vec_id)).take(10).toSeq
+        .map(v => (v.vec_id, v.embedding.toSeq)))
+      .toDF("probe_id", "p")
+    def audit(cent: DataFrame) = ptx.ops.LlmScale.recallAudit(
+      cells.select("vec_id", "embedding"), probes,
+      ptx.ops.LlmScale.ivfProbe(cent, cells, probes, nprobe = 3, k = 5))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val served = audit(ptx.sources.VectorIndex.read(spark, s"$dir/centroids"))
+    val meanRecall = served.values.sum.toDouble / served.size / 1e6
+    info(f"served recall@5 after 4 semantic-admission batches = $meanRecall%.3f")
+    assert(meanRecall >= 0.5,
+      f"semantic admission degraded the served index below the 0.5 floor: $meanRecall%.3f")
+    // the final recenter fired after the last batch, so the served
+    // centroids must EQUAL a fresh rebuild over the same cells (the
+    // bit-exact ivfCentroids recipe) — per-probe, not just on average
+    val rebuilt = audit(ptx.ops.LlmScale.ivfCentroids(cells))
+    assert(served == rebuilt,
+      "served recall diverged from a fresh rebuild over the same cells")
+    ptx.Caching.releaseAll()
+  }
+
+  test("indexRefresh re-shards k when the admitted corpus outgrows the cell budget; recall holds (r16)") {
+    // VERDICT r15 #6 — the adaptive-k rule composed with the streaming
+    // recenter: seed a 4-cell index over 100 vectors, stream the other
+    // 400 (5× growth) with targetCell=16, and the recenter that fires
+    // once the corpus has outgrown the budget must REBUILD at the
+    // corpus-adaptive k (VectorIndex.reshard) instead of recentering the
+    // stale 4-cell geometry — and the served index must still recall.
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_rs").toString
+    val cp = java.nio.file.Files.createTempDirectory("ivf_rs_cp").toString
+    val seed = e.filter(col("vec_id") < 100)
+    val (cent0, asg0) = ptx.sources.VectorIndex.kmeans(seed, k = 4, iters = 3)
+    cent0.write.parquet(s"$dir/centroids")
+    seed.select("vec_id", "embedding").join(asg0, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/cells/batch=-1")
+    val newVecs = e.filter(col("vec_id") >= 100).collect()
+      .map(r => NewVec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    assert(newVecs.length == 400, "fixture drifted: expected 400 streamed vectors")
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    // refreshEvery=4 → the one recenter fires after batch 3, when all
+    // 500 vectors are admitted: adaptiveK(500, 16) = 32 > 4 → reshard
+    val q = Pipelines.indexRefresh(ms.toDF(), dir, cp,
+      refreshEvery = 4, targetCell = 16)
+    try newVecs.grouped(100).foreach { chunk =>
+      ms.addData(chunk.toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val kAfter = ptx.sources.VectorIndex.read(spark, s"$dir/centroids").count()
+    assert(kAfter == ptx.sources.VectorIndex.adaptiveK(500, 16),
+      s"recenter did not re-shard: $kAfter cells (expected 32)")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val cellRows = cells.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(cellRows.size == 500 && cells.count() == 500,
+      "reshard lost or duplicated vectors")
+    // the cell-size BUDGET holds: mean cell size is back at ~targetCell
+    val maxCell = cells.groupBy("label").count()
+      .agg(max("count")).head().getLong(0)
+    assert(maxCell <= 16 * 4,
+      s"reshard left a cell ${maxCell}x the grain of the 16-vector budget")
+    // replay identity preserved: every batch partition survives the
+    // reshard under its own id (idempotent-retry contract)
+    val parts = new java.io.File(s"$dir/cells").listFiles()
+      .filter(_.getName.startsWith("batch=")).map(_.getName).toSet
+    assert(parts == Set("batch=-1", "batch=0", "batch=1", "batch=2", "batch=3"),
+      s"reshard broke the per-batch partition identity: $parts")
+    // determinism: the persisted build equals an offline kmeansAdaptive
+    // over the same vectors — labels AND centroids
+    ptx.functions.VectorOps.register(spark)
+    val (cent2, asg2) = ptx.sources.VectorIndex.kmeansAdaptive(
+      cells.select("vec_id", "embedding"), iters = 3, targetCell = 16)
+    assert(asg2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == cellRows,
+      "resharded assignments diverge from an offline adaptive rebuild")
+    val servedCent = ptx.sources.VectorIndex.read(spark, s"$dir/centroids")
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+    assert(cent2.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
+      == servedCent, "resharded centroids diverge from an offline adaptive rebuild")
+    // recall floor over the re-sharded geometry, nprobe scaled to the
+    // grown k (the 3-of-8 serving fraction → 12 of 32 cells)
+    val probes = spark.createDataFrame(
+      newVecs.take(10).toSeq.map(v => (v.vec_id, v.embedding.toSeq)))
+      .toDF("probe_id", "p")
+    val served = ptx.ops.LlmScale.recallAudit(
+      cells.select("vec_id", "embedding"), probes,
+      ptx.ops.LlmScale.ivfProbe(
+        ptx.sources.VectorIndex.read(spark, s"$dir/centroids"),
+        cells.select("vec_id", "embedding", "label"), probes,
+        nprobe = 12, k = 5))
+      .collect().map(r => r.getLong(2))
+    val meanRecall = served.sum.toDouble / served.length / 1e6
+    info(f"served recall@5 after the 5x-growth reshard = $meanRecall%.3f")
+    assert(meanRecall >= 0.5,
+      f"reshard degraded the served index below the 0.5 floor: $meanRecall%.3f")
+    ptx.Caching.releaseAll()
+  }
+
   test("shardAdmission: streamed shards probe, filter, and admit against the persisted index (r11)") {
     val idx = java.nio.file.Files.createTempDirectory("dedup_adm_idx").toString
     val out = java.nio.file.Files.createTempDirectory("dedup_adm_out").toString
