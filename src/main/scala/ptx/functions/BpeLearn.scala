@@ -159,4 +159,31 @@ object BpeLearn {
       .map(r => (r.getString(1), r.getString(2))).toSeq
     encode(docs, merges)
   }
+
+  /** DOC-grain token counts under the REAL tokenizer (r16, VERDICT r15
+    * #3): join the encoder's per-TYPE token counts back to the corpus
+    * and aggregate per document — the table the budget/packing family
+    * consumes when it cuts on actual tokenizer output instead of the
+    * chars/4 whitespace estimate. Per doc: whitespace word count, BPE
+    * token count, and the word-char total (the conservation rails:
+    * n_words ≤ n_tokens ≤ n_word_chars, and Σ over docs of n_tokens
+    * equals the encoder's Σ cnt·n_tokens — the type join neither
+    * invents nor drops occurrences; LlmOpsSpec pins all of it).
+    *
+    * Scale: one corpus pass for the type table (inside [[learnEncode]]),
+    * one corpus explode joined to the |vocab|-sized encoded types on
+    * the word key (AQE broadcasts the type side while it fits; at real
+    * vocab sizes it's a hash join on 8-byte-ish word keys), one doc_id
+    * aggregation. No pair space anywhere. */
+  def docTokens(docs: DataFrame, k: Int): DataFrame = {
+    val enc = learnEncode(docs, k)
+      .select(col("word"), col("n_tokens"))
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(length(col("word"))).cast("long").as("n_word_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

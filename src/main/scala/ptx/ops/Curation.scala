@@ -1,5 +1,6 @@
 package ptx.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
@@ -39,6 +40,52 @@ object Curation {
     * unchanged. */
   private def knuthBucket(id: org.apache.spark.sql.Column, mod: Long) =
     pmod(id, lit(2147483648L)) * 2654435761L % 4294967296L % mod
+
+  /** The block-scan sequence-packing tail over a (doc_id, tok) frame —
+    * ONE definition shared by `llm_pack_sequences` (chars/4 estimate,
+    * oracle-✓) and `llm_pack_sequences_bpe` (real tokenizer counts, r16)
+    * so the estimate and the real-token form cannot drift. Per-1024-doc
+    * block totals carry the global order, a broadcast joins each block's
+    * prefix back, a per-block window finishes — O(corpus/blocks) per
+    * task at any scale, no global-order window. */
+  private def packSequences(base0: DataFrame): DataFrame = {
+    val base = base0.withColumn("blk", floor(col("doc_id") / 1024).cast("long"))
+    val blkTot = base.groupBy(col("blk")).agg(sum(col("tok")).as("blk_total"))
+    val wBlk = Window.orderBy(col("blk"))
+    val blkCum = blkTot
+      .withColumn("blk_before", sum(col("blk_total")).over(wBlk) - col("blk_total"))
+      .select(col("blk"), col("blk_before"))
+    val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
+    base.join(broadcast(blkCum), Seq("blk"))
+      .withColumn("cum_before",
+        col("blk_before") + sum(col("tok")).over(wIntra) - col("tok"))
+      .select(col("doc_id"), col("tok"),
+        floor(col("cum_before") / 2048).cast("long").as("seq_id"),
+        (col("cum_before") % 2048).as("seq_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The greedy longest-first token-budget tail — keep docs in
+    * (`key` desc, doc_id) order until `budget` of `est` is spent. Shared
+    * by `llm_token_budget` (n_chars key, chars/4 estimate, oracle-✓) and
+    * `llm_token_budget_bpe` (real token counts, r16). Two-level cumsum:
+    * per-key totals over the small distinct-`key` domain carry the
+    * global order, broadcast back, per-key window for the intra-key
+    * part — no global-order window over the corpus. */
+  private def greedyTokenBudget(base: DataFrame, key: String, est: String,
+                                budget: Long): DataFrame = {
+    val keyTot = base.groupBy(col(key)).agg(sum(col(est)).as("key_total"))
+    val wKeys = Window.orderBy(col(key).desc)
+    val keyCum = keyTot
+      .withColumn("cum_before", sum(col("key_total")).over(wKeys) - col("key_total"))
+      .select(col(key), col("cum_before"))
+    val wIntra = Window.partitionBy(col(key)).orderBy(col("doc_id"))
+    base.join(broadcast(keyCum), Seq(key))
+      .withColumn("cum_tokens", col("cum_before") + sum(col(est)).over(wIntra))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col(key), col(est), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
 
   /** The DuckDB-dialect twin of [[knuthBucket]]; `(x % m + m) % m` is the
     * portable pmod spelling. */
@@ -283,25 +330,27 @@ object Curation {
     // per-1024-doc-block totals (tiny frame) carry the global order, a
     // broadcast joins each block's prefix back, and a per-block window
     // finishes — O(corpus/blocks) per task at any scale.
-    "llm_pack_sequences" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+    "llm_pack_sequences" -> ((s, d) =>
+      packSequences(Tables.documents(s, d)
         .select(col("doc_id"),
-          ceil(col("n_chars").cast("double") / 4.0).cast("long").as("tok"))
-        .withColumn("blk", floor(col("doc_id") / 1024).cast("long"))
-      val blkTot = base.groupBy(col("blk")).agg(sum(col("tok")).as("blk_total"))
-      val wBlk = Window.orderBy(col("blk"))
-      val blkCum = blkTot
-        .withColumn("blk_before", sum(col("blk_total")).over(wBlk) - col("blk_total"))
-        .select(col("blk"), col("blk_before"))
-      val wIntra = Window.partitionBy(col("blk")).orderBy(col("doc_id"))
-      base.join(broadcast(blkCum), Seq("blk"))
-        .withColumn("cum_before",
-          col("blk_before") + sum(col("tok")).over(wIntra) - col("tok"))
-        .select(col("doc_id"), col("tok"),
-          floor(col("cum_before") / 2048).cast("long").as("seq_id"),
-          (col("cum_before") % 2048).as("seq_offset"))
-        .orderBy(col("doc_id"))
-    }),
+          ceil(col("n_chars").cast("double") / 4.0).cast("long").as("tok")))),
+    // ◌ packing on REAL tokenizer counts (r16, VERDICT r15 #3): the
+    // identical block-scan packing (shared packSequences tail — the
+    // estimate and the real-token form cannot drift) over the BPE
+    // doc-grain token table (BpeLearn.docTokens — the llm_bpe_doc_tokens
+    // body) instead of the chars/4 estimate. This is the form a training
+    // pipeline actually ships: sequence boundaries land where the
+    // TOKENIZER says documents end, not where a byte-count heuristic
+    // guesses. ◌: rides the iterative learner → no SQL twin; LlmOpsSpec
+    // pins the output against a driver-side cumsum recompute over the
+    // doc-token table and Σ-tok agreement with llm_bpe_doc_tokens.
+    // Scale: docTokens (corpus ⋈ vocab + one doc agg) + the block-scan
+    // (per-1024-doc totals, broadcast prefix, per-block window) — no
+    // global-order window, no pair space.
+    "llm_pack_sequences_bpe" -> ((s, d) =>
+      packSequences(ptx.functions.BpeLearn
+        .docTokens(Tables.documents(s, d), k = 8)
+        .select(col("doc_id"), col("n_tokens").as("tok")))),
     // ✓ shard manifest (r6): WebDataset-style export sharding — each doc
     // (per language, doc_id order) lands in the ~64 KB shard its RUNNING
     // byte offset starts in; one manifest row per shard (doc count,
@@ -468,25 +517,26 @@ object Curation {
     // n_chars domain, running total on that tiny frame, broadcast back,
     // per-key window for the intra-key part — instead of one global-order
     // window that would serialize the corpus through a single partition.
-    "llm_token_budget" -> ((s, d) => {
-      val base = Tables.documents(s, d)
+    "llm_token_budget" -> ((s, d) =>
+      greedyTokenBudget(Tables.documents(s, d)
         .select(col("doc_id"), col("n_chars"),
-          ceil(col("n_chars").cast("double") / 4.0).as("est_bpe"))
-      val keyTot = base.groupBy(col("n_chars"))
-        .agg(sum(col("est_bpe")).as("key_total"))
-      // distinct-domain frame (≤ a few hundred rows): the global order lives
-      // here, not on the corpus
-      val wKeys = Window.orderBy(col("n_chars").desc)
-      val keyCum = keyTot
-        .withColumn("cum_before", sum(col("key_total")).over(wKeys) - col("key_total"))
-        .select(col("n_chars"), col("cum_before"))
-      val wIntra = Window.partitionBy(col("n_chars")).orderBy(col("doc_id"))
-      base.join(broadcast(keyCum), Seq("n_chars"))
-        .withColumn("cum_tokens", col("cum_before") + sum(col("est_bpe")).over(wIntra))
-        .filter(col("cum_tokens") <= 10000)
-        .select(col("doc_id"), col("n_chars"), col("est_bpe"), col("cum_tokens"))
-        .orderBy(col("doc_id"))
-    }),
+          ceil(col("n_chars").cast("double") / 4.0).as("est_bpe")),
+        "n_chars", "est_bpe", 10000L)),
+    // ◌ token-budget selection on REAL tokenizer counts (r16, VERDICT
+    // r15 #3): the identical greedy longest-first rule (shared
+    // greedyTokenBudget tail) cutting on the BPE doc-grain token table
+    // instead of the chars/4 estimate — the doc's n_tokens is both the
+    // ordering key and the spend. ◌: rides the iterative learner; the
+    // LlmOpsSpec pin recomputes the greedy rule driver-side from the
+    // doc-token table and matches exactly. Scale: docTokens + the
+    // two-level cumsum (distinct-token-count domain carries the global
+    // order, corpus never serializes through one partition).
+    "llm_token_budget_bpe" -> ((s, d) =>
+      greedyTokenBudget(ptx.functions.BpeLearn
+        .docTokens(Tables.documents(s, d), k = 8)
+        .select(col("doc_id"), col("n_tokens"),
+          col("n_tokens").as("bpe_tokens")),
+        "n_tokens", "bpe_tokens", 10000L)),
     // CCNet-style LM quality proxy (r5): per-doc mean negative log
     // probability under the corpus's own unigram model. Docs of common
     // words score low (natural-looking), rare-word salads score high —

@@ -232,6 +232,20 @@ object TextAnalysis {
     // vocab-sized (the BpeVocabProbe axis), chained as one projection.
     "llm_bpe_encode" -> ((s, d) =>
       ptx.functions.BpeLearn.learnEncode(Tables.documents(s, d), k = 8)),
+    // ◌ DOC-GRAIN tokenizer counts (r16, VERDICT r15 #3): the encoder's
+    // per-TYPE token counts joined back to the corpus and aggregated per
+    // document — (doc_id, n_words, n_tokens, n_word_chars), the table
+    // the budget/packing family cuts on when it uses REAL tokenizer
+    // output instead of the chars/4 estimate (see Curation's
+    // llm_pack_sequences_bpe / llm_token_budget_bpe, which consume it).
+    // ◌: rides the iterative learner → no SQL twin; LlmOpsSpec pins the
+    // conservation identities (Σ doc n_tokens = encoder Σ cnt·n_tokens;
+    // Σ n_word_chars likewise; n_words ≤ n_tokens ≤ n_word_chars per
+    // doc), per-doc word counts vs a driver recompute, and rerun
+    // determinism. Scale: corpus explode ⋈ |vocab|-sized type table on
+    // the word key + one doc_id agg — pair-free (BpeLearn.docTokens).
+    "llm_bpe_doc_tokens" -> ((s, d) =>
+      ptx.functions.BpeLearn.docTokens(Tables.documents(s, d), k = 8)),
     // ✓ hot-shingle df audit (r13): top-20 3-word shingles by document
     // frequency (ties broken on the shingle string) plus each one's
     // corpus doc-share — THE df-skew diagnostic that parameterizes the

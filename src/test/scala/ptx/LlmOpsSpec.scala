@@ -651,6 +651,80 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_bpe_doc_tokens: conservation through the type join, per-doc rails, deterministic (r16)") {
+    val docs = q("llm_bpe_doc_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val enc = q("llm_bpe_encode").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(docs.nonEmpty && enc.nonEmpty)
+    // conservation: the doc-grain join neither invents nor drops word
+    // occurrences — Σ over docs equals the encoder's type-weighted sums
+    assert(docs.map(_._3).sum == enc.map { case (_, cnt, nTok) => cnt * nTok }.sum,
+      "doc-grain token total diverged from the encoder's type-weighted total")
+    assert(docs.map(_._2).sum == enc.map(_._2).sum,
+      "doc-grain word total diverged from the type frequencies")
+    assert(docs.map(_._4).sum == enc.map { case (w, cnt, _) => cnt * w.length }.sum,
+      "doc-grain char total diverged from the type-weighted word lengths")
+    // per-doc rails: every word is >= 1 token, no token exceeds its word
+    docs.foreach { case (id, nWords, nTokens, nChars) =>
+      assert(nWords >= 1 && nWords <= nTokens && nTokens <= nChars,
+        s"doc $id rails broke: words=$nWords tokens=$nTokens chars=$nChars")
+    }
+    // per-doc word counts match a driver-side whitespace recompute
+    val texts = Tables.documents(spark, SF01).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(docs.length == texts.size)
+    docs.foreach { case (id, nWords, _, nChars) =>
+      val words = texts(id).split(" ")
+      assert(nWords == words.length && nChars == words.map(_.length).sum,
+        s"doc $id word/char counts diverge from a direct split")
+    }
+    // the 8-merge vocabulary must actually compress somewhere
+    assert(docs.exists { case (_, _, nTokens, nChars) => nTokens < nChars },
+      "fixture degenerate: no learned merge fired in any doc")
+    ptx.Caching.releaseAll()
+    assert(q("llm_bpe_doc_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq == docs.toSeq, "doc-token rerun diverged")
+    ptx.Caching.releaseAll()
+  }
+
+  test("llm_pack_sequences_bpe / llm_token_budget_bpe: match driver recomputes over the doc-token table (r16)") {
+    val toks = q("llm_bpe_doc_tokens").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).sortBy(_._1)
+    ptx.Caching.releaseAll()
+    // packing: running cumsum in doc_id order, 2048-token sequences
+    var cum = 0L
+    val wantPack = toks.map { case (id, tok) =>
+      val r = (id, tok, cum / 2048, cum % 2048); cum += tok; r
+    }.toSeq
+    val gotPack = q("llm_pack_sequences_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotPack == wantPack, "BPE packing diverged from the driver cumsum")
+    // the real-token packing must cut MORE sequences than the chars/4
+    // estimate on this fixture (character-grain tokens after 8 merges)
+    val estSeqs = q("llm_pack_sequences").collect().map(_.getLong(2)).max
+    assert(wantPack.map(_._3).max > estSeqs,
+      "fixture degenerate: BPE packing did not exceed the estimate's sequence count")
+    ptx.Caching.releaseAll()
+    // budget: greedy longest-first (n_tokens desc, doc_id asc), cumsum
+    // then keep the prefix with cum <= 10000 — the PREFIX rule (a doc
+    // past the overflow point is out even if a smaller one would fit),
+    // exactly the declared filter(cum_tokens <= budget) semantics
+    var spent = 0L
+    val wantBudget = toks.sortBy { case (id, tok) => (-tok, id) }.flatMap {
+      case (id, tok) =>
+        spent += tok
+        if (spent <= 10000) Some((id, tok, tok, spent)) else None
+    }.sortBy(_._1).toSeq
+    val gotBudget = q("llm_token_budget_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(gotBudget == wantBudget, "BPE budget diverged from the driver greedy rule")
+    assert(wantBudget.nonEmpty && wantBudget.size < toks.length,
+      "fixture degenerate: budget kept nothing or everything")
+    ptx.Caching.releaseAll()
+  }
+
   test("llm_semdedup_kmeans: matches a brute-force within-cell keep-lowest-id recompute, deterministic (r15)") {
     def run() = q("llm_semdedup_kmeans").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
