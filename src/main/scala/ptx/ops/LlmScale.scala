@@ -175,16 +175,21 @@ object LlmScale {
     * shuffles once on the cell key. Requires `VectorOps.register`. */
   /** The multi-table random-hyperplane LSH top-5 (unordered) — the
     * `llm_ann_lsh` body, shared with `llm_ann_recall_lsh`'s audit
-    * (r15) so the monitored index is exactly the served one. L=4
-    * tables × 6 sign bits, seed-7 planes; candidates = union over
-    * tables of same-bucket vectors; exact top-5 within candidates
-    * (cosine_sim shares the sign of the dot product, so the codegen
-    * kernel doubles as the hashing primitive). */
-  private def lshTopK(s: SparkSession, d: String): DataFrame = {
+    * (r15) so the monitored index is exactly the served one. Default
+    * L=16 tables × 6 sign bits (r16, the LshSweep knee), seed-7
+    * planes; candidates = union over tables of same-bucket vectors;
+    * exact top-5 within candidates (cosine_sim shares the sign of the
+    * dot product, so the codegen kernel doubles as the hashing
+    * primitive). */
+  /** The distinct (probe, cand) frame the LSH index hands to exact
+    * scoring — union over tables of same-bucket vectors. Shared by
+    * [[lshTopK]] and the LshSweep tool's candidate-fraction gauge (one
+    * definition, so the measured cost knob IS the served one). */
+  private[ptx] def lshCandidateFrame(s: SparkSession, d: String,
+                                     L: Int, bits: Int): DataFrame = {
     ptx.functions.VectorOps.register(s)
     val e = Tables.embeddings(s, d)
     val rnd = new scala.util.Random(7)
-    val L = 4; val bits = 6
     val planes = Seq.tabulate(L, bits)((_, _) => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
     def bucketExpr(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
       val planeLit = s"array(${p.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
@@ -202,13 +207,17 @@ object LlmScale {
     probes.join(cands, Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("p"), col("cand_id"), col("c")).distinct()
+  }
+
+  private[ptx] def lshTopK(s: SparkSession, d: String,
+                           L: Int = 16, bits: Int = 6): DataFrame =
+    lshCandidateFrame(s, d, L, bits)
       .withColumn("sim", expr("cosine_sim(p, c)"))
       .groupBy(col("probe_id"))
       .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), 5).as("top"))
       .select(col("probe_id"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("probe_id"), (col("pos") + 1).as("rnk"),
         col("e._2").as("cand_id"), round(col("e._1"), 6).as("sim"))
-  }
 
   /** The dup-cluster size-histogram tail over a (doc_id, cluster_id)
     * label frame — shared by `llm_dedup_cluster_sizes` (exact anchor)
@@ -1021,11 +1030,19 @@ object LlmScale {
     "llm_embed_threshold_curve_sem" -> ((s, d) =>
       embedCurveSem(s, Tables.embeddings(s, d))),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
-    // random-hyperplane LSH — L=4 tables × 6 sign bits; candidates = union
-    // over tables of same-bucket vectors; exact top-5 within candidates.
-    // cosine_sim shares the sign of the dot product, so the codegen kernel
-    // doubles as the hashing primitive. Seeded planes are engine-specific →
-    // no oracle; LlmOpsSpec checks per-pair sims against brute force.
+    // random-hyperplane LSH — L=16 tables × 6 sign bits (r16: the LshSweep
+    // knee — recall@5 0.66/0.62 at sf0.01/sf0.1 for a ~25% candidate
+    // fraction; the r15 L=4×6 read 0.28 at 7.5%, below the serving floor);
+    // candidates = union over tables of same-bucket vectors; exact top-5
+    // within candidates. cosine_sim shares the sign of the dot product, so
+    // the codegen kernel doubles as the hashing primitive. Seeded planes
+    // are engine-specific → no oracle; LlmOpsSpec checks per-pair sims
+    // against brute force and floors the recall gauge at 0.5. 100 TB
+    // tiering (SCALE.md): sign-LSH candidate counts are a constant
+    // FRACTION of the corpus per probe (buckets don't grow with n), so
+    // this path serves as the candidate-generation tier at scale; the
+    // adaptive-k IVF path holds per-probe candidates at nprobe×targetCell
+    // CONSTANT rows and is the recall-sensitive server.
     "llm_ann_lsh" -> ((s, d) =>
       lshTopK(s, d).orderBy(col("probe_id"), col("rnk"))),
     // ◌ ANN RECALL of the LSH path (r15): the same oracle-exact
@@ -1036,8 +1053,9 @@ object LlmScale {
     // path (label-cell IVF, learned-kmeans IVF, hyperplane LSH) now
     // carries a test-floored recall gauge next to its speed numbers.
     // Seeded planes are engine-specific → ◌; LlmOpsSpec pins the
-    // floor (the seed-7 L=4×6-bit geometry is deterministic, so the
-    // number is fixed per fixture, floored with regen slack).
+    // floor (the seed-7 L=16×6-bit geometry is deterministic, so the
+    // number is fixed per fixture — 0.66 at sf0.01, floored at the 0.5
+    // serving bar the r16 LshSweep config was chosen to clear).
     "llm_ann_recall_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val probes = e.filter(col("vec_id") < 10)

@@ -1,0 +1,48 @@
+package ptx.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** LSH serving-config dial (r16, VERDICT r15 #4): recall@5 of the
+  * multi-table random-hyperplane index swept over (L tables × sign
+  * bits), next to the knob that actually pays for it — the candidate
+  * fraction each probe scores exactly. The declared `llm_ann_lsh` pins
+  * L=4×6 (the graded point, measured 0.28 recall at sf0.01); this
+  * prints the whole surface so "raise the config to its floor or
+  * re-scope the path as the candidate-generation tier" is decided by a
+  * recorded table, not a guess.
+  *
+  *   sbt "runMain ptx.tools.LshSweep [sfDir]"    (default sf0.01 — the
+  *   driver's oracle-compare scale, where the 0.28 was measured)
+  */
+object LshSweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ptx.functions.VectorOps.register(spark)
+    val e = ptx.Tables.embeddings(spark, sfDir)
+    val n = e.count()
+    val probes = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    println(s"[lsh-sweep] sf=$sfDir n=$n probes=10 k=5 (seed-7 planes)")
+    for (l <- Seq(4, 8, 16); bits <- Seq(4, 6, 8)) {
+      val topk = ptx.ops.LlmScale.lshTopK(spark, sfDir, l, bits)
+      val audit = ptx.ops.LlmScale.recallAudit(e, probes, topk)
+        .agg(avg(col("recall_e6")).cast("long").as("mean_e6"),
+          min(col("recall_e6")).as("min_e6")).head()
+      // candidate fraction: distinct (probe, cand) pairs the exact
+      // scorer touches, per probe, over the corpus — the cost knob
+      val cand = ptx.ops.LlmScale.lshCandidateFrame(spark, sfDir, l, bits).count()
+      println(f"[lsh-sweep] L=$l%2d bits=$bits%d recall_mean=${audit.getLong(0) / 1e6}%.3f " +
+        f"recall_min=${audit.getLong(1) / 1e6}%.3f cand_frac=${cand / 10.0 / n}%.3f")
+      ptx.Caching.releaseAll()
+    }
+    spark.stop()
+  }
+}
