@@ -91,15 +91,18 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       try run(fn(spark, sfDir)) catch { case _: Throwable => () } // warm
       ptx.Caching.releaseAll() // timed runs must redo the cached work too
-      // every 10 queries: force a driver GC so ContextCleaner reaps the
-      // dead broadcasts/shuffles the last ~20 executions accumulated, and
-      // give its async thread a beat to drain — OUTSIDE the timed region,
-      // so the reclaim cost is never charged to a query
+      // every 5 queries (r16, tightened from 10 — VERDICT r15 #7: the
+      // root-caused within-JVM drift is accumulated collectible garbage,
+      // and r15's driver run still showed ~1.4× late-run inflation at
+      // the 10-query cadence): force a driver GC so ContextCleaner reaps
+      // the dead broadcasts/shuffles the last executions accumulated,
+      // and give its async thread a beat to drain — OUTSIDE the timed
+      // region, so the reclaim cost is never charged to a query
       sinceGc += 1
-      if (sinceGc >= 10) {
+      if (sinceGc >= 5) {
         sinceGc = 0
         System.gc()
-        Thread.sleep(200)
+        Thread.sleep(150)
       }
       val times = (1 to runsPerQuery).flatMap { _ =>
         val t0 = System.nanoTime()

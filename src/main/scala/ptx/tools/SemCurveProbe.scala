@@ -12,7 +12,10 @@ import org.apache.spark.sql.functions._
   * VectorIndex kmeans path — holding cell SIZE bounded). This probe
   * re-labels the 10× corpus by (label, replica) — vec_id div 1e7 IS the
   * replica index under the ProbeData key shift — giving 100 cells of
-  * the ORIGINAL size, and times the identical curve body
+  * the ORIGINAL size, and times the identical curve body. Since r16 the
+  * bounded-cell posture this probe simulates is the RUNNABLE build:
+  * `VectorIndex.adaptiveK`/`kmeansAdaptive` (k = ⌈n/256⌉,
+  * sample-trained) is what the declared learned-cell queries execute
   * ([[ptx.ops.LlmScale.embedCurveSem]], one shared definition) over:
   *   (a) the 1× fixture            (baseline),
   *   (b) the 10× fixed-k labels    (cells grow 10×),
