@@ -246,6 +246,30 @@ object TextAnalysis {
     // the word key + one doc_id agg — pair-free (BpeLearn.docTokens).
     "llm_bpe_doc_tokens" -> ((s, d) =>
       ptx.functions.BpeLearn.docTokens(Tables.documents(s, d), k = 8)),
+    // ◌ REAL-token fertility (r16): subword tokens per word, per lang —
+    // THE fertility metric a tokenizer team reads (a lang whose words
+    // split into many BPE tokens is under-served by the learned vocab
+    // and pays more sequence budget per sentence). The whitespace
+    // `llm_tokenizer_fertility` reports chars/token under a split-on-
+    // space token; this is its learned-tokenizer twin over the doc-grain
+    // table, tokens/word in half-up e6 fixed point (the house integer
+    // recipe). ◌: rides the learner; LlmOpsSpec pins per-lang sums
+    // against the doc-grain table, the 1 ≤ fertility ≤ chars/word rails,
+    // and rerun determinism. Scale: docTokens + a lang-grain agg.
+    "llm_tokenizer_fertility_bpe" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      ptx.functions.BpeLearn.docTokens(docs, k = 8)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"))
+        .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+          expr("CASE WHEN n_words > 0 THEN" +
+            " (2 * cast(n_tokens as decimal(38,0)) * 1000000 + n_words)" +
+            " div (2 * n_words) END").as("tokens_per_word_e6"))
+        .orderBy(col("lang"))
+    }),
     // ✓ hot-shingle df audit (r13): top-20 3-word shingles by document
     // frequency (ties broken on the shingle string) plus each one's
     // corpus doc-share — THE df-skew diagnostic that parameterizes the

@@ -726,6 +726,39 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("llm_tokenizer_fertility_bpe: per-lang sums equal the doc-grain table; rails; deterministic (r16)") {
+    def run() = q("llm_tokenizer_fertility_bpe").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        BigInt(r.getLong(4))))
+    val fert = run()
+    ptx.Caching.releaseAll()
+    val toks = q("llm_bpe_doc_tokens").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    ptx.Caching.releaseAll()
+    val langOf = Tables.documents(spark, SF01).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = toks.groupBy { case (id, _, _, _) => langOf(id) }.map {
+      case (lang, docs) =>
+        val nw = docs.map(_._2).sum; val nt = docs.map(_._3).sum
+        val e6 = (BigInt(2) * nt * 1000000 + nw) / (BigInt(2) * nw)
+        lang -> (docs.length.toLong, nw, nt, e6)
+    }
+    assert(fert.length == want.size && fert.length >= 2)
+    fert.foreach { case (lang, nDocs, nWords, nTokens, e6) =>
+      assert(want(lang) == ((nDocs, nWords, nTokens, e6)),
+        s"lang $lang diverged from the doc-grain recompute")
+      // rails: every word is >= 1 token, and tokens never exceed chars
+      val charsPerWordE6 =
+        (BigInt(2) * toks.filter(t => langOf(t._1) == lang).map(_._4).sum * 1000000
+          + nWords) / (BigInt(2) * nWords)
+      assert(e6 >= 1000000 && e6 <= charsPerWordE6,
+        s"lang $lang fertility $e6 outside [1e6, $charsPerWordE6]")
+    }
+    ptx.Caching.releaseAll()
+    assert(run().toSeq == fert.toSeq, "fertility rerun diverged")
+    ptx.Caching.releaseAll()
+  }
+
   test("llm_semdedup_kmeans: matches a brute-force within-cell keep-lowest-id recompute, deterministic (r15)") {
     def run() = q("llm_semdedup_kmeans").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))

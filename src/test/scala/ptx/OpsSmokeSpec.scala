@@ -132,6 +132,7 @@ class OpsSmokeSpec extends AnyFunSuite {
       "llm_bpe_learn", // r14: iterative merge learner (driver loop)
       "llm_bpe_encode", // r15: encoder over the learned merge table
       "llm_bpe_doc_tokens", // r16: doc-grain counts via the type join
+      "llm_tokenizer_fertility_bpe", // r16: per-lang real-token fertility
       "llm_pack_sequences_bpe", // r16: packing on real tokenizer counts
       "llm_token_budget_bpe", // r16: budget on real tokenizer counts
       "llm_ann_lsh", "llm_ann_ivf_kmeans", "llm_quantize_pq",

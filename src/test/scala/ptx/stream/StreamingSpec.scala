@@ -1032,6 +1032,71 @@ class StreamingSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("semanticAdmission re-shards k at its recenter; the next wave admits against the new cells (r16)") {
+    // the reshard composition on the ADMISSION pipeline (indexRefresh's
+    // twin below): semantic admission both rejects near-dups AND grows
+    // the index, so the reshard must fire on the ADMITTED corpus size,
+    // preserve the accepted/rejected bookkeeping, and leave an index the
+    // NEXT wave admits against correctly (fresh-centroid assignment).
+    val e = ptx.Tables.embeddings(spark, TestSpark.SF)
+    val dir = java.nio.file.Files.createTempDirectory("sem_rs_idx").toString
+    val out = java.nio.file.Files.createTempDirectory("sem_rs_out").toString
+    val cp = java.nio.file.Files.createTempDirectory("sem_rs_cp").toString
+    val seed = e.filter(col("vec_id") < 100)
+    val (cent0, asg0) = ptx.sources.VectorIndex.kmeans(seed, k = 4, iters = 3)
+    cent0.write.parquet(s"$dir/centroids")
+    seed.select("vec_id", "embedding").join(asg0, "vec_id")
+      .select("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/cells/batch=-1")
+    val newVecs = e.filter(col("vec_id") >= 100).collect()
+      .map(r => NewVec(r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_.vec_id)
+    val ms = MemoryStream[NewVec](implicitly[org.apache.spark.sql.Encoder[NewVec]], spark)
+    // 4 waves of 100; refreshEvery=4 → the recenter after batch 3 sees
+    // the full admitted corpus and must re-shard 4 → adaptiveK cells
+    newVecs.grouped(100).foreach { chunk =>
+      ms.addData(chunk.toSeq)
+      Pipelines.semanticAdmission(ms.toDF(), dir, out, cp,
+        threshold = 0.45, refreshEvery = 4, targetCell = 16).awaitTermination()
+    }
+    val accepted = spark.read.parquet(s"$out/accepted")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(accepted.nonEmpty && accepted.size < newVecs.length,
+      "fixture degenerate: semantic admission rejected nothing (or everything)")
+    val cells = spark.read.parquet(s"$dir/cells")
+    val cellRows = cells.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val seedIds = seed.collect().map(_.getLong(0)).toSet
+    val admitted = seedIds ++ accepted
+    assert(cellRows.keySet == admitted && cells.count() == admitted.size,
+      "reshard lost/duplicated vectors or broke the accepted bookkeeping")
+    val kAfter = ptx.sources.VectorIndex.read(spark, s"$dir/centroids").count()
+    assert(kAfter == ptx.sources.VectorIndex.adaptiveK(admitted.size, 16),
+      s"recenter did not re-shard to the admitted-corpus k: $kAfter")
+    // determinism: persisted build equals an offline adaptive rebuild
+    ptx.functions.VectorOps.register(spark)
+    val (cent2, asg2) = ptx.sources.VectorIndex.kmeansAdaptive(
+      cells.select("vec_id", "embedding"), iters = 3, targetCell = 16)
+    assert(asg2.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap == cellRows,
+      "resharded assignments diverge from an offline adaptive rebuild")
+    // the NEXT wave admits against the resharded index: exact copies of
+    // admitted vectors assign to their twin's (new) cell and are rejected
+    val copies = e.filter(col("vec_id") < 20).collect()
+      .map(r => NewVec(r.getLong(0) + 700000, r.getSeq[Float](1).toArray))
+    ms.addData(copies.toSeq)
+    Pipelines.semanticAdmission(ms.toDF(), dir, out, cp,
+      threshold = 0.45, refreshEvery = 1000, targetCell = 16).awaitTermination()
+    val acc5 = spark.read.parquet(s"$out/accepted/batch=4")
+      .collect().map(_.getLong(0)).toSet
+    assert(acc5.isEmpty,
+      s"copies of admitted vectors must be rejected post-reshard, got $acc5")
+    assert(spark.read.parquet(s"$dir/cells").count() == admitted.size,
+      "rejected copies must not land in the resharded index")
+    val pairs5 = spark.read.parquet(s"$out/pairs/batch=4").count()
+    assert(pairs5 >= copies.length,
+      "post-reshard wave missed its cosine-1 twins in the pair audit")
+    ptx.Caching.releaseAll()
+  }
+
   test("indexRefresh re-shards k when the admitted corpus outgrows the cell budget; recall holds (r16)") {
     // VERDICT r15 #6 — the adaptive-k rule composed with the streaming
     // recenter: seed a 4-cell index over 100 vectors, stream the other
