@@ -178,6 +178,9 @@ object VectorIndex {
     * argmax body, same tie-break, bit-identical assignments. */
   private[ptx] def assignLit(vecs: DataFrame,
                              cents: Seq[(Int, Seq[Float])]): DataFrame = {
+    // array() of zero struct literals has no element type — fail with a
+    // named message instead of an opaque AnalysisException downstream
+    require(cents.nonEmpty, "assignLit needs at least one centroid")
     ptx.functions.VectorOps.register(vecs.sparkSession)
     val centsCol = array(cents.sortBy(_._1).map { case (l, c) =>
       struct(lit(l).as("label"), typedLit(c).as("centroid")) }: _*)
@@ -296,6 +299,8 @@ object VectorIndex {
     var cents: Seq[(Int, Seq[Float])] =
       e.orderBy(col("vec_id")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](1) }.toSeq
+    require(cents.nonEmpty,
+      "kmeans needs a nonempty input (no seed vectors to collect)")
     var asg: DataFrame = null
     (1 to iters).foreach { _ =>
       asg = assignLit(e, cents).select(col("vec_id"), col("label"))

@@ -84,6 +84,42 @@ class GuardrailSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("kmeans on an empty input fails loudly with a named message, not a downstream AnalysisException (r16)") {
+    val s = TestSpark.spark
+    val empty = Tables.embeddings(s, TestSpark.SF)
+      .select(col("vec_id"), col("embedding")).filter(lit(false))
+    val ex = intercept[IllegalArgumentException] {
+      ptx.sources.VectorIndex.kmeansAdaptive(empty, iters = 3)
+    }
+    assert(ex.getMessage.contains("nonempty input"),
+      s"expected the named seed guard, got: ${ex.getMessage}")
+  }
+
+  test("semanticAdmission of an EMPTY micro-batch writes well-formed empty outputs, not an abort (r16)") {
+    // the streaming path can hand the per-batch core an empty trigger
+    // (no new files); pairs/accepted/cells writes must stay well-formed
+    // empty parquet — the DedupIndex empty-shard guarantee at the
+    // embedding grain
+    val spark = TestSpark.spark
+    val e = Tables.embeddings(spark, TestSpark.SF)
+    val dir = tmpDir(); val out = tmpDir()
+    ptx.sources.VectorIndex.write(e, s"$dir/centroids")
+    ptx.sources.VectorIndex.assign(
+        e.select("vec_id", "embedding"),
+        ptx.sources.VectorIndex.read(spark, s"$dir/centroids"))
+      .write.parquet(s"$dir/cells/batch=-1")
+    val before = spark.read.parquet(s"$dir/cells").count()
+    ptx.stream.Pipelines.admitSemanticBatch(
+      e.select("vec_id", "embedding").filter(lit(false)),
+      id = 0L, indexDir = dir, outDir = out,
+      threshold = 0.45, refreshEvery = 1000)
+    assert(spark.read.parquet(s"$out/pairs/batch=0").count() == 0)
+    assert(spark.read.parquet(s"$out/accepted/batch=0").count() == 0)
+    assert(spark.read.parquet(s"$dir/cells").count() == before,
+      "an empty batch must not perturb the index")
+    ptx.Caching.releaseAll()
+  }
+
   test("psiAgainst on an empty micro-batch yields an empty verdict, not NaN/abort") {
     // the streaming drift gate scores EVERY micro-batch, including empty
     // ones (idle trigger with no new files) — the PSI core must degrade
