@@ -211,7 +211,13 @@ object LlmScale {
 
   private[ptx] def lshTopK(s: SparkSession, d: String,
                            L: Int = 16, bits: Int = 6): DataFrame =
-    lshCandidateFrame(s, d, L, bits)
+    lshTopKFrom(lshCandidateFrame(s, d, L, bits))
+
+  /** The exact-scoring tail over an (already built, possibly pinned)
+    * candidate frame — lets LshSweep reuse ONE candidate build for both
+    * its recall audit and its candidate-fraction count. */
+  private[ptx] def lshTopKFrom(cand: DataFrame): DataFrame =
+    cand
       .withColumn("sim", expr("cosine_sim(p, c)"))
       .groupBy(col("probe_id"))
       .agg(ptx.functions.Aggregators.top_k(col("sim"), col("cand_id"), 5).as("top"))

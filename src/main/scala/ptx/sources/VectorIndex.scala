@@ -75,44 +75,114 @@ object VectorIndex {
     * lands in `cells.next`/`centroids.next` first and swaps in via
     * renames — the one non-atomic maintenance window (two renames per
     * half); within a streaming query the recenter runs inside
-    * foreachBatch so no concurrent reader exists, and an external
-    * `annServe` re-reads per trigger, so a torn read costs one retried
-    * probe batch, not correctness. */
+    * foreachBatch so no concurrent reader exists, an external
+    * `annServe` re-reads per trigger so a torn read costs one retried
+    * probe batch, and a CRASH mid-swap is healed by [[reshardRecover]]
+    * (run at the head of every reshard tick) — every strand state maps
+    * onto one of its idempotent repair cases. */
   def reshard(spark: SparkSession, dir: String, targetCell: Int = 256,
               minK: Int = 8, iters: Int = 3): Boolean = {
+    reshardRecover(spark, dir) // heal any torn swap before new maintenance
     val cellsAll = spark.read.parquet(s"$dir/cells")
       .select(col("vec_id"), col("embedding"), col("batch"))
     val kNow = spark.read.parquet(s"$dir/centroids").count()
     val n = cellsAll.count()
     if (adaptiveK(n, targetCell, minK) <= kNow) return false
+    // reuse the corpus count just paid — kmeansAdaptive would rescan the
+    // cells parquet for the same number
     val (cent, asg) =
-      kmeansAdaptive(cellsAll, iters, targetCell, minK)
+      kmeansAdaptiveN(cellsAll, n, iters, targetCell, minK)
     cellsAll.join(asg, "vec_id")
       .select(col("vec_id"), col("embedding"), col("label"), col("batch"))
       .sortWithinPartitions(col("label")) // footer-prunable within each file
       .write.partitionBy("batch")
       .mode(SaveMode.Overwrite).parquet(s"$dir/cells.next")
     cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.next")
-    val fs = org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
-      new org.apache.hadoop.fs.Path(dir)) // normalize for the local FS
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    Seq("cells", "centroids").foreach { name =>
-      val cur = new org.apache.hadoop.fs.Path(s"$fs/$name")
-      val next = new org.apache.hadoop.fs.Path(s"$fs/$name.next")
-      val old = new org.apache.hadoop.fs.Path(s"$fs/$name.old")
-      hfs.delete(old, true)
-      require(hfs.rename(cur, old) && hfs.rename(next, cur),
-        s"reshard swap failed for $cur")
-      hfs.delete(old, true)
-    }
+    Seq("cells", "centroids").foreach(swapNext(spark, dir, _))
     true
   }
 
+  private def idxPath(dir: String, name: String) =
+    org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
+      new org.apache.hadoop.fs.Path(s"$dir/$name")) // normalize for the local FS
+
+  /** Promote `$dir/$name.next` over `$dir/$name`: cur → .old,
+    * .next → cur, drop .old. Each step is an FS rename, so a crash can
+    * strand the halves mid-swap — [[reshardRecover]] is the idempotent
+    * repair that completes (or discards) the swap on the next
+    * maintenance tick; every crash window maps onto one of its cases. */
+  private def swapNext(spark: SparkSession, dir: String, name: String): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cur = idxPath(dir, name)
+    val next = idxPath(dir, s"$name.next")
+    val old = idxPath(dir, s"$name.old")
+    hfs.delete(old, true)
+    require(hfs.rename(cur, old) && hfs.rename(next, cur),
+      s"reshard swap failed for $cur")
+    hfs.delete(old, true)
+  }
+
+  /** Idempotent repair of a reshard swap interrupted by a crash (r16,
+    * review finding: a driver death between the two renames left the
+    * index with no `cells/` and no recovery path). Called at the start
+    * of [[reshard]] — i.e. on the next recenter tick — so a torn swap
+    * self-heals before any new maintenance; read-only serving paths
+    * never mutate and simply retry their trigger. Per half, keyed on
+    * what survived:
+    *  - `.next` WITH a `_SUCCESS` marker → the rewrite completed, so
+    *    finish the promotion wherever it stopped (whether or not the
+    *    current dir or a stranded `.old` still exist);
+    *  - `.next` WITHOUT `_SUCCESS` → the rewrite itself died mid-write:
+    *    discard the partial output, current index stays live;
+    *  - `.old` alongside a live current dir → only the final cleanup
+    *    delete died: drop `.old`;
+    *  - `.old` with NO current dir and no usable `.next` → roll back
+    *    (rename `.old` → current). */
+  def reshardRecover(spark: SparkSession, dir: String): Unit = {
+    val hfs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq("cells", "centroids").foreach { name =>
+      val cur = idxPath(dir, name)
+      val next = idxPath(dir, s"$name.next")
+      val old = idxPath(dir, s"$name.old")
+      val nextDone = hfs.exists(next) &&
+        hfs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
+      if (hfs.exists(next) && !nextDone) {
+        hfs.delete(next, true) // aborted rewrite — current index stays live
+      } else if (nextDone) {
+        // completed rewrite: finish the promotion from any crash point
+        if (hfs.exists(cur)) {
+          hfs.delete(old, true)
+          require(hfs.rename(cur, old), s"reshard recovery: cur→old failed for $cur")
+        }
+        require(hfs.rename(next, cur), s"reshard recovery: next→cur failed for $next")
+        hfs.delete(old, true)
+      } else if (hfs.exists(old)) {
+        if (!hfs.exists(cur))
+          require(hfs.rename(old, cur), s"reshard recovery: rollback failed for $old")
+        else hfs.delete(old, true)
+      }
+    }
+  }
+
+  /** Serving default for the probed-cell count: the SAME 3-of-8
+    * fraction the recall gauges pinned at the fixture k=8, held
+    * constant as [[reshard]] grows k (r16, review finding: a fixed
+    * nprobe=3 silently probes 3/32 after a reshard and the recall the
+    * feature exists to protect decays — the reshard StreamingSpec test
+    * measures 0.740 at exactly this rule's 12/32). Floor 3; k=8 → 3,
+    * so every pre-reshard number is unchanged. */
+  def autoNprobe(k: Long): Int = math.max(3L, (3 * k + 7) / 8).toInt
+
   /** Probe a persisted index: top-k neighbors per probe from the nprobe
-    * nearest cells. `probes` must have columns (probe_id, p). */
+    * nearest cells. `probes` must have columns (probe_id, p).
+    * `nprobe = 0` (the default) means AUTO: [[autoNprobe]] of the
+    * persisted cell count — the knob that keeps served recall flat
+    * across an adaptive-k [[reshard]]; pass an explicit value to pin a
+    * probe budget instead. */
   def probe(spark: SparkSession, dir: String, embeddings: DataFrame,
-            probes: DataFrame, nprobe: Int = 3, k: Int = 5): DataFrame = {
+            probes: DataFrame, nprobe: Int = 0, k: Int = 5): DataFrame = {
     ptx.functions.VectorOps.register(spark)
     // SERVING shape (r12): the probe batch's cell frame is
     // model-parameter-sized (probes × nprobe rows — the kmeans
@@ -129,7 +199,12 @@ object VectorIndex {
     // nor shuffled per probe batch (IoSpec asserts both on the physical
     // plan; the inline llm_ann_ivf query keeps the exchange form,
     // results identical either way).
-    val cellsPlan = ptx.ops.LlmScale.ivfProbeCells(read(spark, dir), probes, nprobe)
+    val cent = read(spark, dir)
+    // the centroid frame is KB-sized, so sizing the auto budget is one
+    // tiny job; re-read per call means a reshard's new k is picked up
+    // on the very next probe batch
+    val np = if (nprobe > 0) nprobe else autoNprobe(cent.count())
+    val cellsPlan = ptx.ops.LlmScale.ivfProbeCells(cent, probes, np)
     val cellRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     cellsPlan.collect().foreach(cellRows.add)
     val li = cellsPlan.schema.fieldIndex("label")
@@ -186,6 +261,30 @@ object VectorIndex {
       struct(lit(l).as("label"), typedLit(c).as("centroid")) }: _*)
     nearestCell(vecs.withColumn("cents", centsCol))
   }
+
+  /** Driver-literal centroids pay off only while the centroid table is
+    * genuinely model-parameter-sized: past this many cells the folded
+    * literal is a multi-MB constant serialized into EVERY task closure
+    * (plan literals don't ride torrent broadcast) and an O(k) expression
+    * tree per analysis pass — so [[assignAuto]] reverts to the
+    * broadcast-frame [[assign]] path there. 1024 cells × 64 float dims
+    * ≈ 256 KB of literal, comfortably under both costs, and covers every
+    * fixture and probe corpus; a 10⁷-vector corpus at targetCell=256
+    * (k ≈ 39k) routes through the broadcast join as it always did. */
+  private val LiteralCentroidCap = 1024
+
+  /** The assignment dispatch the kmeans loop and the sample-trained
+    * full-corpus pass use: literal centroids below
+    * [[LiteralCentroidCap]], broadcast frame above — same argmax body
+    * ([[nearestCell]]) either way, so results are identical. */
+  private def assignAuto(vecs: DataFrame,
+                         cents: Seq[(Int, Seq[Float])]): DataFrame =
+    if (cents.size <= LiteralCentroidCap) assignLit(vecs, cents)
+    else {
+      val spark = vecs.sparkSession
+      import spark.implicits._
+      assign(vecs, cents.toDF("label", "centroid"))
+    }
 
   /** Deterministic mini-Lloyd k-means — the production IVF cell builder
     * the label-based stand-in defers to. No RNG anywhere: seeds are the k
@@ -250,7 +349,18 @@ object VectorIndex {
                      trainPerCell: Int = 64)
       : (DataFrame, DataFrame) = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    val n = e.count()
+    kmeansAdaptiveN(e, e.count(), iters, targetCell, minK, trainPerCell)
+  }
+
+  /** [[kmeansAdaptive]] with the corpus size already counted — for
+    * callers that just scanned the corpus anyway ([[reshard]] counts
+    * cells to decide whether a rebuild is due; re-counting the same
+    * frame here would pay a second full pass per recenter tick). */
+  private[ptx] def kmeansAdaptiveN(embeddings: DataFrame, n: Long,
+                                   iters: Int, targetCell: Int = 256,
+                                   minK: Int = 8, trainPerCell: Int = 64)
+      : (DataFrame, DataFrame) = {
+    val e = embeddings.select(col("vec_id"), col("embedding"))
     val k = adaptiveK(n, targetCell, minK)
     val cap = k.toLong * trainPerCell
     if (n <= cap) kmeans(e, k, iters)
@@ -264,10 +374,10 @@ object VectorIndex {
       val spark = e.sparkSession
       import spark.implicits._
       // ONE full-corpus pass: assign every vector to the trained cells
-      // (literal centroids — no agg/broadcast round for a table the
-      // driver already holds)
+      // (literal centroids below the cap — no agg/broadcast round for a
+      // table the driver already holds; broadcast frame above it)
       (cents.toDF("label", "centroid"),
-        assignLit(e, cents).select(col("vec_id"), col("label")))
+        assignAuto(e, cents).select(col("vec_id"), col("label")))
     }
   }
 
@@ -303,7 +413,7 @@ object VectorIndex {
       "kmeans needs a nonempty input (no seed vectors to collect)")
     var asg: DataFrame = null
     (1 to iters).foreach { _ =>
-      asg = assignLit(e, cents).select(col("vec_id"), col("label"))
+      asg = assignAuto(e, cents).select(col("vec_id"), col("label"))
       // the ONE centroid recipe (float32 cast is load-bearing for the
       // bit-exact persist/probe contract) — shared, not re-implemented
       cents = ptx.ops.LlmScale.ivfCentroids(e.join(asg, "vec_id"))

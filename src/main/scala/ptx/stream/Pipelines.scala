@@ -986,10 +986,15 @@ object Pipelines {
     * Trade vs [[annProbe]]: that one holds centroids+cells as fixed
     * frames in one continuous plan (lowest latency, state-store top-k);
     * this one re-plans per batch (driver-job latency per trigger) but
-    * scales its reads with the PROBE batch, not the corpus. */
+    * scales its reads with the PROBE batch, not the corpus.
+    * `nprobe = 0` (default) = AUTO: the 3-of-8 cell fraction
+    * ([[ptx.sources.VectorIndex.autoNprobe]]), re-sized per batch from
+    * the persisted centroid count so served recall holds flat across an
+    * adaptive-k reshard instead of silently probing a shrinking
+    * fraction of a growing index. */
   def annServe(probes: DataFrame, centroidsDir: String, cellsPath: String,
                outDir: String, checkpoint: String,
-               nprobe: Int = 3, k: Int = 5)
+               nprobe: Int = 0, k: Int = 5)
       : org.apache.spark.sql.streaming.StreamingQuery =
     probes.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>

@@ -3,12 +3,14 @@ package ptx.tools
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe (r16): where does the learned-cell BUILD's wall go as the
-  * corpus grows — the adaptive-k rule (VERDICT r15 #1) holds the DEDUP
-  * tail corpus-linear, so the kmeans build itself becomes the biggest
-  * term at 10×. Times, per corpus: the adaptiveK count, each Lloyd
-  * round (assign+update materialized by the localCheckpoint), and the
-  * final assignment materialization.
+/** Dev probe (r16): wall cost of the SHIPPED learned-cell build —
+  * `VectorIndex.kmeansAdaptive` (corpus-adaptive k, sample-trained Lloyd
+  * rounds, one full-corpus assignment), exactly what the declared
+  * queries and the streaming reshard execute — per corpus: the adaptiveK
+  * count, the build+assignment materialization, and the resulting
+  * (k, sampled?) shape. Re-pointed here after the r16 restructure; the
+  * first version timed the superseded inline-assign/localCheckpoint
+  * loop, which no production path runs anymore.
   *
   *   sbt "runMain ptx.tools.KmeansProbe /root/testdata/sf0.1 /tmp/probe10x"
   */
@@ -26,31 +28,25 @@ object KmeansProbe {
     dirs.foreach { d =>
       val e = ptx.Tables.embeddings(spark, d)
         .select(col("vec_id"), col("embedding"))
-      def round(label: String)(f: => Unit): Unit = {
+      e.queryExecution.toRdd.count() // warm the scan
+      def timed[A](label: String)(f: => A): A = {
         val t0 = System.nanoTime()
-        f
+        val r = f
         println(f"[kmeans-probe] $d $label: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        r
       }
-      // warm the scan
-      e.queryExecution.toRdd.count()
-      var n = 0L
-      round("count") { n = e.count() }
+      val n = timed("count")(e.count())
       val k = ptx.sources.VectorIndex.adaptiveK(n)
-      println(s"[kmeans-probe] $d n=$n k=$k")
-      val w = org.apache.spark.sql.expressions.Window.orderBy(col("vec_id"))
-      var cent = e.orderBy(col("vec_id")).limit(k)
-        .select((row_number().over(w) - 1).as("label"),
-          col("embedding").as("centroid"))
-      (1 to 3).foreach { i =>
-        round(s"lloyd-$i") {
-          val asg = ptx.sources.VectorIndex.assign(e, cent)
-            .select(col("vec_id"), col("label"))
-          cent = ptx.ops.LlmScale.ivfCentroids(e.join(asg, "vec_id"))
-            .localCheckpoint()
+      println(s"[kmeans-probe] $d n=$n k=$k sampled=${n > k.toLong * 64}")
+      // the shipped build, twice: cold (codegen/classload) then warm —
+      // the warm figure is the one the declared queries pay
+      (1 to 2).foreach { rep =>
+        timed(s"kmeansAdaptive+assign (rep $rep)") {
+          val (cent, asg) =
+            ptx.sources.VectorIndex.kmeansAdaptiveN(e, n, iters = 3)
+          cent.queryExecution.toRdd.count()
+          asg.queryExecution.toRdd.count()
         }
-      }
-      round("final-assign") {
-        ptx.sources.VectorIndex.assign(e, cent).queryExecution.toRdd.count()
       }
     }
     spark.stop()

@@ -32,15 +32,20 @@ object LshSweep {
       .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
     println(s"[lsh-sweep] sf=$sfDir n=$n probes=10 k=5 (seed-7 planes)")
     for (l <- Seq(4, 8, 16); bits <- Seq(4, 6, 8)) {
-      val topk = ptx.ops.LlmScale.lshTopK(spark, sfDir, l, bits)
-      val audit = ptx.ops.LlmScale.recallAudit(e, probes, topk)
+      // ONE candidate build per config, pinned: the bucket hashing +
+      // distinct pair union is the dominant cost, and both the recall
+      // audit and the fraction count read it
+      val cand = ptx.Caching.pin(
+        ptx.ops.LlmScale.lshCandidateFrame(spark, sfDir, l, bits))
+      val audit = ptx.ops.LlmScale
+        .recallAudit(e, probes, ptx.ops.LlmScale.lshTopKFrom(cand))
         .agg(avg(col("recall_e6")).cast("long").as("mean_e6"),
           min(col("recall_e6")).as("min_e6")).head()
       // candidate fraction: distinct (probe, cand) pairs the exact
       // scorer touches, per probe, over the corpus — the cost knob
-      val cand = ptx.ops.LlmScale.lshCandidateFrame(spark, sfDir, l, bits).count()
+      val nCand = cand.count()
       println(f"[lsh-sweep] L=$l%2d bits=$bits%d recall_mean=${audit.getLong(0) / 1e6}%.3f " +
-        f"recall_min=${audit.getLong(1) / 1e6}%.3f cand_frac=${cand / 10.0 / n}%.3f")
+        f"recall_min=${audit.getLong(1) / 1e6}%.3f cand_frac=${nCand / 10.0 / n}%.3f")
       ptx.Caching.releaseAll()
     }
     spark.stop()

@@ -67,6 +67,21 @@ class DocsLockstepSpec extends AnyFunSuite {
       s"SURVEY group-size total drifted from $total")
   }
 
+  test("docs/QUERIES.md totals match the live registry (regen after adding queries)") {
+    // the generated index drifts exactly like the prose if QueryIndex
+    // isn't re-run after a registry change — pin its Total line too
+    val queries = readText("docs/QUERIES.md")
+    assert(extract(queries, """Total: (\d+) queries, (\d+) with oracles"""
+      .replace("(\\d+) with", "\\d+ with"), "QUERIES.md total") == Seq(total),
+      s"docs/QUERIES.md total drifted from $total — run `sbt \"runMain ptx.tools.QueryIndex\"`")
+    assert(extract(queries, """Total: \d+ queries, (\d+) with oracles""",
+      "QUERIES.md oracled total") == Seq(oracled),
+      s"docs/QUERIES.md oracled count drifted from $oracled — regenerate it")
+    // and every registry key must appear as a table row
+    QueryRegistry.all.keySet.foreach(k =>
+      assert(queries.contains(s"`$k`"), s"docs/QUERIES.md is missing `$k` — regenerate it"))
+  }
+
   test("SURVEY.md per-group sizes match each module's query map") {
     val survey = readText("SURVEY.md")
     val sizes = """G(\d+)=(\d+)""".r.findAllMatchIn(survey)

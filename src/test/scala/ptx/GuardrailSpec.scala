@@ -95,6 +95,65 @@ class GuardrailSpec extends AnyFunSuite {
       s"expected the named seed guard, got: ${ex.getMessage}")
   }
 
+  test("reshardRecover heals every crash state of the index swap (r16)") {
+    // a driver death mid-reshard can strand the cells/centroids halves
+    // in any rename state; the recovery must reassemble a LIVE index
+    // deterministically from each one (and never promote a partial
+    // rewrite — the _SUCCESS marker is the completed-write witness)
+    val spark = TestSpark.spark
+    import spark.implicits._
+    def mk(dir: String, name: String, tag: Int, success: Boolean = true): Unit = {
+      Seq((tag.toLong, tag)).toDF("vec_id", "v")
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
+      if (!success) assert(new java.io.File(s"$dir/$name/_SUCCESS").delete())
+    }
+    def tagOf(dir: String, name: String): Int =
+      spark.read.parquet(s"$dir/$name").head().getInt(1)
+    def gone(dir: String, name: String): Boolean =
+      !new java.io.File(s"$dir/$name").exists()
+
+    // A: both rewrites complete, crash before any rename → promote both
+    val a = tmpDir()
+    mk(a, "cells", 1); mk(a, "cells.next", 2)
+    mk(a, "centroids", 1); mk(a, "centroids.next", 2)
+    ptx.sources.VectorIndex.reshardRecover(spark, a)
+    assert(tagOf(a, "cells") == 2 && tagOf(a, "centroids") == 2)
+    assert(gone(a, "cells.next") && gone(a, "cells.old")
+      && gone(a, "centroids.next") && gone(a, "centroids.old"))
+
+    // B: crash between the two renames of the cells half (cur already
+    // moved to .old, .next ready; centroids half untouched)
+    val b = tmpDir()
+    mk(b, "cells.old", 1); mk(b, "cells.next", 2); mk(b, "centroids", 1)
+    ptx.sources.VectorIndex.reshardRecover(spark, b)
+    assert(tagOf(b, "cells") == 2 && tagOf(b, "centroids") == 1)
+    assert(gone(b, "cells.next") && gone(b, "cells.old"))
+
+    // C: the rewrite itself died mid-write (no _SUCCESS) → discard the
+    // partial, the live index stays
+    val c = tmpDir()
+    mk(c, "cells", 1); mk(c, "cells.next", 2, success = false)
+    mk(c, "centroids", 1)
+    ptx.sources.VectorIndex.reshardRecover(spark, c)
+    assert(tagOf(c, "cells") == 1 && gone(c, "cells.next"))
+
+    // D: only the final .old cleanup died → drop it, keep the new index
+    val d = tmpDir()
+    mk(d, "cells", 2); mk(d, "cells.old", 1); mk(d, "centroids", 2)
+    ptx.sources.VectorIndex.reshardRecover(spark, d)
+    assert(tagOf(d, "cells") == 2 && gone(d, "cells.old"))
+
+    // E: .old with no live dir and no usable .next → roll back
+    val e = tmpDir()
+    mk(e, "cells.old", 1); mk(e, "centroids", 1)
+    ptx.sources.VectorIndex.reshardRecover(spark, e)
+    assert(tagOf(e, "cells") == 1 && gone(e, "cells.old"))
+
+    // idempotent: a second pass over a healed dir changes nothing
+    ptx.sources.VectorIndex.reshardRecover(spark, a)
+    assert(tagOf(a, "cells") == 2 && tagOf(a, "centroids") == 2)
+  }
+
   test("semanticAdmission of an EMPTY micro-batch writes well-formed empty outputs, not an abort (r16)") {
     // the streaming path can hand the per-batch core an empty trigger
     // (no new files); pairs/accepted/cells writes must stay well-formed

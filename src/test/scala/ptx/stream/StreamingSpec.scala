@@ -1154,8 +1154,11 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
     assert(cent2.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap
       == servedCent, "resharded centroids diverge from an offline adaptive rebuild")
-    // recall floor over the re-sharded geometry, nprobe scaled to the
-    // grown k (the 3-of-8 serving fraction → 12 of 32 cells)
+    // recall floor over the re-sharded geometry at the PRODUCTION probe
+    // budget: autoNprobe holds the 3-of-8 cell fraction as k grows (the
+    // serving default of VectorIndex.probe/annServe — a fixed nprobe=3
+    // would silently probe 3/32 here and the floor would be meaningless)
+    assert(ptx.sources.VectorIndex.autoNprobe(kAfter) == 12)
     val probes = spark.createDataFrame(
       newVecs.take(10).toSeq.map(v => (v.vec_id, v.embedding.toSeq)))
       .toDF("probe_id", "p")
@@ -1164,7 +1167,7 @@ class StreamingSpec extends AnyFunSuite {
       ptx.ops.LlmScale.ivfProbe(
         ptx.sources.VectorIndex.read(spark, s"$dir/centroids"),
         cells.select("vec_id", "embedding", "label"), probes,
-        nprobe = 12, k = 5))
+        nprobe = ptx.sources.VectorIndex.autoNprobe(kAfter), k = 5))
       .collect().map(r => r.getLong(2))
     val meanRecall = served.sum.toDouble / served.length / 1e6
     info(f"served recall@5 after the 5x-growth reshard = $meanRecall%.3f")
