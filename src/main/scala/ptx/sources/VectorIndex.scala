@@ -199,11 +199,17 @@ object VectorIndex {
     // nor shuffled per probe batch (IoSpec asserts both on the physical
     // plan; the inline llm_ann_ivf query keeps the exchange form,
     // results identical either way).
-    val cent = read(spark, dir)
-    // the centroid frame is KB-sized, so sizing the auto budget is one
-    // tiny job; re-read per call means a reshard's new k is picked up
-    // on the very next probe batch
-    val np = if (nprobe > 0) nprobe else autoNprobe(cent.count())
+    // the centroid frame is KB-sized: collect it ONCE (sizes the auto
+    // budget AND replaces the parquet re-scan inside the probe job with
+    // a driver-held LocalRelation — no extra job vs the fixed-nprobe
+    // form); re-read per call means a reshard's new k is picked up on
+    // the very next probe batch
+    val centDf = read(spark, dir)
+    val centRows = centDf.collect()
+    val np = if (nprobe > 0) nprobe else autoNprobe(centRows.length)
+    val centList = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    centRows.foreach(centList.add)
+    val cent = spark.createDataFrame(centList, centDf.schema)
     val cellsPlan = ptx.ops.LlmScale.ivfProbeCells(cent, probes, np)
     val cellRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
     cellsPlan.collect().foreach(cellRows.add)

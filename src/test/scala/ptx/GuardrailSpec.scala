@@ -95,6 +95,14 @@ class GuardrailSpec extends AnyFunSuite {
       s"expected the named seed guard, got: ${ex.getMessage}")
   }
 
+  test("autoNprobe holds the 3-of-8 serving fraction as k grows (r16)") {
+    val f = ptx.sources.VectorIndex.autoNprobe _
+    assert(f(1) == 3 && f(8) == 3, "the floor and the fixture k=8 point must stay at 3")
+    assert(f(10) == 4 && f(32) == 12 && f(40) == 15,
+      "the 3/8 ceil fraction drifted")
+    assert(f(1000) == 375, "large-k scaling broke")
+  }
+
   test("reshardRecover heals every crash state of the index swap (r16)") {
     // a driver death mid-reshard can strand the cells/centroids halves
     // in any rename state; the recovery must reassemble a LIVE index
