@@ -171,9 +171,11 @@ object VectorIndex {
     * constant as [[reshard]] grows k (r16, review finding: a fixed
     * nprobe=3 silently probes 3/32 after a reshard and the recall the
     * feature exists to protect decays — the reshard StreamingSpec test
-    * measures 0.740 at exactly this rule's 12/32). Floor 3; k=8 → 3,
-    * so every pre-reshard number is unchanged. */
-  def autoNprobe(k: Long): Int = math.max(3L, (3 * k + 7) / 8).toInt
+    * measures 0.740 at exactly this rule's 12/32). Floor 3, fraction
+    * floor-divided — k=8 → 3 and the fixture label-cell k=10 → 3, so
+    * every pre-reshard serving number (and the committed ann_serve
+    * bars) is unchanged; k=32 → 12. */
+  def autoNprobe(k: Long): Int = math.max(3L, (3 * k) / 8).toInt
 
   /** Probe a persisted index: top-k neighbors per probe from the nprobe
     * nearest cells. `probes` must have columns (probe_id, p).
