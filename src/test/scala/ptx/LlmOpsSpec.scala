@@ -759,6 +759,63 @@ class LlmOpsSpec extends AnyFunSuite {
     ptx.Caching.releaseAll()
   }
 
+  test("kmeansAdaptive SAMPLE-trained branch: trained cells, nearest-cell full assignment, deterministic (r16)") {
+    // every fixture-scale consumer runs the exact path (n <= k*64); this
+    // forces the sampled branch (trainPerCell=4 → cap 32 < 500) and pins
+    // its contract: k from adaptiveK, Lloyd rounds on the Knuth-hash
+    // sample, and the FULL corpus assigned to its nearest trained cell
+    // (in the sampled branch the assignment runs against the FINAL
+    // centroids, so the nearest-cell property is directly checkable —
+    // unlike the exact path's one-update-behind pairing)
+    val s = TestSpark.spark
+    val e = Tables.embeddings(s, SF01).select("vec_id", "embedding")
+    ptx.functions.VectorOps.register(s)
+    def run() = {
+      val (cent, asg) = ptx.sources.VectorIndex.kmeansAdaptive(
+        e, iters = 3, targetCell = 64, minK = 8, trainPerCell = 4)
+      (cent.collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toList).toMap,
+        asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    }
+    val (cent, asg) = run()
+    // adaptiveK(500, 64) = 8 cells; a crashed sample could only shrink it
+    assert(cent.size == 8 && asg.size == 500)
+    assert(asg.values.toSet.subsetOf(cent.keySet))
+    // the full assignment is against the final centroids: every vector
+    // sits in its nearest cell per the shared assign() recompute
+    val viaAssign = ptx.sources.VectorIndex.assign(e,
+        s.createDataFrame(cent.toSeq.map { case (l, c) => (l, c) })
+          .toDF("label", "centroid"))
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(viaAssign == asg, "sampled-branch assignment is not nearest-cell")
+    // deterministic: the Knuth sample and the seeds are pure functions
+    val (cent2, asg2) = run()
+    assert(cent2 == cent && asg2 == asg, "sampled build rerun diverged")
+    ptx.Caching.releaseAll()
+  }
+
+  test("kmeansAdaptive large-k dispatch: past the literal cap the broadcast path builds the same-shape index (r16)") {
+    // assignAuto reverts to the broadcast-frame assign above 1024 cells
+    // (a multi-MB literal would bloat every task closure); force it with
+    // targetCell=1 over 1100 vectors and pin the index shape + determinism
+    val s = TestSpark.spark
+    ptx.functions.VectorOps.register(s)
+    val e = Tables.embeddings(s, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 1100)
+    def run() = {
+      val (cent, asg) = ptx.sources.VectorIndex.kmeansAdaptive(
+        e, iters = 1, targetCell = 1, minK = 8)
+      (cent.collect().map(_.getInt(0)).sorted.toSeq,
+        asg.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap)
+    }
+    val (labels, asg) = run()
+    assert(labels.size > 1024, s"dispatch not exercised: only ${labels.size} cells")
+    assert(asg.size == 1100 && asg.values.toSet.subsetOf(labels.toSet))
+    val (labels2, asg2) = run()
+    assert(labels2 == labels && asg2 == asg, "broadcast-path build rerun diverged")
+    ptx.Caching.releaseAll()
+  }
+
   test("llm_semdedup_kmeans: matches a brute-force within-cell keep-lowest-id recompute, deterministic (r15)") {
     def run() = q("llm_semdedup_kmeans").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
