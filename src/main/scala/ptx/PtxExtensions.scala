@@ -26,6 +26,12 @@ class PtxExtensions extends (SparkSessionExtensions => Unit) {
         "sorted_intersect_count"),
       (children: Seq[Expression]) =>
         ptx.functions.VectorOps.buildSortedIntersect(children)))
+    ext.injectFunction((
+      new FunctionIdentifier("nearest_cell"),
+      new ExpressionInfo(classOf[ptx.functions.NearestCell].getName,
+        "nearest_cell"),
+      (children: Seq[Expression]) =>
+        ptx.functions.VectorOps.buildNearestCell(children)))
     // gram_hashes joined the injected set in r11 (VERDICT r10 #6): SQL
     // users of an extensions-built session get the span/shingle kernel
     // without any operator call first; the operators' TextGrams.register

@@ -65,6 +65,71 @@ object CosineSim {
   }
 }
 
+/** Nearest-cell argmax over a centroid table: `nearest_cell(embedding,
+  * cents)` where `cents` is `array<struct<label int, centroid
+  * array<float>>>` — returns the label with the highest cosine, lower
+  * label on ties. This is the codegen'd form of the HOF the assignment
+  * primitive used through r16's first half
+  * (`array_max(transform(cents, c -> struct(cosine_sim(...), -label)))`):
+  * Spark evaluates HOF lambdas interpreted per element, so the full-corpus
+  * assignment pass paid ~1µs of lambda machinery per (vector, cell) on
+  * top of the 64-dim cosine — this expression is one fused loop sharing
+  * [[CosineSim]]'s exact accumulation order (same s per cell, same
+  * (s, label) total order), so assignments are BIT-IDENTICAL to the HOF's
+  * and every downstream equality pin holds unchanged. */
+case class NearestCell(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "nearest_cell"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    NearestCell.nearest(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (l, r) => {
+      val cls = NearestCell.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.nearest($l, $r);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCell {
+  /** Shared interpreted/codegen body. The per-cell score is computed by
+    * the SAME sequential fold as [[CosineSim.cosine]] (float→double
+    * upcast, index 0..n-1, dot/na/nb updated in that order), reading the
+    * centroid floats straight off ArrayData — no per-cell array copy. */
+  def nearest(e: ArrayData, cents: ArrayData): Int = {
+    val k = cents.numElements()
+    require(k > 0, "nearest_cell: empty centroid table")
+    val a = e.toFloatArray()
+    var bestS = Double.NegativeInfinity
+    var bestL = Int.MaxValue
+    var c = 0
+    while (c < k) {
+      val row = cents.getStruct(c, 2)
+      val l = row.getInt(0)
+      val b = row.getArray(1)
+      val n = a.length
+      require(b.numElements() == n,
+        s"nearest_cell: vector length mismatch ($n vs ${b.numElements()})")
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        val x = a(i).toDouble; val y = b.getFloat(i).toDouble
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      val s = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (s > bestS || (s == bestS && l < bestL)) { bestS = s; bestL = l }
+      c += 1
+    }
+    bestL
+  }
+}
+
 object VectorOps {
   /** Shared builders — also used by the [[ptx.PtxExtensions]] injection. */
   private[ptx] def buildCosine(exprs: Seq[Expression]): Expression = {
@@ -77,6 +142,11 @@ object VectorOps {
       s"sorted_intersect_count requires exactly 2 arguments, got ${exprs.length}")
     SortedIntersectCount(exprs(0), exprs(1))
   }
+  private[ptx] def buildNearestCell(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"nearest_cell requires exactly 2 arguments, got ${exprs.length}")
+    NearestCell(exprs(0), exprs(1))
+  }
 
   /** Makes the vector kernels usable from `expr(...)` / `spark.sql(...)`
     * in this session. Guarded like TextGrams.register (ADVICE r10): no-op
@@ -85,5 +155,6 @@ object VectorOps {
   def register(spark: SparkSession): Unit = {
     Registration.ensure(spark, "cosine_sim", 2, buildCosine)
     Registration.ensure(spark, "sorted_intersect_count", 2, buildSortedIntersect)
+    Registration.ensure(spark, "nearest_cell", 2, buildNearestCell)
   }
 }

@@ -241,15 +241,17 @@ object VectorIndex {
 
   /** The argmax body shared by [[assign]] (broadcast-frame centroids)
     * and [[assignLit]] (driver-literal centroids): highest cosine wins,
-    * lower cell id on ties — max over (sim, -label) structs, so the
-    * result is independent of the cents array's order. */
+    * lower cell id on ties — the codegen'd
+    * [[ptx.functions.NearestCell]] kernel (r16; previously the
+    * `array_max(transform(...))` HOF, whose lambdas Spark evaluates
+    * interpreted per element — the kernel is one fused loop with the
+    * identical accumulation order and (sim, label) total order, so
+    * assignments are bit-identical to the HOF's). Result independent of
+    * the cents array's order. */
   private def nearestCell(withCents: DataFrame): DataFrame =
     withCents
-      .withColumn("best", expr(
-        """array_max(transform(cents,
-          |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
-          |              -c.label AS nl)))""".stripMargin))
-      .select(col("vec_id"), col("embedding"), (-col("best.nl")).cast("int").as("label"))
+      .withColumn("label", expr("nearest_cell(embedding, cents)"))
+      .select(col("vec_id"), col("embedding"), col("label"))
 
   /** [[assign]] with the centroids as a DRIVER-SIDE LITERAL (r16): the
     * centroid table is model-parameter-sized (k × dim float32), so the

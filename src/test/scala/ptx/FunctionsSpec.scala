@@ -9,6 +9,39 @@ class FunctionsSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("nearest_cell kernel: equals the HOF argmax it replaced; lower label wins ties (r16)") {
+    ptx.functions.VectorOps.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.SF)
+      .select(col("vec_id"), col("embedding"))
+    val cent = e.orderBy(col("vec_id")).limit(8).collect().zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val centDf = spark.createDataFrame(cent.toSeq).toDF("label", "centroid")
+    val withCents = e.crossJoin(broadcast(centDf.agg(
+      expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))))
+    // the pre-r16 HOF formulation, verbatim — the kernel must reproduce
+    // it bit-for-bit on every vector of the fixture
+    val viaHof = withCents.withColumn("best", expr(
+        """array_max(transform(cents,
+          |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
+          |              -c.label AS nl)))""".stripMargin))
+      .select(col("vec_id"), (-col("best.nl")).cast("int").as("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val viaKernel = withCents
+      .select(col("vec_id"), expr("nearest_cell(embedding, cents)").as("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(viaKernel == viaHof, "nearest_cell diverged from the HOF argmax")
+    assert(viaKernel.values.toSet.size > 1, "fixture degenerate: one cell won everything")
+    // tie-break: the same centroid under two labels — the LOWER label wins
+    val v = cent.head._2
+    val tieDf = spark.createDataFrame(Seq((5, v), (2, v))).toDF("label", "centroid")
+    val tied = e.limit(3).crossJoin(broadcast(tieDf.agg(
+        expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))))
+      .select(expr("nearest_cell(embedding, cents)").as("label"))
+      .collect().map(_.getInt(0))
+    assert(tied.forall(_ == 2), s"tie must break to the lower label, got ${tied.toSeq}")
+  }
+
   test("weighted_mean aggregator: hand-computed groups, merge across partitions") {
     val df = Seq(
       ("a", 1.0, 1.0), ("a", 3.0, 3.0),           // (1*1+3*3)/4 = 2.5
