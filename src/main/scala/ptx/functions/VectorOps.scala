@@ -100,13 +100,25 @@ object NearestCell {
   /** Shared interpreted/codegen body. The per-cell score is computed by
     * the SAME sequential fold as [[CosineSim.cosine]] (float→double
     * upcast, index 0..n-1, dot/na/nb updated in that order), reading the
-    * centroid floats straight off ArrayData — no per-cell array copy. */
+    * centroid floats straight off ArrayData — no per-cell array copy.
+    *
+    * Score comparison uses Spark's DOUBLE TOTAL ORDER (the
+    * `SQLOrderingUtil.compareDoubles` rule: `==` first so -0.0 equals
+    * 0.0, otherwise `java.lang.Double.compare` so NaN sorts GREATEST) —
+    * r17, ADVICE r16 medium: the plain `s > bestS` this replaced is
+    * false for NaN cosines (a zero-norm embedding or centroid), so the
+    * kernel silently skipped cells the `array_max(transform(...))` HOF
+    * it must stay bit-identical to would have picked, and an all-NaN
+    * row escaped with the Int.MaxValue initializer as a "label". The
+    * first cell now always seeds (bestS, bestL), so no sentinel exists
+    * to escape; NaN-vs-NaN compares equal and ties break to the lower
+    * label, exactly the HOF's struct(sim, -label) max. */
   def nearest(e: ArrayData, cents: ArrayData): Int = {
     val k = cents.numElements()
     require(k > 0, "nearest_cell: empty centroid table")
     val a = e.toFloatArray()
-    var bestS = Double.NegativeInfinity
-    var bestL = Int.MaxValue
+    var bestS = 0.0
+    var bestL = 0
     var c = 0
     while (c < k) {
       val row = cents.getStruct(c, 2)
@@ -123,7 +135,11 @@ object NearestCell {
         i += 1
       }
       val s = dot / (math.sqrt(na) * math.sqrt(nb))
-      if (s > bestS || (s == bestS && l < bestL)) { bestS = s; bestL = l }
+      val cmp =
+        if (c == 0) 1 // first cell seeds unconditionally
+        else if (s == bestS) 0
+        else java.lang.Double.compare(s, bestS)
+      if (cmp > 0 || (cmp == 0 && l < bestL)) { bestS = s; bestL = l }
       c += 1
     }
     bestL

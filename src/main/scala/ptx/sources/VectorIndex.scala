@@ -72,14 +72,22 @@ object VectorIndex {
     * micro-batch retried after a reshard still overwrites exactly its
     * own partition (the idempotent-replay contract) instead of
     * duplicating rows a folded layout would have absorbed. The rewrite
-    * lands in `cells.next`/`centroids.next` first and swaps in via
-    * renames — the one non-atomic maintenance window (two renames per
-    * half); within a streaming query the recenter runs inside
-    * foreachBatch so no concurrent reader exists, an external
-    * `annServe` re-reads per trigger so a torn read costs one retried
-    * probe batch, and a CRASH mid-swap is healed by [[reshardRecover]]
-    * (run at the head of every reshard tick) — every strand state maps
-    * onto one of its idempotent repair cases. */
+    * lands in `cells.next`/`centroids.next` first, then a SINGLE
+    * whole-reshard commit witness (`reshard.commit`) is dropped, and
+    * only then do the renames swap each half in — the one non-atomic
+    * maintenance window (two renames per half). The witness is what
+    * keeps the two halves in LOCKSTEP (r17, ADVICE r16 high): the
+    * per-half `_SUCCESS` markers only say "this rewrite finished", and
+    * a crash between the cells.next and centroids.next writes would
+    * otherwise let recovery promote new-k cells against old-k
+    * centroids — a silently inconsistent index. With the witness,
+    * recovery promotes BOTH halves or NEITHER. Within a streaming
+    * query the recenter runs inside foreachBatch so no concurrent
+    * reader exists, an external `annServe` re-reads per trigger so a
+    * torn read costs one retried probe batch, and a CRASH anywhere is
+    * healed by [[reshardRecover]] (run at the head of every reshard
+    * tick) — every strand state maps onto one of its idempotent repair
+    * cases. */
   def reshard(spark: SparkSession, dir: String, targetCell: Int = 256,
               minK: Int = 8, iters: Int = 3): Boolean = {
     reshardRecover(spark, dir) // heal any torn swap before new maintenance
@@ -98,13 +106,48 @@ object VectorIndex {
       .write.partitionBy("batch")
       .mode(SaveMode.Overwrite).parquet(s"$dir/cells.next")
     cent.write.mode(SaveMode.Overwrite).parquet(s"$dir/centroids.next")
+    val hfs = fsOf(spark, dir)
+    // both halves fully written → commit the reshard as a whole
+    hfs.create(idxPath(spark, dir, CommitWitness), true).close()
     Seq("cells", "centroids").foreach(swapNext(spark, dir, _))
+    hfs.delete(idxPath(spark, dir, CommitWitness), false)
     true
   }
 
-  private def idxPath(dir: String, name: String) =
-    org.apache.hadoop.fs.Path.getPathWithoutSchemeAndAuthority(
-      new org.apache.hadoop.fs.Path(s"$dir/$name")) // normalize for the local FS
+  /** The whole-reshard commit marker: present means both `.next` halves
+    * were completely written and the swap is in (or past) flight, so
+    * recovery must roll FORWARD; absent means the reshard never
+    * committed, so recovery must roll BACK (discard `.next`) no matter
+    * what the per-half `_SUCCESS` files say. */
+  private val CommitWitness = "reshard.commit"
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Fully-qualified swap path (r17, ADVICE r16 low: stripping scheme +
+    * authority resolved s3a://bucket/... or cross-cluster hdfs://host/...
+    * dirs against the default FS root). `makeQualified` keeps the dir's
+    * own scheme/authority; [[swapNext]] separately REJECTS object-store
+    * schemes, whose rename is neither atomic nor cheap — the swap
+    * protocol requires HDFS-style atomic directory rename (local FS,
+    * HDFS). */
+  private def idxPath(spark: SparkSession, dir: String, name: String) =
+    fsOf(spark, dir).makeQualified(
+      new org.apache.hadoop.fs.Path(s"$dir/$name"))
+
+  /** Schemes whose "rename" is a copy+delete (no atomicity): the swap
+    * protocol's crash-window argument does not hold there, so fail
+    * loudly instead of corrupting an index on the first crash. */
+  private val NonAtomicRenameSchemes =
+    Set("s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs", "oss", "cos")
+
+  private def requireAtomicRename(p: org.apache.hadoop.fs.Path): Unit = {
+    val scheme = Option(p.toUri.getScheme).getOrElse("file")
+    require(!NonAtomicRenameSchemes.contains(scheme.toLowerCase),
+      s"index swap requires atomic directory rename (HDFS/local); " +
+        s"'$scheme' renames are copy-based — stage the index on HDFS-style storage")
+  }
 
   /** Promote `$dir/$name.next` over `$dir/$name`: cur → .old,
     * .next → cur, drop .old. Each step is an FS rename, so a crash can
@@ -112,58 +155,66 @@ object VectorIndex {
     * repair that completes (or discards) the swap on the next
     * maintenance tick; every crash window maps onto one of its cases. */
   private def swapNext(spark: SparkSession, dir: String, name: String): Unit = {
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val cur = idxPath(dir, name)
-    val next = idxPath(dir, s"$name.next")
-    val old = idxPath(dir, s"$name.old")
+    val hfs = fsOf(spark, dir)
+    val cur = idxPath(spark, dir, name)
+    requireAtomicRename(cur)
+    val next = idxPath(spark, dir, s"$name.next")
+    val old = idxPath(spark, dir, s"$name.old")
     hfs.delete(old, true)
     require(hfs.rename(cur, old) && hfs.rename(next, cur),
       s"reshard swap failed for $cur")
     hfs.delete(old, true)
   }
 
-  /** Idempotent repair of a reshard swap interrupted by a crash (r16,
-    * review finding: a driver death between the two renames left the
-    * index with no `cells/` and no recovery path). Called at the start
-    * of [[reshard]] — i.e. on the next recenter tick — so a torn swap
-    * self-heals before any new maintenance; read-only serving paths
-    * never mutate and simply retry their trigger. Per half, keyed on
-    * what survived:
-    *  - `.next` WITH a `_SUCCESS` marker → the rewrite completed, so
-    *    finish the promotion wherever it stopped (whether or not the
-    *    current dir or a stranded `.old` still exist);
-    *  - `.next` WITHOUT `_SUCCESS` → the rewrite itself died mid-write:
-    *    discard the partial output, current index stays live;
-    *  - `.old` alongside a live current dir → only the final cleanup
-    *    delete died: drop `.old`;
-    *  - `.old` with NO current dir and no usable `.next` → roll back
-    *    (rename `.old` → current). */
+  /** Idempotent repair of a reshard interrupted by a crash. Called at
+    * the start of [[reshard]] — i.e. on the next recenter tick — so a
+    * torn swap self-heals before any new maintenance; read-only serving
+    * paths never mutate and simply retry their trigger.
+    *
+    * The dispatch key is the whole-reshard [[CommitWitness]], NOT the
+    * per-half `_SUCCESS` files (r17, ADVICE r16 high: [[reshard]] writes
+    * cells.next before centroids.next, so a crash between the two left a
+    * state where the old per-half rule promoted new-k cells while
+    * keeping old-k centroids — labels no longer matching the served
+    * geometry). Cases:
+    *  - witness PRESENT → both `.next` halves were fully written before
+    *    the first rename, so roll FORWARD: finish each half's promotion
+    *    from wherever it stopped (`.next` still there → complete the
+    *    swap; `.next` gone → the swap finished, just drop any stranded
+    *    `.old`), then clear the witness;
+    *  - witness ABSENT → the reshard never committed (crash anywhere in
+    *    the rewrite, INCLUDING after one half's `_SUCCESS`): discard any
+    *    `.next` dirs wholesale — the live index stays. A stranded
+    *    `.old` here can only be a pre-witness-protocol leftover or a
+    *    failed-rename strand: drop it beside a live current dir, roll it
+    *    back when the current dir is gone. */
   def reshardRecover(spark: SparkSession, dir: String): Unit = {
-    val hfs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hfs = fsOf(spark, dir)
+    val witness = idxPath(spark, dir, CommitWitness)
+    val committed = hfs.exists(witness)
     Seq("cells", "centroids").foreach { name =>
-      val cur = idxPath(dir, name)
-      val next = idxPath(dir, s"$name.next")
-      val old = idxPath(dir, s"$name.old")
-      val nextDone = hfs.exists(next) &&
-        hfs.exists(new org.apache.hadoop.fs.Path(next, "_SUCCESS"))
-      if (hfs.exists(next) && !nextDone) {
-        hfs.delete(next, true) // aborted rewrite — current index stays live
-      } else if (nextDone) {
-        // completed rewrite: finish the promotion from any crash point
+      val cur = idxPath(spark, dir, name)
+      val next = idxPath(spark, dir, s"$name.next")
+      val old = idxPath(spark, dir, s"$name.old")
+      if (committed && hfs.exists(next)) {
+        // committed rewrite: finish the promotion from any crash point
         if (hfs.exists(cur)) {
           hfs.delete(old, true)
           require(hfs.rename(cur, old), s"reshard recovery: cur→old failed for $cur")
         }
         require(hfs.rename(next, cur), s"reshard recovery: next→cur failed for $next")
         hfs.delete(old, true)
-      } else if (hfs.exists(old)) {
-        if (!hfs.exists(cur))
-          require(hfs.rename(old, cur), s"reshard recovery: rollback failed for $old")
-        else hfs.delete(old, true)
+      } else {
+        // uncommitted (or already-promoted) — never promote a .next
+        if (hfs.exists(next)) hfs.delete(next, true)
+        if (hfs.exists(old)) {
+          if (!hfs.exists(cur))
+            require(hfs.rename(old, cur), s"reshard recovery: rollback failed for $old")
+          else hfs.delete(old, true)
+        }
       }
     }
+    if (committed) hfs.delete(witness, false)
   }
 
   /** Serving default for the probed-cell count: the SAME 3-of-8
@@ -331,7 +382,13 @@ object VectorIndex {
     * 500 and 2000 vectors both sit under minK·targetCell). */
   def adaptiveK(n: Long, targetCell: Int = 256, minK: Int = 8): Int = {
     require(targetCell >= 1 && minK >= 1, s"bad adaptiveK knobs ($targetCell, $minK)")
-    math.max(minK.toLong, (n + targetCell - 1) / targetCell).toInt
+    val k = math.max(minK.toLong, (n + targetCell - 1) / targetCell)
+    // fail loudly rather than wrap negative past ~5.5e11 vectors at the
+    // default cell budget (r17, ADVICE r16 low) — downstream limit(k) /
+    // nprobe sizing would silently misbehave on a truncated Int
+    require(k <= Int.MaxValue,
+      s"adaptiveK: k=$k exceeds Int range (n=$n, targetCell=$targetCell) — raise targetCell")
+    k.toInt
   }
 
   /** [[kmeans]] with [[adaptiveK]] picking k from the corpus size — the

@@ -42,6 +42,59 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tied.forall(_ == 2), s"tie must break to the lower label, got ${tied.toSeq}")
   }
 
+  test("nearest_cell kernel: NaN cosines follow the HOF's double total order (r17, ADVICE r16)") {
+    // a zero-norm embedding or centroid makes the cosine 0/0 = NaN;
+    // Spark's array_max orders NaN GREATEST, so the HOF picks that cell
+    // — the kernel's old `s > bestS` skipped it (false for NaN), and an
+    // all-NaN row escaped with the Int.MaxValue initializer as a label
+    ptx.functions.VectorOps.register(spark)
+    val dim = 4
+    val zero = Seq.fill(dim)(0f)
+    val unitX = 1f +: Seq.fill(dim - 1)(0f)
+    val unitY = 0f +: 1f +: Seq.fill(dim - 2)(0f)
+    def run(probe: Seq[Float], cents: Seq[(Int, Seq[Float])]): (Int, Int) = {
+      val cdf = spark.createDataFrame(cents).toDF("label", "centroid")
+      val row = spark.createDataFrame(Seq(Tuple1(probe))).toDF("embedding")
+        .crossJoin(broadcast(cdf.agg(
+          expr("array_sort(collect_list(struct(label, centroid)))").as("cents"))))
+        .select(
+          expr("nearest_cell(embedding, cents)").as("kernel"),
+          expr("""(-array_max(transform(cents,
+                 |  c -> struct(cosine_sim(embedding, c.centroid) AS s,
+                 |              -c.label AS nl))).nl)""".stripMargin)
+            .cast("int").as("hof"))
+        .head()
+      (row.getInt(0), row.getInt(1))
+    }
+    // one NaN cell among finite ones: NaN is greatest → that cell wins
+    val (k1, h1) = run(unitX, Seq((7, unitY), (3, zero), (1, unitX)))
+    assert(k1 == h1 && k1 == 3, s"NaN cell must win as greatest, got kernel=$k1 hof=$h1")
+    // all-NaN (zero-norm probe): ties break to the LOWEST label — and
+    // the initializer sentinel must never escape
+    val (k2, h2) = run(zero, Seq((9, unitY), (4, unitX)))
+    assert(k2 == h2 && k2 == 4, s"all-NaN row must yield the lowest label, got kernel=$k2 hof=$h2")
+    // zero-norm probe against zero AND finite centroids: every cosine is
+    // NaN (the probe's own norm zeroes the denominator) → lowest label
+    val (k3, h3) = run(zero, Seq((8, zero), (5, zero), (2, unitX)))
+    assert(k3 == h3 && k3 == 2, s"NaN tie must break low, got kernel=$k3 hof=$h3")
+    // finite probe, NaN cell vs a BETTER-label finite cell: NaN still
+    // outranks the finite sim even when the finite cell's label is lower
+    val (k4, h4) = run(unitX, Seq((1, unitX), (6, zero)))
+    assert(k4 == h4 && k4 == 6, s"NaN must outrank finite sims, got kernel=$k4 hof=$h4")
+  }
+
+  test("adaptiveK fails loudly past Int range instead of wrapping (r17, ADVICE r16)") {
+    val f = ptx.sources.VectorIndex.adaptiveK _
+    // 5e11 vectors at the default cell budget: k ≈ 1.95e9, still an Int
+    assert(f(500L * 1000 * 1000 * 1000, 256, 8) == 1953125000)
+    // the ADVICE's ~5.5e11 point: k ≈ 2.15e9 crosses Int.MaxValue —
+    // must fail loudly, not wrap negative into limit(k)/nprobe sizing
+    val ex = intercept[IllegalArgumentException] {
+      f(550L * 1000 * 1000 * 1000, 256, 8)
+    }
+    assert(ex.getMessage.contains("exceeds Int range"))
+  }
+
   test("weighted_mean aggregator: hand-computed groups, merge across partitions") {
     val df = Seq(
       ("a", 1.0, 1.0), ("a", 3.0, 3.0),           // (1*1+3*3)/4 = 2.5

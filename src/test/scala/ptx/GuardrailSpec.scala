@@ -104,11 +104,16 @@ class GuardrailSpec extends AnyFunSuite {
     assert(f(1000) == 375, "large-k scaling broke")
   }
 
-  test("reshardRecover heals every crash state of the index swap (r16)") {
+  test("reshardRecover heals every crash state of the index swap (r16, witness r17)") {
     // a driver death mid-reshard can strand the cells/centroids halves
     // in any rename state; the recovery must reassemble a LIVE index
-    // deterministically from each one (and never promote a partial
-    // rewrite — the _SUCCESS marker is the completed-write witness)
+    // deterministically from each one, promoting the two halves in
+    // LOCKSTEP: the whole-reshard `reshard.commit` witness (written only
+    // after BOTH .next rewrites finished) decides roll-forward vs
+    // roll-back — per-half _SUCCESS alone must never promote (r17,
+    // ADVICE r16 high: reshard writes cells.next before centroids.next,
+    // so a crash between the two used to promote new-k cells against
+    // old-k centroids)
     val spark = TestSpark.spark
     import spark.implicits._
     def mk(dir: String, name: String, tag: Int, success: Boolean = true): Unit = {
@@ -116,43 +121,87 @@ class GuardrailSpec extends AnyFunSuite {
         .coalesce(1).write.mode("overwrite").parquet(s"$dir/$name")
       if (!success) assert(new java.io.File(s"$dir/$name/_SUCCESS").delete())
     }
+    def witness(dir: String): Unit =
+      assert(new java.io.File(s"$dir/reshard.commit").createNewFile())
     def tagOf(dir: String, name: String): Int =
       spark.read.parquet(s"$dir/$name").head().getInt(1)
     def gone(dir: String, name: String): Boolean =
       !new java.io.File(s"$dir/$name").exists()
 
-    // A: both rewrites complete, crash before any rename → promote both
+    // A: both rewrites complete, witness dropped, crash before any
+    // rename → promote both, clear the witness
     val a = tmpDir()
     mk(a, "cells", 1); mk(a, "cells.next", 2)
     mk(a, "centroids", 1); mk(a, "centroids.next", 2)
+    witness(a)
     ptx.sources.VectorIndex.reshardRecover(spark, a)
     assert(tagOf(a, "cells") == 2 && tagOf(a, "centroids") == 2)
     assert(gone(a, "cells.next") && gone(a, "cells.old")
-      && gone(a, "centroids.next") && gone(a, "centroids.old"))
+      && gone(a, "centroids.next") && gone(a, "centroids.old")
+      && gone(a, "reshard.commit"))
+
+    // A2 (THE ADVICE r16 case): cells.next completed WITH _SUCCESS but
+    // the crash hit before centroids.next (no witness) → discard the
+    // cells rewrite too; promoting it alone would serve new-k cell
+    // labels against old-k centroid geometry
+    val a2 = tmpDir()
+    mk(a2, "cells", 1); mk(a2, "cells.next", 2)
+    mk(a2, "centroids", 1)
+    ptx.sources.VectorIndex.reshardRecover(spark, a2)
+    assert(tagOf(a2, "cells") == 1 && tagOf(a2, "centroids") == 1)
+    assert(gone(a2, "cells.next"))
+
+    // A3: same crash window one write later — centroids.next partial
+    // (no _SUCCESS), still no witness → discard BOTH .next halves
+    val a3 = tmpDir()
+    mk(a3, "cells", 1); mk(a3, "cells.next", 2)
+    mk(a3, "centroids", 1); mk(a3, "centroids.next", 2, success = false)
+    ptx.sources.VectorIndex.reshardRecover(spark, a3)
+    assert(tagOf(a3, "cells") == 1 && tagOf(a3, "centroids") == 1)
+    assert(gone(a3, "cells.next") && gone(a3, "centroids.next"))
 
     // B: crash between the two renames of the cells half (cur already
-    // moved to .old, .next ready; centroids half untouched)
+    // moved to .old, .next ready; centroids rewrite complete, witness
+    // present — the only way a mid-swap state arises) → finish both
     val b = tmpDir()
-    mk(b, "cells.old", 1); mk(b, "cells.next", 2); mk(b, "centroids", 1)
+    mk(b, "cells.old", 1); mk(b, "cells.next", 2)
+    mk(b, "centroids", 1); mk(b, "centroids.next", 2)
+    witness(b)
     ptx.sources.VectorIndex.reshardRecover(spark, b)
-    assert(tagOf(b, "cells") == 2 && tagOf(b, "centroids") == 1)
-    assert(gone(b, "cells.next") && gone(b, "cells.old"))
+    assert(tagOf(b, "cells") == 2 && tagOf(b, "centroids") == 2)
+    assert(gone(b, "cells.next") && gone(b, "cells.old")
+      && gone(b, "reshard.commit"))
 
-    // C: the rewrite itself died mid-write (no _SUCCESS) → discard the
-    // partial, the live index stays
+    // C: the rewrite itself died mid-write (no _SUCCESS, no witness) →
+    // discard the partial, the live index stays
     val c = tmpDir()
     mk(c, "cells", 1); mk(c, "cells.next", 2, success = false)
     mk(c, "centroids", 1)
     ptx.sources.VectorIndex.reshardRecover(spark, c)
     assert(tagOf(c, "cells") == 1 && gone(c, "cells.next"))
 
-    // D: only the final .old cleanup died → drop it, keep the new index
+    // D: crash after the cells swap finished, centroids swap pending →
+    // roll the centroids half forward, drop the stranded cells.old
     val d = tmpDir()
-    mk(d, "cells", 2); mk(d, "cells.old", 1); mk(d, "centroids", 2)
+    mk(d, "cells", 2); mk(d, "cells.old", 1)
+    mk(d, "centroids", 1); mk(d, "centroids.next", 2)
+    witness(d)
     ptx.sources.VectorIndex.reshardRecover(spark, d)
-    assert(tagOf(d, "cells") == 2 && gone(d, "cells.old"))
+    assert(tagOf(d, "cells") == 2 && tagOf(d, "centroids") == 2)
+    assert(gone(d, "cells.old") && gone(d, "centroids.next")
+      && gone(d, "reshard.commit"))
 
-    // E: .old with no live dir and no usable .next → roll back
+    // D2: only the final .old cleanup (and witness delete) died → drop
+    // both, keep the new index
+    val d2 = tmpDir()
+    mk(d2, "cells", 2); mk(d2, "cells.old", 1); mk(d2, "centroids", 2)
+    witness(d2)
+    ptx.sources.VectorIndex.reshardRecover(spark, d2)
+    assert(tagOf(d2, "cells") == 2 && gone(d2, "cells.old")
+      && gone(d2, "reshard.commit"))
+
+    // E: .old with no live dir and no usable .next (legacy strand) →
+    // roll back
     val e = tmpDir()
     mk(e, "cells.old", 1); mk(e, "centroids", 1)
     ptx.sources.VectorIndex.reshardRecover(spark, e)
