@@ -175,15 +175,24 @@ object BpeLearn {
     * the word key (AQE broadcasts the type side while it fits; at real
     * vocab sizes it's a hash join on 8-byte-ish word keys), one doc_id
     * aggregation. No pair space anywhere. */
-  def docTokens(docs: DataFrame, k: Int): DataFrame = {
-    val enc = learnEncode(docs, k)
-      .select(col("word"), col("n_tokens"))
+  def docTokens(docs: DataFrame, k: Int): DataFrame =
+    docTokensOf(docs, learnEncode(docs, k))
+
+  /** The doc-grain tail of [[docTokens]] with the encoded TYPE table
+    * supplied by the caller — the seam the persisted tokenizer artifact
+    * plugs into (r17, VERDICT r16 #1: [[ptx.sources.BpeModel]] reads the
+    * |vocab|-sized type table instead of re-running the K-round learner,
+    * and sharing this one tail means the artifact-read and inline forms
+    * cannot drift). `enc` needs (word, n_tokens) covering every word
+    * type of `docs` — true by construction when the type table was
+    * encoded from the same corpus, and [[ptx.sources.BpeModel.encode]]
+    * re-segments any NEW corpus' types from the merge table first. */
+  private[ptx] def docTokensOf(docs: DataFrame, enc: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-      .join(enc, "word")
+      .join(enc.select(col("word"), col("n_tokens")), "word")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_tokens")).as("n_tokens"),
         sum(length(col("word"))).cast("long").as("n_word_chars"))
       .orderBy(col("doc_id"))
-  }
 }

@@ -348,8 +348,7 @@ object Curation {
     // (per-1024-doc totals, broadcast prefix, per-block window) — no
     // global-order window, no pair space.
     "llm_pack_sequences_bpe" -> ((s, d) =>
-      packSequences(ptx.functions.BpeLearn
-        .docTokens(Tables.documents(s, d), k = 8)
+      packSequences(ptx.sources.BpeModel.docTokensFor(s, d, k = 8)
         .select(col("doc_id"), col("n_tokens").as("tok")))),
     // ✓ shard manifest (r6): WebDataset-style export sharding — each doc
     // (per language, doc_id order) lands in the ~64 KB shard its RUNNING
@@ -532,8 +531,7 @@ object Curation {
     // two-level cumsum (distinct-token-count domain carries the global
     // order, corpus never serializes through one partition).
     "llm_token_budget_bpe" -> ((s, d) =>
-      greedyTokenBudget(ptx.functions.BpeLearn
-        .docTokens(Tables.documents(s, d), k = 8)
+      greedyTokenBudget(ptx.sources.BpeModel.docTokensFor(s, d, k = 8)
         .select(col("doc_id"), col("n_tokens"),
           col("n_tokens").as("bpe_tokens")),
         "n_tokens", "bpe_tokens", 10000L)),

@@ -211,8 +211,13 @@ object TextAnalysis {
     // lives in ptx.functions.BpeLearn (its per-round 1-row argmax
     // collect is the sanctioned model-parameter collect, kept off the
     // collect-free ops/ surface — the VectorIndex.kmeans placement).
+    // r17: served through the persisted ptx.sources.BpeModel artifact
+    // (build-once/encode-many, VERDICT r16 #1) — the learner runs ONCE
+    // per (corpus, k) inside BpeModel.ensure and every BPE-grain query
+    // reads the artifact; IoSpec pins artifact-read == inline
+    // bit-identity, so the declared output is unchanged.
     "llm_bpe_learn" -> ((s, d) =>
-      ptx.functions.BpeLearn.learn(Tables.documents(s, d), k = 8)),
+      ptx.sources.BpeModel.readMerges(s, ptx.sources.BpeModel.ensure(s, d, k = 8))),
     // ◌ BPE ENCODER (r15): apply the learned K=8 merge table to the
     // word-TYPE table — the corpus-wide pass a pipeline runs to count
     // REAL tokens (budget/packing/fertility under the actual tokenizer,
@@ -230,8 +235,11 @@ object TextAnalysis {
     // score 2, removes 1 token) — and rerun determinism.
     // Scale: one corpus pass for types; the K merge applications are
     // vocab-sized (the BpeVocabProbe axis), chained as one projection.
+    // r17: reads the persisted type table (BpeModel `types/` — encoded
+    // once at artifact build; parquet round-trips strings/longs exactly,
+    // IoSpec pins bit-identity with the inline learnEncode).
     "llm_bpe_encode" -> ((s, d) =>
-      ptx.functions.BpeLearn.learnEncode(Tables.documents(s, d), k = 8)),
+      ptx.sources.BpeModel.readTypes(s, ptx.sources.BpeModel.ensure(s, d, k = 8))),
     // ◌ DOC-GRAIN tokenizer counts (r16, VERDICT r15 #3): the encoder's
     // per-TYPE token counts joined back to the corpus and aggregated per
     // document — (doc_id, n_words, n_tokens, n_word_chars), the table
@@ -243,9 +251,11 @@ object TextAnalysis {
     // Σ n_word_chars likewise; n_words ≤ n_tokens ≤ n_word_chars per
     // doc), per-doc word counts vs a driver recompute, and rerun
     // determinism. Scale: corpus explode ⋈ |vocab|-sized type table on
-    // the word key + one doc_id agg — pair-free (BpeLearn.docTokens).
+    // the word key + one doc_id agg — pair-free (BpeLearn.docTokensOf
+    // over the persisted BpeModel type table, r17 — the learner no
+    // longer re-runs per invocation).
     "llm_bpe_doc_tokens" -> ((s, d) =>
-      ptx.functions.BpeLearn.docTokens(Tables.documents(s, d), k = 8)),
+      ptx.sources.BpeModel.docTokensFor(s, d, k = 8)),
     // ◌ REAL-token fertility (r16): subword tokens per word, per lang —
     // THE fertility metric a tokenizer team reads (a lang whose words
     // split into many BPE tokens is under-served by the learned vocab
@@ -258,7 +268,7 @@ object TextAnalysis {
     // and rerun determinism. Scale: docTokens + a lang-grain agg.
     "llm_tokenizer_fertility_bpe" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      ptx.functions.BpeLearn.docTokens(docs, k = 8)
+      ptx.sources.BpeModel.docTokensFor(s, d, k = 8)
         .join(docs.select(col("doc_id"), col("lang")), "doc_id")
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),

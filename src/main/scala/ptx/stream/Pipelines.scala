@@ -1065,6 +1065,48 @@ object Pipelines {
         spark.read.parquet(s"$dir/cells"), s"$dir/centroids")
   }
 
+  /** Streaming TOKENIZER maintenance (r17, VERDICT r16 #4) — the
+    * [[indexRefresh]] treatment for the persisted BPE artifact
+    * ([[ptx.sources.BpeModel]]): a stream of new documents is admitted
+    * into the training corpus as it arrives, and the tokenizer re-learns
+    * on a cadence. Per micro-batch, via foreachBatch:
+    *  1. APPEND the batch's docs under `dir/docs/batch=<id>` in
+    *     overwrite mode (the idempotent-replay contract — a retried
+    *     batch replaces its own partition);
+    *  2. every `refreshEvery` batches, RE-LEARN over ALL admitted docs
+    *     and PUBLISH as `v=<batchId>` under `dir/model`
+    *     ([[ptx.sources.BpeModel.publish]] — both halves land in a
+    *     fresh version dir before the one-file LATEST marker re-points,
+    *     so consumers between or during refreshes read a complete,
+    *     internally consistent (merges, types) pair; a crash mid-publish
+    *     leaves LATEST on the previous version).
+    * Consumers resolve [[ptx.sources.BpeModel.latest]] per trigger —
+    * encode/docTokens pick up a refresh on their NEXT batch with no
+    * restart, the [[annServe]] re-read discipline. Because the learner
+    * is deterministic and round r never depends on rounds remaining, the
+    * published model equals a from-scratch batch rebuild over the same
+    * admitted corpus bit-for-bit, and a smaller-k model is its exact
+    * prefix — StreamingSpec pins both across a refresh and a replay.
+    * Scale: the re-learn is the one corpus-pass cost, on its cadence
+    * knob (the recenter precedent); every other batch term is
+    * batch-sized. */
+  def tokenizerRefresh(newDocs: DataFrame, dir: String, checkpoint: String,
+                       refreshEvery: Int = 4, k: Int = 8)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val spark = newDocs.sparkSession
+    newDocs.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        batch.select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$dir/docs/batch=$id")
+        if ((id + 1) % refreshEvery == 0)
+          ptx.sources.BpeModel.publish(
+            spark.read.parquet(s"$dir/docs").select(col("doc_id"), col("text")),
+            s"$dir/model", version = id, k = k): Unit
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+  }
+
   /** One batch's SEMANTIC admission pass — the [[admitShardBatch]] shape
     * at the EMBEDDING grain (r15): SemDeDup at ingest, the admission
     * pipeline the batch-side `llm_semdedup`/`llm_semdedup_kmeans`

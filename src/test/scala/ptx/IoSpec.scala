@@ -125,6 +125,53 @@ class IoSpec extends AnyFunSuite {
       s"candidate join did not broadcast the probe side:\n$planStr")
   }
 
+  test("persisted BPE tokenizer: every artifact read equals the inline learner bit-for-bit (r17)") {
+    val dir = tmp("ptx-bpemodel")
+    val docs = Tables.documents(spark, TestSpark.SF)
+    ptx.sources.BpeModel.write(docs, dir, k = 8)
+    // merges half == inline learn (rank order)
+    val inlineMerges = ptx.functions.BpeLearn.learn(docs, 8)
+      .collect().map(_.toSeq).toSeq
+    val artMerges = ptx.sources.BpeModel.readMerges(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(artMerges == inlineMerges, "persisted merge table diverged from the inline learner")
+    assert(artMerges.nonEmpty)
+    // types half == inline learnEncode ((cnt desc, word) order)
+    val inlineTypes = ptx.functions.BpeLearn.learnEncode(docs, 8)
+      .collect().map(_.toSeq).toSeq
+    val artTypes = ptx.sources.BpeModel.readTypes(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(artTypes == inlineTypes, "persisted type table diverged from the inline encoder")
+    // doc grain from the artifact == the inline docTokens (the shape the
+    // pack/budget/fertility queries consume)
+    val inlineDoc = ptx.functions.BpeLearn.docTokens(docs, 8)
+      .collect().map(_.toSeq).toSeq
+    val artDoc = ptx.sources.BpeModel.docTokens(spark, dir, docs)
+      .collect().map(_.toSeq).toSeq
+    assert(artDoc == inlineDoc, "artifact doc-grain counts diverged from inline")
+    // a NEW corpus — including OOV words the trainer never saw — encodes
+    // through the persisted merge table exactly as through the in-memory
+    // one (the serving path: learn once, encode anything)
+    import spark.implicits._
+    val fresh = Seq((1L, "zzzq unseen words here"), (2L, "unseen zzzq again"))
+      .toDF("doc_id", "text")
+    val memMerges = inlineMerges.map(r =>
+      (r(1).asInstanceOf[String], r(2).asInstanceOf[String]))
+    val viaMem = ptx.functions.BpeLearn.encode(fresh, memMerges)
+      .collect().map(_.toSeq).toSeq
+    val viaArt = ptx.sources.BpeModel.encode(spark, dir, fresh)
+      .collect().map(_.toSeq).toSeq
+    assert(viaArt == viaMem, "artifact encode of a new corpus diverged")
+    // ensure() is build-once: both calls land on the same artifact dir,
+    // and the served doc-grain equals the direct-artifact read
+    val e1 = ptx.sources.BpeModel.ensure(spark, TestSpark.SF, 8)
+    val e2 = ptx.sources.BpeModel.ensure(spark, TestSpark.SF, 8)
+    assert(e1 == e2, "ensure must memoize the artifact dir")
+    val served = ptx.sources.BpeModel.docTokensFor(spark, TestSpark.SF, 8)
+      .collect().map(_.toSeq).toSeq
+    assert(served == inlineDoc, "ensure-served doc grain diverged from inline")
+  }
+
   test("persisted dedup index: incremental shard probes equal the inline full recompute (r11)") {
     val dir = tmp("ptx-dedupidx")
     val docs = Tables.documents(spark, TestSpark.SF)

@@ -748,6 +748,68 @@ class StreamingSpec extends AnyFunSuite {
         s"${parts(dir)} / ${parts(cdir)}")
   }
 
+  test("tokenizerRefresh: published model equals a batch rebuild; prefix + replay idempotence (r17)") {
+    // VERDICT r16 #4: the BpeModel artifact gets the index-family
+    // streaming treatment — admit doc batches, re-learn on a cadence,
+    // publish versioned (both halves land before LATEST re-points)
+    val all = ptx.Tables.documents(spark, TestSpark.SF)
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val rows = all.take(120)
+    val dir = java.nio.file.Files.createTempDirectory("ptx-bpe-stream").toString
+    val cp = java.nio.file.Files.createTempDirectory("ptx-bpe-stream-cp").toString
+    val ms = MemoryStream[(Long, String)](
+      implicitly[org.apache.spark.sql.Encoder[(Long, String)]], spark)
+    val q = Pipelines.tokenizerRefresh(ms.toDF().toDF("doc_id", "text"),
+      dir, cp, refreshEvery = 2, k = 8)
+    try {
+      ms.addData(rows.slice(0, 30)); q.processAllAvailable()  // batch 0
+      ms.addData(rows.slice(30, 60)); q.processAllAvailable() // batch 1 → publish v=1
+      val mid = ptx.sources.BpeModel.latest(spark, s"$dir/model")
+      assert(mid.endsWith("v=1"), s"expected v=1 live after batch 1, got $mid")
+      // mid-stream model == batch rebuild over exactly the docs admitted so far
+      val firstHalf = spark.createDataFrame(rows.slice(0, 60)).toDF("doc_id", "text")
+      val midRebuild = java.nio.file.Files.createTempDirectory("ptx-bpe-mid").toString
+      ptx.sources.BpeModel.write(firstHalf, midRebuild, k = 8)
+      assert(ptx.sources.BpeModel.readMerges(spark, mid).collect().map(_.toSeq).toSeq
+        == ptx.sources.BpeModel.readMerges(spark, midRebuild).collect().map(_.toSeq).toSeq,
+        "mid-stream published merges diverge from a batch rebuild")
+      ms.addData(rows.slice(60, 90)); q.processAllAvailable()  // batch 2
+      ms.addData(rows.slice(90, 120)); q.processAllAvailable() // batch 3 → publish v=3
+    } finally q.stop()
+    val live = ptx.sources.BpeModel.latest(spark, s"$dir/model")
+    assert(live.endsWith("v=3"), s"expected v=3 live at stream end, got $live")
+    // the published model equals a from-scratch batch rebuild over the
+    // full admitted corpus, both halves bit-for-bit
+    val admitted = spark.read.parquet(s"$dir/docs").select("doc_id", "text")
+    assert(admitted.count() == 120)
+    val rdir = java.nio.file.Files.createTempDirectory("ptx-bpe-rebuild").toString
+    ptx.sources.BpeModel.write(admitted, rdir, k = 8)
+    def merges(d: String) = ptx.sources.BpeModel.readMerges(spark, d)
+      .collect().map(_.toSeq).toSeq
+    def types(d: String) = ptx.sources.BpeModel.readTypes(spark, d)
+      .collect().map(_.toSeq).toSeq
+    assert(merges(live) == merges(rdir), "published merges diverge from batch rebuild")
+    assert(types(live) == types(rdir), "published types diverge from batch rebuild")
+    // encoded doc-grain counts through the served model == the inline form
+    val servedDoc = ptx.sources.BpeModel.docTokens(spark, live, admitted)
+      .collect().map(_.toSeq).toSeq
+    val inlineDoc = ptx.functions.BpeLearn.docTokens(admitted, 8)
+      .collect().map(_.toSeq).toSeq
+    assert(servedDoc == inlineDoc, "served doc-grain counts diverge from inline")
+    // the r15 early-stop-is-exact-prefix property holds ACROSS a refresh:
+    // a k=4 model trained on the same admitted corpus is the published
+    // k=8 model's exact merge prefix
+    val k4 = ptx.functions.BpeLearn.learn(admitted, 4).collect().map(_.toSeq).toSeq
+    assert(k4 == merges(live).take(4), "k=4 learn is not the published model's prefix")
+    // replay idempotence: re-publishing the same version (a retried
+    // micro-batch) leaves LATEST and both halves identical
+    val again = ptx.sources.BpeModel.publish(admitted, s"$dir/model", version = 3, k = 8)
+    assert(ptx.sources.BpeModel.latest(spark, s"$dir/model") == again)
+    assert(merges(again) == merges(rdir) && types(again) == types(rdir),
+      "replayed publish is not idempotent")
+  }
+
   test("indexRefresh keeps the served recall floor: N admitted batches + recenters + compaction (r15)") {
     // VERDICT r14 #4: llm_ann_recall_kmeans audits a FRESH build; this
     // pins the number that decays under distribution drift — recall of
