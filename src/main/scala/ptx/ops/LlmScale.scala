@@ -184,9 +184,29 @@ object LlmScale {
   /** The distinct (probe, cand) frame the LSH index hands to exact
     * scoring — union over tables of same-bucket vectors. Shared by
     * [[lshTopK]] and the LshSweep tool's candidate-fraction gauge (one
-    * definition, so the measured cost knob IS the served one). */
+    * definition, so the measured cost knob IS the served one).
+    *
+    * `cap > 0` bounds the EXACT-SCORING work per probe (r17, VERDICT
+    * r16 #2): union candidates are ranked by HAMMING DISTANCE on the
+    * full L×bits sign signature (each sign bit matches with
+    * probability 1 − θ/π — Charikar, STOC 2002 — so the 96-bit
+    * Hamming distance is an unbiased angle estimate with ~√bits
+    * concentration; ranking by it is collision counting at single-bit
+    * resolution, the C2LSH idea taken to its limit) and only the top
+    * `cap` per probe (ties to the lower cand_id — deterministic)
+    * reach the cosine kernel. The uncapped union is a constant
+    * FRACTION of the corpus per probe (a bucket is n/2^bits rows), so
+    * exact scoring grew linearly with n; under the cap it is `cap`
+    * rows per probe at ANY corpus size — the candidate fraction cap/n
+    * SHRINKS as the corpus grows, the adaptiveK treatment for the LSH
+    * tier. The ranking runs at SKETCH grain (the L-int signature both
+    * sides already computed for bucketing — no second hashing pass,
+    * integer xor/popcount per pair; embeddings join back only for the
+    * ≤cap survivors), and the per-probe window partitions on
+    * probe_id — batch-bounded, never corpus-wide. */
   private[ptx] def lshCandidateFrame(s: SparkSession, d: String,
-                                     L: Int, bits: Int): DataFrame = {
+                                     L: Int, bits: Int,
+                                     cap: Int = 0): DataFrame = {
     ptx.functions.VectorOps.register(s)
     val e = Tables.embeddings(s, d)
     val rnd = new scala.util.Random(7)
@@ -195,23 +215,54 @@ object LlmScale {
       val planeLit = s"array(${p.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
       expr(s"IF(cosine_sim(embedding, $planeLit) > 0, ${1 << i}, 0)")
     }.reduce(_ + _)
+    // hash ONCE per vector: the per-table bucket codes (the signature);
+    // table buckets explode off it, the cap's Hamming rank reads it
+    val sigged = e.select(col("vec_id"),
+      array((0 until L).map(bucketExpr): _*).as("sig"))
     def withBuckets(df: DataFrame) = df
-      .select(col("*"), posexplode(array((0 until L).map(bucketExpr): _*))
-        .as(Seq("tbl", "bucket")))
-    val probes = withBuckets(e.filter(col("vec_id") < 10))
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p"),
-        col("tbl"), col("bucket"))
-    val cands = withBuckets(e)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c"),
-        col("tbl"), col("bucket"))
-    probes.join(cands, Seq("tbl", "bucket"))
+      .select(col("vec_id"), posexplode(col("sig")).as(Seq("tbl", "bucket")))
+    // pair generation at ID grain: the (tbl, bucket) join carries 8-byte
+    // ids, not 64-float embeddings — at scale the bucket join's shuffle
+    // is what grows with L, so it ships fingerprint-sized rows
+    val probeIds = withBuckets(sigged.filter(col("vec_id") < 10))
+      .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
+    val candIds = withBuckets(sigged)
+      .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
+    val pairs = probeIds.join(candIds, Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
-      .select(col("probe_id"), col("p"), col("cand_id"), col("c")).distinct()
+      .select(col("probe_id"), col("cand_id")).distinct()
+    val selected =
+      if (cap <= 0) pairs
+      else pairs
+        .join(sigged.select(col("vec_id").as("probe_id"), col("sig").as("psig")),
+          Seq("probe_id"))
+        .join(sigged.select(col("vec_id").as("cand_id"), col("sig").as("csig")),
+          Seq("cand_id"))
+        .withColumn("ham", expr(
+          "aggregate(zip_with(psig, csig, (a, b) -> bit_count(a ^ b)), 0, (acc, x) -> acc + x)"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("probe_id"))
+          .orderBy(col("ham"), col("cand_id"))))
+        .filter(col("rn") <= cap)
+        .select(col("probe_id"), col("cand_id"))
+    selected
+      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p")),
+        Seq("probe_id"))
+      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c")),
+        Seq("cand_id"))
+      .select(col("probe_id"), col("p"), col("cand_id"), col("c"))
   }
 
+  /** Serving default for the per-probe exact-scoring budget (the r17
+    * LshSweep knee, committed in SCALE.md): 128 Hamming-ranked
+    * candidates for a top-5 serve — recall 0.66/0.56 at sf0.01/sf0.1
+    * (uncapped union read 0.66/0.62 while scoring 131/486 candidates
+    * per probe), fraction 128/n shrinking with the corpus. */
+  private[ptx] val LshCandidateCap = 128
+
   private[ptx] def lshTopK(s: SparkSession, d: String,
-                           L: Int = 16, bits: Int = 6): DataFrame =
-    lshTopKFrom(lshCandidateFrame(s, d, L, bits))
+                           L: Int = 16, bits: Int = 6,
+                           cap: Int = LshCandidateCap): DataFrame =
+    lshTopKFrom(lshCandidateFrame(s, d, L, bits, cap))
 
   /** The exact-scoring tail over an (already built, possibly pinned)
     * candidate frame — lets LshSweep reuse ONE candidate build for both
@@ -1037,18 +1088,22 @@ object LlmScale {
       embedCurveSem(s, Tables.embeddings(s, d))),
     // ◌ LSH-bucketed ANN (the second scale path besides IVF): multi-table
     // random-hyperplane LSH — L=16 tables × 6 sign bits (r16: the LshSweep
-    // knee — recall@5 0.66/0.62 at sf0.01/sf0.1 for a ~25% candidate
-    // fraction; the r15 L=4×6 read 0.28 at 7.5%, below the serving floor);
-    // candidates = union over tables of same-bucket vectors; exact top-5
-    // within candidates. cosine_sim shares the sign of the dot product, so
+    // knee; the r15 L=4×6 read 0.28 recall, below the serving floor);
+    // candidates = union over tables of same-bucket vectors, CAPPED at
+    // 128 per probe by Hamming rank on the full 96-bit sign signature
+    // (r17, VERDICT r16 #2: the uncapped union is a constant ~25%
+    // corpus FRACTION per probe, so exact scoring grew linearly with n —
+    // the cap makes it a constant COUNT, fraction 128/n shrinking as
+    // the corpus grows; recall@5 0.66/0.56 at sf0.01/sf0.1 vs 0.66/0.62
+    // uncapped, measured in the committed LshSweep table); exact top-5
+    // within survivors. cosine_sim shares the sign of the dot product, so
     // the codegen kernel doubles as the hashing primitive. Seeded planes
     // are engine-specific → no oracle; LlmOpsSpec checks per-pair sims
     // against brute force and floors the recall gauge at 0.5. 100 TB
-    // tiering (SCALE.md): sign-LSH candidate counts are a constant
-    // FRACTION of the corpus per probe (buckets don't grow with n), so
-    // this path serves as the candidate-generation tier at scale; the
-    // adaptive-k IVF path holds per-probe candidates at nprobe×targetCell
-    // CONSTANT rows and is the recall-sensitive server.
+    // tiering (SCALE.md): with the cap both ANN paths hold per-probe
+    // exact work CONSTANT (LSH: cap; IVF: nprobe×targetCell); adaptive-k
+    // IVF remains the recall-sensitive server, LSH the cheaper
+    // candidate-generation tier.
     "llm_ann_lsh" -> ((s, d) =>
       lshTopK(s, d).orderBy(col("probe_id"), col("rnk"))),
     // ◌ ANN RECALL of the LSH path (r15): the same oracle-exact

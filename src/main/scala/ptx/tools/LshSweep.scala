@@ -48,6 +48,23 @@ object LshSweep {
         f"recall_min=${audit.getLong(1) / 1e6}%.3f cand_frac=${nCand / 10.0 / n}%.3f")
       ptx.Caching.releaseAll()
     }
+    // r17 (VERDICT r16 #2): the collision-count candidate CAP swept at
+    // the declared L=16×6 geometry — the knob that turns the constant
+    // candidate FRACTION into a constant candidate COUNT per probe
+    // (fraction cap/n shrinks as the corpus grows)
+    for (cap <- Seq(16, 32, 64, 128, 256)) {
+      val cand = ptx.Caching.pin(
+        ptx.ops.LlmScale.lshCandidateFrame(spark, sfDir, 16, 6, cap))
+      val audit = ptx.ops.LlmScale
+        .recallAudit(e, probes, ptx.ops.LlmScale.lshTopKFrom(cand))
+        .agg(avg(col("recall_e6")).cast("long").as("mean_e6"),
+          min(col("recall_e6")).as("min_e6")).head()
+      val nCand = cand.count()
+      println(f"[lsh-sweep] L=16 bits=6 cap=$cap%3d recall_mean=${audit.getLong(0) / 1e6}%.3f " +
+        f"recall_min=${audit.getLong(1) / 1e6}%.3f cand_frac=${nCand / 10.0 / n}%.4f " +
+        f"cand_per_probe=${nCand / 10.0}%.0f")
+      ptx.Caching.releaseAll()
+    }
     spark.stop()
   }
 }
