@@ -43,7 +43,7 @@ object QueryRegistry {
     */
   lazy val anchorScaleTwin: Map[String, String] = Map(
     "llm_dedup_near"  -> "llm_dedup_minhash_lsh", // inverted-index Jaccard → banded MinHash
-    "llm_dedup_winnow" -> "llm_dedup_minhash_lsh", // winnowed-postings self-join (df-quadratic under skew) → banded MinHash
+    "llm_dedup_winnow" -> "llm_dedup_winnow_capped", // winnowed-postings self-join (df-quadratic under skew) → the df≤64-capped postings twin (r17; corpus routed through MinHash banding remains the df-robust alternative for the boilerplate class the cap excludes)
     "llm_containment" -> "llm_containment_prefix", // full inverted index → rarity-ordered prefix filter
     "llm_dedup_embed" -> "llm_semdedup", // all-pairs cosine BNLJ → cell-bounded semantic dedup
     "win_range_frame" -> "win_range_banded", // 3-task-bound RANGE window → value-banded decomposition (exact, oracle-✓)

@@ -276,6 +276,48 @@ object LlmScale {
       .select(col("probe_id"), (col("pos") + 1).as("rnk"),
         col("e._2").as("cand_id"), round(col("e._1"), 6).as("sim"))
 
+  /** Winnow-candidate df cap default (r17): above sf0.01's organic max
+    * df (23 — capped output equals the anchor at the graded scale), at
+    * sf0.1's organic p99 (62), far below boilerplate df (corpus-wide).
+    * Measured via the oracle's own winnow CTE chain in DuckDB. */
+  private[ptx] val WinnowDfCap = 64
+
+  /** The winnow candidate body shared by the exact anchor
+    * (`llm_dedup_winnow`, maxDf=0) and its df-capped runnable scale twin
+    * (`llm_dedup_winnow_capped`) — one definition so the cap can only
+    * ever prune postings, never change the pair mechanics. `w` is the
+    * winnowed-fingerprint frame (doc_id, fps). maxDf > 0 drops
+    * fingerprints whose document frequency exceeds it BEFORE the
+    * self-join; per-doc set sizes (the ov_e6 denominators) stay
+    * uncapped. */
+  private[ptx] def winnowCandidates(w0: DataFrame, maxDf: Int): DataFrame = {
+    val w = ptx.Caching.pin(w0.select(col("doc_id"), col("fps")))
+    val fpAll = w.select(col("doc_id"), explode(col("fps")).as("fp"))
+    val fp = if (maxDf <= 0) fpAll else
+      fpAll.join(
+        fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("fp")),
+        Seq("fp"), "left_semi")
+        // the semi-join leads with its key — re-pin the column order the
+        // positional toDF("doc1"/"doc2", "fp") renames below rely on
+        .select(col("doc_id"), col("fp"))
+    val nf = w.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
+    fp.toDF("doc1", "fp").join(fp.toDF("doc2", "fp"), Seq("fp"))
+      .filter(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 2)
+      .join(nf.toDF("d1", "nf1"), col("doc1") === col("d1"))
+      .join(nf.toDF("d2", "nf2"), col("doc2") === col("d2"))
+      .select(col("doc1"), col("doc2"), col("n_shared"),
+        // half-up e6 overlap coefficient; n_shared ≥ 2 ⇒ nonzero
+        // denominator, and 2·n_shared·1e6 is bounded by per-doc
+        // fingerprint counts (doc-length-sized), never corpus-sized
+        expr("(2 * n_shared * 1000000 + least(nf1, nf2))" +
+          " div (2 * least(nf1, nf2))").as("ov_e6"))
+      .orderBy(col("doc1"), col("doc2"))
+  }
+
   /** The dup-cluster size-histogram tail over a (doc_id, cluster_id)
     * label frame — shared by `llm_dedup_cluster_sizes` (exact anchor)
     * and `llm_dedup_cluster_sizes_lsh` (banded twin) so the dataset-card
@@ -1006,27 +1048,28 @@ object LlmScale {
     // same class as the near anchor but on winnowed postings (fixture
     // df max 23 vs the shingle index's); a df-skewed corpus still
     // routes through MinHash banding (the declared skew-robust twin).
-    "llm_dedup_winnow" -> ((s, d) => {
-      val w = ptx.Caching.pin(
-        TextAnalysis.winnowedFingerprints(Tables.documents(s, d))
-          .select(col("doc_id"), col("fps")))
-      val fp = w.select(col("doc_id"), explode(col("fps")).as("fp"))
-      val nf = w.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
-      fp.toDF("doc1", "fp").join(fp.toDF("doc2", "fp"), Seq("fp"))
-        .filter(col("doc1") < col("doc2"))
-        .groupBy(col("doc1"), col("doc2"))
-        .agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 2)
-        .join(nf.toDF("d1", "nf1"), col("doc1") === col("d1"))
-        .join(nf.toDF("d2", "nf2"), col("doc2") === col("d2"))
-        .select(col("doc1"), col("doc2"), col("n_shared"),
-          // half-up e6 overlap coefficient; n_shared ≥ 2 ⇒ nonzero
-          // denominator, and 2·n_shared·1e6 is bounded by per-doc
-          // fingerprint counts (doc-length-sized), never corpus-sized
-          expr("(2 * n_shared * 1000000 + least(nf1, nf2))" +
-            " div (2 * least(nf1, nf2))").as("ov_e6"))
-        .orderBy(col("doc1"), col("doc2"))
-    }),
+    "llm_dedup_winnow" -> ((s, d) =>
+      winnowCandidates(TextAnalysis.winnowedFingerprints(Tables.documents(s, d)), 0)),
+    // ✓ df-CAPPED winnow candidates (r17, VERDICT r16 #3): the anchor's
+    // runnable scale posture — fingerprints whose posting list exceeds
+    // WinnowDfCap=64 docs are excluded from candidate GENERATION (the
+    // per-doc fps sets, and so the ov_e6 denominators, stay uncapped).
+    // The cap is picked from the measured df distribution: sf0.01's
+    // organic max is 23 (so the graded output EQUALS the anchor there —
+    // same oracle rows), sf0.1's organic p99 is 62, and the hot-shingle
+    // skew corpus' boilerplate fingerprints span all 5000 docs — exactly
+    // the postings whose df² pair space made the anchor 95× at 10×
+    // (SCALE.md). Semantics modulo the cap: a pair is recalled iff it
+    // shares ≥ 2 fingerprints of df ≤ 64 — pairs whose ONLY overlap is
+    // corpus-wide boilerplate are the deliberate exclusion (that class
+    // is llm_hot_shingles + banding territory, not contiguous-run
+    // mining). Scale: the df agg bounds join fan-out at cap²/2 pairs
+    // per fingerprint, making candidates corpus-LINEAR at fixed cap;
+    // the df filter is a groupBy + left-semi on the same fp key the
+    // self-join shuffles on (co-partitioned, no extra exchange shape).
+    "llm_dedup_winnow_capped" -> ((s, d) =>
+      winnowCandidates(TextAnalysis.winnowedFingerprints(Tables.documents(s, d)),
+        WinnowDfCap)),
     // ✓ SEMANTIC threshold tuning curve (r14): llm_dedup_threshold_curve
     // at the embedding grade — cosine thresholds 0.45 … 0.95 evaluated in
     // ONE pass over the exact all-pairs frame (the llm_dedup_embed
@@ -1600,6 +1643,25 @@ object LlmScale {
     "llm_dedup_winnow" ->
       (s"WITH ${TextAnalysis.winnowSqlCtes},\n" +
       """fp AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+        |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM sel),
+        |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
+        |         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT doc1, doc2, n_shared,
+        |  CAST((2 * n_shared * 1000000 + least(n1.nf, n2.nf))
+        |       // (2 * least(n1.nf, n2.nf)) AS BIGINT) AS ov_e6
+        |FROM cand JOIN nf n1 ON n1.doc_id = doc1 JOIN nf n2 ON n2.doc_id = doc2
+        |WHERE n_shared >= 2
+        |ORDER BY doc1, doc2""".stripMargin),
+    // the capped twin: identical chain with the posting lists df-filtered
+    // before the self-join (per-doc nf stays uncapped — the cap prunes
+    // candidate generation, not the overlap denominators)
+    "llm_dedup_winnow_capped" ->
+      (s"WITH ${TextAnalysis.winnowSqlCtes},\n" +
+      s"""fpall AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+        |fp AS (SELECT doc_id, fp FROM fpall
+        |       WHERE fp IN (SELECT fp FROM fpall GROUP BY fp
+        |                    HAVING count(*) <= $WinnowDfCap)),
         |nf AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM sel),
         |cand AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, count(*) AS n_shared
         |         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id

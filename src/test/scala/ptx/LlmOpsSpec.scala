@@ -1030,4 +1030,52 @@ class LlmOpsSpec extends AnyFunSuite {
     }
     ptx.Caching.releaseAll()
   }
+
+  test("llm_dedup_winnow_capped: equals the anchor under the cap; excludes only hot-fp overlap (r17)") {
+    import spark.implicits._
+    // the fixture's max fingerprint df is far under WinnowDfCap=64, so
+    // the capped twin must equal the exact anchor ROW FOR ROW there
+    val exact = q("llm_dedup_winnow").collect().map(_.toSeq).toSeq
+    val capped = q("llm_dedup_winnow_capped").collect().map(_.toSeq).toSeq
+    assert(capped == exact,
+      "capped twin must equal the anchor when no fingerprint exceeds the cap")
+    ptx.Caching.releaseAll()
+    // synthetic hot-fp corpus: a boilerplate 12-word run shared by ALL
+    // six docs (df = 6) plus one rare run shared by docs 1-2 only
+    // (df = 2); at maxDf = 3 the boilerplate postings are excluded.
+    // 12 words = 7 gram windows ⇒ ≥ 2 distinct winnowed fingerprints
+    // (one window-min covers at most w = 4 consecutive windows), so
+    // both runs clear the query's n_shared ≥ 2 filter on their own
+    val boiler = "omega psi chi phi upsilon tau om2 ps2 ch2 ph2 up2 ta2"
+    val rare = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    val docs = Seq(
+      (1L, "s", s"one two three $rare four $boiler"),
+      (2L, "s", s"seven eight nine $rare ten $boiler"),
+      (3L, "s", s"aa bb cc dd ee $boiler"),
+      (4L, "s", s"ff gg hh ii jj $boiler"),
+      (5L, "s", s"kk ll mm nn oo $boiler"),
+      (6L, "s", s"pp qq rr ss tt $boiler")).toDF("doc_id", "source", "text")
+    val w = ops.TextAnalysis.winnowedFingerprints(docs)
+    def pairs(maxDf: Int): Map[(Long, Long), (Long, Long)] =
+      ops.LlmScale.winnowCandidates(w, maxDf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val full = pairs(0)
+    val cut = pairs(3)
+    ptx.Caching.releaseAll()
+    // exact sees the boilerplate pair space (all 15 pairs share the run)
+    assert(full.keySet.size == 15, s"boilerplate should link all pairs, got ${full.keySet}")
+    // capped: ONLY the rare-run pair survives — boilerplate-only overlap
+    // is the documented exclusion, and candidates are bounded
+    assert(cut.keySet == Set((1L, 2L)),
+      s"capped candidates must keep exactly the rare-run pair, got ${cut.keySet}")
+    // the recalled pair's overlap denominator (nf) is UNCAPPED: its
+    // ov_e6 is computed against the full fingerprint sets, so the
+    // shared count may only DROP vs exact, never the denominator
+    assert(cut((1L, 2L))._1 <= full((1L, 2L))._1,
+      "capped n_shared may only drop vs exact")
+    // guarantee modulo the cap: any pair sharing >= 2 sub-cap
+    // fingerprints is recalled — docs 1-2 share the >= 6-word rare run
+    // (>= 2 window fingerprints at these lengths)
+    assert(cut((1L, 2L))._1 >= 2)
+  }
 }

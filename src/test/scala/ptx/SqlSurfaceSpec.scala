@@ -67,6 +67,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
       "llm_embed_threshold_curve" -> (listFns + " + [..] list literal"),
       "llm_embed_threshold_curve_sem" -> (listFns + " + [..] list literal"),
       "llm_dedup_winnow" -> (listFns + " + // integer division"),
+      "llm_dedup_winnow_capped" -> (listFns + " + // integer division"),
       "dq_embedding_outliers" -> "ORDER BY inside list() + list_dot_product",
       "llm_zipf_fit" -> "HUGEINT type (Spark: DECIMAL(38,0)) + string_split",
       "dq_drift_ks" -> "HUGEINT type (Spark: DECIMAL(38,0))",
