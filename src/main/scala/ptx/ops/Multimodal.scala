@@ -6,12 +6,15 @@ import ptx.{QFn, Tables}
 /** Multimodal-column operators (builder prompt): media payloads as opaque
   * binary columns with typed metadata, plus a decode/feature-extract stage.
   *
-  * The binding tables carry no real media, so the payload is the utf-8 bytes
-  * of `text` (a deterministic stand-in) and the decoder in
-  * `ptx.functions.MediaDecode` is a STUB — but the Spark-side plumbing is
-  * real: binary column + metadata schema, partition-wise batch decode via
-  * mapPartitions over a typed Dataset, and a downstream relational agg over
-  * extracted features.
+  * The binding tables carry no real media, so the payloads are IMAGES
+  * BUILT FROM the corpus bytes — `ptx.functions.MediaDecode.toBmp` wraps
+  * each doc's utf-8 bytes as a real 24 bpp Windows BMP, and since r17 the
+  * decoder is a REAL pure-JVM BMP parser (little-endian header fields,
+  * 4-byte row alignment, bottom-up rows, loud failure on unsupported
+  * flavors) extracting pixel statistics — not a stand-in hash. The
+  * Spark-side plumbing is the production shape: binary column + metadata
+  * schema, partition-wise batch decode via mapPartitions over a typed
+  * Dataset, and a downstream relational agg over extracted features.
   *
   * Scale notes (100 TB): payload bytes never pass through a shuffle — decode
   * runs in the scan stage (mapPartitions before any wide op) and only the
@@ -137,9 +140,14 @@ object Multimodal {
         .withColumn("is_canonical", col("doc_id") === col("keep_id"))
         .orderBy(col("doc_id"))
     }),
-    // ◌ partition-wise decode + feature extraction (stubbed decoder),
-    // then a relational agg over the features — no oracle (imperative
-    // mapPartitions path); covered by MultimodalSpec.
+    // ◌ partition-wise decode + feature extraction: each payload is a
+    // REAL 24 bpp BMP (toBmp wraps the doc bytes; r17 — decoder upgraded
+    // from stub to an actual BMP parser), decoded to pixel statistics
+    // [w, h, mean B/G/R, mean/stddev luma, bright fraction], then a
+    // relational agg over the features — no oracle (imperative
+    // mapPartitions path); MultimodalSpec pins hand-computed feature
+    // vectors on known pixel buffers, the encode/decode round trip,
+    // padding/row-order handling, and loud rejection of malformed files.
     "mm_decode_features" -> ((s, d) => {
       import s.implicits._
       val bin = Tables.documents(s, d)
