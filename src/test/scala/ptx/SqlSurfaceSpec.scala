@@ -77,26 +77,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
         "in Spark (join-key only, but generate_series/unnest don't parse)"),
       "agg_topk_sketch" -> listFns,
       "agg_topk_union" -> listFns, "mm_frame_sample" -> listFns,
-      // DuckDB-only functions
-      "agg_percentile" -> "quantile_cont (Spark: percentile)",
-      "fn_bitwise" -> "xor() function (Spark: ^ operator)",
-      "fn_date" -> "epoch() (Spark: unix_timestamp)",
-      "fn_regex" -> "regexp_matches (Spark: rlike)",
-      "fn_hash" -> "sha256() (Spark: sha2(x, 256))",
-      "mm_binary_meta" -> "1-arg encode() (Spark encode needs charset)",
-      "mm_modality_mix" -> "1-arg encode() (Spark encode needs charset)",
-      "mm_dedup_payload" -> "1-arg encode() (Spark encode needs charset)",
-      "mm_payload_entropy" -> "1-arg encode() + hex-pair byte explode",
+      // DuckDB-only functions NOT covered by a meaning-preserving shim
+      // (r17 moved quantile_cont/sha256/1-arg encode/regexp_matches/
+      // epoch/VARCHAR-cast onto the shim layer below)
+      "fn_bitwise" -> "xor() function (Spark: ^ operator; arg-aware rewrite, not textual)",
+      "mm_payload_entropy" -> "hex-pair byte explode over generate_series",
       // DuckDB-only syntax
       "agg_collect_sorted" -> "ORDER BY inside array_agg",
       "agg_string_concat" -> "ORDER BY inside string_agg",
       "llm_ann_ivf" -> "ORDER BY inside array_agg",
-      "llm_hybrid_rrf" -> "select-alias reference in same SELECT list",
-      "llm_token_budget" -> "select-alias reference in same SELECT list",
       "fn_array" -> "list slicing arr[a:b]",
       "fn_array_ops" -> "list slicing arr[a:b]",
-      "fn_string" -> "CAST(x AS VARCHAR) without length",
-      "fn_try_arith" -> "CAST(x AS VARCHAR) without length",
+      "llm_hybrid_rrf" -> "QUALIFY clause (no Spark equivalent) + list fns",
+      "llm_token_budget" -> "QUALIFY clause (no Spark equivalent)",
+      "fn_string" -> "string_split(...)[i] 1-based list index (Spark split()[i-1])",
       // parses in BOTH engines but means something different — the trap
       // this suite exists to catch and document
       "llm_centroid" -> ("embedding[i] is 1-based in DuckDB, 0-based in " +
@@ -134,15 +128,38 @@ class SqlSurfaceSpec extends AnyFunSuite {
     QueryRegistry.oracleSql.toSeq.sortBy(_._1).foreach { case (name, sql) =>
       if (!skips.contains(name) && !eventsBased.contains(name)) {
         try {
-          // dialect shim: DuckDB spells integer division `//`, Spark `div`.
-          // Both truncate toward zero on integer operands (verified — the
-          // half-up identities depend on it), so the rewrite is
-          // meaning-preserving and keeps the r7 fixed-point oracles on
-          // this surface instead of growing the skip list. Only operator
-          // position (whitespace/paren-delimited) is rewritten so a future
-          // '//' inside a string literal (URL, regex) survives untouched.
-          val viaSql = shape(spark.sql(
-            sql.replaceAll("""(?<=[\s)])//(?=[\s(])""", " div ")))
+          // dialect shims, each MEANING-PRESERVING by construction:
+          //  - `//` → `div` (both truncate toward zero on integers —
+          //    verified, the half-up identities depend on it); operator
+          //    position only, so '//' inside a string literal survives;
+          //  - quantile_cont → percentile (both linear-interpolation
+          //    continuous quantiles);
+          //  - sha256(ident) → sha2(ident, 256) (same digest; simple
+          //    identifier args only, so nested parens never mis-slice);
+          //  - 1-arg encode(ident) → encode(ident, 'UTF-8') (DuckDB's
+          //    default charset IS utf-8);
+          //  - regexp_matches → regexp_like (both partial-match);
+          //  - epoch → unix_timestamp (equal under the session's pinned
+          //    UTC — DuckDB epoch() treats the naive value as UTC);
+          //  - CAST(… AS VARCHAR) → AS STRING (DuckDB VARCHAR is
+          //    unbounded; Spark's needs a length);
+          //  - every `\` doubled: DuckDB single-quoted literals never
+          //    process backslash escapes (a '\d' regex is two chars),
+          //    while Spark's parser eats one level — and backslashes
+          //    only occur inside string literals in this SQL dialect,
+          //    so doubling is exact, not heuristic.
+          // Each keeps an oracle on this surface instead of growing the
+          // skip list (r7 `//`; the rest r17, VERDICT r16 #7).
+          val shimmed = sql
+            .replace("\\", "\\\\")
+            .replaceAll("""(?<=[\s)])//(?=[\s(])""", " div ")
+            .replaceAll("""\bquantile_cont\(""", "percentile(")
+            .replaceAll("""\bsha256\((\w+)\)""", "sha2($1, 256)")
+            .replaceAll("""\bencode\((\w+)\)""", "encode($1, 'UTF-8')")
+            .replaceAll("""\bregexp_matches\(""", "regexp_like(")
+            .replaceAll("""\bepoch\(""", "unix_timestamp(")
+            .replaceAll("""(?i)AS VARCHAR\)""", "AS STRING)")
+          val viaSql = shape(spark.sql(shimmed))
           val viaDf = shape(QueryRegistry.all(name)(spark, SF))
           ptx.Caching.releaseAll()
           if (viaSql == viaDf) matched += 1
@@ -160,9 +177,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(failures.isEmpty,
       s"non-excluded oracles must run in Spark and match:\n  ${failures.mkString("\n  ")}")
-    // teeth: the surface must stay wide — most of the oracle map is ANSI.
-    // (r6 measurement: 140 oracles − ~19 events-based − 40 skips ≈ 81.)
-    assert(matched >= 60, s"only $matched oracle SQLs matched; expected >= 60")
+    // teeth, lockstep-guarded (r17, VERDICT r16 #7): the floor IS the
+    // measured current coverage — of the 218 oracles, everything outside
+    // the auto-detected events set and the reasoned skip list = 95
+    // matched. A new oracle whose SQL is Spark-parseable joins
+    // automatically (non-skipped = must match); shrinking below the
+    // floor means either a skip grew without its reason or a shim
+    // regressed — both are failures, not drift.
+    assert(matched >= 95, s"only $matched oracle SQLs matched; expected >= 95 (r17 floor)")
     info(s"$matched oracle SQLs ran identically through spark.sql")
   }
 }
