@@ -153,7 +153,7 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("media decode stub: deterministic, fixed dim, distribution sums to 1") {
+  test("media decode kernel: deterministic, fixed dim, pixel-stat ranges (real BMP codec, r17)") {
     val rnd = new scala.util.Random(7)
     (1 to 100).foreach { _ =>
       val bytes = Array.fill(1 + rnd.nextInt(400))(rnd.nextInt().toByte)
@@ -161,9 +161,18 @@ class LlmOpsSpec extends AnyFunSuite {
       val f2 = MediaDecode.features(bytes)
       assert(f1.toSeq == f2.toSeq)
       assert(f1.length == MediaDecode.FeatureDim)
-      assert(math.abs(f1.sum - 1.0) < 1e-9)
+      // [w, h, mean B/G/R, mean luma, stddev luma, bright fraction]:
+      // the image holds every raw byte (w·h pixels ≥ ceil(len/3)) and
+      // every statistic sits in its physical range
+      val pixels = f1(0) * f1(1)
+      assert(pixels >= (bytes.length + 2) / 3, s"image too small for payload: $pixels")
+      assert((2 to 5).forall(i => f1(i) >= 0.0 && f1(i) <= 255.0))
+      assert(f1(6) >= 0.0 && f1(6) <= 127.5 + 1e-9) // max stddev of a [0,255] variable
+      assert(f1(7) >= 0.0 && f1(7) <= 1.0)
     }
-    assert(MediaDecode.features(Array.empty).toSeq == Seq.fill(8)(0.0))
+    // empty payload wraps as a 1×1 black image
+    assert(MediaDecode.features(Array.empty).toSeq ==
+      Seq(1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0))
   }
 
   test("llm_dedup_cluster_lsh refines the exact clusters (r4)") {
