@@ -1134,6 +1134,13 @@ class StreamingSpec extends AnyFunSuite {
     val kAfter = ptx.sources.VectorIndex.read(spark, s"$dir/centroids").count()
     assert(kAfter == ptx.sources.VectorIndex.adaptiveK(admitted.size, 16),
       s"recenter did not re-shard to the admitted-corpus k: $kAfter")
+    // r17 witness lifecycle: a COMPLETED reshard leaves no commit marker
+    // and no .next/.old strands — the crash-repair cases in GuardrailSpec
+    // only ever see these mid-flight
+    val strands = Seq("reshard.commit", "cells.next", "cells.old",
+      "centroids.next", "centroids.old")
+      .filter(n => new java.io.File(s"$dir/$n").exists())
+    assert(strands.isEmpty, s"completed reshard left strands: $strands")
     // determinism: persisted build equals an offline adaptive rebuild
     ptx.functions.VectorOps.register(spark)
     val (cent2, asg2) = ptx.sources.VectorIndex.kmeansAdaptive(
