@@ -172,6 +172,41 @@ class IoSpec extends AnyFunSuite {
     assert(served == inlineDoc, "ensure-served doc grain diverged from inline")
   }
 
+  test("BpeModel.ensure re-keys on a corpus change instead of serving stale merges (r17)") {
+    import spark.implicits._
+    // the cache key is a fingerprint of the documents.parquet LISTING —
+    // the fixture dirs are regenerated across driver rounds under the
+    // SAME path, so keying on the path alone would silently serve last
+    // round's tokenizer
+    val dataDir = tmp("ptx-bpe-stale")
+    def writeCorpus(rows: Seq[(Long, String)]): Unit =
+      spark.createDataFrame(rows).toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length(col("text")).cast("long"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$dataDir/documents.parquet")
+    writeCorpus(Seq((1L, "aa ab aa ab aa"), (2L, "aa ab cd cd")))
+    val d1 = ptx.sources.BpeModel.ensure(spark, dataDir, k = 4)
+    val m1 = ptx.sources.BpeModel.readMerges(spark, d1).collect().map(_.toSeq).toSeq
+    assert(m1.nonEmpty)
+    // same corpus bytes → same artifact dir, no rebuild signal needed
+    assert(ptx.sources.BpeModel.ensure(spark, dataDir, k = 4) == d1)
+    // a DIFFERENT k is a different tokenizer → different artifact
+    assert(ptx.sources.BpeModel.ensure(spark, dataDir, k = 2) != d1)
+    // regenerate the corpus UNDER THE SAME PATH → new key, fresh train
+    writeCorpus(Seq((1L, "xx xy xx xy"), (2L, "xx xy zz zz zz")))
+    val d2 = ptx.sources.BpeModel.ensure(spark, dataDir, k = 4)
+    assert(d2 != d1, "regenerated corpus must re-key the artifact")
+    val m2 = ptx.sources.BpeModel.readMerges(spark, d2).collect().map(_.toSeq).toSeq
+    assert(m2 != m1, "regenerated corpus served the stale merge table")
+    // and the fresh artifact equals a direct build over the new corpus
+    val direct = ptx.functions.BpeLearn
+      .learn(Tables.documents(spark, dataDir), 4).collect().map(_.toSeq).toSeq
+    assert(m2 == direct)
+  }
+
   test("persisted dedup index: incremental shard probes equal the inline full recompute (r11)") {
     val dir = tmp("ptx-dedupidx")
     val docs = Tables.documents(spark, TestSpark.SF)
