@@ -90,7 +90,16 @@ object MediaDecode {
       s"unsupported BMP flavor (bpp=$bpp compression=$compression)")
     val h = math.abs(hRaw)
     require(w > 0 && h > 0, s"degenerate BMP dimensions ${w}x$hRaw")
-    require(bmp.length >= offset + stride(w) * h,
+    // the pixel array must start past the headers — an offset pointing
+    // INTO them would silently read header bytes as pixels (the
+    // plausible-but-wrong failure this parser exists to refuse); and the
+    // truncation check runs in Long so a crafted w×h cannot overflow it
+    // into an ArrayIndexOutOfBoundsException downstream (ADVICE r17)
+    require(offset >= HeaderSize && offset <= bmp.length,
+      s"BMP pixel-array offset $offset inside the $HeaderSize-byte headers")
+    // stride computed in Long as well: w near Int.MaxValue overflows the
+    // Int form (w*3), which would launder the crafted size past the check
+    require(bmp.length.toLong >= offset.toLong + (w.toLong * 3 + 3) / 4 * 4 * h,
       s"truncated BMP: ${bmp.length} bytes for ${w}x$h at offset $offset")
     var sb = 0.0; var sg = 0.0; var sr = 0.0
     var sy = 0.0; var syy = 0.0; var bright = 0L

@@ -216,9 +216,13 @@ object LlmScale {
       expr(s"IF(cosine_sim(embedding, $planeLit) > 0, ${1 << i}, 0)")
     }.reduce(_ + _)
     // hash ONCE per vector: the per-table bucket codes (the signature);
-    // table buckets explode off it, the cap's Hamming rank reads it
-    val sigged = e.select(col("vec_id"),
-      array((0 until L).map(bucketExpr): _*).as("sig"))
+    // table buckets explode off it, the cap's Hamming rank reads it —
+    // PINNED (ADVICE r17): the frame is referenced up to four times
+    // (probeIds, candIds, and the cap's two sig joins), and without the
+    // pin the L×bits cosine_sim projection re-runs per branch unless
+    // exchange reuse happens to fire; released by the caller's harness
+    val sigged = ptx.Caching.pin(e.select(col("vec_id"),
+      array((0 until L).map(bucketExpr): _*).as("sig")))
     def withBuckets(df: DataFrame) = df
       .select(col("vec_id"), posexplode(col("sig")).as(Seq("tbl", "bucket")))
     // pair generation at ID grain: the (tbl, bucket) join carries 8-byte

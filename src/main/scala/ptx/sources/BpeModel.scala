@@ -137,14 +137,23 @@ object BpeModel {
         new java.io.File(s"$dir/merges/_SUCCESS").exists() &&
           new java.io.File(s"$dir/types/_SUCCESS").exists()
       if (!complete(target)) {
-        deleteRec(new java.io.File(target)) // a crashed build's partial
         val staging = s"$target.build-${java.lang.ProcessHandle.current().pid()}"
         write(ptx.Tables.documents(spark, dataDir), staging, k)
-        // atomic publish; a lost race falls back to the winner's
-        // artifact — same corpus key, same bytes
-        if (!new java.io.File(staging).renameTo(new java.io.File(target))) {
-          require(complete(target), s"BPE artifact publish failed for $target")
-          deleteRec(new java.io.File(staging))
+        // re-check immediately before touching target (ADVICE r17 TOCTOU):
+        // another process may have published a COMPLETE artifact while we
+        // trained — deleting it here would fail a third process mid-read
+        // for nothing (same key ⇒ same bytes, so theirs serves fine).
+        // A residual window remains between this check and the delete;
+        // it can only cost a transient re-read, never staleness.
+        if (complete(target)) deleteRec(new java.io.File(staging))
+        else {
+          deleteRec(new java.io.File(target)) // a crashed build's partial
+          // atomic publish; a lost race falls back to the winner's
+          // artifact — same corpus key, same bytes
+          if (!new java.io.File(staging).renameTo(new java.io.File(target))) {
+            require(complete(target), s"BPE artifact publish failed for $target")
+            deleteRec(new java.io.File(staging))
+          }
         }
       }
       target
@@ -170,24 +179,85 @@ object BpeModel {
 
   /** Train on `docs` and publish as version `version` under `modelDir`.
     * Idempotent per version: a retried micro-batch overwrites its OWN
-    * `v=<id>` dir and re-points LATEST to the same place. */
+    * `v=<id>` dir and re-points LATEST to the same place.
+    *
+    * The marker is written to a process-private temp name and RENAMED
+    * over LATEST (r18, ADVICE r17: the previous in-place
+    * create(overwrite) had a window between create and close where a
+    * reader saw an empty/partial marker and failed the corrupt-LATEST
+    * require — loud but avoidable; the rename-based swap is the
+    * VectorIndex protocol this comment always cited). CONCURRENT
+    * publishers are last-writer-wins by design: each writes its own
+    * complete `v=<id>` dir first, so whichever rename lands last wins,
+    * and a reader racing the re-point can at worst resolve the LOSER'S
+    * version — stale by one refresh but complete and self-consistent
+    * (both halves of one training run), which is the same guarantee a
+    * reader holds between any two refreshes. */
   def publish(docs: DataFrame, modelDir: String, version: Long,
               k: Int = 8): String = {
     val vdir = s"$modelDir/v=$version"
     write(docs, vdir, k)
-    val p = new org.apache.hadoop.fs.Path(s"$modelDir/LATEST")
-    val fs = p.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    val (fc, p) = markerFc(conf, modelDir)
+    // tmp name unique per ATTEMPT, not per process: two publishers in one
+    // JVM (racing refresh threads) would otherwise share a pid-keyed tmp
+    // and clobber each other's half-written marker
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$modelDir/LATEST.tmp-${java.util.UUID.randomUUID()}")
+    val out = fc.create(tmp,
+      java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+        org.apache.hadoop.fs.CreateFlag.OVERWRITE))
     try out.write(s"v=$version".getBytes("UTF-8")) finally out.close()
+    // Atomic marker replacement, per scheme: plain FileSystem.rename
+    // refuses an existing dst, and the FileSystem layer's local checksum
+    // sidecars (.LATEST.crc) would desync on any rename — so markers go
+    // through the raw view. On HDFS, FileContext.rename(OVERWRITE) is
+    // one atomic namenode op; on local FS that same call is
+    // delete-then-rename (a transient missing-marker window the test's
+    // reader loop actually hit), so `file:` takes NIO's ATOMIC_MOVE —
+    // a true POSIX rename(2) over the existing marker either way.
+    if (Option(p.toUri.getScheme).forall(_ == "file"))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(p.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    else fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     vdir
   }
 
+  /** The marker path and its raw-FS FileContext — ALL marker I/O goes
+    * through FileContext so writes, the rename swap, and reads agree on
+    * one (checksum-sidecar-free) view of the file. */
+  private def markerFc(conf: org.apache.hadoop.conf.Configuration,
+                       modelDir: String)
+      : (org.apache.hadoop.fs.FileContext, org.apache.hadoop.fs.Path) = {
+    val raw = new org.apache.hadoop.fs.Path(s"$modelDir/LATEST")
+    val p = raw.getFileSystem(conf).makeQualified(raw)
+    (org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf), p)
+  }
+
+  /** [[latest]] with the cold-start case made explicit (r18, VERDICT r17
+    * #7): `None` until the first [[publish]] completes — the documented
+    * fallback hook for consumers that can degrade (skip the encode, use
+    * a default tokenizer, run the batch rebuild) instead of throwing
+    * before the first refresh has ever run. */
+  def latestOpt(spark: SparkSession, modelDir: String): Option[String] = {
+    val (fc, p) = markerFc(spark.sparkContext.hadoopConfiguration, modelDir)
+    if (!fc.util.exists(p)) None else Some(latest(spark, modelDir))
+  }
+
   /** Resolve the live version dir under `modelDir` (the LATEST marker's
-    * target) — what every consumer reads between refreshes. */
+    * target) — what every consumer reads between refreshes. Throws if no
+    * version was ever published ([[latestOpt]] is the probe-first form);
+    * because [[publish]] renames a complete marker into place, a marker
+    * that EXISTS always names a fully-written version. */
   def latest(spark: SparkSession, modelDir: String): String = {
-    val p = new org.apache.hadoop.fs.Path(s"$modelDir/LATEST")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
+    val (fc, p) = markerFc(spark.sparkContext.hadoopConfiguration, modelDir)
+    require(fc.util.exists(p),
+      s"no tokenizer published under $modelDir yet (LATEST missing) — " +
+        "run the first refresh or use latestOpt for a cold-start fallback")
+    val in = fc.open(p)
     val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
     finally in.close()
     require(v.matches("v=\\d+"), s"corrupt LATEST marker under $modelDir: '$v'")

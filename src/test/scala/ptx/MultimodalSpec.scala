@@ -81,6 +81,22 @@ class MultimodalSpec extends AnyFunSuite {
     java.nio.ByteBuffer.wrap(pal).order(java.nio.ByteOrder.LITTLE_ENDIAN).putShort(28, 8)
     assert(intercept[IllegalArgumentException](MediaDecode.decodeFeatures(pal))
       .getMessage.contains("unsupported"))
+    // pixel-array offset pointing INTO the headers (r18, ADVICE r17):
+    // without the guard the walk would silently read header bytes as
+    // pixels — plausible-but-wrong features, the exact failure the
+    // parser's loud-rejection contract exists to prevent
+    val into = handBmp(Seq(Seq((1, 2, 3))))
+    java.nio.ByteBuffer.wrap(into).order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(10, 12)
+    assert(intercept[IllegalArgumentException](MediaDecode.decodeFeatures(into))
+      .getMessage.contains("offset"))
+    // crafted w×h whose Int stride·h product overflows into a small
+    // positive number: must fail the (Long) truncation check, not walk
+    // out of bounds with an ArrayIndexOutOfBoundsException
+    val huge = handBmp(Seq(Seq((1, 2, 3))))
+    java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(18, 1 << 20).putInt(22, 1 << 12)
+    assert(intercept[IllegalArgumentException](MediaDecode.decodeFeatures(huge))
+      .getMessage.contains("truncated"))
   }
 
   test("toBmp round trip: encoded corpus bytes decode to the raw bytes' channel means (r17)") {

