@@ -1,7 +1,7 @@
 package ptx.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{DataType, DoubleType}
@@ -146,6 +146,97 @@ object NearestCell {
   }
 }
 
+/** The multi-table sign-LSH signature `lsh_sig(embedding, L, bits)` —
+  * `array<int>` of length L, table t's code packing bit b := 1 iff
+  * `cosine_sim(embedding, plane(t,b)) > 0` over the seed-7 random planes.
+  *
+  * This is the r18 OPTIMIZATION form of the expression forest the LSH tier
+  * built inline: L×bits separate `IF(cosine_sim(embedding, <64-float array
+  * literal>) > 0, 1<<b, 0)` expressions summed per table. That forest made
+  * CATALYST the bottleneck, not the data — at L=16×6 the analyzer/optimizer
+  * walked 96 subtrees each dragging a 64-element literal array, measured
+  * 1.76 s of driver-side plan compilation PER INVOCATION of `llm_ann_lsh`
+  * at sf0.1 (vs 0.75 s of total executor task time; guide §1.1 —
+  * first-principles says signing 2k×96 planes is microseconds of FLOPs).
+  * One expression with the planes held as a memoized constant collapses
+  * plan size and evaluates all L codes in a single fused loop per row
+  * (one `toFloatArray` instead of 96).
+  *
+  * BIT-IDENTITY with the old forest (pinned by LlmOpsSpec): the planes are
+  * the same seed-7 `nextFloat()*2f-1f` stream in the same tabulation order
+  * (the old path rendered each float through `toString` → SQL `CAST(s AS
+  * FLOAT)`, which round-trips every Float exactly, so literal == memoized
+  * value), and the sign test `cosine_sim > 0` reduces to `dot > 0`:
+  * norms are positive (random planes are never the zero vector), a
+  * zero-norm embedding yields cosine NaN and dot 0 — both fail `> 0` — and
+  * sign(dot/(√na·√nb)) = sign(dot) otherwise. The norm accumulators the
+  * cosine fold paid per plane are skipped entirely (3× fewer FLOPs).
+  */
+case class LshSig(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+  require(tables >= 1 && bits >= 1 && bits <= 30,
+    s"lsh_sig: need 1 <= tables and 1 <= bits <= 30, got L=$tables bits=$bits")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "lsh_sig"
+
+  override def nullSafeEval(e: Any): Any =
+    LshSig.sig(e.asInstanceOf[ArrayData], tables, bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, e => {
+      val cls = LshSig.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"${ev.value} = $cls.sig($e, $tables, $bits);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object LshSig {
+  // one plane table per (L, bits) ever used in a JVM (the serving default
+  // plus sweep configurations) — tiny (L×bits×64 floats) and immutable
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Float]]]()
+
+  /** Seed-7 hyperplanes, row-major (table-then-bit) — the exact draw order
+    * of the old `Seq.tabulate(L, bits)(... Array.fill(64)(rnd.nextFloat()
+    * * 2f - 1f))`. */
+  private[ptx] def planes(tables: Int, bits: Int): Array[Array[Float]] =
+    planeCache.computeIfAbsent((tables, bits), { case (l, b) =>
+      val rnd = new scala.util.Random(7)
+      Array.fill(l * b)(Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    })
+
+  /** Shared interpreted/codegen body: all L bucket codes in one pass over
+    * the embedding. Dimension mismatch fails loudly, like [[CosineSim]]. */
+  def sig(e: ArrayData, tables: Int, bits: Int): ArrayData = {
+    val a = e.toFloatArray()
+    val ps = planes(tables, bits)
+    val n = a.length
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var code = 0
+      var b = 0
+      while (b < bits) {
+        val p = ps(t * bits + b)
+        require(p.length == n,
+          s"lsh_sig: vector length mismatch ($n vs ${p.length})")
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += a(i).toDouble * p(i).toDouble; i += 1 }
+        if (dot > 0) code |= (1 << b)
+        b += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object VectorOps {
   /** Shared builders — also used by the [[ptx.PtxExtensions]] injection. */
   private[ptx] def buildCosine(exprs: Seq[Expression]): Expression = {
@@ -163,6 +254,17 @@ object VectorOps {
       s"nearest_cell requires exactly 2 arguments, got ${exprs.length}")
     NearestCell(exprs(0), exprs(1))
   }
+  private[ptx] def buildLshSig(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"lsh_sig requires exactly 3 arguments (vec, tables, bits), got ${exprs.length}")
+    def intLit(e: Expression, what: String): Int = e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+      case org.apache.spark.sql.catalyst.expressions.Literal(null, _) => 1 // registration probe
+      case other => throw new IllegalArgumentException(
+        s"lsh_sig $what must be an integer literal, got $other")
+    }
+    LshSig(exprs(0), intLit(exprs(1), "tables"), intLit(exprs(2), "bits"))
+  }
 
   /** Makes the vector kernels usable from `expr(...)` / `spark.sql(...)`
     * in this session. Guarded like TextGrams.register (ADVICE r10): no-op
@@ -172,5 +274,6 @@ object VectorOps {
     Registration.ensure(spark, "cosine_sim", 2, buildCosine)
     Registration.ensure(spark, "sorted_intersect_count", 2, buildSortedIntersect)
     Registration.ensure(spark, "nearest_cell", 2, buildNearestCell)
+    Registration.ensure(spark, "lsh_sig", 3, buildLshSig)
   }
 }

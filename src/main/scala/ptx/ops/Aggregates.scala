@@ -3,6 +3,7 @@ package ptx.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G4 — aggregation surface (SURVEY.md §2 G4).
   *
@@ -50,13 +51,13 @@ object Aggregates {
           expr("(2 * sum(cast(round(l_discount * 100) as decimal(38,0))) * 10000" +
             " + count(1)) div (2 * count(1))").as("avg_disc_e6"),
           count(lit(1)).as("count_order"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
+        .reportSort(col("l_returnflag"), col("l_linestatus"))
     }),
     "agg_count_distinct" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_users"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     "agg_conditional" -> ((s, d) => {
       val c = Tables.customer(s, d); val n = Tables.nation(s, d)
@@ -74,7 +75,7 @@ object Aggregates {
             |        + count(CASE WHEN c_acctbal < 0 THEN 1 END))
             |       div (2 * count(CASE WHEN c_acctbal < 0 THEN 1 END)))
             | END""".stripMargin).as("avg_neg_e6"))
-        .orderBy(col("n_name"))
+        .reportSort(col("n_name"))
     }),
     // ✓ boolean aggregates (r6): bool_and / bool_or per group — the SQL
     // EVERY/ANY surface (invariant checks, "did any row spike"). Both are
@@ -86,7 +87,7 @@ object Aggregates {
         .agg(bool_and(col("value") < 400.0).as("all_below"),
           bool_or(col("value") > 450.0).as("any_spike"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     "agg_having" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -101,13 +102,13 @@ object Aggregates {
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("bal"))
-        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+        .reportSort(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
     }),
     "agg_cube" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+        .reportSort(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "agg_grouping_sets" -> ((s, d) => {
       val v = s"ev_gs_${math.abs(d.hashCode)}" // per-dir name: no rebind race
@@ -130,7 +131,7 @@ object Aggregates {
           round(var_samp(col("l_quantity")), 6).as("var_qty"),
           round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
           round(covar_samp(col("l_extendedprice"), col("l_quantity")), 2).as("cov_pq"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     }),
     // ✓ linear-regression aggregates (r6): slope/intercept/R²/mean-x/
     // mean-y of extendedprice ~ quantity per returnflag — the one-pass
@@ -147,7 +148,7 @@ object Aggregates {
           round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
           round(expr("regr_avgx(l_extendedprice, l_quantity)"), 6).as("avg_x"),
           round(expr("regr_avgy(l_extendedprice, l_quantity)"), 6).as("avg_y"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     }),
     // ✓ ordered string aggregation (r6): the LISTAGG / string_agg shape.
     // Deterministic by construction — set → sort → join — because
@@ -160,15 +161,19 @@ object Aggregates {
           array_join(array_sort(collect_set(col("o_orderstatus"))), ",")
             .as("statuses"),
           count(lit(1)).as("n"))
-        .orderBy(col("o_orderpriority"))
+        .reportSort(col("o_orderpriority"))
     }),
+    // r18: the window formulation of the SAME exact percentiles (see
+    // ExactPercentiles — bit-identical interpolation, OperatorSpec-pinned;
+    // 1.9 s → the built-in buffered the whole column in one task's hash map)
     "agg_percentile" -> ((s, d) => {
-      Tables.orders(s, d)
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          round(expr("percentile(o_totalprice, 0.5)"), 6).as("median"),
-          round(expr("percentile(o_totalprice, 0.9)"), 6).as("p90"))
-        .orderBy(col("o_orderstatus"))
+      ExactPercentiles.groupPercentiles(
+          Tables.orders(s, d), Seq("o_orderstatus"), "o_totalprice",
+          Seq(0.5 -> "m_raw", 0.9 -> "p_raw"))
+        .select(col("o_orderstatus"),
+          round(col("m_raw"), 6).as("median"),
+          round(col("p_raw"), 6).as("p90"))
+        .reportSort(col("o_orderstatus"))
     }),
     // ✓ DISCRETE percentiles (r6): SQL-standard percentile_disc — the
     // smallest actual data value whose cumulative distribution ≥ p. The
@@ -187,14 +192,14 @@ object Aggregates {
             .as("p90_disc"),
           expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)")
             .as("p99_disc"))
-        .orderBy(col("o_orderstatus"))
+        .reportSort(col("o_orderstatus"))
     }),
     "agg_collect_sorted" -> ((s, d) => {
       val sup = Tables.supplier(s, d); val n = Tables.nation(s, d)
       sup.join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(array_join(sort_array(collect_list(col("s_name"))), ",").as("suppliers"))
-        .orderBy(col("n_name"))
+        .reportSort(col("n_name"))
     }),
     "agg_histogram" -> ((s, d) => {
       // fixed-width value histogram: arithmetic binning (width_bucket is
@@ -205,7 +210,7 @@ object Aggregates {
         .agg(count(lit(1)).as("n"),
           expr("(2 * sum(cast(round(value * 100) as decimal(38,0))) * 10000" +
             " + count(1)) div (2 * count(1))").as("bin_avg_e6"))
-        .orderBy(col("bin"))
+        .reportSort(col("bin"))
     }),
     // ◌ no oracle: sketch quantiles are engine-specific; unit-tested
     // against the exact percentile within the declared accuracy. This is
@@ -217,7 +222,7 @@ object Aggregates {
         .agg(
           expr("approx_percentile(o_totalprice, 0.5, 10000)").as("median_approx"),
           expr("approx_percentile(o_totalprice, 0.9, 10000)").as("p90_approx"))
-        .orderBy(col("o_orderstatus"))
+        .reportSort(col("o_orderstatus"))
     }),
     // ◌ no oracle: HLL sketch values are engine-specific; unit-tested vs
     // exact ±5% instead (SURVEY §2 G4).
@@ -225,7 +230,7 @@ object Aggregates {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ◌ no oracle: Datasketches HLL binary is engine-specific; unit-tested
     // vs exact ±5%. Unlike approx_count_distinct (whose sketch lives only
@@ -236,7 +241,7 @@ object Aggregates {
       Tables.events(s, d)
         .groupBy(col("event_type"))
         .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ◌ no oracle (same reason). The incremental-stats pattern at 100 TB:
     // per-day sketches (what a daily job would persist) merged by
@@ -264,7 +269,7 @@ object Aggregates {
         .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
         .groupBy(col("event_type"))
         .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ✓ mode with a deterministic tiebreak: the modal l_quantity per
     // returnflag, smallest value winning ties. Spark's built-in `mode()`
@@ -284,7 +289,7 @@ object Aggregates {
         .filter(col("rn") === 1)
         .select(col("l_returnflag"), col("l_quantity").as("mode_qty"),
           col("cnt").as("n"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     }),
     // ✓ skew-resistant two-phase aggregation: pre-aggregate on
     // (key, salt) so a pathologically hot key (event_type has only 5
@@ -310,7 +315,7 @@ object Aggregates {
         .withColumn("avg_value_e6",
           expr("(2 * cast(round(sum_value * 100) as decimal(38,0)) * 10000 + n)" +
             " div (2 * n)"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ✓ heavy hitters via the Frequent-Items sketch (approx_top_k): per-lang
     // words occurring ≥ 50×. The sketch is EXACT while the tracked-item
@@ -341,7 +346,7 @@ object Aggregates {
         .select(col("lang"), col("e.item").as("item"),
           col("e.count").cast("long").as("cnt"))
         .filter(col("cnt") >= 50)
-        .orderBy(col("lang"), col("cnt").desc, col("item"))
+        .reportSort(col("lang"), col("cnt").desc, col("item"))
     }),
     // ✓ the mergeable form of the same sketch — accumulate per source
     // (what a per-partition job would persist), combine, then estimate the
@@ -358,7 +363,7 @@ object Aggregates {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("item"), col("e.count").cast("long").as("cnt"))
         .filter(col("cnt") >= 200)
-        .orderBy(col("cnt").desc, col("item"))
+        .reportSort(col("cnt").desc, col("item"))
     }),
     // ✓ ROLLUP with GROUPING flags (r6) — the disambiguator agg_rollup
     // alone lacks: a NULL group value is indistinguishable from a
@@ -375,7 +380,7 @@ object Aggregates {
           count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
         .select(col("l_returnflag"), col("l_linestatus"),
           col("g_flag"), col("g_status"), col("n"), col("sum_qty"))
-        .orderBy(col("g_flag"), col("g_status"),
+        .reportSort(col("g_flag"), col("g_status"),
           col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     // ✓ weighted percentile (r6) — no Spark built-in (percentile() weights
@@ -405,7 +410,7 @@ object Aggregates {
         .groupBy(col("l_returnflag"))
         .agg(min(when(col("cw") * 10 >= col("tw") * 5, col("price"))).as("wp50"),
           min(when(col("cw") * 10 >= col("tw") * 9, col("price"))).as("wp90"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     })
   )
 

@@ -2,6 +2,7 @@ package ptx.ops
 
 import org.apache.spark.sql.functions._
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G17 — composite analytics: the classic TPC-H multi-operator shapes
   * (Q13/Q17/Q18/Q21/Q22) adapted to the binding columns (no partsupp,
@@ -35,7 +36,7 @@ object Composite {
         .agg(count(col("o_orderkey")).as("c_count")) // count(col) skips the null-matched rows
       perCust.groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
-        .orderBy(col("custdist").desc, col("c_count").desc)
+        .reportSort(col("custdist").desc, col("c_count").desc)
     }),
     // Q17 shape: revenue lost by only stocking small orders — lineitems of
     // STANDARD-type parts with quantity below 20% of that part's average.
@@ -126,7 +127,7 @@ object Composite {
       idle.groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("numcust"),
           round(sum(col("c_acctbal")), 2).as("totacctbal"))
-        .orderBy(col("c_nationkey"))
+        .reportSort(col("c_nationkey"))
     }),
     // Q14 shape: promo revenue share in ship-year 1997. The share divides
     // the two ROUNDED sums so both engines divide identical operands
@@ -166,7 +167,7 @@ object Composite {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
             .as("revenue"))
-        .orderBy(col("p_brand"))
+        .reportSort(col("p_brand"))
     }),
     // Q3 shape: shipping priority — top-10 unshipped-revenue orders for one
     // market segment at a cutoff date. The fact-fact join (lineitem⋈orders)
@@ -206,7 +207,7 @@ object Composite {
           "left_semi")
         .groupBy(col("o_orderpriority"))
         .agg(count(lit(1)).as("order_count"))
-        .orderBy(col("o_orderpriority"))
+        .reportSort(col("o_orderpriority"))
     }),
     // Q7 shape: volume shipping between two nations, by direction and ship
     // year. Suppliers/customers are pre-filtered to the two nations via
@@ -247,7 +248,7 @@ object Composite {
         .groupBy(col("speed"))
         .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
           sum(when(!hi, 1L).otherwise(0L)).as("low_line_count"))
-        .orderBy(col("speed"))
+        .reportSort(col("speed"))
     }),
     "q7_volume_shipping" -> ((s, d) => {
       val n = Tables.nation(s, d)
@@ -269,7 +270,7 @@ object Composite {
           year(col("l_shipdate")).as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
           .as("revenue"))
-        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .reportSort(col("supp_nation"), col("cust_nation"), col("l_year"))
     }),
     // Q8 shape: market share of one supplier nation (NATION_2) within one
     // region's (ASIA) customer orders for one part type, per order year.
@@ -321,7 +322,7 @@ object Composite {
           round(col("tot_e4") / 1e4, 2).as("total_rev"))
         .select(col("o_year"), col("nation_rev"), col("total_rev"),
           round(col("nation_rev") / col("total_rev"), 6).as("mkt_share"))
-        .orderBy(col("o_year"))
+        .reportSort(col("o_year"))
     }),
     // Q9 shape adapted (no partsupp.ps_supplycost): product-line profit per
     // supplier nation per year, with cost proxied as 10% of the part's
@@ -343,7 +344,7 @@ object Composite {
         .groupBy(col("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
           lit(0.1) * col("p_retailprice") * col("l_quantity")), 2).as("profit"))
-        .orderBy(col("nation"), col("o_year").desc)
+        .reportSort(col("nation"), col("o_year").desc)
     }),
     // Q11 shape adapted (no partsupp.ps_availqty·ps_supplycost: value =
     // shipped value observed in lineitem): value concentration of
@@ -462,7 +463,7 @@ object Composite {
         .join(broadcast(Tables.supplier(s, d)),
           col("l_suppkey") === col("s_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
-        .orderBy(col("s_suppkey"))
+        .reportSort(col("s_suppkey"))
     }),
     // Q2 shape adapted (no partsupp.ps_supplycost: cost = observed unit
     // price from shipments): the cheapest supplier per size-9 part — the

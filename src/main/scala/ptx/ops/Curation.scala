@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G16 — training-data curation operators (builder-prompt extension, round 3):
   * the selection/filtering steps a large-scale pretraining pipeline runs
@@ -137,7 +138,7 @@ object Curation {
         "CASE WHEN n_grams > 0 THEN " +
           "(2 * cast(n_contaminated as decimal(38,0)) * 1000000 + n_grams)" +
           " div (2 * n_grams) END"))
-      .orderBy(col("split"))
+      .reportSort(col("split"))
 
   /** Per-doc bigram repetition transform (the body of `llm_repetition`
     * without the total-order sort): stateless project/filter arithmetic,
@@ -268,7 +269,7 @@ object Curation {
         .select(col("src1"), col("src2"), col("n_shared"), col("n1"), col("n2"),
           expr("(2 * n_shared * 1000000 + (n1 + n2 - n_shared))" +
             " div (2 * (n1 + n2 - n_shared))").as("jaccard_e6"))
-        .orderBy(col("src1"), col("src2"))
+        .reportSort(col("src1"), col("src2"))
     }),
     // Deterministic 20% stratified sample per lang via a Knuth
     // multiplicative hash of doc_id — reproducible, engine-independent
@@ -280,7 +281,7 @@ object Curation {
         .agg(count(lit(1)).as("n_total"),
           count(when(col("bucket") < 20, 1)).as("n_sampled"))
         .withColumn("rate", col("n_sampled").cast("double") / col("n_total"))
-        .orderBy(col("lang"))
+        .reportSort(col("lang"))
     }),
     // Gopher-style repetition score: fraction of duplicated word bigrams
     // within each doc (high ratio = boilerplate/spam candidate). Raw double
@@ -395,7 +396,7 @@ object Curation {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), countDistinct(col("lang")).as("n_langs"),
           min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-        .orderBy(col("split"))
+        .reportSort(col("split"))
     }),
     // ✓ split-contamination audit (r11): the GPT-3-style decontamination
     // MEASUREMENT the split family lacked — llm_decontaminate flags train
@@ -508,7 +509,7 @@ object Curation {
         .groupBy(col("lang"))
         .agg(max(col("n_total")).as("n_total"),
           count(when(col("keep"), 1)).as("n_kept"))
-        .orderBy(col("lang"))
+        .reportSort(col("lang"))
     }),
     // Token-budget selection: greedily keep the longest docs (n_chars desc,
     // doc_id tiebreak) until the ~10k-token budget (chars/4 BPE estimate) is
@@ -700,7 +701,7 @@ object Curation {
             |  3, 'decontam', n3, t3,
             |  4, 'budget',   n4, t4) AS (stage_idx, stage, n_docs, n_tokens)"""
             .stripMargin))
-        .orderBy(col("stage_idx"))
+        .reportSort(col("stage_idx"))
     }),
     // ✓ PMI collocations (r6): top-50 word pairs by pointwise mutual
     // information, support ≥5 — phrase mining (the "new_york"-merging
@@ -732,7 +733,7 @@ object Curation {
         .select(col("w1"), col("w2"), col("c12"),
           round(log((col("c12").cast("double") * col("nb")) /
             (col("c1l").cast("double") * col("c1r"))), 6).as("pmi"))
-        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .reportSort(col("pmi").desc, col("w1"), col("w2"))
         .limit(50)
     }),
     // ✓ temperature-weighted language mix (r5): the multilingual-sampling
@@ -764,7 +765,7 @@ object Curation {
           // counts (pa_e6 ≤ 1e6 keeps weight_e6's product in BIGINT range)
           expr("(2 * cast(pa_e6 as decimal(38,0)) * n_total * 100 + z_e6)" +
             " div (2 * z_e6)").as("effective_docs_e2"))
-        .orderBy(col("lang"))
+        .reportSort(col("lang"))
     }),
     // ✓ mix-entropy report (r9): Shannon entropy of the TOKEN share across
     // sources plus its exponential — the "effective number of sources"
@@ -801,7 +802,7 @@ object Curation {
             " div (2 * total) END").as("share_e6"),
           col("contrib_e6"), col("entropy_e6"),
           round(exp(col("entropy_e6") / lit(1000000d)), 6).as("eff_sources"))
-        .orderBy(col("source"))
+        .reportSort(col("source"))
     }),
     // ✓ CCNet-style perplexity bucketing (r9): per-language head/middle/
     // tail split of the corpus by LM quality score — the CCNet recipe's
@@ -848,7 +849,7 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           min(col("score_e6")).as("min_score_e6"),
           max(col("score_e6")).as("max_score_e6"))
-        .orderBy(col("lang"), col("bucket"))
+        .reportSort(col("lang"), col("bucket"))
     }),
     // ✓ chunk-grain cross-doc dedup audit (r9): how much of each doc is
     // made of chunks (the llm_chunk_overlap 64/48 grid) that ALSO appear

@@ -2,6 +2,7 @@ package ptx.ops
 
 import org.apache.spark.sql.functions._
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G15 — subqueries, argmin/argmax aggregates, unpivot, sampling.
   *
@@ -94,7 +95,7 @@ object Extras {
 
   def psiAgainst(c: org.apache.spark.sql.DataFrame,
                  g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    psiAgainstUnsorted(c, g).orderBy(col("source"))
+    psiAgainstUnsorted(c, g).reportSort(col("source"))
 
   def queries: Map[String, QFn] = Map(
     "sub_scalar" -> ((s, d) => {
@@ -127,7 +128,7 @@ object Extras {
           min_by(col("s_name"), col("s_acctbal")).as("poorest"),
           bool_or(col("s_acctbal") < 0).as("any_negative"),
           bool_and(col("s_acctbal") > -100000.0).as("all_bounded"))
-        .orderBy(col("n_name"))
+        .reportSort(col("n_name"))
     }),
     "fn_unpivot" -> ((s, d) => {
       Tables.lineitem(s, d)
@@ -157,7 +158,7 @@ object Extras {
           min(p).as("min_price"),
           max(p).as("max_price"),
           count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     }),
     // ✓ per-source exact-duplicate rate (r13): the DQ face of the dedup
     // family — a crawl source whose duplicate rate jumps is re-serving
@@ -176,7 +177,7 @@ object Extras {
           (col("n_docs") - col("n_distinct")).as("n_dups"),
           expr("(2 * (n_docs - n_distinct) * 1000000 + n_docs)" +
             " div (2 * n_docs)").as("dup_rate_e6"))
-        .orderBy(col("source"))
+        .reportSort(col("source"))
     }),
     // ◌ seeded Bernoulli sample: RNG is engine-specific, so no oracle;
     // self-parity (OpsSmokeSpec) asserts run-to-run determinism and the
@@ -186,7 +187,7 @@ object Extras {
         .sample(withReplacement = false, fraction = 0.1, seed = 42)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     }),
     // ✓ column profiler (r5, replanned r10): Deequ/pandas-profiling shape
     // — per numeric column: row count, nulls, exact distinct, min/max/
@@ -238,7 +239,7 @@ object Extras {
       }
       wide.select(explode(array(rows: _*)).as("r"))
         .select(col("r.*"))
-        .orderBy(col("col_name"))
+        .reportSort(col("col_name"))
     }),
     // ✓ constraint suite (r6): Deequ-style CHECKS — one row per declared
     // constraint with pass flag + exact violation count. PK uniqueness,
@@ -278,7 +279,7 @@ object Extras {
       checks.reduce(_ union _)
         .select(col("check_name"), (col("violations") === 0).as("pass"),
           col("violations"))
-        .orderBy(col("check_name"))
+        .reportSort(col("check_name"))
     }),
     // ✓ referential-integrity audit (r6): orphan-key counts for every FK
     // edge of the star — the Deequ `isContainedIn` check dq_constraints'
@@ -302,7 +303,7 @@ object Extras {
         .unionAll(orphans(o, "o_custkey", Tables.customer(s, d), "c_custkey",
           "orders.o_custkey->customer"))
         .withColumn("ok", col("n_orphan_keys") === 0)
-        .orderBy(col("fk"))
+        .reportSort(col("fk"))
     }),
     // ✓ partition-completeness audit (r6): the full lang × source grid
     // with per-cell doc counts, zero-filling cells that have NO rows — the
@@ -323,7 +324,7 @@ object Extras {
         .select(col("lang"), col("source"),
           coalesce(col("n"), lit(0L)).as("n_docs"),
           col("n").isNull.as("missing"))
-        .orderBy(col("lang"), col("source"))
+        .reportSort(col("lang"), col("source"))
     }),
     // ✓ freshness audit (r9): per event stream, how stale is the newest
     // record vs the freshest stream — the "is ingestion keeping up" check
@@ -341,7 +342,7 @@ object Extras {
       per.crossJoin(broadcast(per.agg(max(col("last_us")).as("global_us"))))
         .select(col("event_type"), col("n"), col("last_ts"),
           expr("(global_us - last_us) div 1000000").as("lag_s"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ✓ ingest-VOLUME anomaly audit (r11): per-day event counts z-scored
     // against the corpus's own daily-count distribution — the volume
@@ -362,7 +363,7 @@ object Extras {
     "dq_volume_anomaly" -> ((s, d) => {
       val daily = dailyCounts(Tables.events(s, d))
       volumeVerdict(daily.crossJoin(broadcast(volumeMoments(daily))))
-        .orderBy(col("day"))
+        .reportSort(col("day"))
     }),
     // ✓ distribution-drift audit (r9): per-source Population Stability
     // Index of the document-length distribution against the corpus-wide
@@ -427,7 +428,7 @@ object Extras {
             round(col("dot_e12") / (sqrt(col("cc_e12")) * sqrt(col("gg_e12"))), 6))
             .as("cos_to_global"),
           round(sqrt(col("d2_e12")) / lit(1e6), 6).as("l2_to_global"))
-        .orderBy(col("label"))
+        .reportSort(col("label"))
     }),
     // ✓ per-vector embedding outlier audit (r11): each vector's cosine to
     // its OWN label's centroid, rolled up per label with an outlier count
@@ -455,7 +456,7 @@ object Extras {
           count(when(col("cos") < 0.6, 1)).as("n_outliers"),
           round(min(col("cos")), 6).as("min_cos"),
           round(avg(col("cos")), 6).as("avg_cos"))
-        .orderBy(col("label"))
+        .reportSort(col("label"))
     }),
     // ✓ multimodal pairing audit (r9): doc↔embedding coverage across the
     // text/vector pair (vec_id overlaps doc_id by fixture contract) —
@@ -523,7 +524,7 @@ object Extras {
             " div (2 * cast(ns as decimal(38,0)) * ng)").as("ks_e6"),
           expr("(dmax * 1e0) / (ns * 1e0 * ng) >" +
             " 1.36 * sqrt((ns + ng) * 1e0 / (ns * 1e0 * ng))").as("drifted"))
-        .orderBy(col("source"))
+        .reportSort(col("source"))
     }),
     // ✓ Welch t-test drift significance (r9): per source, the two-sample
     // t statistic of mean doc length vs the REST of the corpus — the
@@ -570,7 +571,7 @@ object Extras {
             |  6) END""".stripMargin).as("t_stat"))
         .withColumn("significant",
           when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
-        .orderBy(col("source"))
+        .reportSort(col("source"))
     }),
     // ✓ composed drift report (r9): PSI + KS + Welch-t per source in ONE
     // call — the dashboard row a data-quality monitor actually renders.
@@ -591,7 +592,7 @@ object Extras {
             .cast("decimal(38,0)").as("sxxc")))
       val cells = c.select(col("source"), col("b"), col("n"))
       val g = cells.groupBy(col("b")).agg(sum(col("n")).as("gn"))
-      val psi = psiAgainst(cells, g)
+      val psi = psiAgainstUnsorted(cells, g)
         .select(col("source"), col("n_docs"), col("psi_e6"),
           col("drifted").as("drifted_psi"))
       val st = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
@@ -639,7 +640,7 @@ object Extras {
         .withColumn("significant",
           when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
       psi.join(ks, Seq("source")).join(tt, Seq("source"))
-        .orderBy(col("source"))
+        .reportSort(col("source"))
     })
   )
 

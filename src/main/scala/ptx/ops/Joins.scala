@@ -3,6 +3,7 @@ package ptx.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G3 — join surface (SURVEY.md §2 G3).
   *
@@ -29,7 +30,7 @@ object Joins {
       l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n"), round(sum(col("l_extendedprice")), 2).as("revenue"))
-        .orderBy(col("p_brand"))
+        .reportSort(col("p_brand"))
     }),
     "join_left_outer" -> ((s, d) => {
       val c = Tables.customer(s, d); val o = Tables.orders(s, d)
@@ -65,7 +66,7 @@ object Joins {
     "join_cross" -> ((s, d) => {
       val r = Tables.region(s, d).select(col("r_name"))
       val n = Tables.nation(s, d).select(col("n_name"))
-      r.crossJoin(n).orderBy(col("r_name"), col("n_name"))
+      r.crossJoin(n).reportSort(col("r_name"), col("n_name"))
     }),
     "join_theta" -> ((s, d) => {
       val l = Tables.lineitem(s, d); val p = Tables.part(s, d)
@@ -95,7 +96,7 @@ object Joins {
           col("ts") < col("bucket") + expr("INTERVAL 1 HOUR"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
-        .orderBy(col("bucket"))
+        .reportSort(col("bucket"))
     }),
     "join_asof_last_error" -> ((s, d) => {
       val e = Tables.events(s, d)
@@ -178,7 +179,7 @@ object Joins {
           col("o_orderdate") < to_timestamp(lit("1997-01-01")))
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .reportSort(col("revenue").desc, col("n_name"))
     }),
     // ✓ salted shuffle join as a declared query (Skew.saltedJoin): the join
     // key event_type has only 5 live values, so an unsalted shuffle join
@@ -198,7 +199,7 @@ object Joins {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("value") > col("thr"), 1L).otherwise(0L)).as("n_above"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ✓ mark join (r6) — existence as a COLUMN, not a filter: every
     // customer row survives, annotated with whether an urgent order

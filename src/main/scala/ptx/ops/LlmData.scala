@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G11 — LLM-data-pipeline operators (SURVEY.md §2 G11): dedup, similarity
   * search, multimodal joins, text analysis.
@@ -99,7 +100,7 @@ object LlmData {
     "llm_knn_cosine" -> ((s, d) => {
       knn(s, d, nProbes = 100, k = 10)
         .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
-        .orderBy(col("probe_id"), col("rnk"))
+        .reportSort(col("probe_id"), col("rnk"))
     }),
     "llm_embed_norm" -> ((s, d) => {
       vecs(s, d)
@@ -109,7 +110,7 @@ object LlmData {
           round(avg(col("nrm")), 4).as("avg_norm"),
           round(min(col("nrm")), 4).as("min_norm"),
           round(max(col("nrm")), 4).as("max_norm"))
-        .orderBy(col("label"))
+        .reportSort(col("label"))
     }),
     "llm_centroid" -> ((s, d) => {
       Tables.embeddings(s, d)
@@ -117,7 +118,7 @@ object LlmData {
         .filter(col("pos") < 4)
         .groupBy(col("label"), col("pos"))
         .agg(round(avg(col("x").cast("double")), 6).as("c"))
-        .orderBy(col("label"), col("pos"))
+        .reportSort(col("label"), col("pos"))
     }),
     // e6 micro-means via half-up integer division — char/word sums and
     // doc counts are exact BIGINTs, and round(sum/count) flips on
@@ -137,14 +138,14 @@ object LlmData {
           expr("(2 * cast(sum_words as decimal(38,0)) * 1000000 + n_docs)" +
             " div (2 * n_docs)").as("avg_words_e6"),
           col("n_sources"))
-        .orderBy(col("lang"))
+        .reportSort(col("lang"))
     }),
     "llm_wordcount" -> ((s, d) => {
       Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("word"))
         .groupBy(col("word"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("word"))
+        .reportSort(col("n").desc, col("word"))
         .limit(20)
     }),
     "llm_tfidf" -> ((s, d) => {
@@ -164,7 +165,7 @@ object LlmData {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("lang"), col("rnk"), col("word"), round(col("score"), 6).as("score"))
-        .orderBy(col("lang"), col("rnk"))
+        .reportSort(col("lang"), col("rnk"))
     }),
     // ✓ per-document keyword extraction (r6): top-3 TF-IDF terms per doc —
     // the summarization/tagging primitive downstream of the corpus-level
@@ -203,7 +204,7 @@ object LlmData {
           round(avg(col("n_chars")), 6).as("avg_chars"),
           min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))
-        .orderBy(col("label"))
+        .reportSort(col("label"))
     }),
     "llm_semantic_topk_text" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
@@ -211,7 +212,7 @@ object LlmData {
         .join(docs, col("cand_id") === col("doc_id"))
         .select(col("probe_id"), col("rnk"), col("cand_id"),
           round(col("sim"), 6).as("sim"), col("text").as("neighbor_text"))
-        .orderBy(col("probe_id"), col("rnk"))
+        .reportSort(col("probe_id"), col("rnk"))
     }),
     // ✓ BM25 keyword retrieval (k1=1.2, b=0.75) for a fixed 3-term query,
     // top-10 docs. Shuffle-free per-doc scoring: term frequencies come
@@ -286,7 +287,7 @@ object LlmData {
         .filter(col("rnk") <= 5)
         .select(col("probe_id"), col("rnk"), col("cand_id"),
           round(col("rrf"), 6).as("rrf"))
-        .orderBy(col("probe_id"), col("rnk"))
+        .reportSort(col("probe_id"), col("rnk"))
     }),
     // ✓ directed shingle containment ≥ 0.5 (r5): |A∩B| / |A| — the
     // quote/subset detector exact Jaccard misses (a short doc embedded in

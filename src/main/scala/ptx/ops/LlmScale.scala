@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** Scale-path dedup & similarity operators (builder prompt / SURVEY §7.4):
   * MinHash+LSH banding, SimHash, embedding-cosine near-dup, IVF-style ANN.
@@ -127,7 +128,7 @@ object LlmScale {
       .join(linked, Seq("threshold_e2"), "left")
       .crossJoin(broadcast(total))
       .select(outCols: _*)
-      .orderBy(col("threshold_e2"))
+      .reportSort(col("threshold_e2"))
   }
 
   /** Jaccard-grade curve over a (doc1, doc2, inter, un) pair frame —
@@ -209,36 +210,45 @@ object LlmScale {
                                      cap: Int = 0): DataFrame = {
     ptx.functions.VectorOps.register(s)
     val e = Tables.embeddings(s, d)
-    val rnd = new scala.util.Random(7)
-    val planes = Seq.tabulate(L, bits)((_, _) => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
-    def bucketExpr(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
-      val planeLit = s"array(${p.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
-      expr(s"IF(cosine_sim(embedding, $planeLit) > 0, ${1 << i}, 0)")
-    }.reduce(_ + _)
     // hash ONCE per vector: the per-table bucket codes (the signature);
     // table buckets explode off it, the cap's Hamming rank reads it —
     // PINNED (ADVICE r17): the frame is referenced up to four times
     // (probeIds, candIds, and the cap's two sig joins), and without the
-    // pin the L×bits cosine_sim projection re-runs per branch unless
-    // exchange reuse happens to fire; released by the caller's harness
+    // pin the signature projection re-runs per branch unless exchange
+    // reuse happens to fire; released by the caller's harness.
+    // r18: the signature is ONE codegen'd kernel (functions.LshSig) —
+    // bit-identical to the old L×bits `IF(cosine_sim(embedding, <plane
+    // literal>) > 0, 1<<b, 0)` expression forest (same seed-7 planes,
+    // same sign rule), which made the CATALYST walk the query's
+    // bottleneck: 1.76 s of plan compilation per invocation at L=16×6
+    // vs 0.75 s total task time (guide §1.1; OPTIMIZATION_r18.md).
     val sigged = ptx.Caching.pin(e.select(col("vec_id"),
-      array((0 until L).map(bucketExpr): _*).as("sig")))
+      expr(s"lsh_sig(embedding, $L, $bits)").as("sig")))
     def withBuckets(df: DataFrame) = df
       .select(col("vec_id"), posexplode(col("sig")).as(Seq("tbl", "bucket")))
     // pair generation at ID grain: the (tbl, bucket) join carries 8-byte
     // ids, not 64-float embeddings — at scale the bucket join's shuffle
     // is what grows with L, so it ships fingerprint-sized rows
-    val probeIds = withBuckets(sigged.filter(col("vec_id") < 10))
+    // the probe batch is CONTRACT-BOUNDED (vec_id < 10 — a serving batch,
+    // never the corpus), so its exploded bucket keys and its signatures
+    // are broadcast-sized at ANY corpus scale: broadcast() them explicitly
+    // (guide §3.1 — size estimates through a cache + posexplode are too
+    // opaque for the planner to pick the hash join side on its own). The
+    // bucket join then leaves the corpus side UNSHUFFLED — before r18 both
+    // sides hash-exchanged on (tbl, bucket).
+    val probeSide = sigged.filter(col("vec_id") < 10)
+    val probeIds = withBuckets(probeSide)
       .select(col("vec_id").as("probe_id"), col("tbl"), col("bucket"))
     val candIds = withBuckets(sigged)
       .select(col("vec_id").as("cand_id"), col("tbl"), col("bucket"))
-    val pairs = probeIds.join(candIds, Seq("tbl", "bucket"))
+    val pairs = candIds.join(broadcast(probeIds), Seq("tbl", "bucket"))
       .filter(col("probe_id") =!= col("cand_id"))
       .select(col("probe_id"), col("cand_id")).distinct()
     val selected =
       if (cap <= 0) pairs
       else pairs
-        .join(sigged.select(col("vec_id").as("probe_id"), col("sig").as("psig")),
+        .join(broadcast(probeSide
+            .select(col("vec_id").as("probe_id"), col("sig").as("psig"))),
           Seq("probe_id"))
         .join(sigged.select(col("vec_id").as("cand_id"), col("sig").as("csig")),
           Seq("cand_id"))
@@ -248,12 +258,18 @@ object LlmScale {
           .orderBy(col("ham"), col("cand_id"))))
         .filter(col("rn") <= cap)
         .select(col("probe_id"), col("cand_id"))
-    selected
-      .join(e.select(col("vec_id").as("probe_id"), col("embedding").as("p")),
-        Seq("probe_id"))
-      .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("c")),
-        Seq("cand_id"))
-      .select(col("probe_id"), col("p"), col("cand_id"), col("c"))
+    // under the cap, `selected` is ≤ cap × |probe batch| rows — bounded at
+    // any corpus size, so it (and its probe-embedding extension) broadcasts
+    // into the embedding fetches and the corpus-sized embedding table is
+    // never shuffled; the uncapped sweep path keeps the shuffle joins (its
+    // candidate frame grows with n)
+    val eP = e.select(col("vec_id").as("probe_id"), col("embedding").as("p"))
+    val eC = e.select(col("vec_id").as("cand_id"), col("embedding").as("c"))
+    val joined =
+      if (cap > 0) broadcast(broadcast(selected).join(eP, Seq("probe_id")))
+        .join(eC, Seq("cand_id"))
+      else selected.join(eP, Seq("probe_id")).join(eC, Seq("cand_id"))
+    joined.select(col("probe_id"), col("p"), col("cand_id"), col("c"))
   }
 
   /** Serving default for the per-probe exact-scoring budget (the r17
@@ -343,7 +359,7 @@ object LlmScale {
       .select(lit(1L).as("cluster_size"),
         (col("n") - col("c")).as("n_clusters"),
         (col("n") - col("c")).as("n_docs"))
-    hist.unionByName(singles).orderBy(col("cluster_size"))
+    hist.unionByName(singles).reportSort(col("cluster_size"))
   }
 
   /** The sem-curve body over an arbitrary (vec_id, label, embedding)
@@ -492,7 +508,6 @@ object LlmScale {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("probe_id"), col("rnk"), col("cand_id"), round(col("sim"), 6).as("sim"))
-      .orderBy(col("probe_id"), col("rnk"))
   }
 
   /** IVF probe: rank cells by probe↔centroid cosine, exact-score only the
@@ -534,7 +549,7 @@ object LlmScale {
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
       .select(col("probe_id"), col("n_hit"),
         expr("(2 * n_hit * 1000000 + k) div (2 * k)").as("recall_e6"))
-      .orderBy(col("probe_id"))
+      .reportSort(col("probe_id"))
   }
 
   /** Connected components over a (doc1, doc2) pair list via min-label
@@ -1152,7 +1167,7 @@ object LlmScale {
     // IVF remains the recall-sensitive server, LSH the cheaper
     // candidate-generation tier.
     "llm_ann_lsh" -> ((s, d) =>
-      lshTopK(s, d).orderBy(col("probe_id"), col("rnk"))),
+      lshTopK(s, d).reportSort(col("probe_id"), col("rnk"))),
     // ◌ ANN RECALL of the LSH path (r15): the same oracle-exact
     // recall@5 recipe as llm_ann_recall / llm_ann_recall_kmeans
     // (shared recallAudit — one code path for all three index
@@ -1180,6 +1195,7 @@ object LlmScale {
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
       ivfProbe(ivfCentroids(e), e, probes, nprobe = 3, k = 5)
+        .reportSort(col("probe_id"), col("rnk"))
     }),
     // ◌ IVF over LEARNED cells (r5): same probe, but the cells come from
     // the deterministic mini-Lloyd k-means (VectorIndex.kmeansAdaptive —
@@ -1200,6 +1216,7 @@ object LlmScale {
       val probes = e.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("embedding").as("p"))
       ivfProbe(cent, cells, probes, nprobe = 3, k = 5)
+        .reportSort(col("probe_id"), col("rnk"))
     }),
     // ✓ ANN RECALL audit (r13): recall@5 of the IVF probe against the
     // exact brute-force top-5, per probe — the quality gauge every
@@ -1419,7 +1436,7 @@ object LlmScale {
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), sum(col("qsum")).as("sum_q"),
           round(avg(sqrt(col("err2")) / sqrt(col("n2"))), 6).as("avg_rel_err"))
-        .orderBy(col("label"))
+        .reportSort(col("label"))
     })
   )
 

@@ -2,6 +2,7 @@ package ptx.ops
 
 import org.apache.spark.sql.functions._
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** Multimodal-column operators (builder prompt): media payloads as opaque
   * binary columns with typed metadata, plus a decode/feature-extract stage.
@@ -66,7 +67,7 @@ object Multimodal {
         .select(col("source"), col("kind"), col("n_docs"), col("n_bytes"),
           expr("(2 * n_docs * 1000000 + n_src) div (2 * n_src)")
             .as("doc_share_e6"))
-        .orderBy(col("source"), col("kind"))
+        .reportSort(col("source"), col("kind"))
     }),
     // ✓ payload-entropy triage (r11): e6-snapped Shannon entropy (nats)
     // of each payload's byte distribution via the codegen'd

@@ -39,6 +39,8 @@ object ScalarFns {
     }),
     "fn_date" -> ((s, d) => {
       Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"))
+        .orderBy(col("o_orderkey")) // r18: sort first (fn_json_map note)
         .select(
           col("o_orderkey"),
           year(col("o_orderdate")).as("y"),
@@ -48,22 +50,23 @@ object ScalarFns {
           (col("o_orderdate") + expr("INTERVAL 30 DAY")).as("due"),
           datediff(col("o_orderdate"), to_date(lit("1995-01-01"))).as("days_since"),
           unix_timestamp(col("o_orderdate")).as("epoch_s"))
-        .orderBy(col("o_orderkey"))
     }),
     "fn_math" -> ((s, d) => {
+      // r18 split (guide §2.3/§1.1): the range exchange SAMPLES its child
+      // to pick bounds, so everything below the sort is computed twice
+      // (sampling + real pass). Only the 5 derived SORT-KEY columns stay
+      // below; the 7 non-key projections (log/pow/abs/signum/mult) moved
+      // above the sort and now compute once. The sort keys are the SAME
+      // expressions as before, so the total order — and the oracle hash —
+      // is unchanged (a Project above Sort preserves row order).
       Tables.lineitem(s, d)
         .select(
           col("l_orderkey"), col("l_linenumber"),
-          (col("l_extendedprice") * col("l_discount")).as("disc_amt"),
-          abs(col("l_quantity") - 25.0).as("dev"),
+          col("l_extendedprice"), col("l_quantity"),
+          col("l_discount"), col("l_tax"),
           ceil(col("l_discount") * 100).as("disc_pct_ceil"),
           floor(col("l_tax") * 100).as("tax_pct_floor"),
           round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
-          round(log(col("l_extendedprice")), 6).as("ln_price"),
-          round(log10(col("l_extendedprice")), 6).as("log10_price"),
-          round(pow(col("l_quantity"), 2.0), 2).as("qty_sq"),
-          (col("l_linenumber") % 3).as("ln_mod"),
-          signum(col("l_discount") - 0.05).as("disc_sign"),
           greatest(col("l_quantity"), lit(10.0)).as("qty_hi"),
           least(col("l_quantity"), lit(10.0)).as("qty_lo"))
         // (l_orderkey, l_linenumber) is not unique; the extra keys determine
@@ -72,6 +75,17 @@ object ScalarFns {
         // are full-row duplicates
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("sqrt_price"),
           col("qty_hi"), col("qty_lo"), col("disc_pct_ceil"), col("tax_pct_floor"))
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * col("l_discount")).as("disc_amt"),
+          abs(col("l_quantity") - 25.0).as("dev"),
+          col("disc_pct_ceil"), col("tax_pct_floor"), col("sqrt_price"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(log10(col("l_extendedprice")), 6).as("log10_price"),
+          round(pow(col("l_quantity"), 2.0), 2).as("qty_sq"),
+          (col("l_linenumber") % 3).as("ln_mod"),
+          signum(col("l_discount") - 0.05).as("disc_sign"),
+          col("qty_hi"), col("qty_lo"))
     }),
     "fn_conditional" -> ((s, d) => {
       Tables.customer(s, d)
@@ -101,7 +115,12 @@ object ScalarFns {
         .orderBy(col("vec_id"))
     }),
     "fn_json_map" -> ((s, d) => {
+      // r18: event_id is a RAW column — sort first, parse above the sort
+      // (guide §2.3): the JSON parse is the query's whole cost and the
+      // range sampling below a projected sort re-ran it per invocation
       Tables.events(s, d)
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
         .select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("int").as("k"),
@@ -109,7 +128,6 @@ object ScalarFns {
             org.apache.spark.sql.types.StructField("k",
               org.apache.spark.sql.types.IntegerType)))).getField("k").as("k2"),
           (get_json_object(col("props"), "$.k").cast("int") % 10).as("k_mod"))
-        .orderBy(col("event_id"))
     }),
     // array set operations over word arrays; outputs joined to strings so
     // the oracle compares scalars (set ops are order-unspecified → each is
@@ -133,7 +151,10 @@ object ScalarFns {
     // flattened to scalars so the oracle (which has no str_to_map) matches
     // on values.
     "fn_map" -> ((s, d) => {
+      // r18: sort first on the raw key, parse above (fn_json_map note)
       Tables.events(s, d)
+        .select(col("event_id"), col("props"))
+        .orderBy(col("event_id"))
         .withColumn("m", expr(
           """str_to_map(regexp_replace(props, '[{}"\\s]', ''), ',', ':')"""))
         .select(
@@ -141,7 +162,6 @@ object ScalarFns {
           element_at(col("m"), "k").cast("int").as("k_via_map"),
           size(col("m")).as("n_keys"),
           array_join(map_keys(col("m")), ",").as("keys"))
-        .orderBy(col("event_id"))
     }),
     // ✓ bitwise family: &, |, xor, shifts, popcount over 64-bit keys —
     // all codegen'd single-instruction ops (partition/bucket math,
@@ -194,11 +214,13 @@ object ScalarFns {
     // as a side effect of dedup results. Pure scan, zero shuffle but the
     // output sort.
     "fn_hash" -> ((s, d) => {
+      // r18: sort first on the raw key, hash above (fn_json_map note)
       Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
         .select(col("doc_id"),
           md5(col("text")).as("h_md5"),
           sha2(col("text"), 256).as("h_sha256"))
-        .orderBy(col("doc_id"))
     })
   )
 

@@ -2,6 +2,7 @@ package ptx.ops
 
 import org.apache.spark.sql.functions._
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G1 — scan / source surface (SURVEY.md §2 G1).
   *
@@ -29,7 +30,7 @@ object Scans {
         .filter(col("l_quantity") > 45)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     }),
     "scan_events_ns" -> ((s, d) => {
       // end-to-end exercise of the TIMESTAMP(NANOS) load path (Tables.events)
@@ -45,7 +46,7 @@ object Scans {
       a.unionAll(b)
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("o_orderstatus"))
+        .reportSort(col("o_orderstatus"))
     })
   )
 

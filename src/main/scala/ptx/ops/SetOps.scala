@@ -2,6 +2,7 @@ package ptx.ops
 
 import org.apache.spark.sql.functions._
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G7 — set operations (SURVEY.md §2 G7).
   *
@@ -19,7 +20,7 @@ object SetOps {
       a.unionAll(b)
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("l_returnflag"))
+        .reportSort(col("l_returnflag"))
     }),
     "set_union_distinct" -> ((s, d) => {
       val o = Tables.orders(s, d)

@@ -3,6 +3,7 @@ package ptx.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** G9 — powertrain/telemetry analytics over `events` (SURVEY.md §2 G9).
   * Batch twins of the streaming pipelines in ptx.stream: tumbling/hopping
@@ -46,7 +47,7 @@ object Telemetry {
       Extras.psiAgainst(c, c.groupBy(col("b")).agg(sum(col("n")).as("gn")))
         .select(col("source").as("event_type"), col("n_docs").as("n_events"),
           col("psi_e6"), col("drifted"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     "pt_threshold_alerts" -> ((s, d) => {
       val thr = s.createDataFrame(thresholds).toDF("event_type", "thr")
@@ -61,14 +62,14 @@ object Telemetry {
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
         .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_val"))
-        .orderBy(col("hour"), col("event_type"))
+        .reportSort(col("hour"), col("event_type"))
     }),
     "pt_sliding_1h_15m" -> ((s, d) => {
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_val"))
         .select(col("w.start").as("hop_start"), col("event_type"), col("n"), col("sum_val"))
-        .orderBy(col("hop_start"), col("event_type"))
+        .reportSort(col("hop_start"), col("event_type"))
     }),
     "pt_sessionize" -> ((s, d) => {
       sessions(s, d)
@@ -121,7 +122,7 @@ object Telemetry {
           sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("purchase"),
           sum(when(col("event_type") === "signup", 1).otherwise(0)).as("signup"),
           sum(when(col("event_type") === "view", 1).otherwise(0)).as("view"))
-        .orderBy(col("day"))
+        .reportSort(col("day"))
     }),
     // per-user signal derivative: Δvalue/Δt (per second) between consecutive
     // events — the classic telemetry rate-of-change signal. NULL for a
@@ -195,15 +196,26 @@ object Telemetry {
       val ag = Tables.events(s, d)
         .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("v"))
-      val spine = ag.groupBy(col("user_id"))
-        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-        .select(col("user_id"),
-          explode(expr("sequence(b0, b1, interval 6 hours)")).as("bucket"))
+      // r18 (guide §2.4): the spine join is gone — each user's observed
+      // buckets ride along as a per-user map on the SAME aggregate row the
+      // spine bounds come from, and the grid explodes off it directly.
+      // Removes the spine-side exchange AND the (user, bucket) join (plan:
+      // 5 exchanges → 3); the map is span-bounded exactly like the spine.
+      // Row content is identical: element_at(m, bucket) ≡ the left join's
+      // matched row (NULL on gap buckets).
       val w = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
-      spine.join(ag, Seq("user_id", "bucket"), "left")
+      ag.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"),
+          map_from_entries(collect_list(struct(col("bucket"),
+            struct(col("n"), col("v"))))).as("m"))
+        .select(col("user_id"),
+          explode(expr("sequence(b0, b1, interval 6 hours)")).as("bucket"),
+          col("m"))
         .select(col("user_id"), col("bucket"),
-          coalesce(col("n"), lit(0L)).as("n_events"),
-          last(col("v"), ignoreNulls = true).over(w).as("avg_val_ff"))
+          element_at(col("m"), col("bucket")).as("e"))
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("e.n"), lit(0L)).as("n_events"),
+          last(col("e.v"), ignoreNulls = true).over(w).as("avg_val_ff"))
         .orderBy(col("user_id"), col("bucket"))
     }),
     // ✓ linear-interpolation resampling (r6): the gap-fill grid, but an
@@ -230,14 +242,21 @@ object Telemetry {
         .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))
         .agg(expr("(2 * sum(cast(v2 as decimal(38,0))) * 10000 + count(1))" +
           " div (2 * count(1))").as("v"))
-      val spine = ag.groupBy(col("user_id"))
-        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
-        .select(col("user_id"),
-          explode(expr("sequence(b0, b1, interval 6 hours)")).as("bucket"))
+      // r18: same spine-join removal as pt_gap_fill (see the note there) —
+      // the per-user (bucket → v) map rides the aggregate row, the grid
+      // explodes off it, and the four ignoreNulls frames read the looked-up
+      // v. Row content identical; two exchanges fewer.
       val ord = Window.partitionBy(col("user_id")).orderBy(col("bucket"))
       val back = ord.rowsBetween(Window.unboundedPreceding, 0)
       val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
-      spine.join(ag, Seq("user_id", "bucket"), "left")
+      ag.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"),
+          map_from_entries(collect_list(struct(col("bucket"), col("v")))).as("m"))
+        .select(col("user_id"),
+          explode(expr("sequence(b0, b1, interval 6 hours)")).as("bucket"),
+          col("m"))
+        .select(col("user_id"), col("bucket"),
+          element_at(col("m"), col("bucket")).as("v"))
         .select(col("user_id"), col("bucket"), col("v"),
           last(col("v"), ignoreNulls = true).over(back).as("pv"),
           last(when(col("v").isNotNull, col("bucket")), ignoreNulls = true)
@@ -269,6 +288,11 @@ object Telemetry {
       // double is ulp-safe), clipping and both means in exact integer
       // space — round(avg) of e2 data over a row-count denominator is
       // the r6 half-point hazard class (r7 sweep)
+      // r18: the ExactPercentiles window form was tried here and MEASURED
+      // WORSE (0.58 → 0.84 s at sf0.1): with only 5 event types over 100k
+      // rows the built-in's per-group buffering is small, and the window
+      // form's extra sort+join stages cost more than the maps save —
+      // kept the built-in (OPTIMIZATION_r18.md)
       val pct = e.groupBy(col("event_type")).agg(
         round(expr("percentile(value, 0.05)"), 6).as("p05d"),
         round(expr("percentile(value, 0.95)"), 6).as("p95d"))
@@ -287,7 +311,7 @@ object Telemetry {
           expr("(2 * sum(cast(least(greatest(v_e6, p05_e6), p95_e6)" +
             " as decimal(38,0))) + count(1))" +
             " div (2 * count(1))").as("avg_winsor_e6"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ✓ hysteresis alerting (r5): an alert ARMS when value ≥ 200 and only
     // clears when value ≤ 50 — the two-threshold debounce every telemetry
@@ -339,7 +363,7 @@ object Telemetry {
         .select(col("cohort_day"), col("day_offset"), col("n_active"),
           expr("(n_active * 2000000 + cohort_n) div (2 * cohort_n)")
             .as("retention_e6"))
-        .orderBy(col("cohort_day"), col("day_offset"))
+        .reportSort(col("cohort_day"), col("day_offset"))
     }),
     // ✓ truncated exponential moving average (r6): halflife-one EWM over
     // the last 8 samples per user. Weights are powers of two (128..1) and
@@ -429,7 +453,7 @@ object Telemetry {
           min(col("value")).as("low"),
           max(when(col("rd") === 1, col("value"))).as("close"),
           count(lit(1)).as("n"))
-        .orderBy(col("event_type"), col("bar"))
+        .reportSort(col("event_type"), col("bar"))
     }),
     // ✓ local-maximum peak detection (r6): events strictly above both
     // neighbors in the per-user series — the simplest telemetry peak
@@ -468,7 +492,7 @@ object Telemetry {
         .withColumn("apdex_e6",
           expr("((2 * cast(satisfied as decimal(38,0)) + tolerating)" +
             " * 1000000 + n) div (2 * n)"))
-        .orderBy(col("event_type"))
+        .reportSort(col("event_type"))
     }),
     // ✓ hourly latency percentiles (r9): the p50/p95/p99-per-hour board
     // every SLI dashboard renders. EXACT per-group percentile (buffers one
@@ -482,7 +506,7 @@ object Telemetry {
           round(expr("percentile(value, 0.5)"), 6).as("p50"),
           round(expr("percentile(value, 0.95)"), 6).as("p95"),
           round(expr("percentile(value, 0.99)"), 6).as("p99"))
-        .orderBy(col("hour"), col("event_type"))
+        .reportSort(col("hour"), col("event_type"))
     }),
     // ✓ SLI heatmap (r9): hour-of-day × value-bucket 2-D histogram — the
     // latency-over-the-day heat grid. One two-key hash agg; bucket edges
@@ -493,7 +517,7 @@ object Telemetry {
         .groupBy(hour(col("ts")).as("hod"),
           floor(col("value") / 50.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
-        .orderBy(col("hod"), col("bucket"))
+        .reportSort(col("hod"), col("bucket"))
     }),
     // ✓ moving median (r6): 5-row centered median per user — the robust
     // denoise filter (median rejects spikes a moving MEAN averages in).
@@ -574,7 +598,7 @@ object Telemetry {
           col("rate_6h_e6"),
           (col("errs") * 4 > col("total") &&
             col("errs6") * 5 > col("total6")).as("burn_alert"))
-        .orderBy(col("hour"))
+        .reportSort(col("hour"))
     }),
     // ✓ per-user running event-type histogram (r6) — each event annotated
     // with "how many of THIS type has this user produced so far" and the

@@ -3,6 +3,7 @@ package ptx.ops
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import ptx.{QFn, Tables}
+import ptx.ops.BoundedSort.ReportSortOps
 
 /** Text-analysis operators for a training-data pipeline (builder prompt /
   * SURVEY G11 extension): language-ID heuristic, quality scoring, token
@@ -174,7 +175,7 @@ object TextAnalysis {
         .withColumn("cum_frac",
           round(sum(col("c")).over(w).cast("double") / col("n"), 6))
         .select(col("rnk"), col("word"), col("c"), col("cum_frac"))
-        .orderBy(col("rnk"))
+        .reportSort(col("rnk"))
     }),
     "llm_bpe_pair_counts" -> ((s, d) => {
       val wc = Tables.documents(s, d)
@@ -185,7 +186,7 @@ object TextAnalysis {
           "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
           .as("pair"))
         .groupBy(col("pair")).agg(sum(col("c")).as("n"))
-        .orderBy(col("n").desc, col("pair"))
+        .reportSort(col("n").desc, col("pair"))
         .limit(20)
     }),
     // ◌ BPE merge LEARNER (r14): the iterative loop whose single round
@@ -278,7 +279,7 @@ object TextAnalysis {
           expr("CASE WHEN n_words > 0 THEN" +
             " (2 * cast(n_tokens as decimal(38,0)) * 1000000 + n_words)" +
             " div (2 * n_words) END").as("tokens_per_word_e6"))
-        .orderBy(col("lang"))
+        .reportSort(col("lang"))
     }),
     // ✓ hot-shingle df audit (r13): top-20 3-word shingles by document
     // frequency (ties broken on the shingle string) plus each one's
@@ -313,7 +314,7 @@ object TextAnalysis {
         .select(col("shingle"), col("df"),
           expr("(2 * df * 1000000 + n_docs) div (2 * n_docs)")
             .as("doc_share_e6"))
-        .orderBy(col("df").desc, col("shingle"))
+        .reportSort(col("df").desc, col("shingle"))
         .limit(20)
     }),
     // ✓ winnowing fingerprints (r14): the Schleimer–Wilkerson–Aiken
@@ -360,7 +361,7 @@ object TextAnalysis {
           expr("CASE WHEN n_grams > 0 THEN" +
             " (2 * cast(n_fps as decimal(38,0)) * 1000000 + n_grams)" +
             " div (2 * n_grams) ELSE 0L END").as("density_e6"))
-        .orderBy(col("source"))
+        .reportSort(col("source"))
     }),
     // ✓ length histogram (r9): 50-char bucket distribution of document
     // lengths with each bucket's corpus share — the length profile a
@@ -379,7 +380,7 @@ object TextAnalysis {
           expr("CASE WHEN total > 0 THEN" +
             " (2 * cast(n as decimal(38,0)) * 1000000 + total)" +
             " div (2 * total) END").as("share_e6"))
-        .orderBy(col("bucket"))
+        .reportSort(col("bucket"))
     }),
     // ✓ tokenizer fertility (r9): the multilingual tokenizer-efficiency
     // stat, reported as its conventional inverse — chars-per-token
@@ -400,7 +401,7 @@ object TextAnalysis {
           expr("CASE WHEN n_tokens > 0 THEN" +
             " (2 * cast(sum_chars as decimal(38,0)) * 1000000 + n_tokens)" +
             " div (2 * n_tokens) END").as("chars_per_token_e6"))
-        .orderBy(col("lang"))
+        .reportSort(col("lang"))
     }),
     // ✓ corpus-derived stopword candidates (r9): word types appearing in
     // ≥50% of documents, with doc frequency and the half-up e6 df ratio —
@@ -421,7 +422,7 @@ object TextAnalysis {
         .select(col("word"), col("df"), col("n_docs"),
           expr("(2 * cast(df as decimal(38,0)) * 1000000 + n_docs)" +
             " div (2 * n_docs)").as("df_ratio_e6"))
-        .orderBy(col("df").desc, col("word"))
+        .reportSort(col("df").desc, col("word"))
     }),
     // ✓ n-gram diversity (r9): per-source distinct-4-gram / total-4-gram
     // type-token ratio — the standard templated/synthetic-text tell (a
@@ -485,7 +486,7 @@ object TextAnalysis {
             " (2 * cast(n_distinct as decimal(38,0)) * 1000000 + n_grams)" +
             " div (2 * n_grams) END").as("ttr_e6"))
         .withColumn("templated", col("ttr_e6") < lit(500000L))
-        .orderBy(col("source"))
+        .reportSort(col("source"))
     }),
     // ✓ Zipf fit (r9): OLS of ln(count) on ln(rank) over the top-100 word
     // types — the slope (≈ −1 for natural language, flatter for templated/

@@ -273,7 +273,11 @@ object VectorIndex {
     val cand = embeddings.select(col("vec_id").as("cand_id"),
       col("embedding").as("c"), col("label"))
       .filter(col("label").isin(wanted: _*))
+    // (r18) ivfVerify no longer embeds the (probe_id, rnk) presentation
+    // sort — composing callers had it optimizer-eliminated anyway; the
+    // serve result keeps its sorted contract here, unchanged plan
     ptx.ops.LlmScale.ivfVerify(broadcast(cells), cand, k)
+      .orderBy(col("probe_id"), col("rnk"))
   }
 
   /** Zero-shuffle nearest-cell assignment: the k centroids fold into a

@@ -42,6 +42,34 @@ class FunctionsSpec extends AnyFunSuite {
     assert(tied.forall(_ == 2), s"tie must break to the lower label, got ${tied.toSeq}")
   }
 
+  test("lsh_sig kernel: equals the per-plane cosine_sim expression forest it replaced (r18)") {
+    ptx.functions.VectorOps.register(spark)
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, TestSpark.SF)
+      .select(col("vec_id"), col("embedding"))
+    // the pre-r18 formulation, verbatim: L×bits IF(cosine_sim(embedding,
+    // <plane literal>) > 0, 1<<b, 0) expressions summed per table, planes
+    // drawn seed-7 in tabulation order — the kernel must reproduce every
+    // signature int bit-for-bit on every vector of the fixture
+    val (l, bits) = (4, 6) // small L keeps the forest's plan cost testable
+    val rnd = new scala.util.Random(7)
+    val planes = Seq.tabulate(l, bits)((_, _) => Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    def bucketExpr(t: Int) = planes(t).zipWithIndex.map { case (p, i) =>
+      val planeLit = s"array(${p.map(x => s"CAST($x AS FLOAT)").mkString(",")})"
+      expr(s"IF(cosine_sim(embedding, $planeLit) > 0, ${1 << i}, 0)")
+    }.reduce(_ + _)
+    val viaForest = e.select(col("vec_id"),
+        array((0 until l).map(bucketExpr): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val viaKernel = e.select(col("vec_id"),
+        expr(s"lsh_sig(embedding, $l, $bits)").as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(viaKernel == viaForest, "lsh_sig diverged from the cosine_sim expression forest")
+    // fixture sanity: signatures must actually spread over buckets
+    assert(viaKernel.values.flatten.toSet.size > 4,
+      "fixture degenerate: all signatures identical")
+  }
+
   test("nearest_cell kernel: NaN cosines follow the HOF's double total order (r17, ADVICE r16)") {
     // a zero-norm embedding or centroid makes the cosine 0/0 = NaN;
     // Spark's array_max orders NaN GREATEST, so the HOF picks that cell

@@ -39,6 +39,35 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("ExactPercentiles.groupPercentiles is bit-identical to the percentile() built-in (r18)") {
+    import org.apache.spark.sql.functions._
+    // fixture grain: the exact frames agg_percentile / pt_winsorize feed it
+    for ((tbl, key, value) <- Seq(
+        ("orders", "o_orderstatus", "o_totalprice"),
+        ("events", "event_type", "value"))) {
+      val df = Tables.t(spark, TestSpark.SF, tbl)
+      val ps = Seq(0.05, 0.5, 0.9, 0.95, 0.99)
+      val pcols = ps.map(p => expr(s"percentile($value, $p)").as(s"p$p"))
+      val builtin = df.groupBy(col(key)).agg(pcols.head, pcols.tail: _*)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => java.lang.Double.doubleToRawLongBits(r.getDouble(i + 1)))).toMap
+      val viaWindow = ops.ExactPercentiles.groupPercentiles(
+          df, Seq(key), value, ps.map(p => p -> s"p$p"))
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => java.lang.Double.doubleToRawLongBits(r.getDouble(i + 1)))).toMap
+      assert(viaWindow == builtin,
+        s"$tbl($key, $value): window percentiles diverged from the built-in (raw bits)")
+    }
+    // degenerate group sizes: n = 1 and n = 2 (interpolation boundary)
+    val tiny = spark.createDataFrame(Seq(("a", 3.0), ("b", 1.0), ("b", 2.0)))
+      .toDF("k", "v")
+    val b2 = tiny.groupBy(col("k")).agg(expr("percentile(v, 0.25)").as("p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val w2 = ops.ExactPercentiles.groupPercentiles(tiny, Seq("k"), "v", Seq(0.25 -> "p"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(w2 == b2, s"tiny-group percentiles diverged: $w2 vs $b2")
+  }
+
   test("metrics listener records exchanges and scans for a query run") {
     val l = ptx.tools.Metrics.install(spark)
     try {
