@@ -91,37 +91,50 @@ object Caching {
     }
   }
 
-  /** Unpersist every frame pinned by `session` (non-blocking). */
+  /** Unpersist every frame pinned by `session` (non-blocking — the
+    * streaming gates release per micro-batch and must not stall on block
+    * removal). */
   def release(session: SparkSession): Unit = {
-    drain(pinned.remove(session))
-    drainRdds(checkpointed.remove(session))
+    drain(pinned.remove(session), blocking = false)
+    drainRdds(checkpointed.remove(session), blocking = false)
   }
 
   /** Unpersist every pinned frame across all sessions and clear the
     * registry. Harness use (one session per JVM); library users sharing a
-    * JVM should prefer `release(session)`. */
+    * JVM should prefer `release(session)`.
+    *
+    * BLOCKING (r18, bench-protocol fix): the harness calls this BETWEEN
+    * timed runs, and a non-blocking unpersist leaves block removal to an
+    * async block-manager thread that can land INSIDE the next timed run —
+    * the r18 baseline sweep showed 2-3× median-over-min inflation on the
+    * cache-heavy llm_dedup_* block that never reproduces in isolation
+    * (llm_dedup_minhash_lsh 2.70 s sweep median vs 0.79 s isolated, same
+    * code). Blocking moves that eviction work into the untimed gap, where
+    * the harness's GC tick already lives. */
   def releaseAll(): Unit = {
     val it = pinned.keys()
-    while (it.hasMoreElements) drain(pinned.remove(it.nextElement()))
+    while (it.hasMoreElements) drain(pinned.remove(it.nextElement()), blocking = true)
     val it2 = checkpointed.keys()
-    while (it2.hasMoreElements) drainRdds(checkpointed.remove(it2.nextElement()))
+    while (it2.hasMoreElements) drainRdds(checkpointed.remove(it2.nextElement()), blocking = true)
   }
 
-  private def drain(q: java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]]): Unit =
+  private def drain(q: java.util.concurrent.ConcurrentLinkedQueue[Dataset[_]],
+                    blocking: Boolean): Unit =
     if (q != null) {
       var df = q.poll()
       while (df != null) {
-        df.unpersist(blocking = false)
+        df.unpersist(blocking)
         df = q.poll()
       }
     }
 
   private def drainRdds(
-      q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]]): Unit =
+      q: java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.rdd.RDD[_]],
+      blocking: Boolean): Unit =
     if (q != null) {
       var rdd = q.poll()
       while (rdd != null) {
-        rdd.unpersist(blocking = false)
+        rdd.unpersist(blocking)
         rdd = q.poll()
       }
     }

@@ -254,14 +254,16 @@ object Curation {
         .select(col("source"), explode(expr("gram_hashes(w, 3)")).as("h"))
         .distinct())
       val sizes = g.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      val pairs = g.groupBy(col("h"))
-        .agg(expr("array_sort(collect_set(source))").as("ss"))
-        .select(explode(expr(
-          """flatten(transform(ss, (x, i) ->
-            |  transform(slice(ss, i + 2, size(ss)),
-            |            y -> struct(x AS s1, y AS s2))))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.s1").as("src1"), col("p.s2").as("src2"))
+      // r18 (guide §4 expression choice): the per-gram source-pair explode
+      // was a nested transform/slice HOF chain — Spark evaluates those
+      // lambdas INTERPRETED per element, and the gram-group loop measured
+      // ~30 s of task time at sf0.1. The inverted-index self-join below
+      // generates the IDENTICAL (src1 < src2, n_shared) pairs (the h-join
+      // fan-out is |sources-sharing-h|² ≤ #sources², exactly the HOF's
+      // pair space) through whole-stage-codegen join + hash agg instead.
+      val pairs = g.toDF("src1", "h").join(g.toDF("src2", "h"), Seq("h"))
+        .filter(col("src1") < col("src2"))
+        .groupBy(col("src1"), col("src2"))
         .agg(count(lit(1)).as("n_shared"))
       pairs
         .join(broadcast(sizes.select(col("source").as("src1"), col("n").as("n1"))), Seq("src1"))

@@ -592,23 +592,40 @@ object Extras {
             .cast("decimal(38,0)").as("sxxc")))
       val cells = c.select(col("source"), col("b"), col("n"))
       val g = cells.groupBy(col("b")).agg(sum(col("n")).as("gn"))
-      val psi = psiAgainstUnsorted(cells, g)
-        .select(col("source"), col("n_docs"), col("psi_e6"),
-          col("drifted").as("drifted_psi"))
+      // r18 (guide §2.4): PSI and KS previously each built their OWN dense
+      // source×bucket grid (psiAgainstUnsorted constructs one internally —
+      // a second crossJoin + two joins + its own per-source/total aggs).
+      // ONE pinned grid now carries sn/gn/ns/ng/nb and feeds both
+      // statistics; the PSI arithmetic below is psiAgainstUnsorted's
+      // expression verbatim (sn_tot→ns, gt→ng — per-bucket term_e6 is an
+      // independently rounded integer, so the sum is order-free and the
+      // output is bit-identical; oracle-checked).
       val st = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
-      val tot = g.agg(sum(col("gn")).as("ng"))
+      val tot = g.agg(sum(col("gn")).as("ng"), count(lit(1)).as("nb"))
+      // NOT pinned: the two consumers' identical subtrees collapse via
+      // ReuseExchange/ReusedBroadcast (the pre-r18 twin grids already
+      // relied on that), and a cache build here costs more than the reuse
       val grid = cells.select(col("source")).distinct()
         .crossJoin(broadcast(g))
         .join(broadcast(cells), Seq("source", "b"), "left_outer")
         .withColumn("sn", coalesce(col("n"), lit(0L)))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(tot))
+      val term = expr(
+        "((sn + 1e0) / (ns + nb) - (gn + 1e0) / (ng + nb)) * " +
+          "ln(((sn + 1e0) / (ns + nb)) / ((gn + 1e0) / (ng + nb)))")
+      val psi = grid
+        .withColumn("term_e6", round(term * lit(1000000d)).cast("long"))
+        .groupBy(col("source"), col("ns"))
+        .agg(sum(col("term_e6")).as("psi_e6"))
+        .select(col("source"), col("ns").as("n_docs"), col("psi_e6"),
+          (col("psi_e6") > 250000L).as("drifted_psi"))
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("b"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
       val ks = grid
         .withColumn("cs", sum(col("sn")).over(wb))
         .withColumn("cg", sum(col("gn")).over(wb))
-        .join(broadcast(st), Seq("source"))
-        .crossJoin(broadcast(tot))
         .withColumn("dnum", abs(
           col("cs").cast("decimal(38,0)") * col("ng") -
             col("cg").cast("decimal(38,0)") * col("ns")))

@@ -948,7 +948,12 @@ object LlmScale {
     "llm_dedup_embed" -> ((s, d) => {
       ptx.functions.VectorOps.register(s)
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("vec1"), col("embedding").as("p"),
+      // r18: the fixture ships one parquet row group, so the BNLJ's stream
+      // side was ONE task scoring every n²/2 pair single-threaded —
+      // round-robin it across the cores first (core-count-adaptive, and
+      // irrelevant at real scale where the scan splits on its own)
+      val a = e.repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id").as("vec1"), col("embedding").as("p"),
         col("label").as("label1"))
       val b = e.select(col("vec_id").as("vec2"), col("embedding").as("c"),
         col("label").as("label2"))
@@ -1117,7 +1122,9 @@ object LlmScale {
       // `sim >= t/100.0` expression in both engines (the
       // llm_dedup_embed boundary precedent), not the cross-multiplied
       // integer form
-      val curve = a.crossJoin(broadcast(b))
+      // r18: spread the BNLJ stream side (the llm_dedup_embed note)
+      val curve = a.repartition(s.sparkContext.defaultParallelism)
+        .crossJoin(broadcast(b))
         .filter(col("vec1") < col("vec2"))
         .withColumn("sim", expr("cosine_sim(p, c)"))
         .select(col("vec1"), col("vec2"), col("sim"),
