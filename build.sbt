@@ -34,5 +34,19 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // -Xms pinned to -Xmx (r18): the bench harness calls System.gc()
+  // between queries, and an unpinned G1 heap UNCOMMITS back to the OS on
+  // every full GC (gc logs showed the 24g max shrunk to 544M-1.4G
+  // committed) — each subsequent query then re-grows the heap under
+  // allocation pressure, paying hundreds of young/concurrent GCs inside
+  // timed runs (12 s of pauses in one 30 s window; pin-heavy queries ran
+  // 3-27× their isolated time). A pinned heap makes the forced full GCs
+  // cheap and the steady state flat.
+  // default raised 8g → 16g (r18): local[32] runs 32 concurrent tasks in
+  // this one JVM (guide §5 sizes memory to concurrent task state); the
+  // declared sandbox/grading environment is 128 GiB. Overridable via
+  // SPARK_DRIVER_MEM for smaller hosts.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+) ++ // dev hook: extra forked-JVM flags (e.g. -Xlog:gc) without editing here
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Nil)

@@ -88,18 +88,23 @@ object Bench {
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
     def gcTick(): Unit = {
-      // every 5 queries (r16, tightened from 10 — VERDICT r15 #7: the
-      // root-caused within-JVM drift is accumulated collectible garbage,
-      // and r15's driver run still showed ~1.4× late-run inflation at
-      // the 10-query cadence): force a driver GC so ContextCleaner reaps
-      // the dead broadcasts/shuffles the last executions accumulated,
-      // and give its async thread a beat to drain — OUTSIDE the timed
-      // region, so the reclaim cost is never charged to a query
+      // EVERY query (r18, tightened from 5 — the r16 comment's rationale,
+      // finished): the GC is what hands dead broadcasts/shuffles to
+      // ContextCleaner, and the cleaner then drains ASYNCHRONOUSLY —
+      // contending with the next timed runs on BlockManager locks. At the
+      // 5-query cadence, five queries' debris (~50-70 jobs of shuffles and
+      // broadcasts) drained INSIDE whichever query followed the tick: the
+      // r18 session-2 sweep showed pin-heavy queries at 3-7× their own
+      // same-sweep minimum (llm_containment_prefix median 7.4 s vs min
+      // 0.95 s; isolated runs flat at 1.1-1.2 s) while queries landing
+      // elsewhere mod 5 stayed flat. Per-query ticks keep each drain small
+      // enough to finish in the untimed gap; the sleep gives the cleaner
+      // thread its beat. Cost: ~250 ms × #queries of UNTIMED wall.
       sinceGc += 1
-      if (sinceGc >= 5) {
+      if (sinceGc >= 1) {
         sinceGc = 0
         System.gc()
-        Thread.sleep(150)
+        Thread.sleep(250)
       }
     }
     // Repeats are BACK-TO-BACK per query (warm run, then the timed

@@ -91,11 +91,64 @@ object Tables {
     df
   }
 
+  /** Memo of loaded (normalized + schema-asserted) table frames, keyed by
+    * (session, path, file fingerprint) — r18 optimization.
+    *
+    * Why (guide §6 file-listing/metadata costs): `spark.read.parquet`
+    * re-lists the path and re-reads a parquet footer ON THE DRIVER at every
+    * call, and the registry's query functions are re-invoked per bench run —
+    * a star join touching 6 tables paid ~0.5-0.7 s of pure per-invocation
+    * metadata work before any job ran (measured via ptx.tools.PlanCost:
+    * q8_market_share build=737 ms vs 76 ms of actual Catalyst phases).
+    * The memoized value is the resolved LOGICAL PLAN (scan relation +
+    * normalization), i.e. metadata only: every action over it still scans
+    * parquet and recomputes from disk, so bench/oracle runs do full work —
+    * this is the session-scoped analog of Spark's own catalog-table relation
+    * cache, NOT a result cache.
+    *
+    * Staleness: the key carries a filesystem fingerprint (name/length/mtime
+    * of the file, or of every child for a directory), so a test that
+    * regenerates a fixture under the same path gets a fresh relation — the
+    * BpeModel.ensure staleness discipline applied to the loader. Non-local
+    * paths (any URI scheme) skip the memo entirely. */
+  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String, String), DataFrame]()
+
+  private def fsFingerprint(path: String): Option[String] = {
+    if (path.contains("://")) return None // non-local FS: skip the memo
+    try {
+      val f = new java.io.File(path)
+      if (!f.exists) None
+      else if (f.isFile) Some(s"${f.length}:${f.lastModified}")
+      else {
+        val kids = f.listFiles()
+        if (kids == null) None
+        else Some(kids.sortBy(_.getName)
+          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
+          .mkString(","))
+      }
+    } catch { case _: Throwable => None }
+  }
+
+  private def memoized(spark: SparkSession, path: String)
+                      (load: => DataFrame): DataFrame =
+    fsFingerprint(path) match {
+      case None => load
+      case Some(fp) =>
+        // unbounded growth guard: regenerated fixtures retire old keys but
+        // never remove them; the map holds plan objects only, yet a
+        // long-lived session churning many tmp corpora should not leak
+        if (loadMemo.size > 512) loadMemo.clear()
+        loadMemo.computeIfAbsent((spark, path, fp), _ => load)
+    }
+
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     require(expectedTypes.contains(name), s"unknown table $name")
     if (name == "events") events(spark, dir)
-    else assertSchema(
-      normalizeDateish(spark.read.parquet(s"$dir/$name.parquet"), name), name)
+    else memoized(spark, s"$dir/$name.parquet") {
+      assertSchema(
+        normalizeDateish(spark.read.parquet(s"$dir/$name.parquet"), name), name)
+    }
   }
 
   /** Normalize the physically-encoded events.ts onto TimestampType (LTZ):
@@ -133,13 +186,14 @@ object Tables {
     * failing. Acceptable here (events is the only possibly-nanos table in
     * the binding data); a multi-tenant deployment would scope it.
     */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = spark.read.parquet(s"$dir/events.parquet")
-    require(raw.columns.contains("ts"), s"table events is missing column ts " +
-      s"(got ${raw.columns.mkString(",")}) — fixture drift, see FIXTURES.md")
-    assertSchema(raw.withColumn("ts", normalizeEventsTs(raw.schema("ts").dataType)), "events")
-  }
+  def events(spark: SparkSession, dir: String): DataFrame =
+    memoized(spark, s"$dir/events.parquet") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/events.parquet")
+      require(raw.columns.contains("ts"), s"table events is missing column ts " +
+        s"(got ${raw.columns.mkString(",")}) — fixture drift, see FIXTURES.md")
+      assertSchema(raw.withColumn("ts", normalizeEventsTs(raw.schema("ts").dataType)), "events")
+    }
 
   /** Streaming read of the events table (file source) with the same
     * ts normalization as the batch loader — the binding table as a stream.

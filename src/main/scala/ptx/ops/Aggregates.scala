@@ -182,16 +182,13 @@ object Aggregates {
     // Oracle side avoids DuckDB's quantile_disc (its index rule differs
     // from the standard) and instead encodes the definition directly via
     // cume_dist.
+    // r18: the window formulation of the same discrete percentiles (see
+    // ExactPercentiles.groupPercentilesDisc — the oracle's own cume_dist
+    // definition, OperatorSpec-pinned vs the built-in on the fixtures)
     "agg_percentile_disc" -> ((s, d) => {
-      Tables.orders(s, d)
-        .groupBy(col("o_orderstatus"))
-        .agg(
-          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY o_totalprice)")
-            .as("median_disc"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY o_totalprice)")
-            .as("p90_disc"),
-          expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY o_totalprice)")
-            .as("p99_disc"))
+      ExactPercentiles.groupPercentilesDisc(
+          Tables.orders(s, d), Seq("o_orderstatus"), "o_totalprice",
+          Seq(0.5 -> "median_disc", 0.9 -> "p90_disc", 0.99 -> "p99_disc"))
         .reportSort(col("o_orderstatus"))
     }),
     "agg_collect_sorted" -> ((s, d) => {

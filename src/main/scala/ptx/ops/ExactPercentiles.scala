@@ -82,4 +82,33 @@ object ExactPercentiles {
     val extraNames = extraAggs.map { case (_, n) => col(n) }
     agged.select(keyCols ++ outs ++ extraNames: _*)
   }
+
+  /** `df.groupBy(keys).agg(percentile_disc(p) WITHIN GROUP (ORDER BY value))`
+    * with the same one-window-pass formulation as [[groupPercentiles]] —
+    * r18, for the same reason (the built-in buffers every value of a group
+    * into one task's OpenHashMap on both exchange sides).
+    *
+    * SEMANTICS pinned to the SQL-standard definition — the smallest actual
+    * value whose cumulative distribution ≥ p — expressed EXACTLY as the
+    * repo's oracle encodes it (cume_dist() + conditional min, see the
+    * agg_percentile_disc oracle SQL): both engines compute cume_dist as the
+    * same IEEE double quotient, so the boundary behaviour matches the
+    * oracle BY CONSTRUCTION rather than by reproducing the built-in's
+    * internal `count ≥ p·n` arithmetic. OperatorSpec pins equality with the
+    * built-in on the binding fixtures. NULL values are excluded like the
+    * built-in; all-NULL groups yield no row (callers' value columns are
+    * mandatory fixture columns). */
+  def groupPercentilesDisc(df: DataFrame, keys: Seq[String], value: String,
+                           ps: Seq[(Double, String)]): DataFrame = {
+    val keyCols = keys.map(col)
+    val w = Window.partitionBy(keyCols: _*).orderBy(col(value))
+    val ranked = df
+      .filter(col(value).isNotNull)
+      .select(keyCols :+ col(value): _*)
+      .withColumn("__cd", cume_dist().over(w))
+    val sels = ps.map { case (p, name) =>
+      min(when(col("__cd") >= p, col(value))).as(name)
+    }
+    ranked.groupBy(keyCols: _*).agg(sels.head, sels.tail: _*)
+  }
 }

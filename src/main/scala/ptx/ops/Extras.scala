@@ -77,15 +77,17 @@ object Extras {
                          g: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val tot = g.agg(sum(col("gn")).as("gt"), count(lit(1)).as("nb"))
     val st = c.groupBy(col("source")).agg(sum(col("n")).as("sn_tot"))
-    val grid = c.select(col("source")).distinct()
-      .crossJoin(broadcast(g))
+    // r18 (guide §2.4): the per-source totals frame IS the dense grid's
+    // left side — the separate distinct-sources aggregate and the sn_tot
+    // join are gone (the dq_drift_report batch-3 shape; also trims the
+    // streaming drift gate that shares this body)
+    val grid = st.crossJoin(broadcast(g))
       .join(broadcast(c), Seq("source", "b"), "left_outer")
       .withColumn("sn", coalesce(col("n"), lit(0L)))
     val term = expr(
       "((sn + 1e0) / (sn_tot + nb) - (gn + 1e0) / (gt + nb)) * " +
         "ln(((sn + 1e0) / (sn_tot + nb)) / ((gn + 1e0) / (gt + nb)))")
-    grid.join(broadcast(st), Seq("source"))
-      .crossJoin(broadcast(tot))
+    grid.crossJoin(broadcast(tot))
       .withColumn("term_e6", round(term * lit(1000000d)).cast("long"))
       .groupBy(col("source"), col("sn_tot"))
       .agg(sum(col("term_e6")).as("psi_e6"))
@@ -502,8 +504,10 @@ object Extras {
       val g = c.groupBy(col("b")).agg(sum(col("n")).as("gn"))
       val st = c.groupBy(col("source")).agg(sum(col("n")).as("ns"))
       val tot = g.agg(sum(col("gn")).as("ng"))
-      val grid = c.select(col("source")).distinct()
-        .crossJoin(broadcast(g))
+      // r18 (guide §2.4, the dq_drift_report batch-3 shape): the
+      // source-grain totals frame IS the dense grid's left side — the
+      // separate distinct-sources aggregate and the ns join are gone
+      val grid = st.crossJoin(broadcast(g))
         .join(broadcast(c), Seq("source", "b"), "left_outer")
         .withColumn("sn", coalesce(col("n"), lit(0L)))
       val wb = org.apache.spark.sql.expressions.Window
@@ -512,7 +516,6 @@ object Extras {
       grid
         .withColumn("cs", sum(col("sn")).over(wb))
         .withColumn("cg", sum(col("gn")).over(wb))
-        .join(broadcast(st), Seq("source"))
         .crossJoin(broadcast(tot))
         .withColumn("dnum", abs(
           col("cs").cast("decimal(38,0)") * col("ng") -
@@ -592,46 +595,40 @@ object Extras {
             .cast("decimal(38,0)").as("sxxc")))
       val cells = c.select(col("source"), col("b"), col("n"))
       val g = cells.groupBy(col("b")).agg(sum(col("n")).as("gn"))
-      // r18 (guide §2.4): PSI and KS previously each built their OWN dense
-      // source×bucket grid (psiAgainstUnsorted constructs one internally —
-      // a second crossJoin + two joins + its own per-source/total aggs).
-      // ONE pinned grid now carries sn/gn/ns/ng/nb and feeds both
-      // statistics; the PSI arithmetic below is psiAgainstUnsorted's
-      // expression verbatim (sn_tot→ns, gt→ng — per-bucket term_e6 is an
-      // independently rounded integer, so the sum is order-free and the
-      // output is bit-identical; oracle-checked).
+      // r18 (guide §2.4, two steps): batch 2 collapsed PSI's and KS's twin
+      // grids into one; batch 3 goes further — the source-grain frame (ns)
+      // IS the crossJoin's left side (no separate distinct-sources frame,
+      // no ns join), and PSI's per-source term sum and KS's per-source
+      // D-statistic max are ONE aggregation over the same windowed grid
+      // (both group by source; the window's source partitioning feeds the
+      // agg with zero extra exchange). Profile before batch 3: 40 jobs /
+      // 784 tasks / 42 s summed task time for a ≤|sources×buckets| report
+      // frame — pure stage fan-out. Values bit-identical: every row still
+      // carries the same sn/gn/ns/ng/nb, term_e6 stays an independently
+      // rounded integer (order-free sum), dnum the same exact decimal.
       val st = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
       val tot = g.agg(sum(col("gn")).as("ng"), count(lit(1)).as("nb"))
-      // NOT pinned: the two consumers' identical subtrees collapse via
-      // ReuseExchange/ReusedBroadcast (the pre-r18 twin grids already
-      // relied on that), and a cache build here costs more than the reuse
-      val grid = cells.select(col("source")).distinct()
-        .crossJoin(broadcast(g))
+      val grid = st.crossJoin(broadcast(g))
         .join(broadcast(cells), Seq("source", "b"), "left_outer")
         .withColumn("sn", coalesce(col("n"), lit(0L)))
-        .join(broadcast(st), Seq("source"))
         .crossJoin(broadcast(tot))
       val term = expr(
         "((sn + 1e0) / (ns + nb) - (gn + 1e0) / (ng + nb)) * " +
           "ln(((sn + 1e0) / (ns + nb)) / ((gn + 1e0) / (ng + nb)))")
-      val psi = grid
-        .withColumn("term_e6", round(term * lit(1000000d)).cast("long"))
-        .groupBy(col("source"), col("ns"))
-        .agg(sum(col("term_e6")).as("psi_e6"))
-        .select(col("source"), col("ns").as("n_docs"), col("psi_e6"),
-          (col("psi_e6") > 250000L).as("drifted_psi"))
       val wb = org.apache.spark.sql.expressions.Window
         .partitionBy(col("source")).orderBy(col("b"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      val ks = grid
+      val psiKs = grid
+        .withColumn("term_e6", round(term * lit(1000000d)).cast("long"))
         .withColumn("cs", sum(col("sn")).over(wb))
         .withColumn("cg", sum(col("gn")).over(wb))
         .withColumn("dnum", abs(
           col("cs").cast("decimal(38,0)") * col("ng") -
             col("cg").cast("decimal(38,0)") * col("ns")))
         .groupBy(col("source"), col("ns"), col("ng"))
-        .agg(max(col("dnum")).as("dmax"))
-        .select(col("source"),
+        .agg(sum(col("term_e6")).as("psi_e6"), max(col("dnum")).as("dmax"))
+        .select(col("source"), col("ns").as("n_docs"),
+          col("psi_e6"), (col("psi_e6") > 250000L).as("drifted_psi"),
           expr("(2 * dmax * 1000000 + cast(ns as decimal(38,0)) * ng)" +
             " div (2 * cast(ns as decimal(38,0)) * ng)").as("ks_e6"),
           expr("(dmax * 1e0) / (ns * 1e0 * ng) >" +
@@ -656,7 +653,10 @@ object Extras {
             |  6) END""".stripMargin).as("t_stat"))
         .withColumn("significant",
           when(col("t_stat").isNotNull, abs(col("t_stat")) > 1.96))
-      psi.join(ks, Seq("source")).join(tt, Seq("source"))
+      psiKs.join(tt, Seq("source"))
+        .select(col("source"), col("n_docs"), col("psi_e6"),
+          col("drifted_psi"), col("ks_e6"), col("drifted_ks"),
+          col("t_stat"), col("significant"))
         .reportSort(col("source"))
     })
   )

@@ -453,8 +453,14 @@ object LlmScale {
     * probe parity. Pins the set frame; caller releases (releaseAll). */
   private[ptx] def containPairs(docs: DataFrame, t: Double): DataFrame = {
     ptx.functions.VectorOps.register(docs.sparkSession)
-    val sh = ptx.functions.TextShingles.shingles(docs)
-      .select(col("doc_id"), col("shingle").as("h"))
+    // r18: PINNED — the shingle stream has FOUR consumers (the df agg, the
+    // prefix ranking, the candidate dst side, and containSets' build), and
+    // unpinned each one re-scanned and re-hashed the whole corpus: the
+    // committed before-plan shows documents.parquet scanned 4× with its own
+    // repartition exchange each time (plans/r18/llm_containment_prefix_
+    // before2.txt, Scans (1)(7)(23)(35)), 11.5 s of summed task time.
+    val sh = ptx.Caching.pin(ptx.functions.TextShingles.shingles(docs)
+      .select(col("doc_id"), col("shingle").as("h")))
     val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     val docAgg = ptx.Caching.pin(containSets(sh))
     val cands = containPrefix(sh, dfreq, docAgg, t)
@@ -880,9 +886,19 @@ object LlmScale {
             .as("blk"))
       val a = docs.toDF("id1", "t1", "len1", "blk")
       val b = docs.toDF("id2", "t2", "len2", "blk")
+      // r18 (guide §2.5/§2.6 stragglers): the block join's INPUT bytes are
+      // tiny, so AQE coalesced its output to a handful of partitions — and
+      // the O(L²) levenshtein over the exploded pair stream then ran
+      // effectively single-task (profile: 7 tasks, 1.57 s summed task time
+      // ≈ the whole query's wall time). Round-robin the pair stream across
+      // defaultParallelism BEFORE the expensive kernel (the
+      // llm_embed_threshold_curve BNLJ-spread precedent — core-count-
+      // parameterized, not a local constant); the block-grain agg re-keys
+      // on blk afterwards, map-side partials keeping that exchange tiny.
       a.join(b, Seq("blk"))
         .filter(col("id1") < col("id2") &&
           abs(col("len1") - col("len2")) <= 20)
+        .repartition(s.sparkContext.defaultParallelism)
         .select(col("blk"),
           levenshtein(col("t1"), col("t2")).as("lev"),
           least(col("len1"), col("len2")).as("minlen"))

@@ -459,14 +459,25 @@ object TextAnalysis {
     // gram STRINGS).
     "llm_doc_novelty" -> ((s, d) => {
       ptx.functions.TextGrams.register(s)
-      // pinned: the per-doc distinct gram frame feeds the owner agg AND
-      // the scoring join — unpinned, the corpus tokenizes/hashes twice
-      val g = ptx.Caching.pin(Tables.documents(s, d)
+      // r18 (guide §2.4): the owner used to be a separate gram-grain
+      // aggregate JOINED back to the (doc, gram) frame, which forced the
+      // frame pinned (two consumers) and shuffled it twice (once for the
+      // owner agg, once for the join). min-over-a-window computes the same
+      // owner IN PLACE: one hash exchange on the gram key up front, which
+      // the distinct, the window, and nothing else below re-pays — the
+      // gram stream is hashed once, shuffled once, never cached. The
+      // repartition(h) is load-bearing: hash partitioning on h satisfies
+      // the (doc_id, h) distinct's clustering requirement (subset rule),
+      // so the distinct runs exchange-free on the same pass the window
+      // needs. Profile before: 11 jobs / 14 s summed task time; the pin
+      // build alone wrote the ~1M-row gram frame to block storage per run.
+      val g = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr("gram_hashes(w, 8)")).as("h"))
-        .distinct())
-      val own = g.groupBy(col("h")).agg(min(col("doc_id")).as("owner"))
-      g.join(own, Seq("h"))
+        .repartition(col("h"))
+        .distinct()
+      val wOwn = Window.partitionBy(col("h"))
+      g.withColumn("owner", min(col("doc_id")).over(wOwn))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_grams"),
           count(when(col("owner") === col("doc_id"), 1)).as("n_novel"))

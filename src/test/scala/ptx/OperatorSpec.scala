@@ -68,6 +68,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(w2 == b2, s"tiny-group percentiles diverged: $w2 vs $b2")
   }
 
+  test("ExactPercentiles.groupPercentilesDisc equals the percentile_disc built-in (r18)") {
+    import org.apache.spark.sql.functions._
+    // the discrete result is always an actual element, so plain equality
+    // (no raw-bits dance needed — both pick from the same value set)
+    for ((tbl, key, value) <- Seq(
+        ("orders", "o_orderstatus", "o_totalprice"),
+        ("events", "event_type", "value"))) {
+      val df = Tables.t(spark, TestSpark.SF, tbl)
+      val ps = Seq(0.05, 0.5, 0.9, 0.95, 0.99)
+      val pcols = ps.map(p =>
+        expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY $value)").as(s"p$p"))
+      val builtin = df.groupBy(col(key)).agg(pcols.head, pcols.tail: _*)
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      val viaWindow = ops.ExactPercentiles.groupPercentilesDisc(
+          df, Seq(key), value, ps.map(p => p -> s"p$p"))
+        .collect().map(r => r.getString(0) ->
+          ps.indices.map(i => r.getDouble(i + 1))).toMap
+      assert(viaWindow == builtin,
+        s"$tbl($key, $value): window percentile_disc diverged from the built-in")
+    }
+    // degenerate group sizes (n = 1, n = 2) and duplicate values (ties:
+    // cume_dist counts the whole peer group, so the duplicated value must
+    // be picked exactly when its LAST peer crosses p)
+    val tiny = spark.createDataFrame(
+        Seq(("a", 3.0), ("b", 1.0), ("b", 2.0), ("c", 5.0), ("c", 5.0), ("c", 7.0)))
+      .toDF("k", "v")
+    for (p <- Seq(0.25, 0.5, 2.0 / 3, 0.9)) {
+      val b2 = tiny.groupBy(col("k"))
+        .agg(expr(s"percentile_disc($p) WITHIN GROUP (ORDER BY v)").as("p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val w2 = ops.ExactPercentiles.groupPercentilesDisc(tiny, Seq("k"), "v", Seq(p -> "p"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(w2 == b2, s"p=$p: tiny-group percentile_disc diverged: $w2 vs $b2")
+    }
+  }
+
   test("metrics listener records exchanges and scans for a query run") {
     val l = ptx.tools.Metrics.install(spark)
     try {

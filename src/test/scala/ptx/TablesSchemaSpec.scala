@@ -111,4 +111,27 @@ class TablesSchemaSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("r_name missing"))
   }
+
+  test("the load memo reuses an unchanged relation and re-reads a regenerated fixture (r18)") {
+    val s = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("ptx_memo").toFile.getAbsolutePath
+    def writeDocs(n: Int): Unit =
+      s.sql(
+        s"""SELECT id AS doc_id, 'hello world' AS text, 'en' AS lang,
+           |  'web' AS source, cast(11 AS LONG) AS n_chars FROM range($n)""".stripMargin)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    writeDocs(3)
+    val d1 = Tables.documents(s, dir)
+    val d2 = Tables.documents(s, dir)
+    // same fingerprint → the SAME resolved relation (metadata reuse, the
+    // point of the memo); the data itself is still scanned per action
+    assert(d1 eq d2, "unchanged fixture should hit the load memo")
+    assert(d1.count() == 3)
+    // regenerate under the SAME path → the fingerprint must retire the
+    // memo entry (file length/mtime change) and the next load sees 5 rows;
+    // a stale relation would either fail on vanished part files or return 3
+    writeDocs(5)
+    val d3 = Tables.documents(s, dir)
+    assert(d3.count() == 5, "regenerated fixture must be re-read, not served stale")
+  }
 }
