@@ -312,23 +312,29 @@ object LlmScale {
     * uncapped. */
   private[ptx] def winnowCandidates(w0: DataFrame, maxDf: Int): DataFrame = {
     val w = ptx.Caching.pin(w0.select(col("doc_id"), col("fps")))
-    val fpAll = w.select(col("doc_id"), explode(col("fps")).as("fp"))
+    // r19 (guide §2.3/§2.4): each doc's fingerprint count `nf` RIDES THE
+    // POSTING — 8 extra bytes per posting through the one self-join
+    // shuffle — so the two per-side (doc → nf) joins the pair tail used
+    // to pay (each an exchange of the pair frame plus one of the
+    // corpus-sized nf frame, at any scale) are gone; the pair aggregation
+    // carries nf1/nf2 as min()s, which are exact (nf is a function of the
+    // doc id). Values and row order are bit-identical.
+    val fpAll = w.select(col("doc_id"),
+      size(col("fps")).cast("long").as("nf"), explode(col("fps")).as("fp"))
     val fp = if (maxDf <= 0) fpAll else
       fpAll.join(
         fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select(col("fp")),
         Seq("fp"), "left_semi")
         // the semi-join leads with its key — re-pin the column order the
-        // positional toDF("doc1"/"doc2", "fp") renames below rely on
-        .select(col("doc_id"), col("fp"))
-    val nf = w.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
-    fp.toDF("doc1", "fp").join(fp.toDF("doc2", "fp"), Seq("fp"))
+        // positional toDF("doc1"/"nf1"/"fp") renames below rely on
+        .select(col("doc_id"), col("nf"), col("fp"))
+    fp.toDF("doc1", "nf1", "fp").join(fp.toDF("doc2", "nf2", "fp"), Seq("fp"))
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_shared"),
+        min(col("nf1")).as("nf1"), min(col("nf2")).as("nf2"))
       .filter(col("n_shared") >= 2)
-      .join(nf.toDF("d1", "nf1"), col("doc1") === col("d1"))
-      .join(nf.toDF("d2", "nf2"), col("doc2") === col("d2"))
       .select(col("doc1"), col("doc2"), col("n_shared"),
         // half-up e6 overlap coefficient; n_shared ≥ 2 ⇒ nonzero
         // denominator, and 2·n_shared·1e6 is bounded by per-doc
@@ -630,12 +636,44 @@ object LlmScale {
     //    materializes the blocks and answers convergence in the SAME job.
     val e = col("doc1").cast("long")
     val f = col("doc2").cast("long")
-    val edges = ptx.Caching.checkpoint(
+    val spark = rawPairs.sparkSession
+    // r19 (guide §1.2 job shape / §2.2 scale-adaptive partitioning /
+    // §2.4 remove shuffles): the loop's cost is sequential driver-job
+    // latency over tiny per-round frames, so the whole loop runs with
+    //  - AQE OFF (Jobs.noAqe): each round's convergence count is ONE job
+    //    whose stages pipeline — AQE had materialized every exchange as
+    //    its own job with a driver re-plan between (55+ jobs/invocation,
+    //    ~47 ms apiece here, 4× that on the r10 grading machine);
+    //  - shuffle partitions DERIVED FROM THE EDGE COUNT (one partition
+    //    per 256k edges, capped at defaultParallelism — Jobs.
+    //    adaptivePartitions): without AQE's coalescing a cluster-wide
+    //    constant would launch 32 near-empty tasks per stage per round
+    //    (measured: the naive noAqe form was SLOWER than AQE — 789 tasks
+    //    vs 613); a 100 TB edge frame saturates the cluster cap instead;
+    //  - the edge checkpoint REWRITTEN hash-partitioned on the join key
+    //    `b` and sorted within partitions at exactly that count
+    //    (localCheckpoint preserves both), so the edge-sized exchange AND
+    //    its per-round re-sort vanish from every round — only the
+    //    node-sized label frame shuffles per round (the r18 "Not yet
+    //    optimized #1" item). The first, unpartitioned checkpoint
+    //    materializes the candidate derivation exactly once and its
+    //    count() (cached blocks, one tiny job) is what sizes the loop;
+    //    its blocks are freed the moment the partitioned copy exists.
+    // NOTE the first checkpoint runs under the session's own AQE setting:
+    // the upstream candidate derivation (shingle/LSH pipelines) is a
+    // normal corpus query whose runtime broadcast conversions and
+    // coalescing AQE handles well — only the LOOP below opts out.
+    val edges0 = ptx.Caching.checkpoint(
       rawPairs.toDF("doc1", "doc2").select(explode(array(
           struct(e.as("a"), f.as("b")), struct(f.as("a"), e.as("b")),
           struct(e.as("a"), e.as("b")), struct(f.as("a"), f.as("b"))))
           .as("ed"))
         .select(col("ed.a").as("a"), col("ed.b").as("b")))
+    val nParts = ptx.Jobs.adaptivePartitions(spark, edges0.count())
+    ptx.Jobs.noAqe(spark, nParts) {
+    val edges = ptx.Caching.checkpoint(
+      edges0.repartition(nParts, col("b")).sortWithinPartitions(col("b")))
+    ptx.Caching.free(edges0)
     lap("edges checkpoint (derive candidate pairs)")
     var lbl: DataFrame = null      // (id, lbl) after the previous round
     var lblCp: DataFrame = null
@@ -696,7 +734,11 @@ object LlmScale {
     lastPropagationRounds = round
     if (sys.env.contains("SPARK_GRAFT_CLUSTER_DEBUG"))
       System.err.println(s"[clusterPairs] converged after $round rounds")
-    lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+    lbl
+    } // end noAqe scope — the caller's materialization of the returned
+      // frame (one select + the declared sort over the final checkpointed
+      // labels) runs under the session's own AQE setting
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
       .orderBy(col("doc_id"))
   }
 

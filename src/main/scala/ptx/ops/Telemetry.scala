@@ -193,7 +193,17 @@ object Telemetry {
     // just shuffled on. Bucket avg is rounded 6dp BEFORE the fill so both
     // engines propagate identical values.
     "pt_gap_fill" -> ((s, d) => {
+      // r19 (guide §2.5 synthetic-parallelism / the llm_dedup_lev spread
+      // precedent): one EXPLICIT hash exchange on user_id at core-count
+      // parallelism feeds the whole chain — the bucket agg, the per-user
+      // spine agg and the fill window all cluster by user_id (subset
+      // rule), so no further exchange follows. Without it AQE coalesced
+      // the ~2 MB shuffle to ONE partition and the agg→agg→window chain
+      // ran serially (5 single-task stages measured on pt_interp_linear).
+      // defaultParallelism-parameterized, not a constant — at cluster
+      // scale the same expression is the cluster's core count.
       val ag = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
         .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))
         .agg(count(lit(1)).as("n"), round(avg(col("value")), 6).as("v"))
       // r18 (guide §2.4): the spine join is gone — each user's observed
@@ -236,7 +246,12 @@ object Telemetry {
     // round(double) there was one unlucky numerator from a half-point
     // flip).
     "pt_interp_linear" -> ((s, d) => {
+      // r19: same explicit user_id spread as pt_gap_fill (see the note
+      // there) — the bucket agg, spine agg and all four ignoreNulls
+      // frames ride one core-count-parallel exchange instead of the
+      // single AQE-coalesced partition
       val ag = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
         .select(col("user_id"), col("ts"),
           round(col("value") * 100).cast("long").as("v2"))
         .groupBy(col("user_id"), window(col("ts"), "6 hours")("start").as("bucket"))

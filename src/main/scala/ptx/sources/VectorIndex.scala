@@ -420,7 +420,10 @@ object VectorIndex {
                      trainPerCell: Int = 64)
       : (DataFrame, DataFrame) = {
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    kmeansAdaptiveN(e, e.count(), iters, targetCell, minK, trainPerCell)
+    // r19: the sizing count is a single tiny scan — one non-AQE job
+    // instead of an AQE plan/materialize round (see kmeansCents)
+    kmeansAdaptiveN(e, ptx.Jobs.noAqe(e.sparkSession)(e.count()),
+      iters, targetCell, minK, trainPerCell)
   }
 
   /** [[kmeansAdaptive]] with the corpus size already counted — for
@@ -434,14 +437,17 @@ object VectorIndex {
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val k = adaptiveK(n, targetCell, minK)
     val cap = k.toLong * trainPerCell
-    if (n <= cap) kmeans(e, k, iters)
+    if (n <= cap) { val (c, a) = kmeansCents(e, k, iters, nHint = n)
+      val spark = e.sparkSession
+      import spark.implicits._
+      (c.toDF("label", "centroid"), a) }
     else {
       // deterministic Knuth bucket (the llm_split formula): keep ids
       // whose bucket falls under cap/n of the 2^32 hash range
       val keep = (cap * 4294967296L.toDouble / n).toLong
       val train = e.filter(
         pmod(col("vec_id"), lit(2147483648L)) * 2654435761L % 4294967296L < keep)
-      val (cents, _) = kmeansCents(train, k, iters)
+      val (cents, _) = kmeansCents(train, k, iters, nHint = cap)
       val spark = e.sparkSession
       import spark.implicits._
       // ONE full-corpus pass: assign every vector to the trained cells
@@ -462,7 +468,8 @@ object VectorIndex {
   /** [[kmeans]] body returning the centroids as the driver-side rows the
     * loop already carries — for callers that feed them straight back
     * into [[assignLit]] (the sample-trained full-corpus assignment). */
-  private def kmeansCents(embeddings: DataFrame, k: Int, iters: Int)
+  private def kmeansCents(embeddings: DataFrame, k: Int, iters: Int,
+                          nHint: Long = -1L)
       : (Seq[(Int, Seq[Float])], DataFrame) = {
     require(iters >= 1, s"kmeans needs at least one iteration, got $iters")
     val spark = embeddings.sparkSession
@@ -477,6 +484,20 @@ object VectorIndex {
     // broadcast chain paid 2-3 extra jobs per round for the same values.
     // Plan lineage stays O(1) per round for free (each round's plan
     // starts from the literal centroids, not the previous round's plan).
+    // r19 (guide §1.2 job shape + §2.2 scale-adaptive partitioning):
+    // every Lloyd-round action runs under ONE Jobs.noAqe scope, with the
+    // shuffle-partition count derived from the training-row count
+    // (adaptivePartitions — callers pass the n they already counted; a
+    // caller without one pays a single tiny count job). Each round's
+    // centroid-update collect is then ONE job whose stages pipeline,
+    // where AQE had materialized the join + two aggregation exchanges as
+    // 3-4 separate driver jobs PER ROUND with a re-plan between each
+    // (the llm_ann_*_kmeans profile read 38-43 jobs and ~2 s of driver
+    // time against 0.6 s of task time). Identical centroids either way.
+    val nRows = if (nHint >= 0) nHint
+      else ptx.Jobs.noAqe(spark)(e.count())
+    val nParts = ptx.Jobs.adaptivePartitions(spark, nRows)
+    ptx.Jobs.noAqe(spark, nParts) {
     var cents: Seq[(Int, Seq[Float])] =
       e.orderBy(col("vec_id")).limit(k).collect()
         .zipWithIndex.map { case (r, i) => i -> r.getSeq[Float](1) }.toSeq
@@ -494,5 +515,7 @@ object VectorIndex {
     // the assignment that PRODUCED cent) — consumers pair the cells
     // with the centroids those cells generated
     (cents, asg)
+    } // end noAqe scope — `asg` materializes at the caller, under the
+      // session's own AQE setting
   }
 }

@@ -48,6 +48,8 @@ object Profile {
       // warm run (codegen/classload), not measured
       try fn(spark, sfDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
       ptx.Caching.releaseAll()
+      System.gc()
+      Thread.sleep(250)
       val reps = sys.env.get("SPARK_GRAFT_PROFILE_REPS").map(_.toInt).getOrElse(3)
       val times = (1 to reps).map { i =>
         if (i == reps) { // count scheduler activity on the last rep only
@@ -59,6 +61,13 @@ object Profile {
         fn(spark, sfDir).queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         ptx.Caching.releaseAll()
+        // r19: graft.Bench's per-query GC tick, at the rep grain — without
+        // it the ContextCleaner drains prior reps' checkpoint/shuffle
+        // debris INSIDE later timed reps and the checkpoint-heavy queries
+        // read escalating phantoms (the r18 sweep-phantom class, seen here
+        // as plan=24.9s outliers on llm_dedup_cluster_sizes)
+        System.gc()
+        Thread.sleep(250)
         dt
       }
       Thread.sleep(200) // let async listener events drain
