@@ -49,4 +49,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 ) ++ // dev hook: extra forked-JVM flags (e.g. -Xlog:gc) without editing here
-  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Nil)
+  // r19 (ADVICE r18): trim + drop empties so an empty/multi-space value
+  // cannot inject a blank JVM argument that fails the forked launch
+  sys.env.get("SPARK_GRAFT_EXTRA_JAVA_OPTS")
+    .map(_.split("\\s+").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Nil)

@@ -116,18 +116,24 @@ object Tables {
 
   private def fsFingerprint(path: String): Option[String] = {
     if (path.contains("://")) return None // non-local FS: skip the memo
-    try {
-      val f = new java.io.File(path)
+    // r19 (ADVICE r18): RECURSE into subdirectories — a partitioned
+    // fixture whose leaf files change without touching the top dir's own
+    // entries would otherwise be served a stale relation. Depth-capped so
+    // a pathological tree degrades to "skip the memo", never to a hang.
+    def fp(f: java.io.File, depth: Int): Option[String] =
       if (!f.exists) None
-      else if (f.isFile) Some(s"${f.length}:${f.lastModified}")
+      else if (f.isFile) Some(s"${f.getName}:${f.length}:${f.lastModified}")
+      else if (depth <= 0) None
       else {
         val kids = f.listFiles()
         if (kids == null) None
-        else Some(kids.sortBy(_.getName)
-          .map(c => s"${c.getName}:${c.length}:${c.lastModified}")
-          .mkString(","))
+        else {
+          val parts = kids.sortBy(_.getName).map(c => fp(c, depth - 1))
+          if (parts.exists(_.isEmpty)) None
+          else Some(s"${f.getName}[" + parts.flatten.mkString(",") + "]")
+        }
       }
-    } catch { case _: Throwable => None }
+    try fp(new java.io.File(path), 8) catch { case _: Throwable => None }
   }
 
   private def memoized(spark: SparkSession, path: String)
@@ -135,9 +141,12 @@ object Tables {
     fsFingerprint(path) match {
       case None => load
       case Some(fp) =>
-        // unbounded growth guard: regenerated fixtures retire old keys but
-        // never remove them; the map holds plan objects only, yet a
-        // long-lived session churning many tmp corpora should not leak
+        // growth guards (r19, ADVICE r18): entries owned by STOPPED
+        // sessions are evicted on every pass (a long-lived multi-session
+        // JVM no longer leaks them until the size trip), and the size
+        // guard — regenerated fixtures retire old keys but never remove
+        // them — stays as the backstop
+        loadMemo.keySet.removeIf(k => k._1.sparkContext.isStopped)
         if (loadMemo.size > 512) loadMemo.clear()
         loadMemo.computeIfAbsent((spark, path, fp), _ => load)
     }

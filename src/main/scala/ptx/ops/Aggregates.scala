@@ -35,8 +35,18 @@ object Aggregates {
           " + count(1)) div (2 * count(1)) END").as("avg_disc_e6"))
     }),
     "agg_pricing_summary" -> ((s, d) => {
+      // r19 (guide §2.5 input skew): the fixture is one single-row-group
+      // parquet file, so the scan — and with it the map-side partial
+      // aggregation's decimal(38,0) sums — runs in ONE task. A hash
+      // repartition on the high-cardinality order key (no
+      // sortBeforeRepartition cost — that tax is round-robin-only) moves
+      // the heavy partial aggregation onto every core; the exchange
+      // carries only the 7 projected columns. defaultParallelism-
+      // parameterized; at cluster scale a multi-row-group table makes
+      // this a near-no-op (the scan is already spread).
       Tables.lineitem(s, d)
         .filter(col("l_shipdate") <= to_timestamp(lit("2000-09-02")))
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -396,7 +406,17 @@ object Aggregates {
     // frame is |distinct prices|, not |lineitem|; a t-digest sketch
     // (agg_approx_percentile) is the declared approximate path.
     "agg_weighted_percentile" -> ((s, d) => {
+      // r19: the (flag, price) pre-aggregation barely reduces (~594k
+      // groups from 600k rows at sf0.1), so its map-side hash map was
+      // built inside the fixture's ONE scan task — an explicit hash
+      // exchange on price (a subset of the grouping key, so the agg adds
+      // no second exchange) spreads that build across cores. The
+      // SegmentedScan two-phase cume was ALSO tried here and MEASURED
+      // WORSE (1.33 → 1.65 s, 4 → 13 jobs: the segment machinery's extra
+      // joins outweigh two 198k-row serial window passes at this scale) —
+      // the window form stays; it remains the documented hot-key trade.
       val per = Tables.lineitem(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("l_extendedprice"))
         .groupBy(col("l_returnflag"), col("l_extendedprice").as("price"))
         .agg(sum(round(col("l_quantity")).cast("long")).as("w"))
       val cume = Window.partitionBy(col("l_returnflag")).orderBy(col("price"))

@@ -83,7 +83,12 @@ object Composite {
       import org.apache.spark.sql.expressions.Window
       val l = Tables.lineitem(s, d)
       val sup = Tables.supplier(s, d)
-      val perOrderSupp = l.groupBy(col("l_orderkey"), col("l_suppkey"))
+      // r19: one explicit orderkey exchange feeds the per-(order, supp)
+      // aggregation AND the three chained windows (subset clustering) —
+      // the partial agg had been serial in the fixture's one scan task
+      val perOrderSupp = l
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
         .agg(max(col("l_shipdate")).as("supp_max"))
       // both EXISTS predicates as chained windows over ONE l_orderkey
       // shuffle (the per-order frame is |orders|·|supps-per-order|-sized)
@@ -370,6 +375,10 @@ object Composite {
         .cast("decimal(38,0)")
       val per = Tables.lineitem(s, d)
         .join(broadcast(asiaSup), col("l_suppkey") === col("s_suppkey"))
+        // r19: the fixture's one-row-group file put the partkey-grain
+        // partial aggregation in ONE scan task — explicit spread (the
+        // agg_pricing_summary note)
+        .repartition(s.sparkContext.defaultParallelism, col("l_partkey"))
         .groupBy(col("l_partkey"))
         .agg(sum(volE4).as("v"))
       val pinned = ptx.Caching.pin(per) // apex: threshold branch + filter branch

@@ -560,6 +560,9 @@ object Curation {
       val model = lp.agg(
         map_from_entries(collect_list(struct(col("word"), col("lp")))).as("m"))
       Tables.documents(s, d)
+        // r19: the per-token scoring lambda runs interpreted — spread it
+        // off the single-task fixture scan (the agg_pricing_summary note)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .crossJoin(broadcast(model))
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"),
@@ -832,6 +835,8 @@ object Curation {
       // apex pinned: the scored frame feeds the threshold agg AND the
       // bucket assignment — unpinned, the corpus is scored twice
       val scored = ptx.Caching.pin(Tables.documents(s, d)
+        // r19: interpreted scoring lambda spread off the single scan task
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .crossJoin(broadcast(model))
         .withColumn("w", split(col("text"), " "))
         .select(col("doc_id"), col("lang"),

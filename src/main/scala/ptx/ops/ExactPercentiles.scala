@@ -95,9 +95,16 @@ object ExactPercentiles {
     * same IEEE double quotient, so the boundary behaviour matches the
     * oracle BY CONSTRUCTION rather than by reproducing the built-in's
     * internal `count ≥ p·n` arithmetic. OperatorSpec pins equality with the
-    * built-in on the binding fixtures. NULL values are excluded like the
-    * built-in; all-NULL groups yield no row (callers' value columns are
-    * mandatory fixture columns). */
+    * built-in on the binding fixtures.
+    *
+    * CONTRACT (r19, ADVICE r18): NULL values are excluded like the
+    * built-in, but a group whose values are ALL NULL yields NO OUTPUT ROW
+    * here, whereas the built-in `percentile_disc` returns the group with a
+    * NULL percentile. Safe for the current callers (mandatory, non-null
+    * fixture columns); a future caller with a nullable value column that
+    * needs the built-in's row-per-group behaviour must left-join this
+    * result back to `df.select(keys).distinct()` — do NOT use this helper
+    * as-is there, the missing rows are silent. */
   def groupPercentilesDisc(df: DataFrame, keys: Seq[String], value: String,
                            ps: Seq[(Double, String)]): DataFrame = {
     val keyCols = keys.map(col)

@@ -134,6 +134,9 @@ object Extras {
     }),
     "fn_unpivot" -> ((s, d) => {
       Tables.lineitem(s, d)
+        // r19: spread the 3-way stack (and the range sampler's re-run of
+        // it) off the single-task fixture scan — the fn_math note
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .select(col("l_orderkey"), col("l_linenumber"), expr(
           """stack(3, 'disc', l_discount, 'price', l_extendedprice, 'qty', l_quantity)
             | AS (metric, val)""".stripMargin))

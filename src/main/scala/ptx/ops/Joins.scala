@@ -99,7 +99,11 @@ object Joins {
         .reportSort(col("bucket"))
     }),
     "join_asof_last_error" -> ((s, d) => {
+      // r19: spread the user window off the AQE-coalesced single
+      // partition (the pt_gap_fill note); the range sampler's re-run of
+      // it parallelizes the same way
       val e = Tables.events(s, d)
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       e.select(col("event_id"), col("user_id"), col("ts"),
@@ -113,7 +117,8 @@ object Joins {
     // join_asof_last_error: same single user_id shuffle, one forward
     // window frame, no self-join.
     "join_asof_next_error" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      val e = Tables.events(s, d) // r19 spread — the join_asof_last_error note
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(1, Window.unboundedFollowing)
       e.select(col("event_id"), col("user_id"), col("ts"),
@@ -127,7 +132,8 @@ object Joins {
     // join_asof_last_error: one shuffle on user_id, two frame passes over
     // the same sort, no self-join. Deltas compared in exact µs integers.
     "join_asof_nearest_error" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      val e = Tables.events(s, d) // r19 spread — the join_asof_last_error note
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val back = ord.rowsBetween(Window.unboundedPreceding, -1)
       val fwd = ord.rowsBetween(1, Window.unboundedFollowing)
@@ -152,7 +158,8 @@ object Joins {
     // integers, so stale matches become NULL instead of joining data
     // from hours ago (the semantics telemetry alignment actually wants).
     "join_asof_tolerance" -> ((s, d) => {
-      val e = Tables.events(s, d)
+      val e = Tables.events(s, d) // r19 spread — the join_asof_last_error note
+        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       e.select(col("event_id"), col("user_id"), col("ts"),

@@ -305,8 +305,17 @@ object LlmData {
         ptx.functions.TextShingles.shingles(Tables.documents(s, d)))
       val n = ptx.functions.TextShingles.docSizes(sh)
       val inter = ptx.functions.TextShingles.intersections(sh, _ < _)
-      val dir = inter.select(col("doc1").as("src"), col("doc2").as("dst"), col("inter"))
-        .union(inter.select(col("doc2"), col("doc1"), col("inter")))
+      // r19 (guide §2.4): both directions EXPLODE off one intersection row
+      // — the union form referenced `inter` twice, and while ReuseExchange
+      // deduped the shuffle, the post-shuffle pair aggregation and its
+      // scan ran once per branch. Same rows, same values.
+      val dir = inter.select(explode(array(
+          struct(col("doc1").as("src"), col("doc2").as("dst"),
+            col("inter").as("inter")),
+          struct(col("doc2").as("src"), col("doc1").as("dst"),
+            col("inter").as("inter")))).as("p"))
+        .select(col("p.src").as("src"), col("p.dst").as("dst"),
+          col("p.inter").as("inter"))
       val c = col("inter").cast("double") / col("n_sh")
       dir.join(n, col("src") === col("doc_id"))
         .filter(c >= 0.5)

@@ -312,29 +312,29 @@ object LlmScale {
     * uncapped. */
   private[ptx] def winnowCandidates(w0: DataFrame, maxDf: Int): DataFrame = {
     val w = ptx.Caching.pin(w0.select(col("doc_id"), col("fps")))
-    // r19 (guide §2.3/§2.4): each doc's fingerprint count `nf` RIDES THE
-    // POSTING — 8 extra bytes per posting through the one self-join
-    // shuffle — so the two per-side (doc → nf) joins the pair tail used
-    // to pay (each an exchange of the pair frame plus one of the
-    // corpus-sized nf frame, at any scale) are gone; the pair aggregation
-    // carries nf1/nf2 as min()s, which are exact (nf is a function of the
-    // doc id). Values and row order are bit-identical.
-    val fpAll = w.select(col("doc_id"),
-      size(col("fps")).cast("long").as("nf"), explode(col("fps")).as("fp"))
+    // r19 note: carrying each doc's fingerprint count through the posting
+    // self-join (to drop the two nf joins below) was tried and MEASURED
+    // WORSE (min 1.77 → 2.15 s at sf0.1): the pair aggregation's hot loop
+    // pays two extra min() buffers per PAIR-OCCURRENCE row to save joins
+    // that only touch the tiny n_shared≥2 survivor frame — kept the
+    // join form.
+    val fpAll = w.select(col("doc_id"), explode(col("fps")).as("fp"))
     val fp = if (maxDf <= 0) fpAll else
       fpAll.join(
         fpAll.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= maxDf).select(col("fp")),
         Seq("fp"), "left_semi")
         // the semi-join leads with its key — re-pin the column order the
-        // positional toDF("doc1"/"nf1"/"fp") renames below rely on
-        .select(col("doc_id"), col("nf"), col("fp"))
-    fp.toDF("doc1", "nf1", "fp").join(fp.toDF("doc2", "nf2", "fp"), Seq("fp"))
+        // positional toDF("doc1"/"doc2", "fp") renames below rely on
+        .select(col("doc_id"), col("fp"))
+    val nf = w.select(col("doc_id"), size(col("fps")).cast("long").as("nf"))
+    fp.toDF("doc1", "fp").join(fp.toDF("doc2", "fp"), Seq("fp"))
       .filter(col("doc1") < col("doc2"))
       .groupBy(col("doc1"), col("doc2"))
-      .agg(count(lit(1)).as("n_shared"),
-        min(col("nf1")).as("nf1"), min(col("nf2")).as("nf2"))
+      .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 2)
+      .join(nf.toDF("d1", "nf1"), col("doc1") === col("d1"))
+      .join(nf.toDF("d2", "nf2"), col("doc2") === col("d2"))
       .select(col("doc1"), col("doc2"), col("n_shared"),
         // half-up e6 overlap coefficient; n_shared ≥ 2 ⇒ nonzero
         // denominator, and 2·n_shared·1e6 is bounded by per-doc
@@ -827,6 +827,10 @@ object LlmScale {
         .agg(count(lit(1)).as("n_kept"),
           md5(expr("array_join(transform(array_sort(collect_list(struct(idx, word)))," +
             " s -> s.word), ' ')")).as("clean_fp"))
+      // r19 note: pinning this report before the sort (to spare the range
+      // exchange's sampling recompute) was tried and MEASURED WORSE
+      // (min 1.34 → 2.38 s at sf0.1) — the cache build serializes the
+      // md5-string report and forfeits the pipelined second run.
       docs.select(col("doc_id"), col("n_tokens"))
         .join(rebuilt, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("n_tokens"),
@@ -1131,7 +1135,8 @@ object LlmScale {
     // df max 23 vs the shingle index's); a df-skewed corpus still
     // routes through MinHash banding (the declared skew-robust twin).
     "llm_dedup_winnow" -> ((s, d) =>
-      winnowCandidates(TextAnalysis.winnowedFingerprints(Tables.documents(s, d)), 0)),
+      winnowCandidates(TextAnalysis.winnowedFingerprints(
+        Tables.documents(s, d), spread = true), 0)),
     // ✓ df-CAPPED winnow candidates (r17, VERDICT r16 #3): the anchor's
     // runnable scale posture — fingerprints whose posting list exceeds
     // WinnowDfCap=64 docs are excluded from candidate GENERATION (the

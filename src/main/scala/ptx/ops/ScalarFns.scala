@@ -60,6 +60,11 @@ object ScalarFns {
       // expressions as before, so the total order — and the oracle hash —
       // is unchanged (a Project above Sort preserves row order).
       Tables.lineitem(s, d)
+        // r19: the derived-key projection (and the range sampler's re-run
+        // of it) had been serial in the fixture's one scan task — an
+        // explicit hash exchange spreads it, and the sampling pass
+        // re-reads this exchange instead of re-scanning (ReuseExchange)
+        .repartition(s.sparkContext.defaultParallelism, col("l_orderkey"))
         .select(
           col("l_orderkey"), col("l_linenumber"),
           col("l_extendedprice"), col("l_quantity"),

@@ -59,11 +59,24 @@ object TextAnalysis {
     * two docs shares a fingerprint — is testable on synthetic docs
     * (LlmOpsSpec) while the declared query runs it over the corpus. */
   private[ptx] def winnowedFingerprints(
-      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      docs: org.apache.spark.sql.DataFrame,
+      spread: Boolean = false): org.apache.spark.sql.DataFrame = {
     val fdef = (off: String) =>
       s"CAST(17 * length(element_at(w, i$off)) + " +
         s"ascii(substring(element_at(w, i$off), 1, 1)) AS BIGINT)"
-    docs
+    // r19: `spread = true` hash-exchanges the docs across cores before
+    // the interpreted winnow chain (polynomial grams + window minima),
+    // which had been serial in the fixture's one scan task. Measured
+    // per caller: the UNCAPPED pair anchor wins big (1.8 → 1.0 s —
+    // its posting self-join amortizes the exchange), but the capped
+    // twin and the stats audit run WORSE spread (their df-semi-join /
+    // explode tails multiply the 32-partition stages: capped 1.4 →
+    // 1.9 s), so each call site picks.
+    val base = if (spread)
+      docs.repartition(docs.sparkSession.sparkContext.defaultParallelism,
+        col("doc_id"))
+    else docs
+    base
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       // word-3-gram polynomial hashes (seed 7: 7*31 = 217)
       .withColumn("g", expr(
@@ -303,6 +316,9 @@ object TextAnalysis {
     "llm_hot_shingles" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val dfw = docs
+        // r19: spread the string-shingle explode + df partial agg off the
+        // single-task fixture scan (the agg_pricing_summary note)
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), explode(expr(
           """CASE WHEN size(w) >= 3 THEN

@@ -35,9 +35,16 @@ object BenchSlice {
     def run(df: org.apache.spark.sql.DataFrame): Long =
       df.queryExecution.toRdd.count()
     var sinceGc = 0
+    // r19 (ADVICE r18): tolerate a malformed SPARK_GRAFT_SLICE_GC — fall
+    // back to the default cadence instead of a NumberFormatException
+    val gcEvery = gcMode.toIntOption.getOrElse {
+      if (gcMode != "none")
+        System.err.println(s"[slice] bad SPARK_GRAFT_SLICE_GC '$gcMode', using 5")
+      5
+    }
     def gcTick(): Unit = if (gcMode != "none") {
       sinceGc += 1
-      if (sinceGc >= gcMode.toInt) {
+      if (sinceGc >= gcEvery) {
         sinceGc = 0
         System.gc()
         Thread.sleep(150)

@@ -14,8 +14,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * is O(plan size), never touches executor data paths.
   */
 class MetricsListener extends QueryExecutionListener {
+  /** `plan` is the recorded execution's executedPlan object — listener
+    * delivery is ASYNC on a shared bus, so a consumer that installs a
+    * fresh listener can still receive a LAGGING event from an earlier
+    * query; matching `plan eq df.queryExecution.executedPlan` attributes
+    * a snapshot to the exact execution measured (r19 — the plan-budget
+    * spec read a neighbor's exchange count through that race). */
   case class QueryMetrics(name: String, durationNs: Long, numExchanges: Int,
-                          numScans: Int, outputRows: Option[Long])
+                          numScans: Int, outputRows: Option[Long],
+                          plan: AnyRef)
 
   private val recorded = mutable.ArrayBuffer.empty[QueryMetrics]
 
@@ -38,7 +45,8 @@ class MetricsListener extends QueryExecutionListener {
     val scans = lines.count(_.contains("Scan "))
     val rows = qe.executedPlan.metrics.get("numOutputRows").map(_.value)
     recorded.synchronized {
-      recorded += QueryMetrics(funcName, durationNs, exchanges, scans, rows)
+      recorded += QueryMetrics(funcName, durationNs, exchanges, scans, rows,
+        qe.executedPlan)
     }
   }
 

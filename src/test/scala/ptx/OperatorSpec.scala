@@ -130,15 +130,27 @@ class OperatorSpec extends AnyFunSuite {
     val l = ptx.tools.Metrics.install(spark)
     try {
       l.clear()
-      q(name).collect()
+      val df = q(name)
+      df.collect()
+      // r19: attribute the snapshot to THIS execution by plan identity —
+      // listener delivery is async on a shared bus, and a lagging event
+      // from the PREVIOUS budget query used to land in this window (the
+      // full-suite run read llm_mix_entropy at its neighbor's count)
+      val plan = df.queryExecution.executedPlan
       val deadline = System.nanoTime() + 5_000_000_000L
-      while (l.snapshot.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
-      l.snapshot.map(_.numExchanges).max
+      var hit: Option[Int] = None
+      while (hit.isEmpty && System.nanoTime() < deadline) {
+        hit = l.snapshot.find(_.plan eq plan).map(_.numExchanges)
+        if (hit.isEmpty) Thread.sleep(50)
+      }
+      hit.getOrElse(fail(s"no metrics snapshot for $name's own execution"))
     } finally spark.listenerManager.unregister(l)
   }
 
   test("plan budget: pricing summary spends at most 2 exchanges (agg + sort)") {
-    assert(measuredExchanges("agg_pricing_summary") <= 2)
+    // 3 since r19: +1 explicit orderkey spread of the decimal partial
+    // aggregation off the single-task fixture scan
+    assert(measuredExchanges("agg_pricing_summary") <= 3)
   }
 
   test("plan budget: knn spends at most 3 exchanges (top-k agg, explode, sort)") {
@@ -167,7 +179,9 @@ class OperatorSpec extends AnyFunSuite {
     budget("win_error_streaks", 3)
     // corpus is never shuffled per word: vocab agg + model fold + sort
     // (the naive explode+join+re-agg formulation measures well above)
-    budget("llm_unigram_logprob", 6)
+    // +1 (r19): the explicit doc_id spread of the interpreted scoring
+    // lambda off the single-task fixture scan
+    budget("llm_unigram_logprob", 7)
     // one (order,supplier) agg + windows + final agg + sort
     budget("q21_late_suppliers", 5)
   }
@@ -301,7 +315,8 @@ class OperatorSpec extends AnyFunSuite {
     // vocab agg + model fold feed the pinned scored frame; per-lang
     // exact-tertile agg + broadcast threshold join + bucket agg + sort —
     // the corpus is scored ONCE (unpinned, twice)
-    budget("llm_ccnet_buckets", 7)
+    // +1 (r19): explicit doc_id spread of the interpreted scoring lambda
+    budget("llm_ccnet_buckets", 8)
     // one fp-keyed window shuffle + output sort; the 16-byte digest is
     // the shuffle key — payload bytes never cross the wire
     budget("mm_dedup_payload", 2)
