@@ -424,7 +424,10 @@ object Curation {
     "llm_split_contamination" -> ((s, d) => {
       ptx.functions.TextGrams.register(s)
       val docs = contaminationSplitDocs(s, d)
-      val grams = contaminationGrams(docs)
+      // r19 (guide §5 caching, the llm_containment_prefix precedent): the
+      // gram stream feeds the pinned gram-grain stats AND the docsHit
+      // branch — unpinned, the corpus was tokenized and hashed twice
+      val grams = ptx.Caching.pin(contaminationGrams(docs))
       // ONE gram-keyed aggregation carries everything gram-grained: which
       // splits each distinct gram appears in. Distinct counts and the
       // contamination intersection then fall out of a grid-sized
