@@ -255,6 +255,11 @@ object SegmentedScan {
     val wCum = Window.partitionBy(keyCols :+ col("__ptx_band"): _*)
       .orderBy(v).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wTot = Window.partitionBy(keyCols :+ col("__ptx_band"): _*)
+    // r19 note: pinning this distinct-value-grain apex (4 consumers) was
+    // tried and MEASURED WORSE on win_range_banded (10 → 13 jobs, 28 →
+    // 306 tasks, task time 4.9 → 42.8 s): the cache build + four
+    // InMemory scans cost more than the re-aggregations ReuseExchange
+    // already amortizes. Kept the recompute form.
     val gp = g
       .withColumn("__ptx_cum", sum(col("__ptx_s")).over(wCum))
       .withColumn("__ptx_tot", sum(col("__ptx_s")).over(wTot))
