@@ -99,11 +99,11 @@ object Joins {
         .reportSort(col("bucket"))
     }),
     "join_asof_last_error" -> ((s, d) => {
-      // r19: spread the user window off the AQE-coalesced single
-      // partition (the pt_gap_fill note); the range sampler's re-run of
-      // it parallelizes the same way
+      // r19 note: the explicit user_id spread (join_asof_next/nearest
+      // keep it) was tried here and MEASURED WORSE in both quiet sweeps
+      // (0.52 → 0.64-0.70 s): this variant's single backward frame is too
+      // cheap to amortize the exchange. Same for join_asof_tolerance.
       val e = Tables.events(s, d)
-        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       e.select(col("event_id"), col("user_id"), col("ts"),
@@ -117,7 +117,12 @@ object Joins {
     // join_asof_last_error: same single user_id shuffle, one forward
     // window frame, no self-join.
     "join_asof_next_error" -> ((s, d) => {
-      val e = Tables.events(s, d) // r19 spread — the join_asof_last_error note
+      // r19: explicit user_id spread off the AQE-coalesced single
+      // partition (the pt_gap_fill note) — this variant's forward frame
+      // is heavy enough to win (0.90 → 0.60 s in both quiet sweeps);
+      // the cheap single-backward-frame variants measured worse and
+      // stay unspread (the join_asof_last_error note)
+      val e = Tables.events(s, d)
         .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(1, Window.unboundedFollowing)
@@ -132,7 +137,7 @@ object Joins {
     // join_asof_last_error: one shuffle on user_id, two frame passes over
     // the same sort, no self-join. Deltas compared in exact µs integers.
     "join_asof_nearest_error" -> ((s, d) => {
-      val e = Tables.events(s, d) // r19 spread — the join_asof_last_error note
+      val e = Tables.events(s, d) // r19 spread — the join_asof_next_error note
         .repartition(s.sparkContext.defaultParallelism, col("user_id"))
       val ord = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       val back = ord.rowsBetween(Window.unboundedPreceding, -1)
@@ -158,8 +163,7 @@ object Joins {
     // integers, so stale matches become NULL instead of joining data
     // from hours ago (the semantics telemetry alignment actually wants).
     "join_asof_tolerance" -> ((s, d) => {
-      val e = Tables.events(s, d) // r19 spread — the join_asof_last_error note
-        .repartition(s.sparkContext.defaultParallelism, col("user_id"))
+      val e = Tables.events(s, d) // no spread — the join_asof_last_error note
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       e.select(col("event_id"), col("user_id"), col("ts"),

@@ -127,6 +127,13 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   private def measuredExchanges(name: String): Int = {
+    // r19: measure the query's OWN plan shape, not the suite context —
+    // a pinned frame leaked by an earlier test (other suites don't
+    // releaseAll per test) gets substituted into matching subtrees by
+    // the CacheManager, and the cached layout adds/removes exchanges
+    // (full-suite runs read q11 at 11 exchanges vs its true 5).
+    ptx.Caching.releaseAll()
+    spark.catalog.clearCache()
     val l = ptx.tools.Metrics.install(spark)
     try {
       l.clear()
