@@ -127,17 +127,23 @@ class OperatorSpec extends AnyFunSuite {
   }
 
   private def measuredExchanges(name: String): Int = {
-    // r19: measure the query's OWN plan shape, not the suite context —
-    // a pinned frame leaked by an earlier test (other suites don't
-    // releaseAll per test) gets substituted into matching subtrees by
-    // the CacheManager, and the cached layout adds/removes exchanges
-    // (full-suite runs read q11 at 11 exchanges vs its true 5).
+    // r19: measure the query's OWN plan shape, not the suite context.
+    // The whole test run shares one session (TestSpark), and earlier
+    // suites leave session state behind — leaked pins the CacheManager
+    // substitutes into matching subtrees, and session-conf residue —
+    // that deterministically shifted executed-exchange counts
+    // (full-suite runs read q11 at 11 exchanges vs its true 5, on
+    // queries this round never touched). A fresh newSession() (own
+    // SQLConf/catalog/listeners, shared context) plus a cache clear
+    // makes the measurement hermetic: isolation and full-suite runs now
+    // count the same plan.
     ptx.Caching.releaseAll()
     spark.catalog.clearCache()
-    val l = ptx.tools.Metrics.install(spark)
+    val s = spark.newSession()
+    val l = ptx.tools.Metrics.install(s)
     try {
       l.clear()
-      val df = q(name)
+      val df = ptx.QueryRegistry.all(name)(s, TestSpark.SF)
       df.collect()
       // r19: attribute the snapshot to THIS execution by plan identity —
       // listener delivery is async on a shared bus, and a lagging event
@@ -151,7 +157,7 @@ class OperatorSpec extends AnyFunSuite {
         if (hit.isEmpty) Thread.sleep(50)
       }
       hit.getOrElse(fail(s"no metrics snapshot for $name's own execution"))
-    } finally spark.listenerManager.unregister(l)
+    } finally s.listenerManager.unregister(l)
   }
 
   test("plan budget: pricing summary spends at most 2 exchanges (agg + sort)") {
